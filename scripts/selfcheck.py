@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query result
+dumped by graft.Verify, run the matching oracleSql in DuckDB over the
+same sf parquet tables and compare row count, schema width, and exact
+values (rows sorted, columns sorted by name — like the driver).
+
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import sys, json, math, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision
+    return repr(v)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        got_cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()]
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchall()
+        if name not in oracle:
+            print(f"  rows-only {name}: rows={len(got)}")
+            continue
+        res = con.execute(oracle[name])
+        exp_cols = [c[0] for c in res.description]
+        exp = res.fetchall()
+        # sort columns by name, then rows
+        gidx = [got_cols.index(c) for c in sorted(got_cols)]
+        eidx = [exp_cols.index(c) for c in sorted(exp_cols)]
+        g = sorted(tuple(norm(r[i]) for i in gidx) for r in got)
+        e = sorted(tuple(norm(r[i]) for i in eidx) for r in exp)
+        ok_schema = sorted(got_cols) == sorted(exp_cols)
+        ok = ok_schema and g == e
+        if ok:
+            n_pass += 1
+            print(f"  PASS {name}: rows={len(got)}")
+        else:
+            n_fail += 1
+            print(f"  FAIL {name}: rows {len(got)} vs {len(exp)}; "
+                  f"schema {sorted(got_cols)} vs {sorted(exp_cols)}")
+            if ok_schema:
+                diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
+                for a, b in diff:
+                    print(f"    got {a}\n    exp {b}")
+                only_g = [r for r in g if r not in set(e)][:2]
+                only_e = [r for r in e if r not in set(g)][:2]
+                if only_g: print(f"    only-in-got: {only_g}")
+                if only_e: print(f"    only-in-exp: {only_e}")
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return n_fail
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)

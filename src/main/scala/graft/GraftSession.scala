@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned [[SparkSession]] factory for the graft engine.
+  *
+  * Local runs use `local[N]` threads; on a real cluster the same confs
+  * apply (AQE handles runtime re-planning and skew joins). Shuffle
+  * partition count follows core count locally — on a 1000-executor
+  * cluster AQE coalesces the initial (larger) partition count instead.
+  */
+object GraftSession {
+  def builder(master: String = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"),
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+
+  def getOrCreate(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tokenization and text statistics, mirroring the reference's word
+  * handling (cooler-MapReduce `shared/samples/word_count.py:19-25`:
+  * lowercase, whitespace split, strip `.,!?;:"'-`, drop empties).
+  *
+  * Everything here is built from `org.apache.spark.sql.functions` so it
+  * stays inside whole-stage codegen — no UDFs on the 100 TB scan path.
+  */
+object TextFunctions {
+  /** Punctuation stripped from token edges (reference word_count.py:23). */
+  val PunctChars = ".,!?;:\"'-"
+  /** Same set escaped for a DuckDB single-quoted literal. */
+  val PunctSql = ".,!?;:\"''-"
+
+  /** Lowercased, punctuation-trimmed, non-empty token array. */
+  def tokens(c: Column): Column =
+    filter(
+      transform(split(lower(c), "\\s+"), t => trim(t, PunctChars)),
+      t => t =!= lit(""))
+
+  /** DuckDB fragment computing the identical token list. */
+  def tokensSql(expr: String): String =
+    s"list_filter(list_transform(string_split_regex(lower($expr), '\\s+'), " +
+      s"t -> trim(t, '$PunctSql')), t -> t <> '')"
+
+  /** Word n-gram shingles (joined with single spaces). */
+  def shingles(tokensCol: Column, n: Int): Column =
+    when(size(tokensCol) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(1), size(tokensCol) - lit(n - 1)),
+          i => concat_ws(" ", slice(tokensCol, i, lit(n)))))
+
+  /** DuckDB fragment for the same shingle list over a token-list expr. */
+  def shinglesSql(tokensExpr: String, n: Int): String =
+    s"case when len($tokensExpr) < $n then [] else " +
+      s"list_transform(range(1, len($tokensExpr) - ${n - 2}), " +
+      s"i -> array_to_string(($tokensExpr)[i:i+${n - 1}], ' ')) end"
+
+  /** Small fixed stopword list used by quality scoring / lang-id. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for")
+  def stopwordsSql: String = Stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** The reference's MapReduce surface (cooler-MapReduce `design.md:67-108`,
+  * `shared/samples/`) re-expressed as declarative Spark plans.
+  *
+  * The reference's combiner (`design.md:197-245`) needs no re-creation:
+  * every `groupBy().agg()` below compiles to partial aggregation
+  * (HashAggregate map-side → shuffle → HashAggregate final), which IS
+  * map-side combine, picked automatically by Catalyst. Hash
+  * partitioning by key (`task_executor.py` `hash(key) % R`) is the
+  * shuffle exchange; the sorted reduce output (`task_executor.py:226`)
+  * is `orderBy`, a sampled range partitioning that scales linearly.
+  */
+object MapReduceOps {
+
+  /** Word frequencies over a text column (word_count.py analog).
+    * One scan; tokenization is codegen'd; counts combine map-side.
+    */
+  def wordCount(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Grep: rows whose text matches a (Java/RE2-common) regex. The
+    * filter is evaluated in the scan stage; with a non-regex prefix a
+    * parquet `contains` pushdown applies.
+    */
+  def grep(docs: DataFrame, textCol: String, pattern: String): DataFrame =
+    docs.filter(col(textCol).rlike(pattern))
+
+  /** Inverted index: word → sorted list of containing doc ids
+    * (design.md:277 analog). `collect_set` deduplicates per word;
+    * the joined-string form keeps result schema oracle-comparable.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy("word")
+      .agg(
+        array_join(sort_array(collect_set(col(idCol))), ",").as("doc_ids"),
+        countDistinct(col(idCol)).as("n_docs"))
+
+  /** Per-key avg/min/max/count of a numeric column (weather_stats.py
+    * analog). The sum runs on decimal so the average is bit-exact and
+    * association-order independent — same trick the reference's
+    * combiner uses (carrying sum+count instead of averaging early).
+    */
+  def keyStats(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val dec = col(valCol).cast("decimal(18,4)")
+    df.groupBy(col(keyCol))
+      .agg(
+        (sum(dec).cast("double") / count(lit(1))).as("avg_value"),
+        min(col(valCol)).as("min_value"),
+        max(col(valCol)).as("max_value"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Globally sorted output with an explicit position column — the
+    * reference's sorted `part-r-*` files. Range-partitioned sort; the
+    * position is a window over the already-sorted partitions.
+    */
+  def distributedSort(df: DataFrame, ord: Seq[Column], out: Seq[Column]): DataFrame = {
+    val w = Window.orderBy(ord: _*)
+    df.select(out :+ row_number().over(w).as("pos"): _*)
+  }
+
+  /** Combiner-shaped aggregation: per-key exact sum + count. */
+  def combinerAgg(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(
+        sum(col(valCol).cast("decimal(18,4)")).cast("double").as("total_value"),
+        count(lit(1)).as("n"))
+
+  /** Generic migration adapter for reference jobs: `map_fn` ≡ flatMap to
+    * (key, value), `combine_fn`+`reduce_fn` ≡ `reduceGroups`. Prefer the
+    * declarative operators above — this exists so a cooler-MapReduce
+    * user can port an arbitrary job body verbatim. Aggregation is still
+    * distributed (groupByKey → sort-based agg), but closures skip
+    * whole-stage codegen, so it's the slow path by design.
+    */
+  def mapReduce[I, K: Encoder, V: Encoder](
+      input: Dataset[I],
+      mapFn: I => IterableOnce[(K, V)],
+      reduceFn: (V, V) => V)(
+      implicit kv: Encoder[(K, V)]): Dataset[(K, V)] =
+    input.flatMap(mapFn(_))(kv).groupByKey(_._1).reduceGroups((a, b) => (a._1, reduceFn(a._2, b._2))).map(_._2)(kv)
+}

@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational analytics over the star schema — the "query capabilities"
+  * a cooler-MapReduce user would hand-write as map/reduce chains,
+  * expressed as single declarative plans so Catalyst gets pushdown,
+  * join reorder, partial aggregation and AQE for free.
+  *
+  * Numeric policy (oracle parity at any scale): every floating-point
+  * SUM/AVG runs on `decimal` internally (exact, association-order
+  * independent — a shuffle reordering can never change the result) and
+  * is cast back to double at the end. Raw min/max/count are already
+  * order-independent.
+  */
+object Relational {
+  /** Exact decimal sum of a double column, returned as double. */
+  private def dsum(c: org.apache.spark.sql.Column, p: Int = 18, s: Int = 4) =
+    sum(c.cast(s"decimal($p,$s)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary. Single scan, partial agg. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val disc  = (lit(1) - col("l_discount")).cast("decimal(8,2)")
+    val chrg  = (lit(1) + col("l_tax")).cast("decimal(8,2)")
+    val price = col("l_extendedprice").cast("decimal(18,2)")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(price * disc).cast("double").as("sum_disc_price"),
+        sum(price * disc * chrg).cast("double").as("sum_charge"),
+        (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(col("l_discount").cast("decimal(8,4)")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q3-style: revenue of BUILDING-segment orders, top 10. The
+    * customer side is a filtered dimension → broadcast; lineitem is
+    * the only large shuffle input, and the top-10 compiles to
+    * TakeOrderedAndProject (no global sort materialization).
+    */
+  def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    val rev  = (col("l_extendedprice").cast("decimal(18,2)") *
+                (lit(1) - col("l_discount")).cast("decimal(8,2)"))
+    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style: revenue by nation with local suppliers. All dimension
+    * tables broadcast; lineitem never shuffles for the join.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    val cust   = Tables.customer(spark, dir)
+    val supp   = Tables.supplier(spark, dir)
+    val ord    = Tables.orders(spark, dir)
+    val li     = Tables.lineitem(spark, dir)
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(1) - col("l_discount")).cast("decimal(8,2)"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+                             col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  def qGroupByHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        (sum(col("p_retailprice").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_price"),
+        max(col("p_size")).as("max_size"))
+      .filter(col("n_parts") >= 5)
+
+  def qDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"))
+      .distinct()
+
+  /** EXISTS — left_semi join: no duplication, build side broadcast. */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir).filter(col("o_totalprice") > 100000)
+    Tables.customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** NOT EXISTS — left_anti join (customers with no URGENT order). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  /** Left outer join + aggregation keeping empty groups. */
+  def qOuterJoinAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double"), lit(0.0)).as("total_spent"))
+
+  /** Top-3 orders per customer — window partitioned by the grouping
+    * key, so it scales with the key cardinality (no global sort).
+    */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Running (cumulative) sum per user over event time. Decimal
+    * accumulation → frame-evaluation order can't change the result.
+    */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_value"))
+  }
+
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** Global top-k — compiles to TakeOrderedAndProject (per-partition
+    * top-k then merge on the driver; never a full sort).
+    */
+  def qTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  /** UNION ALL of two heterogeneous sources, normalized then aggregated. */
+  def qUnion(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(lit("event_purchase").as("src"), col("value").as("amount"))
+    val orders = Tables.orders(spark, dir)
+      .select(lit("order").as("src"), col("o_totalprice").as("amount"))
+    purchases.unionByName(orders)
+      .groupBy(col("src"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("amount").cast("decimal(18,4)")).cast("double").as("total_amount"))
+  }
+
+  /** Orders above the global average price (scalar subquery → computed
+    * once, broadcast into the filter).
+    */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val stats = ord.agg(
+      (sum(col("o_totalprice").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_price"))
+    ord.join(broadcast(stats))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+  }
+
+  /** Gaps-and-islands sessionization: a session breaks after a 30-min
+    * silence. lag + running flag-sum, all windows partitioned by user.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             col("ts").cast("double") - col("prev_ts").cast("double") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ev.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        count(lit(1)).as("n_groups"))
+  }
+
+  /** Field extraction from the JSON-ish `props` string via regexp —
+    * regex evaluated in the scan stage, then a tiny aggregation.
+    */
+  def qExtractProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int").as("k"),
+        col("value"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+
+  def qMonthlyOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_price"))
+
+  /** Tumbling 1-hour windows via Spark's `window()` — the batch twin of
+    * the Structured Streaming aggregation in graft.streaming.
+    */
+  def qTumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+}

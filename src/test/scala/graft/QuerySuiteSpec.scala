@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Smoke + invariants for every SparkEntry query at sf0.001. The strong
+  * value check is the driver's DuckDB oracle (mirrored by
+  * scripts/selfcheck.py); these specs pin structural invariants.
+  */
+class QuerySuiteSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs and is deterministic across two executions") {
+      val a = fn(spark, sf)
+      val b = fn(spark, sf)
+      val ca = a.count(); val cb = b.count()
+      assert(ca == cb)
+      if (name != "q_anti_join") assert(ca > 0, s"$name returned no rows")
+      // re-execution yields identical content (set semantics)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    }
+  }
+
+  test("q1 pricing summary has the 6 flag/status groups") {
+    val rows = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getLong(rows.head.fieldIndex("count_order"))).sum > 0)
+  }
+
+  test("wordcount total equals token count") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val total = docs.select(explode(graft.functions.TextFunctions.tokens(col("text")))).count()
+    val wc = SparkEntry.queries("mr_wordcount")(spark, sf)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(wc == total)
+  }
+
+  test("window rank returns at most 3 per customer") {
+    import org.apache.spark.sql.functions._
+    val over = SparkEntry.queries("q_window_rank")(spark, sf)
+      .groupBy("o_custkey").count().filter(col("count") > 3).count()
+    assert(over == 0)
+  }
+}
