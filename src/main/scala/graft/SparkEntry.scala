@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{MapReduceOps, Relational}
-import graft.functions.TextFunctions
+import graft.operators.{Dedup, MapReduceOps, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.functions.{TextFunctions, VectorFunctions}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -215,13 +215,154 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
   )
 
+  // ---- §2C: LLM-training-data pipeline ops ---------------------------------
+
+  private val cQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
+    "ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_embedding" -> ((s, d) =>
+      Similarity.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.3)),
+    "knn_bruteforce" -> ((s, d) =>
+      Similarity.knnBruteForce(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
+    "knn_lsh" -> ((s, d) =>
+      Similarity.knnLsh(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
+    "lang_id" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
+    "text_quality" -> ((s, d) =>
+      TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")),
+    "token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+    "doc_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+    "multimodal_meta" -> ((s, d) =>
+      Multimodal.meta(Tables.documents(s, d), "doc_id", "text")),
+  )
+
+  private def ph(expr: String): String =
+    s"cast('0x' || substr(md5($expr), 1, 15) as bigint)"
+  private def cosSql(a: String, b: String): String = VectorFunctions.cosineSql(a, b)
+
+  private val cOracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, min(doc_id) AS survivor_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents),
+         |sh AS (SELECT doc_id, ${TextFunctions.shinglesSql("tokens", 3)} AS shingles FROM toks),
+         |sig AS (SELECT doc_id,
+         |    list_transform(range(0, 16), i ->
+         |      list_min(list_transform(shingles, s -> ${ph("concat(i, ':', s)")}))) AS sig
+         |  FROM sh WHERE len(shingles) >= 1),
+         |bands AS (SELECT doc_id, b,
+         |    ${ph("concat(b, '|', sig[2*b+1], ',', sig[2*b+2])")} AS bkey
+         |  FROM sig CROSS JOIN range(0, 8) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  list_sum(list_transform(range(1, 17),
+         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 AS est_jaccard
+         |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents),
+         |hs AS (SELECT doc_id, list_transform(tokens, t -> ${ph("t")}) AS hashes FROM toks),
+         |sh AS (SELECT doc_id, cast(list_sum(list_transform(range(0, 60), j ->
+         |    CASE WHEN list_sum(list_transform(hashes, h -> ((h >> j) & 1) * 2 - 1)) > 0
+         |         THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS bigint) AS simhash
+         |  FROM hs),
+         |chunks AS (SELECT doc_id, simhash, c, (simhash >> (15 * c)) & 32767 AS ckey
+         |  FROM sh CROSS JOIN range(0, 4) t(c)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sa, b.simhash AS sb
+         |  FROM chunks a JOIN chunks b ON a.c = b.c AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, cast(bit_count(xor(sa, sb)) AS integer) AS hamming
+         |FROM cand WHERE bit_count(xor(sa, sb)) <= 10""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents WHERE doc_id % 10 = 0),
+         |sets AS (SELECT doc_id, list_distinct(${TextFunctions.shinglesSql("tokens", 3)}) AS sh FROM toks),
+         |sets2 AS (SELECT doc_id, sh FROM sets WHERE len(sh) > 0),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sets2),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sets2)
+         |SELECT doc_a, doc_b,
+         |  cast(inter AS double) / (sa.n_sh + sb.n_sh - inter) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE cast(inter AS double) / (sa.n_sh + sb.n_sh - inter) >= 0.2""".stripMargin,
+    "dedup_embedding" ->
+      s"""SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
+         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+         |WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= 0.3""".stripMargin,
+    "knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, round(${cosSql("qv", "nv")}, 6) AS score
+         |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id)
+         |SELECT * FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    cast(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS integer) AS rnk
+         |  FROM scored) WHERE rnk <= 5""".stripMargin,
+    "lang_id" ->
+      s"""SELECT doc_id, score_en, score_es, score_fr, score_de,
+         |  CASE
+         |    WHEN score_en > 0 AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_de THEN 'en'
+         |    WHEN score_es > 0 AND score_es >= score_fr AND score_es >= score_de THEN 'es'
+         |    WHEN score_fr > 0 AND score_fr >= score_de THEN 'fr'
+         |    WHEN score_de > 0 THEN 'de'
+         |    ELSE 'other' END AS pred_lang
+         |FROM (SELECT doc_id,
+         |    cast(len(list_filter($tok, x -> x IN ('the', 'a', 'is', 'of'))) AS integer) AS score_en,
+         |    cast(len(list_filter($tok, x -> x IN ('el', 'la', 'los', 'de'))) AS integer) AS score_es,
+         |    cast(len(list_filter($tok, x -> x IN ('le', 'les', 'des', 'et'))) AS integer) AS score_fr,
+         |    cast(len(list_filter($tok, x -> x IN ('der', 'die', 'das', 'und'))) AS integer) AS score_de
+         |  FROM documents)""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  cast(length(text) AS integer) AS n_chars,
+         |  cast(len(t) AS integer) AS n_tokens,
+         |  cast(list_sum(list_transform(t, x -> length(x))) AS double) / greatest(len(t), 1) AS avg_token_len,
+         |  cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS double)
+         |    / greatest(length(text), 1) AS punct_ratio,
+         |  cast(len(list_filter(t, x -> x IN ${TextFunctions.stopwordsSql})) AS double)
+         |    / greatest(len(t), 1) AS stopword_ratio,
+         |  cast((CASE WHEN len(t) >= 5 THEN 4 ELSE 0 END)
+         |    + (CASE WHEN cast(len(list_filter(t, x -> x IN ${TextFunctions.stopwordsSql})) AS double)
+         |              / greatest(len(t), 1) > 0.05 THEN 3 ELSE 0 END)
+         |    + (CASE WHEN cast(list_sum(list_transform(t, x -> length(x))) AS double) / greatest(len(t), 1)
+         |              BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END) AS double) / cast(10.0 AS double) AS quality_score
+         |FROM (SELECT doc_id, text, $tok AS t FROM documents)""".stripMargin,
+    "token_count" ->
+      s"""SELECT doc_id,
+         |  cast(len($tok) AS integer) AS ws_tokens,
+         |  cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS integer) AS re_tokens,
+         |  cast(length(text) AS integer) AS n_chars
+         |FROM documents""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+        |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS bucket
+        |FROM documents""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id, 'application/octet-stream' AS mime,
+        |  cast(octet_length(encode(text)) AS integer) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    aQueries ++ bQueries
+    aQueries ++ bQueries ++ cQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys → rows-only check.
+    * the same parquet tables. Omitted keys → rows-only check
+    * (knn_lsh: bucket recall is spec-checked against knn_bruteforce).
     */
   def oracleSql: Map[String, String] =
-    aOracles ++ bOracles
+    aOracles ++ bOracles ++ cOracles
 }

@@ -26,7 +26,7 @@ object VectorFunctions {
     * sequential accumulation as the Spark `aggregate` fold).
     */
   def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, len($a) + 1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE))"
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE), (x, y) -> x + y)"
   def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"

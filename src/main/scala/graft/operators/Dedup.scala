@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design (100 TB): exact dedup and minhash-LSH are the scale
+  * paths — one scan to build keys/signatures (pure map-side codegen'd
+  * compute), then a key-partitioned shuffle whose volume is one row per
+  * document, never O(n²). The quadratic verifiers (ngram Jaccard,
+  * embedding cosine) run only on LSH candidates or explicit samples.
+  *
+  * All hashes are md5-derived (graft.functions.PortableHash) so the
+  * DuckDB oracle reproduces them bit-for-bit.
+  */
+object Dedup {
+  private def phash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** C1: exact dedup — content fingerprint → survivor (min id) + count. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol).cast("binary")).as("fingerprint"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** Minhash signature column: k minima of seeded portable hashes over
+    * 3-gram shingles. Null-free only for docs with ≥1 shingle.
+    */
+  def minhashSig(textCol: Column, k: Int, shingleN: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles(tokens(textCol), shingleN),
+        s => phash(concat(i.cast("string"), lit(":"), s)))))
+
+  /** C2: MinHash + LSH banding candidate pairs with signature-estimated
+    * Jaccard. k=16 hashes, 8 bands × 2 rows.
+    */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 16, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    require(rows * bands == k)
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), minhashSig(col(textCol), k, 3).as("sig"))
+      .filter(size(col("sig")) === k && !array_contains(transform(col("sig"), _.isNull), true))
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          phash(concat(b.cast("string"), lit("|"),
+            concat_ws(",", transform(sequence(lit(0), lit(rows - 1)),
+              r => element_at(col("sig"), b * rows + r + 1).cast("string"))))).as("bkey"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+    val a = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+          / lit(k.toDouble)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** 60-bit SimHash over (frequency-weighted) tokens. Built as a SQL
+    * expression string because the Scala DSL's shift functions only
+    * take literal shift amounts.
+    */
+  def simhash(textCol: Column): Column = {
+    val hashes = transform(tokens(textCol),
+      t => phash(t))
+    // sum_j [ (popcount-vote of bit j) > 0 ] << j
+    val votes = transform(sequence(lit(0), lit(59)),
+      j => when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright_dyn(h, j).bitwiseAND(lit(1L)) * 2 - 1)) > 0,
+        shiftleft_dyn(lit(1L), j)).otherwise(lit(0L)))
+    aggregate(votes, lit(0L), (acc, v) => acc + v)
+  }
+  // Column-shift helpers (the functions._ variants require Int literals).
+  private def shiftright_dyn(e: Column, n: Column): Column =
+    call_function("shiftright", e, n)
+  private def shiftleft_dyn(e: Column, n: Column): Column =
+    call_function("shiftleft", e, n)
+
+  /** C3: SimHash near-dup pairs. Pigeonhole blocking: 60 bits split
+    * into 4 chunks of 15 — pairs within `maxHamming` ≤ 3 of each other
+    * must share a chunk; wider thresholds still use chunks as a
+    * candidate filter (recall documented, exact verify after).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 10): DataFrame = {
+    val sigs = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+    val chunked = sigs.select(col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(3)),
+        c => struct(c.as("chunk"),
+          shiftright_dyn(col("sh"), c * 15).bitwiseAND(lit(32767L)).as("ckey")))).as("cc"))
+      .select(col("doc_id"), col("sh"), col("cc.chunk"), col("cc.ckey"))
+    val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** C4: exact n-gram Jaccard on a deterministic sample (quadratic
+    * verifier — the LSH above is the scale path; this one is for
+    * candidate verification / evaluation).
+    */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, sampleMod: Int = 10, minJaccard: Double = 0.2): DataFrame = {
+    val sets = docs
+      .filter(col(idCol) % sampleMod === 0)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "na")), Seq("doc_a"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: images/audio/video ride through the
+  * engine as opaque `binary` payloads with a typed metadata struct.
+  *
+  * The actual codecs (JPEG decode, resampling, frame sampling) are NOT
+  * available in this environment, so the decode kernel is a
+  * deterministic fake — but everything Spark-side is real: schema,
+  * binary column handling, batched per-partition processing shape
+  * (the Scala analog of `mapInPandas` batches), and partitioning.
+  * Swapping `fakeDecode` for a real codec is a one-function change.
+  */
+object Multimodal {
+
+  /** Metadata schema carried alongside every payload. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("mime", StringType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("content_md5", StringType, nullable = false)))
+
+  /** C12: ingest — wrap a text column as a binary payload with typed
+    * metadata (what a real pipeline does with raw image bytes).
+    * Pure column expressions: runs at scan speed.
+    */
+  def ingest(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val payload = col(textCol).cast("binary")
+    docs.select(
+      col(idCol).as("doc_id"),
+      payload.as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        length(payload).as("n_bytes"),
+        md5(payload).as("content_md5")).as("meta"))
+  }
+
+  /** Oracle-facing flat projection of [[ingest]] metadata. */
+  def meta(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    ingest(docs, idCol, textCol)
+      .select(col("doc_id"), col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"), col("meta.content_md5").as("content_md5"))
+
+  /** STUB codec: a real implementation would decode `payload` (JPEG →
+    * HxWx3, PCM → samples). This deterministic fake derives "features"
+    * from the payload bytes so the distributed plumbing is testable.
+    */
+  private def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dim) += (payload(i) & 0xff) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Batched feature extraction over payloads — the `mapPartitions`
+    * shape a real decoder needs (per-partition codec init, batch loop),
+    * mirroring `mapInPandas` batch semantics on the JVM.
+    */
+  def extractFeatures(ingested: DataFrame, dim: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ingested.select(col("doc_id"), col("payload")).mapPartitions { it =>
+      // per-partition init site: a real codec would allocate here
+      it.map { r =>
+        Row(r.getLong(0), fakeDecode(r.getAs[Array[Byte]](1), dim).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling shape: split a payload into fixed-size
+    * "frames" and keep every `stride`-th — the video-pipeline pattern
+    * with the decode step faked.
+    */
+  def sampleFrames(ingested: DataFrame, frameBytes: Int = 32, stride: Int = 4): DataFrame =
+    ingested.select(col("doc_id"),
+      posexplode(split(col("payload").cast("string"), s"(?<=\\G.{$frameBytes})"))
+        .as(Seq("frame_no", "frame")))
+      .filter(col("frame_no") % stride === 0 && length(col("frame")) > 0)
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data curation: language ID,
+  * quality scoring, token counting, fingerprinting. All pure map-side
+  * column expressions (whole-stage codegen, no shuffle), so they run
+  * at scan speed on 100 TB.
+  */
+object TextAnalysis {
+
+  /** Marker words per language for the n-gram/stopword heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of"),
+    "es" -> Seq("el", "la", "los", "de"),
+    "fr" -> Seq("le", "les", "des", "et"),
+    "de" -> Seq("der", "die", "das", "und"))
+
+  private def markerScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** C8: heuristic language ID — argmax of marker-word counts with a
+    * fixed tie order, 'other' when nothing matches.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = docs.select(
+      (Seq(col(idCol).as("doc_id")) ++
+        LangMarkers.map { case (l, ws) => markerScore(toks, ws).as(s"score_$l") }): _*)
+    val best = LangMarkers.map { case (l, _) => col(s"score_$l") }
+      .reduce((a, b) => greatest(a, b))
+    val pred = LangMarkers.foldRight(lit("other")) { case ((l, _), els) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(els)
+    }
+    // foldRight gives priority to the first language in LangMarkers on ties
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** C9: quality metrics + a deterministic composite score. */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      (aggregate(toks, lit(0), (acc, t) => acc + length(t)).cast("double") /
+        greatest(size(toks), lit(1))).as("avg_token_len"),
+      ((length(col(textCol)) -
+        length(regexp_replace(col(textCol), "[.,!?;:]", ""))).cast("double") /
+        greatest(length(col(textCol)), lit(1))).as("punct_ratio"),
+      (size(filter(toks, t => Stopwords.map(s => t === s).reduce(_ || _))).cast("double") /
+        greatest(size(toks), lit(1))).as("stopword_ratio"))
+      .withColumn("quality_score",
+        (when(col("n_tokens") >= 5, lit(4)).otherwise(lit(0)) +
+          when(col("stopword_ratio") > 0.05, lit(3)).otherwise(lit(0)) +
+          when(col("avg_token_len") >= 3.0 && col("avg_token_len") <= 10.0, lit(3))
+            .otherwise(lit(0))).cast("double") / 10.0)
+  }
+
+  /** BPE-ish token regex: letter runs, digit runs, or single symbols —
+    * a portable approximation of byte-pair pretokenization.
+    */
+  val TokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** C10: token counting — whitespace tokens and regex tokens. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(tokens(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)), lit(TokenRegex), lit(0))).as("re_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** C11: document fingerprint — md5 of whitespace-normalized text,
+    * plus a 2-hex-char shard bucket (the partition key a 100 TB dedup
+    * would shuffle on).
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val normalized = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    docs.select(
+      col(idCol).as("doc_id"),
+      md5(normalized.cast("binary")).as("fingerprint"))
+      .withColumn("bucket", substring(col("fingerprint"), 1, 2))
+  }
+}

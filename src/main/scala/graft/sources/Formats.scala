@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink round-trip helpers: parquet, csv, json, text.
+  *
+  * Thin on purpose — the engine's I/O surface IS Spark's DataSource
+  * API (partitioned reads, predicate pushdown for parquet, schema
+  * enforcement for csv/json), so these wrappers only pin the options
+  * that keep round-trips lossless.
+  */
+object Formats {
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+  def readParquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(path)
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true").option("escape", "\"")
+      .csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeText(df: DataFrame, col: String, path: String): Unit =
+    df.select(df(col)).write.mode("overwrite").text(path)
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events stream.
+  *
+  * The batch twins of these live in graft.operators.Relational
+  * (`qTumblingWindow`, `qSessionize`) — same logical aggregation, so
+  * results converge when a stream is replayed as a batch. Watermarks
+  * bound state; all grouping is keyed (window × type, or user), so
+  * state partitions horizontally across executors.
+  */
+object EventStreams {
+
+  /** Raw schema of the events parquet when read as a stream
+    * (`ts` arrives as nanos-since-epoch long; see Tables.events).
+    */
+  val RawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over an sf directory's events parquet. */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(RawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark —
+    * streaming twin of Relational.qTumblingWindow.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class Event(event_id: Long, ts: Long, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class Session(user_id: Long, session_start: Long, n_events: Int,
+                     duration_sec: Double)
+
+  /** Custom stateful sessionization (30-min gap) via
+    * flatMapGroupsWithState — emits a session when a later event
+    * arrives past the gap; the open session stays in state.
+    * `ts`/`session_start` are epoch micros.
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800)
+      (implicit enc: org.apache.spark.sql.Encoder[Session],
+       senc: org.apache.spark.sql.Encoder[SessionState]): Dataset[Session] =
+    events
+      .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          for (e <- sorted) {
+            cur match {
+              case Some(s) if e.ts - s.last <= gapSec * 1000000L =>
+                cur = Some(s.copy(last = e.ts, n = s.n + 1))
+              case Some(s) =>
+                out += Session(userId, s.start, s.n, (s.last - s.start) / 1e6)
+                cur = Some(SessionState(e.ts, e.ts, 1))
+              case None =>
+                cur = Some(SessionState(e.ts, e.ts, 1))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class PipelineOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val toy = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),        // near dup of 1
+    (4L, "spark shuffles partitions across the cluster nodes"),
+    (5L, "completely different content about databases and queries tonight")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under one survivor") {
+    val r = Dedup.exact(toy, "doc_id", "text").collect()
+    assert(r.length == 4)
+    val dupRow = r.find(_.getLong(2) == 2L).get
+    assert(dupRow.getLong(1) == 1L) // survivor = min id
+  }
+
+  test("minhash LSH finds exact and near duplicates with high est_jaccard") {
+    val pairs = Dedup.minhashLsh(toy, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)           // identical docs → identical sigs
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup caught
+    assert(pairs.values.forall(j => j >= 0.0 && j <= 1.0))
+  }
+
+  test("simhash of identical docs collides at hamming 0") {
+    val pairs = Dedup.simhashPairs(toy, "doc_id", "text", maxHamming = 10).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+  }
+
+  test("ngram jaccard is 1.0 for identical docs (sampleMod=1)") {
+    val r = Dedup.ngramJaccard(toy, "doc_id", "text", sampleMod = 1, minJaccard = 0.1)
+      .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(2))).toMap
+    // columns: doc_b, doc_a, jaccard — joined keys come first
+    assert(r.values.max == 1.0)
+  }
+
+  test("knn_lsh returns valid ranks and scores, subset of bucket-mates") {
+    val lsh = SparkEntry.queries("knn_lsh")(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.forall(r => r.getInt(3) <= 5))
+    assert(lsh.forall(r => math.abs(r.getDouble(2)) <= 1.0))
+  }
+
+  test("knn_lsh results agree with brute-force scores where they overlap") {
+    val brute = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = SparkEntry.queries("knn_lsh")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val overlap = lsh.filter(p => brute.contains(p._1))
+    assert(overlap.forall { case (k, s) => brute(k) == s })
+  }
+
+  test("multimodal ingest carries exact byte counts and digests") {
+    val m = Multimodal.meta(toy, "doc_id", "text").collect()
+    val byId = m.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(2) == "the quick brown fox jumps over the lazy dog".length)
+    assert(byId(1L).getString(3) == byId(2L).getString(3)) // same content → same md5
+    assert(byId(1L).getString(3) != byId(4L).getString(3))
+  }
+
+  test("multimodal feature extraction is deterministic and shaped [dim]") {
+    val f = Multimodal.extractFeatures(
+      Multimodal.ingest(toy, "doc_id", "text"), dim = 16).collect()
+    assert(f.length == 5)
+    assert(f.forall(_.getSeq[Float](1).length == 16))
+    val f2 = Multimodal.extractFeatures(
+      Multimodal.ingest(toy, "doc_id", "text"), dim = 16).collect()
+    assert(f.map(_.getSeq[Float](1)).toSeq == f2.map(_.getSeq[Float](1)).toSeq)
+  }
+
+  test("frame sampling keeps every stride-th frame") {
+    val fr = Multimodal.sampleFrames(
+      Multimodal.ingest(toy, "doc_id", "text"), frameBytes = 8, stride = 2).collect()
+    assert(fr.nonEmpty)
+    assert(fr.forall(_.getInt(1) % 2 == 0))
+  }
+
+  test("embedding pairs are symmetric-free and thresholded") {
+    val p = Similarity.embeddingPairs(
+      graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", 0.3).collect()
+    assert(p.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(p.forall(r => r.getDouble(2) >= 0.3))
+  }
+}
