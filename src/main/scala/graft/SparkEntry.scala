@@ -255,10 +255,15 @@ object SparkEntry {
     "dedup_minhash" ->
       s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents),
          |sh AS (SELECT doc_id, ${TextFunctions.shinglesSql("tokens", 3)} AS shingles FROM toks),
+         |hp AS (SELECT doc_id,
+         |    list_transform(shingles, s -> struct_pack(
+         |      h1 := cast('0x' || substr(md5(s), 1, 12) as bigint),
+         |      h2 := cast('0x' || substr(md5(s), 17, 12) as bigint))) AS hp
+         |  FROM sh),
          |sig AS (SELECT doc_id,
          |    list_transform(range(0, 16), i ->
-         |      list_min(list_transform(shingles, s -> ${ph("concat(i, ':', s)")}))) AS sig
-         |  FROM sh WHERE len(shingles) >= 1),
+         |      list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS sig
+         |  FROM hp WHERE len(hp) >= 1),
          |bands AS (SELECT doc_id, b,
          |    ${ph("concat(b, '|', sig[2*b+1], ',', sig[2*b+2])")} AS bkey
          |  FROM sig CROSS JOIN range(0, 8) t(b)),
@@ -284,12 +289,11 @@ object SparkEntry {
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 10""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents WHERE doc_id % 10 = 0),
-         |sets AS (SELECT doc_id, list_distinct(${TextFunctions.shinglesSql("tokens", 3)}) AS sh FROM toks),
-         |sets2 AS (SELECT doc_id, sh FROM sets WHERE len(sh) > 0),
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sets2),
+         |sh AS (SELECT doc_id, unnest(${TextFunctions.shinglesSql("tokens", 3)}) AS s FROM toks),
+         |ex AS (SELECT DISTINCT doc_id, cast('0x' || substr(md5(s), 1, 12) as bigint) AS sk FROM sh),
          |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
-         |  FROM ex x JOIN ex y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sets2)
+         |  FROM ex x JOIN ex y ON x.sk = y.sk AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1)
          |SELECT doc_a, doc_b,
          |  cast(inter AS double) / (sa.n_sh + sb.n_sh - inter) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b

@@ -22,6 +22,13 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd single-pass cosine (graft.plans.CosineSimilarity) —
+    * bit-identical to [[cosine]]; requires
+    * `GraftFunctions.register(spark)` first (operators do this).
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("graft_cosine", a, b)
+
   /** DuckDB fragments over list<float> expressions (double math, same
     * sequential accumulation as the Spark `aggregate` fold).
     */

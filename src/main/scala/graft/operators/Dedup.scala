@@ -25,24 +25,37 @@ object Dedup {
       .groupBy(md5(col(textCol).cast("binary")).as("fingerprint"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
-  /** Minhash signature column: k minima of seeded portable hashes over
-    * 3-gram shingles. Null-free only for docs with ≥1 shingle.
+  /** Per-shingle double-hash pair: two disjoint 48-bit windows of ONE
+    * md5 digest. The k-hash family is then `h1 + i*h2` (classic double
+    * hashing) — 48-bit magnitudes keep `h1 + 15*h2` far from Long
+    * overflow, and one digest per shingle instead of k is the scan-rate
+    * path at 100 TB.
     */
-  def minhashSig(textCol: Column, k: Int, shingleN: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles(tokens(textCol), shingleN),
-        s => phash(concat(i.cast("string"), lit(":"), s)))))
-
   /** C2: MinHash + LSH banding candidate pairs with signature-estimated
     * Jaccard. k=16 hashes, 8 bands × 2 rows.
+    *
+    * Signature construction is explode → one md5 per shingle → k
+    * `min(h1 + i*h2)` aggregates: everything whole-stage-codegen'd with
+    * map-side partial aggregation (the MapReduce combiner), and the
+    * shuffle carries k longs per doc. No higher-order functions — HOF
+    * lambdas evaluate interpreted and Catalyst's CollapseProject can
+    * inline expression chains into them, both of which wreck scan-rate
+    * throughput at scale.
     */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 16, bands: Int = 8): DataFrame = {
     val rows = k / bands
     require(rows * bands == k)
-    val sigs = docs
-      .select(col(idCol).as("doc_id"), minhashSig(col(textCol), k, 3).as("sig"))
-      .filter(size(col("sig")) === k && !array_contains(transform(col("sig"), _.isNull), true))
+    val ex = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("s"))
+    val hashed = ex.select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("h1"),
+      conv(substring(md5(col("s")), 17, 12), 16, 10).cast("long").as("h2"))
+    val minCols = (0 until k).map(i => min(col("h1") + col("h2") * i).as(s"m$i"))
+    val sigs = hashed.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
@@ -84,6 +97,25 @@ object Dedup {
   private def shiftleft_dyn(e: Column, n: Column): Column =
     call_function("shiftleft", e, n)
 
+  /** Per-document 60-bit SimHash via explode + 60 codegen'd bit-vote
+    * aggregates — same value as [[simhash]] (integer vote sums are
+    * association-free) but it runs as a HashAggregate at scan rate
+    * instead of interpreted nested lambdas.
+    */
+  def simhashByDoc(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ex = docs.select(col(idCol).as("doc_id"),
+      explode_outer(tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), col("tok"), phash(col("tok")).as("h"))
+    val bitVotes = (0 until 60).map(j =>
+      sum(when(col("tok").isNull, lit(0L))
+        .otherwise(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"b$j"))
+    val sh = (0 until 60).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    ex.groupBy(col("doc_id"))
+      .agg(bitVotes.head, bitVotes.tail: _*)
+      .select(col("doc_id"), sh.as("sh"))
+  }
+
   /** C3: SimHash near-dup pairs. Pigeonhole blocking: 60 bits split
     * into 4 chunks of 15 — pairs within `maxHamming` ≤ 3 of each other
     * must share a chunk; wider thresholds still use chunks as a
@@ -91,7 +123,7 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 10): DataFrame = {
-    val sigs = docs.select(col(idCol).as("doc_id"), simhash(col(textCol)).as("sh"))
+    val sigs = simhashByDoc(docs, idCol, textCol)
     val chunked = sigs.select(col("doc_id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"),
@@ -113,17 +145,20 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, sampleMod: Int = 10, minJaccard: Double = 0.2): DataFrame = {
-    val sets = docs
+    // Distinct 48-bit shingle hashes as join keys: long compares and a
+    // long-keyed shuffle instead of full shingle strings.
+    val ex = docs
       .filter(col(idCol) % sampleMod === 0)
-      .select(col(idCol).as("doc_id"),
-        array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-    val inter = ex.as("x").join(ex.as("y"), col("x.s") === col("y.s") &&
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("sk"))
+      .distinct()
+    val inter = ex.as("x").join(ex.as("y"), col("x.sk") === col("y.sk") &&
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     inter
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "na")), Seq("doc_a"))
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "nb")), Seq("doc_b"))

@@ -62,12 +62,21 @@ object MapReduceOps {
   }
 
   /** Globally sorted output with an explicit position column — the
-    * reference's sorted `part-r-*` files. Range-partitioned sort; the
-    * position is a window over the already-sorted partitions.
+    * reference's sorted `part-r-*` files. `orderBy` is a sampled
+    * range-partitioned sort (parallel); positions come from
+    * `zipWithIndex` (one extra lightweight count job), NOT from a
+    * global `row_number()` window, which would funnel every row into
+    * a single partition.
     */
   def distributedSort(df: DataFrame, ord: Seq[Column], out: Seq[Column]): DataFrame = {
-    val w = Window.orderBy(ord: _*)
-    df.select(out :+ row_number().over(w).as("pos"): _*)
+    val sorted = df.select(out: _*).orderBy(ord: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+    }
+    sorted.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Combiner-shaped aggregation: per-key exact sum + count. */

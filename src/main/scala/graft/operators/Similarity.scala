@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
+import graft.plans.GraftFunctions
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -19,11 +20,12 @@ object Similarity {
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    GraftFunctions.register(emb.sparkSession)
+    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va")).repartition()
     val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cosine"))
+        round(VectorFunctions.cosineNative(col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
   }
 
@@ -33,36 +35,40 @@ object Similarity {
     */
   def knnBruteForce(emb: DataFrame, idCol: String, vecCol: String,
                     nQueries: Int, k: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val queries = emb.filter(col(idCol) < nQueries)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")).repartition()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(VectorFunctions.cosine(col("qv"), col("nv")), 6).as("score"))
+        round(VectorFunctions.cosineNative(col("qv"), col("nv")), 6).as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component: hash-derived
-    * value in [-0.5, 0.5). Reproducible anywhere (md5-based).
+  /** Deterministic pseudo-random hyperplane: md5-derived components in
+    * [-0.5, 0.5), computed driver-side once (they are constants) and
+    * shipped as array literals — the projection itself is the native
+    * codegen'd `graft_dot`, so bucketing runs at scan rate.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$plane:"), dim.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 1000000L).cast("double") / 1000000.0 - 0.5
+  private[operators] def planeVec(plane: Int, dims: Int): Array[Double] = {
+    val mdI = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { d =>
+      val hex = mdI.digest(s"plane$plane:$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 1000000L).toDouble / 1000000.0 - 0.5
+    }
+  }
 
   /** LSH bucket signature: sign bits of projections onto `nPlanes`
     * deterministic hyperplanes.
     */
-  def lshBucket(vecCol: Column, nPlanes: Int): Column = {
+  def lshBucket(vecCol: Column, nPlanes: Int, dims: Int): Column = {
     val proj = (0 until nPlanes).map { p =>
-      val dotP = aggregate(
-        zip_with(transform(vecCol, x => x.cast("double")),
-          sequence(lit(0), size(vecCol) - 1),
-          (x, i) => x * planeComponent(p, i)),
-        lit(0.0), (acc, v) => acc + v)
+      val dotP = call_function("graft_dot", vecCol, typedLit(planeVec(p, dims).toSeq))
       when(dotP >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     proj.reduce(_ + _)
@@ -72,20 +78,22 @@ object Similarity {
     * top-k within bucket. Recall vs C6 is spec-checked (SimilaritySpec).
     */
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
-             nQueries: Int, k: Int, nPlanes: Int = 8): DataFrame = {
+             nQueries: Int, k: Int, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
     val bucketed = emb.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), nPlanes).as("bucket"))
+      lshBucket(col(vecCol), nPlanes, dims).as("bucket"))
     val queries = bucketed.filter(col(idCol) < nQueries)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
     val corpus = bucketed
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("bucket"))
+      .repartition()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     broadcast(queries).join(corpus, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(VectorFunctions.cosine(col("qv"), col("nv")), 6).as("score"))
+        round(VectorFunctions.cosineNative(col("qv"), col("nv")), 6).as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }

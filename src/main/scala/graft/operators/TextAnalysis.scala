@@ -25,10 +25,12 @@ object TextAnalysis {
     * fixed tie order, 'other' when nothing matches.
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = docs.select(
-      (Seq(col(idCol).as("doc_id")) ++
-        LangMarkers.map { case (l, ws) => markerScore(toks, ws).as(s"score_$l") }): _*)
+    val toks = col("__toks")
+    val scored = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(
+        (Seq(col(idCol).as("doc_id")) ++
+          LangMarkers.map { case (l, ws) => markerScore(toks, ws).as(s"score_$l") }): _*)
     val best = LangMarkers.map { case (l, _) => col(s"score_$l") }
       .reduce((a, b) => greatest(a, b))
     val pred = LangMarkers.foldRight(lit("other")) { case ((l, _), els) =>
@@ -40,8 +42,8 @@ object TextAnalysis {
 
   /** C9: quality metrics + a deterministic composite score. */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    docs.select(
+    val toks = col("__toks")
+    docs.select(col(idCol), col(textCol), tokens(col(textCol)).as("__toks")).select(
       col(idCol).as("doc_id"),
       length(col(textCol)).as("n_chars"),
       size(toks).as("n_tokens"),
