@@ -93,6 +93,10 @@ object SparkEntry {
     "q_extract_props"    -> (Relational.qExtractProps _),
     "q_monthly_orders"   -> (Relational.qMonthlyOrders _),
     "q_tumbling_window"  -> (Relational.qTumblingWindow _),
+    "q_pivot"            -> (Relational.qPivot _),
+    "q_asof_join"        -> (Relational.qAsofJoin _),
+    "q_groupwise_max"    -> (Relational.qGroupwiseMax _),
+    "q_approx_stats"     -> (Relational.qApproxStats _),
   )
 
   private val bOracles: Map[String, String] = Map(
@@ -213,6 +217,26 @@ object SparkEntry {
         |  count(*) AS n,
         |  cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_asof_join" ->
+      """SELECT user_id, event_id AS purchase_id, click_id FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+        |  FROM events)
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "q_groupwise_max" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM part p
+        |WHERE p_retailprice = (
+        |  SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
   )
 
   // ---- §2C: LLM-training-data pipeline ops ---------------------------------

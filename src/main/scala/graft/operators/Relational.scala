@@ -227,6 +227,58 @@ object Relational {
         count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total_price"))
 
+  /** Pivot: per-user event-type counts as columns. The type list is
+    * explicit, so the plan is a single partial-agg pass (no
+    * distinct-value pre-query).
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "purchase", "error", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+  }
+
+  /** As-of join: each purchase matched to the user's latest prior (or
+    * simultaneous-ordered-earlier) click — union-and-carry-forward via
+    * a per-user window instead of a quadratic range join.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("click_id"))
+  }
+
+  /** Group-wise max: parts at their brand's top retail price. */
+  def qGroupwiseMax(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val tops = part.groupBy(col("p_brand").as("b"))
+      .agg(max(col("p_retailprice")).as("top_price"))
+    part.join(broadcast(tops),
+        col("p_brand") === col("b") && col("p_retailprice") === col("top_price"))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
+  }
+
+  /** Approximate aggregates (HLL distinct + quantile sketch) next to
+    * their exact counterparts — rows-only checked (sketches are
+    * engine-specific); ApproxSpec bounds the error.
+    */
+  def qApproxStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
   /** Tumbling 1-hour windows via Spark's `window()` — the batch twin of
     * the Structured Streaming aggregation in graft.streaming.
     */
