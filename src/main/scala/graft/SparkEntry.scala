@@ -97,6 +97,10 @@ object SparkEntry {
     "q_asof_join"        -> (Relational.qAsofJoin _),
     "q_groupwise_max"    -> (Relational.qGroupwiseMax _),
     "q_approx_stats"     -> (Relational.qApproxStats _),
+    "q_topk_per_key"     -> ((s, d) =>
+      graft.plans.TopK.perKey(
+        Tables.events(s, d).select(col("user_id"), col("event_id"), col("value")),
+        Seq("user_id"), Seq("value", "event_id"), 3)),
   )
 
   private val bOracles: Map[String, String] = Map(
@@ -237,6 +241,12 @@ object SparkEntry {
       """SELECT p_brand, p_partkey, p_retailprice FROM part p
         |WHERE p_retailprice = (
         |  SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
+    "q_topk_per_key" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn <= 3""".stripMargin,
   )
 
   // ---- §2C: LLM-training-data pipeline ops ---------------------------------

@@ -49,6 +49,15 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup: duplicates arriving within the watermark
+    * horizon are dropped; state is bounded by the watermark (keys older
+    * than it are evicted). The batch twin is Dedup.exact.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String],
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   case class Event(event_id: Long, ts: Long, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Int)
