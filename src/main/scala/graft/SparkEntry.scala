@@ -266,6 +266,8 @@ object SparkEntry {
       Similarity.knnBruteForce(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     "knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
+    "knn_ivf" -> ((s, d) =>
+      Similarity.knnIvf(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     "lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
     "text_quality" -> ((s, d) =>

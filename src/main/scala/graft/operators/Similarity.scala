@@ -74,6 +74,47 @@ object Similarity {
     proj.reduce(_ + _)
   }
 
+  /** IVF-style ANN: a deterministic subsample acts as the centroid
+    * codebook (`vec_id % centroidMod == 0`), every vector is assigned
+    * to its nearest centroid (one broadcast pass), and queries probe
+    * only their own centroid's inverted list. At 100 TB the codebook
+    * stays broadcast-sized while the assignment and probe stages are
+    * embarrassingly parallel scans; `nProbes` >1 would trade compute
+    * for recall (kept at 1 here — recall is spec-measured vs C6).
+    */
+  def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
+             nQueries: Int, k: Int, centroidMod: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(emb.sparkSession)
+    val centroids = emb.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    def assign(df: DataFrame, id: String, vec: String): DataFrame = {
+      val wa = Window.partitionBy(col(id))
+        .orderBy(col("csim").desc, col("centroid_id"))
+      df.join(broadcast(centroids))
+        .select(col(id), col(vec),
+          col("centroid_id"),
+          VectorFunctions.cosineNative(col(vec), col("cv")).as("csim"))
+        .withColumn("crnk", row_number().over(wa))
+        .filter(col("crnk") === 1)
+        .select(col(id), col(vec), col("centroid_id"))
+    }
+    val corpus = assign(
+      emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")).repartition(),
+      "neighbor_id", "nv")
+    val queries = assign(
+      emb.filter(col(idCol) < nQueries).select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      "query_id", "qv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    broadcast(queries).join(corpus, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosineNative(col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** C7: ANN via random-hyperplane LSH — candidates share a bucket;
     * top-k within bucket. Recall vs C6 is spec-checked (SimilaritySpec).
     */

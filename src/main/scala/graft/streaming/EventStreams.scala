@@ -49,6 +49,27 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding 30 minutes. Both sides carry
+    * watermarks, so the join state store evicts rows once they can no
+    * longer match — bounded state at any scale.
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks, expr(
+      """c_user = user_id AND
+        |click_ts >= purchase_ts - INTERVAL 30 MINUTES AND
+        |click_ts <= purchase_ts""".stripMargin))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming exact dedup: duplicates arriving within the watermark
     * horizon are dropped; state is bounded by the watermark (keys older
     * than it are evicted). The batch twin is Dedup.exact.

@@ -22,6 +22,20 @@ class LayoutsSpec extends AnyFunSuite {
   test("bucketed tables join without an exchange") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     assume(warehouse.nonEmpty)
+    // idempotence: a previous JVM may have left the table dirs without
+    // catalog entries (in-memory catalog dies with the session)
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     val orders = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     Layouts.writeBucketed(orders, "b_orders", "o_orderkey", 4)

