@@ -278,6 +278,12 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "multimodal_meta" -> ((s, d) =>
       Multimodal.meta(Tables.documents(s, d), "doc_id", "text")),
+    "text_redact" -> ((s, d) =>
+      TextAnalysis.redact(Tables.documents(s, d), "doc_id", "text")),
+    "text_repetition" -> ((s, d) =>
+      TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")),
+    "corpus_dedup" -> ((s, d) =>
+      Dedup.corpusDedup(Tables.documents(s, d), "doc_id", "text")),
   )
 
   private def ph(expr: String): String =
@@ -393,6 +399,46 @@ object SparkEntry {
         |  cast(octet_length(encode(text)) AS integer) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    "text_redact" ->
+      s"""SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRegex}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.LongNumberRegex}', '<NUM>', 'g') AS redacted,
+         |  cast(len(regexp_extract_all(text, '${TextAnalysis.EmailRegex}')) AS integer) AS n_emails,
+         |  cast(len(regexp_extract_all(text, '${TextAnalysis.LongNumberRegex}')) AS integer) AS n_numbers
+         |FROM documents""".stripMargin,
+    "text_repetition" ->
+      s"""SELECT doc_id, cast(len(g) AS integer) AS n_bigrams,
+         |  CASE WHEN len(g) > 0
+         |    THEN cast(1.0 AS double) - cast(len(list_distinct(g)) AS double) / len(g)
+         |    ELSE cast(0.0 AS double) END AS repetition_ratio
+         |FROM (SELECT doc_id, ${TextFunctions.shinglesSql("tokens", 2)} AS g
+         |      FROM (SELECT doc_id, $tok AS tokens FROM documents))""".stripMargin,
+    "corpus_dedup" ->
+      s"""WITH fp AS (SELECT md5(text) AS f, min(doc_id) AS sid FROM documents GROUP BY 1),
+         |kept AS (SELECT d.doc_id, d.text FROM documents d JOIN fp ON d.doc_id = fp.sid),
+         |toks AS (SELECT doc_id, $tok AS tokens FROM kept),
+         |sh AS (SELECT doc_id, ${TextFunctions.shinglesSql("tokens", 3)} AS shingles FROM toks),
+         |hp AS (SELECT doc_id,
+         |    list_transform(shingles, s -> struct_pack(
+         |      h1 := cast('0x' || substr(md5(s), 1, 12) as bigint),
+         |      h2 := cast('0x' || substr(md5(s), 17, 12) as bigint))) AS hp
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |    list_transform(range(0, 16), i ->
+         |      list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS sig
+         |  FROM hp WHERE len(hp) >= 1),
+         |bands AS (SELECT doc_id, b,
+         |    cast('0x' || substr(md5(concat(b, '|', sig[2*b+1], ',', sig[2*b+2])), 1, 15) as bigint) AS bkey
+         |  FROM sig CROSS JOIN range(0, 8) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 AS est_jaccard
+         |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
+         |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE est_jaccard >= 0.5)
+         |SELECT k.doc_id FROM kept k
+         |WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = k.doc_id)""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -139,6 +139,25 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** End-to-end corpus dedup: exact duplicates collapse to their min-id
+    * survivor, then minhash-LSH near-dup pairs above `minEst` drop the
+    * larger id (greedy, deterministic). Returns surviving doc ids.
+    * This is the composition a 100 TB curation run executes: one scan
+    * for fingerprints, one for signatures, candidate-only verification.
+    */
+  def corpusDedup(docs: DataFrame, idCol: String, textCol: String,
+                  minEst: Double = 0.5): DataFrame = {
+    val exactSurvivors = exact(docs, idCol, textCol)
+      .select(col("survivor_id").as("__sid"))
+    val kept = docs.join(exactSurvivors, col(idCol) === col("__sid"), "left_semi")
+    val drops = minhashLsh(kept, idCol, textCol)
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("doc_b").as("__drop"))
+      .distinct()
+    kept.select(col(idCol).as("doc_id"))
+      .join(drops, col("doc_id") === col("__drop"), "left_anti")
+  }
+
   /** C4: exact n-gram Jaccard on a deterministic sample (quadratic
     * verifier — the LSH above is the scale path; this one is for
     * candidate verification / evaluation).

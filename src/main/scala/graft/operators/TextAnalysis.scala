@@ -74,6 +74,35 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col(textCol)), lit(TokenRegex), lit(0))).as("re_tokens"),
       length(col(textCol)).as("n_chars"))
 
+  /** Redaction patterns (PII-shaped): email-like tokens and long digit
+    * runs. Kept RE2/Java-portable (no lookarounds).
+    */
+  val EmailRegex = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val LongNumberRegex = "[0-9]{6,}"
+
+  /** Redact PII-shaped spans, count what was removed. */
+  def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      regexp_replace(regexp_replace(col(textCol), EmailRegex, "<EMAIL>"),
+        LongNumberRegex, "<NUM>").as("redacted"),
+      size(regexp_extract_all(col(textCol), lit(EmailRegex), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(LongNumberRegex), lit(0))).as("n_numbers"))
+
+  /** Repetition scoring: share of duplicate word bigrams — high values
+    * flag degenerate/boilerplate text. `1 - distinct/total` over 2-gram
+    * shingles; 0.0 for docs with <2 tokens.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), shingles(col("__toks"), 2).as("__grams"))
+      .select(col("doc_id"),
+        size(col("__grams")).as("n_bigrams"),
+        when(size(col("__grams")) > 0,
+          lit(1.0) - size(array_distinct(col("__grams"))).cast("double") / size(col("__grams")))
+          .otherwise(lit(0.0)).as("repetition_ratio"))
+
   /** C11: document fingerprint — md5 of whitespace-normalized text,
     * plus a 2-hex-char shard bucket (the partition key a 100 TB dedup
     * would shuffle on).
