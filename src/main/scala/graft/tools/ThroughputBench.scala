@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.operators.MapReduceOps
+import graft.sources.Tables
+
+/** Word-count throughput on a replicated corpus — the apples-to-apples
+  * comparison with the reference's benchmark (cooler-MapReduce
+  * `benchmark_results/plots/results_table.md`: ~1.4–2.2 MB/s word count
+  * on 4 single-CPU workers at 9.6 MB input).
+  *
+  * Run: sbt "runMain graft.tools.ThroughputBench [multiplier]"
+  */
+object ThroughputBench {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(64)
+    val spark = graft.GraftSession.getOrCreate()
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val corpusPath = "target/throughput_corpus"
+    docs.select(explode(sequence(lit(1), lit(mult))).as("copy"), col("text"))
+      .select(col("text"))
+      .write.mode("overwrite").parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    val bytes = corpus.agg(sum(length(col("text")))).collect()(0).getLong(0)
+    // warm-up (JIT + codegen), then timed run
+    MapReduceOps.wordCount(corpus, "text").write.format("noop").mode("overwrite").save()
+    val t0 = System.nanoTime()
+    MapReduceOps.wordCount(corpus, "text").write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val mb = bytes / 1e6
+    println(f"""{"metric":"wordcount_throughput","input_mb":$mb%.1f,"sec":$sec%.2f,"mb_per_sec":${mb / sec}%.1f}""")
+    spark.stop()
+  }
+}
