@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, MapReduceOps, Similarity, TextAnalysis}
+
+/** Operators must degrade cleanly: empty inputs → empty outputs with
+  * the right schema, single-row inputs → no pair explosions, documents
+  * too short for shingles → filtered, not nulled.
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private def docsOf(rows: (Long, String)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), docSchema)
+  private lazy val empty = docsOf()
+
+  test("empty input: wordcount, dedup, text analysis all yield empty") {
+    assert(MapReduceOps.wordCount(empty, "text").count() == 0)
+    assert(Dedup.exact(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashLsh(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.corpusDedup(empty, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.quality(empty, "doc_id", "text").count() == 0)
+  }
+
+  test("single doc: no self-pairs from any pairwise operator") {
+    val one = docsOf((1L, "alpha beta gamma delta"))
+    assert(Dedup.minhashLsh(one, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(one, "doc_id", "text").count() == 0)
+    assert(Dedup.corpusDedup(one, "doc_id", "text").count() == 1)
+  }
+
+  test("docs shorter than the shingle width are excluded, not null") {
+    val short = docsOf((1L, "one two"), (2L, "a b c d e f"))
+    val sigs = Dedup.minhashLsh(short, "doc_id", "text")
+    assert(sigs.count() == 0) // no bands collide, and no null sigs blow up
+    val rep = TextAnalysis.repetition(short, "doc_id", "text").collect()
+    assert(rep.forall(r => !r.isNullAt(2)))
+  }
+
+  test("quality handles empty text without division by zero") {
+    val weird = docsOf((1L, ""), (2L, "   "), (3L, "normal text here"))
+    val q = TextAnalysis.quality(weird, "doc_id", "text").collect()
+    assert(q.length == 3)
+    assert(q.forall(r => !r.isNullAt(r.fieldIndex("quality_score"))))
+  }
+
+  test("empty embeddings: knn returns empty") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 2), schema)
+    assert(Similarity.knnBruteForce(emptyEmb, "vec_id", "embedding", 10, 5).count() == 0)
+  }
+}
