@@ -11,6 +11,11 @@ import graft.sources.Tables
   * Every query is deterministic and oracle-comparable: fp sums run on
   * decimal internally (order-independent), orderings always carry a
   * unique tiebreak, and hashes are md5-derived (engine-portable).
+  *
+  * §2A queries re-express cooler-MapReduce's shipped workloads
+  * (reference `shared/samples/word_count.py`, `weather_stats.py`,
+  * `design.md:264-287`); §2B/§2C extend to the analytics and
+  * training-data surface described in SURVEY.md.
   */
 object SparkEntry {
 
