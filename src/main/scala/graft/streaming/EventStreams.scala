@@ -86,9 +86,14 @@ object EventStreams {
                      duration_sec: Double)
 
   /** Custom stateful sessionization (30-min gap) via
-    * flatMapGroupsWithState — emits a session when a later event
-    * arrives past the gap; the open session stays in state.
-    * `ts`/`session_start` are epoch micros.
+    * flatMapGroupsWithState with an EVENT-time timeout: a session
+    * closes when a later event arrives past the gap, or when the
+    * watermark passes `last + gap` — so idle users' state is flushed
+    * and REMOVED instead of accumulating forever (at 100 TB/1M users,
+    * unbounded open-session state is a leak). Event-time (not
+    * wall-clock) keeps it deterministic and replayable.
+    * `ts`/`session_start` are epoch micros; input must carry a
+    * watermarked `event_time` timestamp column (see spec).
     */
   def sessionize(events: Dataset[Event], gapSec: Long = 1800)
       (implicit enc: org.apache.spark.sql.Encoder[Session],
@@ -96,23 +101,33 @@ object EventStreams {
     events
       .groupByKey(_.user_id)(org.apache.spark.sql.Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
-          var cur = state.getOption
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          for (e <- sorted) {
-            cur match {
-              case Some(s) if e.ts - s.last <= gapSec * 1000000L =>
-                cur = Some(s.copy(last = e.ts, n = s.n + 1))
-              case Some(s) =>
-                out += Session(userId, s.start, s.n, (s.last - s.start) / 1e6)
-                cur = Some(SessionState(e.ts, e.ts, 1))
-              case None =>
-                cur = Some(SessionState(e.ts, e.ts, 1))
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, s.start, s.n, (s.last - s.start) / 1e6))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            for (e <- sorted) {
+              cur match {
+                case Some(s) if e.ts - s.last <= gapSec * 1000000L =>
+                  cur = Some(s.copy(last = e.ts, n = s.n + 1))
+                case Some(s) =>
+                  out += Session(userId, s.start, s.n, (s.last - s.start) / 1e6)
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts, e.ts, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last / 1000 + gapSec * 1000)
+            }
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
 }

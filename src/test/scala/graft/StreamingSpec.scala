@@ -20,25 +20,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
-  test("stateful sessionize emits closed sessions and keeps open ones in state") {
+  test("stateful sessionize emits closed sessions; watermark flushes idle state") {
     import spark.implicits._
+    import org.apache.spark.sql.functions._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Event]
-    val sessions = EventStreams.sessionize(ms.toDS())
+    val watermarked = ms.toDS()
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", "10 minutes")
+      .as[Event]
+    val sessions = EventStreams.sessionize(watermarked)
     val q = sessions.writeStream.format("memory").queryName("sess")
       .outputMode("append").start()
     val M = 1000000L // micros
+    val B = 3600L     // base offset: epoch-0 events would equal the
+                      // initial watermark and be dropped as late
     try {
       // user 1: two events 10 min apart (one session), then a 2h gap event
       ms.addData(
-        Event(1, 0L, 1, "click", 1.0),
-        Event(2, 600 * M, 1, "click", 1.0))
+        Event(1, B * M, 1, "click", 1.0),
+        Event(2, (B + 600) * M, 1, "click", 1.0))
       q.processAllAvailable()
       assert(spark.table("sess").count() == 0) // session still open
-      ms.addData(Event(3, 7800 * M, 1, "click", 1.0)) // 2h after last → closes it
+      ms.addData(Event(3, (B + 7800) * M, 1, "click", 1.0)) // 2h after last → closes it
       q.processAllAvailable()
       val closed = spark.table("sess").as[Session].collect()
-      assert(closed.toSeq == Seq(Session(1, 0L, 2, 600.0)))
+      assert(closed.toSeq == Seq(Session(1, B * M, 2, 600.0)))
+      // advance the watermark far past user 1's open session via user 2:
+      // its event-time timeout (last + 30 min) fires and flushes state
+      ms.addData(Event(4, (B + 21600) * M, 2, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(5, (B + 22200) * M, 2, "click", 1.0))
+      q.processAllAvailable()
+      val flushed = spark.table("sess").as[Session].collect().toSet
+      assert(flushed.contains(Session(1, (B + 7800) * M, 1, 0.0)),
+        s"expected watermark-flushed session, got $flushed")
     } finally q.stop()
   }
 }
