@@ -66,9 +66,10 @@ object Similarity {
   /** LSH bucket signature: sign bits of projections onto `nPlanes`
     * deterministic hyperplanes.
     */
-  def lshBucket(vecCol: Column, nPlanes: Int, dims: Int): Column = {
+  def lshBucket(vecCol: Column, nPlanes: Int, dims: Int, planeOffset: Int = 0): Column = {
     val proj = (0 until nPlanes).map { p =>
-      val dotP = call_function("graft_dot", vecCol, typedLit(planeVec(p, dims).toSeq))
+      val dotP = call_function("graft_dot", vecCol,
+        typedLit(planeVec(planeOffset + p, dims).toSeq))
       when(dotP >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     proj.reduce(_ + _)
@@ -115,24 +116,36 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
-  /** C7: ANN via random-hyperplane LSH — candidates share a bucket;
-    * top-k within bucket. Recall vs C6 is spec-checked (SimilaritySpec).
+  /** C7: ANN via multi-table random-hyperplane LSH — `nTables`
+    * independent hash tables (distinct plane sets, offset seeds);
+    * candidates are the UNION of bucket-mates across tables (the
+    * standard recall lever: collision probability compounds per
+    * table), then exact cosine + top-k. All bucket signatures are
+    * computed in one map pass; the join is bucket-partitioned.
     */
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
-             nQueries: Int, k: Int, nPlanes: Int = 8, dims: Int = 64): DataFrame = {
+             nQueries: Int, k: Int, nPlanes: Int = 5, nTables: Int = 8,
+             dims: Int = 64): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
+    val tableBuckets = (0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        lshBucket(col(vecCol), nPlanes, dims, planeOffset = t * nPlanes).as("bucket"))
+    }
     val bucketed = emb.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), nPlanes, dims).as("bucket"))
+      explode(array(tableBuckets: _*)).as("tb"))
+      .select(col(idCol), col(vecCol), col("tb.table"), col("tb.bucket"))
     val queries = bucketed.filter(col(idCol) < nQueries)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("table"), col("bucket"))
     val corpus = bucketed
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("bucket"))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("table"), col("bucket"))
       .repartition()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    broadcast(queries).join(corpus, Seq("bucket"))
+    broadcast(queries).join(corpus, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"))
+      .distinct()  // union across tables
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosineNative(col("qv"), col("nv")), 6).as("score"))
       .withColumn("rnk", row_number().over(w))

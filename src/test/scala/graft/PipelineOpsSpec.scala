@@ -58,6 +58,10 @@ class PipelineOpsSpec extends AnyFunSuite {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
     val overlap = lsh.filter(p => brute.contains(p._1))
     assert(overlap.forall { case (k, s) => brute(k) == s })
+    // multi-table union recall floor (measured ~0.4 on this data)
+    val recall = overlap.size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.2f")
+    assert(recall >= 0.2)
   }
 
   test("multimodal ingest carries exact byte counts and digests") {
