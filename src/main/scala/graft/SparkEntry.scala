@@ -43,6 +43,8 @@ object SparkEntry {
         Seq(col("event_id"), col("value")))),
     "mr_combiner_agg" -> ((s, d) =>
       MapReduceOps.combinerAgg(Tables.events(s, d), "user_id", "value")),
+    "mr_secondary_sort" -> ((s, d) =>
+      MapReduceOps.secondarySort(Tables.events(s, d), "user_id", "ts", "event_id", 5)),
   )
 
   private def tok = TextFunctions.tokensSql("text")
@@ -75,6 +77,11 @@ object SparkEntry {
         |  cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value,
         |  count(*) AS n
         |FROM events GROUP BY user_id""".stripMargin,
+    "mr_secondary_sort" ->
+      """SELECT user_id,
+        |  array_to_string(list(cast(event_id AS varchar) ORDER BY ts, event_id)[1:5], ',') AS first_values,
+        |  cast(count(*) AS integer) AS n_values
+        |FROM events GROUP BY user_id""".stripMargin,
   )
 
   // ---- §2B: relational analytics -------------------------------------------
@@ -102,6 +109,7 @@ object SparkEntry {
     "q_asof_join"        -> (Relational.qAsofJoin _),
     "q_groupwise_max"    -> (Relational.qGroupwiseMax _),
     "q_approx_stats"     -> (Relational.qApproxStats _),
+    "q_set_ops"          -> (Relational.qSetOps _),
     "q_topk_per_key"     -> ((s, d) =>
       graft.plans.TopK.perKey(
         Tables.events(s, d).select(col("user_id"), col("event_id"), col("value")),
@@ -246,6 +254,18 @@ object SparkEntry {
       """SELECT p_brand, p_partkey, p_retailprice FROM part p
         |WHERE p_retailprice = (
         |  SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
+    "q_set_ops" ->
+      """SELECT segment, count(*) AS n_customers, min(c_custkey) AS min_key FROM (
+        |  SELECT c_custkey, 'has_open_order' AS segment FROM (
+        |    SELECT c_custkey FROM customer
+        |    INTERSECT
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+        |  UNION ALL
+        |  SELECT c_custkey, 'no_open_order' AS segment FROM (
+        |    SELECT c_custkey FROM customer
+        |    EXCEPT
+        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+        |GROUP BY segment""".stripMargin,
     "q_topk_per_key" ->
       """SELECT user_id, event_id, value FROM (
         |  SELECT user_id, event_id, value,

@@ -89,6 +89,22 @@ object MapReduceOps {
     sorted.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Secondary sort: per-key values ordered by a secondary key — the
+    * classic MapReduce composite-key/grouping-comparator pattern, here
+    * a single `sort_array(collect_list(struct(...)))` (the sort happens
+    * post-shuffle per group; nothing global). Emits the first `take`
+    * ordered values joined for oracle comparability.
+    */
+  def secondarySort(df: DataFrame, keyCol: String, ordCol: String,
+                    valCol: String, take: Int): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col(ordCol), col(valCol)))).as("__sorted"))
+      .select(col(keyCol),
+        concat_ws(",",
+          slice(transform(col("__sorted"), s => s.getField(valCol).cast("string")),
+            1, take)).as("first_values"),
+        size(col("__sorted")).as("n_values"))
+
   /** Combiner-shaped aggregation: per-key exact sum + count. */
   def combinerAgg(df: DataFrame, keyCol: String, valCol: String): DataFrame =
     df.groupBy(col(keyCol))

@@ -265,6 +265,22 @@ object Relational {
       .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
   }
 
+  /** Set operations: segments of customers with vs without open orders
+    * (INTERSECT/EXCEPT semantics — dedicated shuffle-dedup plans).
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select(col("c_custkey"))
+    val openCust = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "O").select(col("o_custkey").as("c_custkey"))
+    val both = cust.intersect(openCust)
+      .withColumn("segment", lit("has_open_order"))
+    val none = cust.except(openCust)
+      .withColumn("segment", lit("no_open_order"))
+    both.unionByName(none)
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("min_key"))
+  }
+
   /** Approximate aggregates (HLL distinct + quantile sketch) next to
     * their exact counterparts — rows-only checked (sketches are
     * engine-specific); ApproxSpec bounds the error.
