@@ -23,6 +23,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // runtime bloom-filter pruning: the selective side of a shuffle
+      // join filters the large side's scan — a pure win at fact-table
+      // scale, free when inapplicable
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {
