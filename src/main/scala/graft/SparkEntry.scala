@@ -309,6 +309,8 @@ object SparkEntry {
       TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")),
     "corpus_dedup" -> ((s, d) =>
       Dedup.corpusDedup(Tables.documents(s, d), "doc_id", "text")),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text")),
   )
 
   private def ph(expr: String): String =
@@ -424,6 +426,33 @@ object SparkEntry {
         |  cast(octet_length(encode(text)) AS integer) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $tok AS tokens FROM documents),
+         |sh AS (SELECT doc_id, ${TextFunctions.shinglesSql("tokens", 3)} AS shingles FROM toks),
+         |hp AS (SELECT doc_id,
+         |    list_transform(shingles, s -> struct_pack(
+         |      h1 := cast('0x' || substr(md5(s), 1, 12) as bigint),
+         |      h2 := cast('0x' || substr(md5(s), 17, 12) as bigint))) AS hp
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |    list_transform(range(0, 16), i ->
+         |      list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS sig
+         |  FROM hp WHERE len(hp) >= 1),
+         |bands AS (SELECT doc_id, b,
+         |    cast('0x' || substr(md5(concat(b, '|', sig[2*b+1], ',', sig[2*b+2])), 1, 15) as bigint) AS bkey
+         |  FROM sig CROSS JOIN range(0, 8) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM cand
+         |  JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+         |  WHERE list_sum(list_transform(range(1, 17),
+         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5),
+         |bidir AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM bidir
+         |  UNION SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a)
+         |SELECT a AS doc_id, least(min(b), a) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
     "text_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRegex}', '<EMAIL>', 'g'),

@@ -139,6 +139,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over the near-duplicate graph: docs joined by
+    * minhash-LSH pairs (est ≥ `minEst`) collapse into clusters labeled
+    * by their minimum doc id — the transitive-closure step real
+    * dedup pipelines need (A~B, B~C ⇒ one cluster even if A≁C).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min of its own and its neighbors' labels; rounds ≈ graph diameter
+    * (near-dup clusters are shallow). Each iteration is a distributed
+    * join + partial-agg; `localCheckpoint` cuts lineage so plans don't
+    * grow. The driver only ever collects one convergence scalar.
+    */
+  def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
+                    minEst: Double = 0.5, maxIters: Int = 20): DataFrame = {
+    val edges = minhashLsh(docs, idCol, textCol)
+      .filter(col("est_jaccard") >= minEst)
+      .select(col("doc_a"), col("doc_b"))
+    val bidir = edges
+      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct().localCheckpoint()
+    var labels = bidir.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var prevSum = Long.MaxValue
+    var iters = 0
+    var done = false
+    while (!done && iters < maxIters) {
+      val neighborMin = bidir
+        .join(labels, bidir("doc_b") === labels("doc_id"))
+        .groupBy(bidir("doc_a").as("nid"))
+        .agg(min(col("label")).as("nlabel"))
+      labels = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      val sum = labels.agg(org.apache.spark.sql.functions.sum("label")).collect()(0).getLong(0)
+      done = sum == prevSum
+      prevSum = sum
+      iters += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** End-to-end corpus dedup: exact duplicates collapse to their min-id
     * survivor, then minhash-LSH near-dup pairs above `minEst` drop the
     * larger id (greedy, deterministic). Returns surviving doc ids.

@@ -37,6 +37,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 0)
   }
 
+  test("dedup clusters merge transitively (A~B, B~C => one cluster)") {
+    // B shares most text with A and with C, but A and C differ more:
+    // the chain must still collapse into a single min-labeled cluster
+    val chain = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (9L, "totally different content about spark shuffles and joins here")
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.dedupClusters(chain, "doc_id", "text", minEst = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L)
+    assert(clusters.get(3L).forall(_ == 1L)) // if LSH caught 2~3, label must be 1
+    assert(!clusters.contains(9L)) // singletons don't appear in the pair graph
+  }
+
   test("ngram jaccard is 1.0 for identical docs (sampleMod=1)") {
     val r = Dedup.ngramJaccard(toy, "doc_id", "text", sampleMod = 1, minJaccard = 0.1)
       .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getDouble(2))).toMap
