@@ -110,6 +110,9 @@ object SparkEntry {
     "q_groupwise_max"    -> (Relational.qGroupwiseMax _),
     "q_approx_stats"     -> (Relational.qApproxStats _),
     "q_set_ops"          -> (Relational.qSetOps _),
+    "q10_returned_items" -> (Relational.q10ReturnedItems _),
+    "q14_promo_share"    -> (Relational.q14PromoShare _),
+    "q18_large_orders"   -> (Relational.q18LargeOrders _),
     "q_topk_per_key"     -> ((s, d) =>
       graft.plans.TopK.perKey(
         Tables.events(s, d).select(col("user_id"), col("event_id"), col("value")),
@@ -254,6 +257,27 @@ object SparkEntry {
       """SELECT p_brand, p_partkey, p_retailprice FROM part p
         |WHERE p_retailprice = (
         |  SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2))) AS double) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem, orders, customer
+        |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name, c_mktsegment
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        |  cast(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2))
+        |    ELSE cast(0 AS decimal(18,2)) END) AS double) * 100.0
+        |    / cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2))) AS double) AS promo_share_pct,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice, total_qty FROM orders JOIN (
+        |  SELECT l_orderkey, cast(sum(cast(l_quantity AS decimal(18,4))) AS double) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 150
+        |) ON o_orderkey = l_orderkey""".stripMargin,
     "q_set_ops" ->
       """SELECT segment, count(*) AS n_customers, min(c_custkey) AS min_key FROM (
         |  SELECT c_custkey, 'has_open_order' AS segment FROM (

@@ -265,6 +265,42 @@ object Relational {
       .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
   }
 
+  /** Q10-style: top customers by revenue from returned items. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(1) - col("l_discount")).cast("decimal(8,2)"))
+    Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .join(broadcast(Tables.orders(spark, dir)), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q14-style: share of revenue from PROMO-type parts (percent). */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+               (lit(1) - col("l_discount")).cast("decimal(8,2)"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double") * 100.0 / sum(rev).cast("double")).as("promo_share_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q18-style: large-volume orders (total quantity above threshold). */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 150)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
   /** Set operations: segments of customers with vs without open orders
     * (INTERSECT/EXCEPT semantics — dedicated shuffle-dedup plans).
     */
