@@ -41,10 +41,13 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** Q3-style: revenue of BUILDING-segment orders, top 10. The
-    * customer side is a filtered dimension → broadcast; lineitem is
-    * the only large shuffle input, and the top-10 compiles to
-    * TakeOrderedAndProject (no global sort materialization).
+  /** Q3-style: revenue of BUILDING-segment orders, top 10. Only the
+    * filtered customer dimension is broadcast; orders⋈lineitem is a
+    * shuffle join on the order key (the session's runtime bloom filter
+    * prunes lineitem's scan from the selective orders side, and AQE may
+    * still upgrade to broadcast when the runtime size allows — a hint
+    * here would force a fact-table broadcast at 100 TB). The top-10
+    * compiles to TakeOrderedAndProject (no global sort).
     */
   def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -52,7 +55,7 @@ object Relational {
     val li   = Tables.lineitem(spark, dir)
     val rev  = (col("l_extendedprice").cast("decimal(18,2)") *
                 (lit(1) - col("l_discount")).cast("decimal(8,2)"))
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(rev).cast("double").as("revenue"))
@@ -60,8 +63,12 @@ object Relational {
       .limit(10)
   }
 
-  /** Q5-style: revenue by nation with local suppliers. All dimension
-    * tables broadcast; lineitem never shuffles for the join.
+  /** Q5-style: revenue by nation with local suppliers. Only region and
+    * nation — the fixed-cardinality dimensions — carry broadcast hints;
+    * customer, supplier and orders all grow with the scale factor, so
+    * their joins are key-partitioned shuffle joins (AQE upgrades them to
+    * broadcast at runtime when the actual size permits, which is the
+    * scale-safe direction for the hint to flow).
     */
   def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir)
@@ -72,10 +79,10 @@ object Relational {
     val li     = Tables.lineitem(spark, dir)
     val rev = (col("l_extendedprice").cast("decimal(18,2)") *
                (lit(1) - col("l_discount")).cast("decimal(8,2)"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
-                             col("s_nationkey") === col("c_nationkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
+                  col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -265,25 +272,31 @@ object Relational {
       .select(col("p_brand"), col("p_partkey"), col("p_retailprice"))
   }
 
-  /** Q10-style: top customers by revenue from returned items. */
+  /** Q10-style: top customers by revenue from returned items. Both
+    * orders and customer scale with SF — no broadcast hints; the joins
+    * shuffle on their keys and the top-20 is TakeOrderedAndProject.
+    */
   def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
     val rev = (col("l_extendedprice").cast("decimal(18,2)") *
                (lit(1) - col("l_discount")).cast("decimal(8,2)"))
     Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
-      .join(broadcast(Tables.orders(spark, dir)), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }
 
-  /** Q14-style: share of revenue from PROMO-type parts (percent). */
+  /** Q14-style: share of revenue from PROMO-type parts (percent).
+    * part scales with SF (TPC-H: 200k×SF rows) — no broadcast hint;
+    * AQE picks broadcast at runtime only when the size allows.
+    */
   def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
     val rev = (col("l_extendedprice").cast("decimal(18,2)") *
                (lit(1) - col("l_discount")).cast("decimal(8,2)"))
     Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .agg(
         (sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,2)")))
           .cast("double") * 100.0 / sum(rev).cast("double")).as("promo_share_pct"),
