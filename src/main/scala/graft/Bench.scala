@@ -1,4 +1,5 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -10,6 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = Monitoring.install(spark)
     // Queries are independent; run them on a small pool so planning/
     // codegen overheads overlap (Spark schedules the jobs fairly).
     // Per-query numbers are each query's own span; "value" is the
@@ -22,7 +24,12 @@ object Bench {
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // noop sink: every output column is fully evaluated — a count()
+        // would let Catalyst prune the projected work (regex/md5/token
+        // compute) out of map-only queries and under-measure them.
+        try Monitoring.tag(fn(spark, sfDir), name)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-22s $sec%8.2fs")
         name -> sec
@@ -35,6 +42,9 @@ object Bench {
     val total = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // per-query engine metrics (rows / scanned bytes / listener time)
+    Files.writeString(Paths.get("target/bench_metrics.json"), listener.json)
+    System.err.println("[bench] metrics: " + listener.json)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,77 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Spark-native job monitoring — the analog of the reference client's
+  * job status/metrics polling (cooler-MapReduce `src/client/monitoring.py`,
+  * `src/client/client.py` job list/status/results): queries are tagged
+  * with `observe()` (a pass-through CollectMetrics node) and a
+  * [[QueryExecutionListener]] records wall time, output rows and
+  * scanned bytes per named query. Bench/Verify dump the snapshot as
+  * JSON next to their results.
+  *
+  * On a real cluster the same listener runs on the driver and sees
+  * every action; nothing here is local-mode specific.
+  */
+object Monitoring {
+  final case class QueryMetrics(name: String, seconds: Double, rows: Long,
+                                scanBytes: Long, status: String)
+
+  private val Prefix = "graft:"
+
+  /** Tag a query with a named observation; the result is unchanged. */
+  def tag(df: DataFrame, name: String): DataFrame =
+    df.observe(Prefix + name, count(lit(1)).as("rows"))
+
+  final class Listener extends QueryExecutionListener {
+    private val recs = new ConcurrentHashMap[String, QueryMetrics]()
+
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      record(qe, durationNs, "ok")
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      record(qe, 0L, "failed")
+
+    private def record(qe: QueryExecution, durationNs: Long, status: String): Unit =
+      qe.observedMetrics.foreach { case (obsName, row) =>
+        if (obsName.startsWith(Prefix)) {
+          val name = obsName.stripPrefix(Prefix)
+          val rows = if (row.isNullAt(0)) 0L else row.getLong(0)
+          recs.put(name,
+            QueryMetrics(name, durationNs / 1e9, rows, scanBytes(qe.executedPlan), status))
+        }
+      }
+
+    def snapshot: Seq[QueryMetrics] = {
+      import scala.jdk.CollectionConverters._
+      recs.values.asScala.toSeq.sortBy(_.name)
+    }
+
+    def json: String = snapshot.map { m =>
+      s"""{"name":"${m.name}","sec":${"%.3f".format(m.seconds)},"rows":${m.rows},""" +
+        s""""scan_bytes":${m.scanBytes},"status":"${m.status}"}"""
+    }.mkString("[", ",", "]")
+  }
+
+  /** Register a fresh metrics listener on the session. */
+  def install(spark: SparkSession): Listener = {
+    val l = new Listener
+    spark.listenerManager.register(l)
+    l
+  }
+
+  /** Sum of `filesSize` metrics over every scan in the (adaptive) plan. */
+  private def scanBytes(p: SparkPlan): Long =
+    allNodes(p).flatMap(_.metrics.get("filesSize").map(_.value)).sum
+
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+    case q: QueryStageExec        => q +: allNodes(q.plan)
+    case other => other +: (other.children ++ other.subqueries).flatMap(allNodes)
+  }
+}

@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val listener = Monitoring.install(spark)
     // Independent queries writing to distinct dirs — overlap them so the
     // per-query planning overhead doesn't serialize (4-wide pool).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
@@ -22,7 +23,7 @@ object Verify {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       scala.concurrent.Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        try Monitoring.tag(fn(spark, sfDir), name).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -48,6 +49,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // per-query monitoring snapshot (rows / scanned bytes / time)
+    Files.writeString(Paths.get(s"$outDir/metrics.json"), listener.json)
     spark.stop()
   }
 }
