@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, CreateStruct, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, CreateStruct, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -14,12 +14,22 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 /** Custom whole-operator example: exact top-k rows per key.
   *
   * The built-in formulation (`row_number()` window + filter) sorts every
-  * partition's full data and shuffles ALL rows. This operator keeps a
-  * bounded heap per key: the partial stage reduces each input partition
-  * to ≤ k rows per key before the shuffle (the map-side combine), the
-  * final stage merges per key after a `ClusteredDistribution` exchange —
-  * shuffle volume is O(keys × k), not O(rows). At 100 TB that's the
-  * difference between shuffling the dataset and shuffling the answer.
+  * partition's full data and shuffles ALL rows. This operator reduces
+  * each input partition to ≤ k rows per key BEFORE the shuffle (the
+  * map-side combine), so shuffle volume is O(keys × k), not O(rows).
+  * At 100 TB that's the difference between shuffling the dataset and
+  * shuffling the answer.
+  *
+  * Memory safety at scale:
+  *   - The partial stage's per-key heap map is bounded: when it reaches
+  *     `graft.topk.flushKeys` keys (default 262144) it emits its
+  *     contents and resets — early emission only means a few extra
+  *     candidate rows through the shuffle, never a wrong answer, so
+  *     high-cardinality keys can't OOM an executor.
+  *   - The final stage requires a per-partition sort on (keys, order)
+  *     and streams the first k rows of each key group. The sort is a
+  *     SortExec, which spills through Spark's memory manager — the
+  *     stage itself holds O(1) rows.
   *
   * Ordering must be total per key (pass a unique tiebreak column) for a
   * deterministic result; `descending` flips the whole (lexicographic)
@@ -43,15 +53,28 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
 
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(SortOrder(_, Ascending)) :+
+      SortOrder(order, if (descending) Descending else Ascending))
+
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  override protected def doExecute(): RDD[InternalRow] =
+    if (partial) executePartial() else executeFinal()
+
+  /** Map-side reduction: a per-key bounded heap, flushed whenever the
+    * key map reaches the threshold so memory stays bounded regardless
+    * of key cardinality.
+    */
+  private def executePartial(): RDD[InternalRow] = {
     val childOutput = child.output
     val keyExprs = keys
     val ordExpr = order
     val kk = k
     val desc = descending
+    val flushKeys = conf.getConfString("graft.topk.flushKeys", "262144").toInt
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val bound = BindReferences.bindReference(ordExpr, childOutput)
@@ -62,22 +85,67 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
       val heapOrd = if (desc) natural.reverse else natural
       val better: (Any, Any) => Boolean =
         if (desc) (a, b) => natural.gt(a, b) else (a, b) => natural.lt(a, b)
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val ov = bound.eval(row)
-        heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < kk) heap.enqueue((ov, row.copy()))
-            else if (better(ov, heap.head._1)) { heap.dequeue(); heap.enqueue((ov, row.copy())) }
-          case None =>
-            val heap = mutable.PriorityQueue.empty[(Any, InternalRow)](
-              Ordering.by[(Any, InternalRow), Any](_._1)(heapOrd))
-            heap.enqueue((ov, row.copy()))
-            heaps.put(key.copy(), heap)
-        }
+      var heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]
+      // Buffer-backed order values (strings / structs of strings) must
+      // be evaluated against the COPIED row: an eval against the scan's
+      // reused row would alias a buffer the next input overwrites.
+      def keep(heap: mutable.PriorityQueue[(Any, InternalRow)], row: InternalRow): Unit = {
+        val copied = row.copy()
+        heap.enqueue((bound.eval(copied), copied))
       }
-      heaps.valuesIterator.flatMap(_.iterator.map(_._2))
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private def drain(): Unit = {
+          val old = heaps
+          heaps = mutable.LinkedHashMap.empty
+          out = old.valuesIterator.flatMap(_.iterator.map(_._2))
+        }
+        override def hasNext: Boolean = {
+          while (!out.hasNext && iter.hasNext) {
+            val row = iter.next()
+            val key = keyProj(row)
+            val ov = bound.eval(row) // transient: compare-only
+            heaps.get(key) match {
+              case Some(heap) =>
+                if (heap.size < kk) keep(heap, row)
+                else if (better(ov, heap.head._1)) { heap.dequeue(); keep(heap, row) }
+              case None =>
+                val heap = mutable.PriorityQueue.empty[(Any, InternalRow)](
+                  Ordering.by[(Any, InternalRow), Any](_._1)(heapOrd))
+                keep(heap, row)
+                heaps.put(key.copy(), heap)
+            }
+            if (heaps.size >= flushKeys) drain()
+          }
+          if (!out.hasNext && heaps.nonEmpty) drain()
+          out.hasNext
+        }
+        override def next(): InternalRow = out.next()
+      }
+    }
+  }
+
+  /** Reduce side: input arrives clustered by key and sorted on
+    * (keys, order), so emitting the first k rows of each key group is a
+    * pure stream — no operator-held state beyond one key.
+    */
+  private def executeFinal(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      var current: UnsafeRow = null
+      var emitted = 0
+      iter.filter { row =>
+        val key = keyProj(row)
+        if (current == null || key != current) {
+          current = key.copy()
+          emitted = 0
+        }
+        emitted += 1
+        emitted <= kk
+      }
     }
   }
 }
