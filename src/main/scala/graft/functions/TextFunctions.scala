@@ -16,8 +16,21 @@ object TextFunctions {
   /** Same set escaped for a DuckDB single-quoted literal. */
   val PunctSql = ".,!?;:\"''-"
 
-  /** Lowercased, punctuation-trimmed, non-empty token array. */
-  def tokens(c: Column): Column =
+  /** Lowercased, punctuation-trimmed, non-empty token array — a native
+    * codegen'd expression (graft.plans.TokensExpr); [[tokensHof]] is the
+    * composed SQL-function form it must stay bit-identical to.
+    */
+  def tokens(c: Column): Column = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftPlanFactory.column(
+      graft.plans.TokensExpr(GraftPlanFactory.expression(c)))
+  }
+
+  /** Reference implementation of [[tokens]] from built-in HOFs —
+    * kept for the parity spec; NOT for hot paths (interpreted lambdas,
+    * CollapseProject can inline projections into them).
+    */
+  def tokensHof(c: Column): Column =
     filter(
       transform(split(lower(c), "\\s+"), t => trim(t, PunctChars)),
       t => t =!= lit(""))
@@ -27,8 +40,19 @@ object TextFunctions {
     s"list_filter(list_transform(string_split_regex(lower($expr), '\\s+'), " +
       s"t -> trim(t, '$PunctSql')), t -> t <> '')"
 
-  /** Word n-gram shingles (joined with single spaces). */
-  def shingles(tokensCol: Column, n: Int): Column =
+  /** Word n-gram shingles (joined with single spaces) — native
+    * codegen'd expression (graft.plans.ShinglesExpr).
+    */
+  def shingles(tokensCol: Column, n: Int): Column = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftPlanFactory.column(
+      graft.plans.ShinglesExpr(GraftPlanFactory.expression(tokensCol), n))
+  }
+
+  /** Reference implementation of [[shingles]] from built-in HOFs — for
+    * the parity spec only.
+    */
+  def shinglesHof(tokensCol: Column, n: Int): Column =
     when(size(tokensCol) < n, array().cast("array<string>"))
       .otherwise(
         transform(sequence(lit(1), size(tokensCol) - lit(n - 1)),

@@ -42,10 +42,13 @@ object Dedup {
     * inline expression chains into them, both of which wreck scan-rate
     * throughput at scale.
     */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 k: Int = 16, bands: Int = 8): DataFrame = {
-    val rows = k / bands
-    require(rows * bands == k)
+  /** MinHash signature stage alone (the scan-rate path): one native
+    * tokenize+shingle kernel per doc, one md5 per shingle, k codegen'd
+    * `min(h1 + i·h2)` partial aggregates — the shuffle carries k longs
+    * per document.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16): DataFrame = {
     val ex = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("s"))
@@ -53,9 +56,16 @@ object Dedup {
       conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("h1"),
       conv(substring(md5(col("s")), 17, 12), 16, 10).cast("long").as("h2"))
     val minCols = (0 until k).map(i => min(col("h1") + col("h2") * i).as(s"m$i"))
-    val sigs = hashed.groupBy(col("doc_id"))
+    hashed.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 16, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    require(rows * bands == k)
+    val sigs = minhashSignatures(docs, idCol, textCol, k)
     val banded = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),

@@ -19,6 +19,7 @@ object ThroughputBench {
     val corpusPath = "target/throughput_corpus"
     docs.select(explode(sequence(lit(1), lit(mult))).as("copy"), col("text"))
       .select(col("text"))
+      .repartition(32) // parallel file layout — otherwise a <128 MB corpus scans as ONE task
       .write.mode("overwrite").parquet(corpusPath)
     val corpus = spark.read.parquet(corpusPath)
     val bytes = corpus.agg(sum(length(col("text")))).collect()(0).getLong(0)
@@ -29,6 +30,19 @@ object ThroughputBench {
     val sec = (System.nanoTime() - t0) / 1e9
     val mb = bytes / 1e6
     println(f"""{"metric":"wordcount_throughput","input_mb":$mb%.1f,"sec":$sec%.2f,"mb_per_sec":${mb / sec}%.1f}""")
+
+    // minhash signature scan rate (the 100 TB dedup hot path):
+    // tokenize → shingle → md5 → 16 min-aggregates over the corpus.
+    // (The full LSH pair stage is excluded on purpose: a mult-times
+    // replicated corpus has quadratic candidate pairs by construction.)
+    val docsId = corpus.withColumn("doc_id", monotonically_increasing_id())
+    graft.operators.Dedup.minhashSignatures(docsId, "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
+    val t1 = System.nanoTime()
+    graft.operators.Dedup.minhashSignatures(docsId, "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
+    val sec2 = (System.nanoTime() - t1) / 1e9
+    println(f"""{"metric":"minhash_sig_throughput","input_mb":$mb%.1f,"sec":$sec2%.2f,"mb_per_sec":${mb / sec2}%.1f}""")
     spark.stop()
   }
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** The native tokenize/shingle expressions must be bit-identical to the
+  * composed HOF forms they replaced (the DuckDB oracle SQL mirrors the
+  * HOF semantics), and must stay inside whole-stage codegen.
+  */
+class TextExprSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val edgeCases = Seq(
+    "",
+    "   ",
+    "The quick-brown FOX!!! jumps... over, the lazy: dog's \"tail\"",
+    "... --- !!! ''' \"\"\"",
+    "  leading and trailing   spaces  ",
+    "one",
+    "ÉCOLE Straße ÅNGSTRÖM mixed-CASE",
+    "a.b,c!d?e;f:g",
+    "tab\tseparated\nnewline  tokens",
+    "-- trimmed-to-empty - .-. token stream --")
+
+  test("native tokens equals HOF tokens on edge cases and the corpus") {
+    val edge = edgeCases.toDF("text")
+    val corpus = Tables.documents(spark, sf).select(col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val both = df.select(
+        TextFunctions.tokens(col("text")).as("native"),
+        TextFunctions.tokensHof(col("text")).as("hof"))
+      assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+    }
+  }
+
+  test("native shingles equals HOF shingles for n=2,3,5") {
+    val df = (edgeCases ++ Seq("exactly three tokens here now")).toDF("text")
+      .unionByName(Tables.documents(spark, sf).select(col("text")))
+    for (n <- Seq(2, 3, 5)) {
+      val both = df.select(
+        TextFunctions.shingles(TextFunctions.tokens(col("text")), n).as("native"),
+        TextFunctions.shinglesHof(TextFunctions.tokensHof(col("text")), n).as("hof"))
+      assert(both.filter(not(col("native") <=> col("hof"))).count() == 0, s"n=$n")
+    }
+  }
+
+  test("null text yields null tokens/shingles like the HOF form") {
+    val df = Seq[Option[String]](None, Some("a b c")).toDF("text")
+    val got = df.select(
+      TextFunctions.tokens(col("text")).as("t"),
+      TextFunctions.shingles(TextFunctions.tokens(col("text")), 2).as("s"))
+    val rows = got.collect()
+    assert(rows.exists(r => r.isNullAt(0) && r.isNullAt(1)))
+  }
+
+  test("tokenize path stays in whole-stage codegen") {
+    val plan = Tables.documents(spark, sf)
+      .select(explode(TextFunctions.shingles(
+        TextFunctions.tokens(col("text")), 3)).as("s"))
+      .select(md5(col("s")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" node prefixes mark whole-stage-codegen membership
+    assert(plan.contains("*(1) Generate"), plan)
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("transform("), plan) // no interpreted HOF lambdas
+  }
+}
