@@ -341,6 +341,27 @@ object SparkEntry {
     s"cast('0x' || substr(md5($expr), 1, 15) as bigint)"
   private def cosSql(a: String, b: String): String = VectorFunctions.cosineSql(a, b)
 
+  /** DuckDB CTE fragment reproducing the deterministic LSH bucketing of
+    * graft.operators.Similarity (same md5-derived planes as SQL literals
+    * — Double.toString round-trips exactly — same sign-bit bucket sums;
+    * only the SIGN of each projection matters, and the dot product is
+    * the same left-to-right double fold on both engines).
+    */
+  private def lshBucketsCte(nPlanes: Int = 5, nTables: Int = 8, dims: Int = 64): String = {
+    val rows = for (t <- 0 until nTables; p <- 0 until nPlanes) yield {
+      val vec = Similarity.planeVec(t * nPlanes + p, dims)
+        .map(java.lang.Double.toString).mkString("[", ",", "]")
+      s"($t, $p, $vec)"
+    }
+    s"""planes(tbl, p, pv) AS (VALUES ${rows.mkString(", ")}),
+       |proj AS (SELECT e.vec_id, pl.tbl, pl.p,
+       |    CASE WHEN ${VectorFunctions.dotSql("e.embedding", "pl.pv")} >= 0
+       |         THEN (1::BIGINT << pl.p) ELSE 0::BIGINT END AS bit
+       |  FROM embeddings e CROSS JOIN planes pl),
+       |buckets AS (SELECT vec_id, tbl, cast(sum(bit) AS bigint) AS bucket
+       |  FROM proj GROUP BY 1, 2)""".stripMargin
+  }
+
   private val cOracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS survivor_id, count(*) AS n_copies
@@ -392,10 +413,44 @@ object SparkEntry {
          |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE cast(inter AS double) / (sa.n_sh + sb.n_sh - inter) >= 0.2""".stripMargin,
     "dedup_embedding" ->
-      s"""SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+      s"""WITH ${lshBucketsCte()},
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT c.vec_a, c.vec_b,
          |  round(${cosSql("x.embedding", "y.embedding")}, 6) AS cosine
-         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+         |FROM cand c JOIN embeddings x ON x.vec_id = c.vec_a
+         |  JOIN embeddings y ON y.vec_id = c.vec_b
          |WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= 0.3""".stripMargin,
+    "knn_lsh" ->
+      s"""WITH ${lshBucketsCte()},
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |scored AS (SELECT query_id, neighbor_id,
+         |    round(${cosSql("x.embedding", "y.embedding")}, 6) AS score
+         |  FROM cand JOIN embeddings x ON x.vec_id = query_id
+         |    JOIN embeddings y ON y.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, score, rnk FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    cast(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS integer) AS rnk
+         |  FROM scored) WHERE rnk <= 5""".stripMargin,
+    "knn_ivf" ->
+      s"""WITH centroids AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % 50 = 0),
+         |assigned AS (SELECT vec_id, embedding, centroid_id FROM (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS crnk
+         |  FROM embeddings e CROSS JOIN centroids c) WHERE crnk = 1),
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${cosSql("q.embedding", "c.embedding")}, 6) AS score
+         |  FROM assigned q JOIN assigned c ON q.centroid_id = c.centroid_id
+         |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, score, rnk FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    cast(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS integer) AS rnk
+         |  FROM scored) WHERE rnk <= 5""".stripMargin,
     "knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),

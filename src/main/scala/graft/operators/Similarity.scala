@@ -7,54 +7,22 @@ import graft.plans.GraftFunctions
 
 /** Similarity search over embedding columns (`array<float>`).
   *
-  * Brute-force cosine top-k is the correctness baseline; the
-  * random-hyperplane LSH variant is the 100 TB path: bucket keys are
-  * computed map-side from deterministic (hash-derived) planes, then the
-  * candidate join is bucket-partitioned — comparisons scale with bucket
-  * occupancy, not n².
+  * Brute-force cosine top-k is the correctness baseline (spec verifier);
+  * the random-hyperplane LSH variants are the 100 TB path: bucket keys
+  * are computed map-side from deterministic (md5-derived) planes, the
+  * candidate join is bucket-partitioned, candidates are deduplicated on
+  * ids only (no vector payload through the shuffle), and exact cosine
+  * runs on candidates alone — comparisons scale with bucket occupancy,
+  * never n².
   */
 object Similarity {
-
-  /** C5: near-duplicate pairs by cosine ≥ threshold (brute force over
-    * the id-ordered pair space — quadratic verifier / small tables).
-    */
-  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
-                     minCosine: Double): DataFrame = {
-    GraftFunctions.register(emb.sparkSession)
-    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va")).repartition()
-    val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(VectorFunctions.cosineNative(col("va"), col("vb")), 6).as("cosine"))
-      .filter(col("cosine") >= minCosine)
-  }
-
-  /** C6: brute-force cosine top-k neighbors for a query subset.
-    * The per-query top-k is a rank window partitioned by query id —
-    * scales with queries × corpus via the broadcast of the query side.
-    */
-  def knnBruteForce(emb: DataFrame, idCol: String, vecCol: String,
-                    nQueries: Int, k: Int): DataFrame = {
-    GraftFunctions.register(emb.sparkSession)
-    import org.apache.spark.sql.expressions.Window
-    val queries = emb.filter(col(idCol) < nQueries)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")).repartition()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(VectorFunctions.cosineNative(col("qv"), col("nv")), 6).as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-  }
 
   /** Deterministic pseudo-random hyperplane: md5-derived components in
     * [-0.5, 0.5), computed driver-side once (they are constants) and
     * shipped as array literals — the projection itself is the native
     * codegen'd `graft_dot`, so bucketing runs at scan rate.
     */
-  private[operators] def planeVec(plane: Int, dims: Int): Array[Double] = {
+  private[graft] def planeVec(plane: Int, dims: Int): Array[Double] = {
     val mdI = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dims) { d =>
       val hex = mdI.digest(s"plane$plane:$d".getBytes("UTF-8"))
@@ -73,6 +41,89 @@ object Similarity {
       when(dotP >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     proj.reduce(_ + _)
+  }
+
+  /** One map pass assigning every vector to its bucket in each of
+    * `nTables` independent hash tables → rows (id, table, bucket).
+    * Ids only — vectors are re-joined AFTER candidate dedup so the
+    * candidate shuffle never carries the 64-float payload.
+    */
+  private def lshBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                          nPlanes: Int, nTables: Int, dims: Int): DataFrame = {
+    val tableBuckets = (0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        lshBucket(col(vecCol), nPlanes, dims, planeOffset = t * nPlanes).as("bucket"))
+    }
+    emb.select(col(idCol).as("id"),
+      explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+  }
+
+  /** C5: near-duplicate pairs by cosine ≥ threshold, via multi-table
+    * LSH candidate generation + exact cosine verification on candidates
+    * only. Recall vs the brute-force verifier is spec-measured
+    * (SimilaritySpec); at a low cosine threshold recall is tuned by
+    * nPlanes (fewer bits → bigger buckets → higher recall, more
+    * verification compute).
+    *
+    * Scale shape: one scan to bucket, an equi-join on (table, bucket),
+    * id-pair dedup, then one vector copy re-joined per side — never an
+    * all-pairs product, never a corpus broadcast.
+    */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     minCosine: Double, nPlanes: Int = 5, nTables: Int = 8,
+                     dims: Int = 64): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val bucketed = lshBucketed(emb, idCol, vecCol, nPlanes, nTables, dims)
+    val a = bucketed.select(col("id").as("vec_a"), col("table"), col("bucket"))
+    val b = bucketed.select(col("id").as("vec_b"), col("table"), col("bucket"))
+    val cand = a.join(b, Seq("table", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct() // union of collisions across tables, ids only
+    val va = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val vb = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorFunctions.cosineNative(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** Brute-force all-pairs verifier (quadratic, small tables / specs
+    * only — C5 ships [[embeddingPairs]]).
+    */
+  def embeddingPairsBrute(emb: DataFrame, idCol: String, vecCol: String,
+                          minCosine: Double): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val a = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va")).repartition(par)
+    val b = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorFunctions.cosineNative(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
+  /** C6: brute-force cosine top-k neighbors for a query subset.
+    * The per-query top-k is a rank window partitioned by query id —
+    * scales with queries × corpus via the broadcast of the query side.
+    */
+  def knnBruteForce(emb: DataFrame, idCol: String, vecCol: String,
+                    nQueries: Int, k: Int): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val queries = emb.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .repartition(par)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    broadcast(queries).join(corpus, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosineNative(col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
   }
 
   /** IVF-style ANN: a deterministic subsample acts as the centroid
@@ -101,7 +152,7 @@ object Similarity {
         .select(col(id), col(vec), col("centroid_id"))
     }
     val corpus = assign(
-      emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")).repartition(),
+      emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
       "neighbor_id", "nv")
     val queries = assign(
       emb.filter(col(idCol) < nQueries).select(col(idCol).as("query_id"), col(vecCol).as("qv")),
@@ -120,32 +171,30 @@ object Similarity {
     * independent hash tables (distinct plane sets, offset seeds);
     * candidates are the UNION of bucket-mates across tables (the
     * standard recall lever: collision probability compounds per
-    * table), then exact cosine + top-k. All bucket signatures are
-    * computed in one map pass; the join is bucket-partitioned.
+    * table), deduplicated on (query_id, neighbor_id) ids alone, then
+    * one vector copy per side is re-joined for the exact cosine + top-k
+    * — the candidate shuffle never carries 64-float payloads.
     */
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
              nQueries: Int, k: Int, nPlanes: Int = 5, nTables: Int = 8,
              dims: Int = 64): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    val tableBuckets = (0 until nTables).map { t =>
-      struct(lit(t).as("table"),
-        lshBucket(col(vecCol), nPlanes, dims, planeOffset = t * nPlanes).as("bucket"))
-    }
-    val bucketed = emb.select(col(idCol), col(vecCol),
-      explode(array(tableBuckets: _*)).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.table"), col("tb.bucket"))
-    val queries = bucketed.filter(col(idCol) < nQueries)
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("table"), col("bucket"))
+    val bucketed = lshBucketed(emb, idCol, vecCol, nPlanes, nTables, dims)
+    val queries = bucketed.filter(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("table"), col("bucket"))
     val corpus = bucketed
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("table"), col("bucket"))
-      .repartition()
+      .select(col("id").as("neighbor_id"), col("table"), col("bucket"))
+    val cand = broadcast(queries).join(corpus, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct() // union across tables, ids only
+    val qv = emb.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val nv = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    broadcast(queries).join(corpus, Seq("table", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"))
-      .distinct()  // union across tables
+    cand.join(broadcast(qv), Seq("query_id")).join(nv, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosineNative(col("qv"), col("nv")), 6).as("score"))
       .withColumn("rnk", row_number().over(w))

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** C5 ships the LSH-candidate plan; the brute-force all-pairs form is
+  * the verifier: candidates must be a strict subset (precision 1.0 —
+  * exact cosine runs on every candidate) with a measured recall floor,
+  * and the plan must never contain an all-pairs product.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("embeddingPairs: precision 1.0, recall floor vs brute force, no all-pairs plan") {
+    val emb = Tables.embeddings(spark, sf)
+    val lsh = Similarity.embeddingPairs(emb, "vec_id", "embedding", 0.3)
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs plan leaked into C5:\n$plan")
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Similarity.embeddingPairsBrute(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(want), "LSH produced a pair brute force did not")
+    val recall = got.size.toDouble / want.size
+    info(f"dedup_embedding LSH recall vs brute force: $recall%.3f (${got.size}/${want.size})")
+    assert(recall >= 0.25, f"recall $recall%.3f below floor")
+  }
+
+  test("knnLsh candidates carry no vector payload through the dedup shuffle") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = Similarity.knnLsh(emb, "vec_id", "embedding", 10, 5)
+      .queryExecution.executedPlan.toString
+    // the distinct (HashAggregate keys) must be over the two id columns only
+    val dedupAggs = plan.linesIterator.filter(l =>
+      l.contains("HashAggregate(keys=[query_id") || l.contains("HashAggregate(keys=[table"))
+    assert(dedupAggs.forall(l => !l.contains("qv") && !l.contains("nv")),
+      s"vector payload in candidate dedup:\n$plan")
+  }
+}
