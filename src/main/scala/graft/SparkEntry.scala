@@ -109,6 +109,7 @@ object SparkEntry {
     "q_asof_join"        -> (Relational.qAsofJoin _),
     "q_groupwise_max"    -> (Relational.qGroupwiseMax _),
     "q_approx_stats"     -> (Relational.qApproxStats _),
+    "q_approx_stats_exact" -> (Relational.qApproxStatsExact _),
     "q_set_ops"          -> (Relational.qSetOps _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "q14_promo_share"    -> (Relational.q14PromoShare _),
@@ -290,6 +291,10 @@ object SparkEntry {
         |    EXCEPT
         |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
         |GROUP BY segment""".stripMargin,
+    "q_approx_stats_exact" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_topk_per_key" ->
       """SELECT user_id, event_id, value FROM (
         |  SELECT user_id, event_id, value,
@@ -402,7 +407,7 @@ object SparkEntry {
          |SELECT doc_a, doc_b, cast(bit_count(xor(sa, sb)) AS integer) AS hamming
          |FROM cand WHERE bit_count(xor(sa, sb)) <= 10""".stripMargin,
     "ngram_jaccard" ->
-      s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents WHERE doc_id % 10 = 0),
+      s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents WHERE doc_id % 2 = 0),
          |sh AS (SELECT doc_id, unnest(${TextFunctions.shinglesSql("tokens", 3)}) AS s FROM toks),
          |ex AS (SELECT DISTINCT doc_id, cast('0x' || substr(md5(s), 1, 12) as bigint) AS sk FROM sh),
          |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
@@ -411,7 +416,7 @@ object SparkEntry {
          |SELECT doc_a, doc_b,
          |  cast(inter AS double) / (sa.n_sh + sb.n_sh - inter) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE cast(inter AS double) / (sa.n_sh + sb.n_sh - inter) >= 0.2""".stripMargin,
+         |WHERE cast(inter AS double) / (sa.n_sh + sb.n_sh - inter) >= 0.1""".stripMargin,
     "dedup_embedding" ->
       s"""WITH ${lshBucketsCte()},
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -579,8 +584,10 @@ object SparkEntry {
     aQueries ++ bQueries ++ cQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys → rows-only check
-    * (knn_lsh: bucket recall is spec-checked against knn_bruteforce).
+    * the same parquet tables. The single omitted key, q_approx_stats,
+    * is rows-only by nature (HLL/quantile sketches are engine-specific);
+    * its exact columns are hash-checked via q_approx_stats_exact and
+    * its sketch error is bounded by ApproxSpec.
     */
   def oracleSql: Map[String, String] =
     aOracles ++ bOracles ++ cOracles

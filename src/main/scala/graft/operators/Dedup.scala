@@ -215,7 +215,7 @@ object Dedup {
     * candidate verification / evaluation).
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, sampleMod: Int = 10, minJaccard: Double = 0.2): DataFrame = {
+                   n: Int = 3, sampleMod: Int = 2, minJaccard: Double = 0.1): DataFrame = {
     // Distinct 48-bit shingle hashes as join keys: long compares and a
     // long-keyed shuffle instead of full shingle strings.
     val ex = docs

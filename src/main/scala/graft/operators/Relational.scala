@@ -344,6 +344,19 @@ object Relational {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
+  /** The exact companions of [[qApproxStats]] split into their own
+    * query so they get a hash-checked DuckDB oracle (the sketch columns
+    * are engine-specific and stay rows-only, error-bounded by
+    * ApproxSpec).
+    */
+  def qApproxStatsExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
   /** Tumbling 1-hour windows via Spark's `window()` — the batch twin of
     * the Structured Streaming aggregation in graft.streaming.
     */
