@@ -27,6 +27,26 @@ object SparkEntry {
 
   private val grepPattern = "stream (join|merge)"
 
+  /** The reference's own sample inputs (read-only), ingested through the
+    * raw text/CSV source path — newline-delimited text and a headered
+    * CSV are cooler-MapReduce's native input formats
+    * (reference `src/worker/task_executor.py:103-160`,
+    * `shared/samples/story_medium.txt`, `shared/samples/weather.csv`).
+    */
+  private val RawStoryPath   = "/root/reference/shared/samples/story_medium.txt"
+  private val RawWeatherPath = "/root/reference/shared/samples/weather.csv"
+
+  private def rawWeather(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("temperature", DoubleType),
+      StructField("humidity", DoubleType),
+      StructField("pressure", DoubleType)))
+    graft.sources.Formats.readCsv(s, RawWeatherPath, schema)
+      .selectExpr("stack(3, 'temperature', temperature, 'humidity', humidity, " +
+        "'pressure', pressure) AS (measurement, value)")
+  }
+
   private val aQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mr_wordcount" -> ((s, d) =>
       MapReduceOps.wordCount(Tables.documents(s, d), "text")),
@@ -45,6 +65,11 @@ object SparkEntry {
       MapReduceOps.combinerAgg(Tables.events(s, d), "user_id", "value")),
     "mr_secondary_sort" -> ((s, d) =>
       MapReduceOps.secondarySort(Tables.events(s, d), "user_id", "ts", "event_id", 5)),
+    // raw-file ingestion: the reference's native input formats end-to-end
+    "raw_wordcount" -> ((s, _) =>
+      MapReduceOps.wordCount(graft.sources.Formats.readText(s, RawStoryPath), "value")),
+    "raw_weather_stats" -> ((s, _) =>
+      MapReduceOps.keyStats(rawWeather(s), "measurement", "value")),
   )
 
   private def tok = TextFunctions.tokensSql("text")
@@ -82,6 +107,24 @@ object SparkEntry {
         |  array_to_string(list(cast(event_id AS varchar) ORDER BY ts, event_id)[1:5], ',') AS first_values,
         |  cast(count(*) AS integer) AS n_values
         |FROM events GROUP BY user_id""".stripMargin,
+    // whitespace tokenization is line-break agnostic, so tokens over the
+    // whole file (read_text) equal Spark's per-line tokens exactly
+    "raw_wordcount" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(${TextFunctions.tokensSql("content")}) AS word
+         |      FROM read_text('$RawStoryPath'))
+         |GROUP BY word""".stripMargin,
+    "raw_weather_stats" ->
+      s"""WITH w AS (SELECT * FROM read_csv('$RawWeatherPath', header = true,
+         |    columns = {'temperature': 'DOUBLE', 'humidity': 'DOUBLE', 'pressure': 'DOUBLE'})),
+         |u AS (
+         |  SELECT 'temperature' AS measurement, temperature AS value FROM w
+         |  UNION ALL SELECT 'humidity', humidity FROM w
+         |  UNION ALL SELECT 'pressure', pressure FROM w)
+         |SELECT measurement,
+         |  cast(sum(cast(value AS decimal(18,4))) AS double) / count(*) AS avg_value,
+         |  min(value) AS min_value, max(value) AS max_value, count(*) AS n
+         |FROM u GROUP BY measurement""".stripMargin,
   )
 
   // ---- §2B: relational analytics -------------------------------------------
