@@ -22,6 +22,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config(graft.sources.Tables.NanosAsLong, "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // runtime bloom-filter pruning: the selective side of a shuffle
       // join filters the large side's scan — a pure win at fact-table

@@ -267,7 +267,9 @@ object SparkEntry {
         |  max(n_events) AS max_session_events, count(*) AS n_groups
         |FROM per_session GROUP BY user_id""".stripMargin,
     "q_extract_props" ->
-      """SELECT cast(regexp_extract(props, '"k": (\d+)', 1) AS integer) % 10 AS k_bucket,
+      // try_cast: a non-matching props row extracts '' which must degrade
+      // to NULL (as Spark's cast does), not crash the oracle run
+      """SELECT try_cast(regexp_extract(props, '"k": (\d+)', 1) AS integer) % 10 AS k_bucket,
         |  count(*) AS n,
         |  cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
         |FROM events GROUP BY 1""".stripMargin,

@@ -24,12 +24,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** Session conf required to read TIMESTAMP(NANOS) parquet; there is
+    * no per-read DataSource option for it, so graft's session builders
+    * (GraftSession, Verify, Bench, specs) set it at build time.
+    */
+  val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
+
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read nanos as long and truncate to microseconds
     * (session TZ is UTC, matching the file's naive-UTC semantics).
+    * The conf set here is a no-op guard for foreign sessions — every
+    * graft-built session already pins it at build time (value is
+    * constant, so concurrent loaders can't race to different states).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!s.conf.getOption(NanosAsLong).contains("true"))
+      s.conf.set(NanosAsLong, "true")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
