@@ -43,6 +43,26 @@ object ThroughputBench {
       .write.format("noop").mode("overwrite").save()
     val sec2 = (System.nanoTime() - t1) / 1e9
     println(f"""{"metric":"minhash_sig_throughput","input_mb":$mb%.1f,"sec":$sec2%.2f,"mb_per_sec":${mb / sec2}%.1f}""")
+
+    // A/B: the same signature pipeline built from the interpreted HOF
+    // tokenize/shingle forms it replaced (graft_tokens/graft_shingles
+    // vs filter(transform(split(...)))+transform/slice lambdas)
+    import graft.functions.TextFunctions
+    def hofSigs() = {
+      val ex = docsId
+        .select(col("doc_id"), TextFunctions.tokensHof(col("text")).as("toks"))
+        .select(col("doc_id"), explode(TextFunctions.shinglesHof(col("toks"), 3)).as("s"))
+      val hashed = ex.select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("s")), 17, 12), 16, 10).cast("long").as("h2"))
+      val minCols = (0 until 16).map(i => min(col("h1") + col("h2") * i).as(s"m$i"))
+      hashed.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    }
+    hofSigs().write.format("noop").mode("overwrite").save()
+    val t2 = System.nanoTime()
+    hofSigs().write.format("noop").mode("overwrite").save()
+    val sec3 = (System.nanoTime() - t2) / 1e9
+    println(f"""{"metric":"minhash_sig_hof_throughput","input_mb":$mb%.1f,"sec":$sec3%.2f,"mb_per_sec":${mb / sec3}%.1f}""")
     spark.stop()
   }
 }
