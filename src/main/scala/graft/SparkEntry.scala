@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, MapReduceOps, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, MapReduceOps, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.sources.Tables
 
@@ -385,6 +385,10 @@ object SparkEntry {
       Dedup.corpusDedup(Tables.documents(s, d), "doc_id", "text")),
     "dedup_clusters" -> ((s, d) =>
       Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text")),
+    "corpus_quota_sample" -> ((s, d) =>
+      Curation.quotaSample(Tables.documents(s, d), "doc_id", "source", 10)),
+    "pack_sequences" -> ((s, d) =>
+      Curation.packSequences(Tables.documents(s, d), "doc_id", "text", "source", 512)),
   )
 
   private def ph(expr: String): String =
@@ -582,6 +586,19 @@ object SparkEntry {
          |  UNION SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a)
          |SELECT a AS doc_id, least(min(b), a) AS cluster_id
          |FROM reach GROUP BY a""".stripMargin,
+    "corpus_quota_sample" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${ph("concat(source, '|', doc_id)")}, doc_id) AS rnk
+         |  FROM documents) WHERE rnk <= 10""".stripMargin,
+    "pack_sequences" ->
+      s"""SELECT doc_id, source, n_tokens,
+         |  cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS bigint) AS start_offset,
+         |  cast(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS bigint) AS bin
+         |FROM (SELECT doc_id, source, cast(len($tok) AS bigint) AS n_tokens FROM documents)""".stripMargin,
     "text_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRegex}', '<EMAIL>', 'g'),
