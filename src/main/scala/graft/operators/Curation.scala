@@ -20,11 +20,27 @@ object Curation {
   /** Deterministic quota sample: keep at most `quota` docs per stratum,
     * chosen by md5-hash order (a stable uniform draw — no RNG, so
     * resampling a grown corpus keeps previously-kept docs only if they
-    * still win their hash rank). One window per stratum; scales with
-    * stratum cardinality.
+    * still win their hash rank).
+    *
+    * Runs on the custom TopKPerKey operator, not a row_number window:
+    * the window form shuffles and sorts EVERY row per stratum, while
+    * TopKPerKey reduces each input partition to ≤ quota rows per
+    * stratum before the shuffle — at 100 TB the shuffle carries the
+    * sample, not the corpus. [[quotaSampleWindow]] is the reference
+    * formulation the spec checks equality against.
     */
   def quotaSample(docs: DataFrame, idCol: String, strataCol: String,
                   quota: Int): DataFrame = {
+    val hashed = docs.select(col(idCol), col(strataCol),
+      phash(concat(col(strataCol), lit("|"), col(idCol).cast("string"))).as("__h"))
+    graft.plans.TopK.perKey(hashed, Seq(strataCol), Seq("__h", idCol),
+        quota, descending = false)
+      .select(col(idCol), col(strataCol))
+  }
+
+  /** Built-in-window reference formulation of [[quotaSample]]. */
+  def quotaSampleWindow(docs: DataFrame, idCol: String, strataCol: String,
+                        quota: Int): DataFrame = {
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("__h"), col(idCol))
     docs

@@ -61,12 +61,22 @@ object Dedup {
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** `maxBucket` (default unbounded, keeps the oracle contract) is the
+    * skew guardrail for pathological corpora: a band bucket holding m
+    * docs emits m² candidate pairs, so a flood of identical documents
+    * (which share EVERY band bucket) can dominate the join. The right
+    * fix is exact-dedup first — [[corpusDedup]] composes that — but
+    * when running LSH standalone over an uncurated crawl, a cap drops
+    * buckets above the threshold (bounding worst-case work) at the
+    * cost of recall only inside those flooded buckets.
+    */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 k: Int = 16, bands: Int = 8): DataFrame = {
+                 k: Int = 16, bands: Int = 8,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
     require(rows * bands == k)
     val sigs = minhashSignatures(docs, idCol, textCol, k)
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    val banded0 = sigs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           phash(concat(b.cast("string"), lit("|"),
@@ -74,6 +84,13 @@ object Dedup {
               r => element_at(col("sig"), b * rows + r + 1).cast("string"))))).as("bkey"))))
         .as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+    val banded = if (maxBucket == Int.MaxValue) banded0 else {
+      val ok = banded0.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucket)
+        .select(col("band"), col("bkey"))
+      banded0.join(ok, Seq("band", "bkey"), "left_semi")
+    }
     val a = banded.select(col("band"), col("bkey"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bkey"),

@@ -129,18 +129,21 @@ object Similarity {
   /** IVF-style ANN: a deterministic subsample acts as the centroid
     * codebook (`vec_id % centroidMod == 0`), every vector is assigned
     * to its nearest centroid (one broadcast pass), and queries probe
-    * only their own centroid's inverted list. At 100 TB the codebook
-    * stays broadcast-sized while the assignment and probe stages are
-    * embarrassingly parallel scans; `nProbes` >1 would trade compute
-    * for recall (kept at 1 here — recall is spec-measured vs C6).
+    * their `nProbes` nearest centroids' inverted lists. At 100 TB the
+    * codebook stays broadcast-sized while the assignment and probe
+    * stages are embarrassingly parallel scans; nProbes is the standard
+    * IVF compute↔recall lever (each extra probe joins one more
+    * inverted list per query) — recall is spec-measured vs C6 at 1 and
+    * 3 probes.
     */
   def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
-             nQueries: Int, k: Int, centroidMod: Int = 50): DataFrame = {
+             nQueries: Int, k: Int, centroidMod: Int = 50,
+             nProbes: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(emb.sparkSession)
     val centroids = emb.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
-    def assign(df: DataFrame, id: String, vec: String): DataFrame = {
+    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
       val wa = Window.partitionBy(col(id))
         .orderBy(col("csim").desc, col("centroid_id"))
       df.join(broadcast(centroids))
@@ -148,15 +151,17 @@ object Similarity {
           col("centroid_id"),
           VectorFunctions.cosineNative(col(vec), col("cv")).as("csim"))
         .withColumn("crnk", row_number().over(wa))
-        .filter(col("crnk") === 1)
+        .filter(col("crnk") <= probes)
         .select(col(id), col(vec), col("centroid_id"))
     }
+    // corpus vectors live in exactly one inverted list; queries fan out
+    // to nProbes lists, so (query, neighbor) pairs are already unique
     val corpus = assign(
       emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
-      "neighbor_id", "nv")
+      "neighbor_id", "nv", probes = 1)
     val queries = assign(
       emb.filter(col(idCol) < nQueries).select(col(idCol).as("query_id"), col(vecCol).as("qv")),
-      "query_id", "qv")
+      "query_id", "qv", probes = nProbes)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     broadcast(queries).join(corpus, Seq("centroid_id"))

@@ -19,6 +19,16 @@ class CurationSpec extends AnyFunSuite {
     assert(s1.join(docs, Seq("doc_id"), "left_anti").count() == 0)
   }
 
+  test("quota sample equals the window formulation but plans through TopKPerKey") {
+    val docs = Tables.documents(spark, sf)
+    val topk = Curation.quotaSample(docs, "doc_id", "source", 7)
+    val win = Curation.quotaSampleWindow(docs, "doc_id", "source", 7)
+    assert(topk.exceptAll(win).isEmpty && win.exceptAll(topk).isEmpty)
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), s"quota sample fell back to a window sort:\n$plan")
+  }
+
   test("packing offsets are contiguous and bins follow floor(start/budget)") {
     val packed = Curation.packSequences(
       Tables.documents(spark, sf), "doc_id", "text", "source", 512)

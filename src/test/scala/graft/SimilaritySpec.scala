@@ -27,6 +27,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.25, f"recall $recall%.3f below floor")
   }
 
+  test("IVF multi-probe is a monotone recall lever") {
+    val emb = Tables.embeddings(spark, sf)
+    def hits(nProbes: Int): Set[(Long, Long)] =
+      Similarity.knnIvf(emb, "vec_id", "embedding", 10, 5, nProbes = nProbes)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.knnBruteForce(emb, "vec_id", "embedding", 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = (hits(1) & truth).size.toDouble / truth.size
+    val r3 = (hits(3) & truth).size.toDouble / truth.size
+    info(f"IVF recall@5: 1 probe $r1%.2f, 3 probes $r3%.2f")
+    assert(r3 >= r1, "more probes must not lose recall")
+    assert(r3 > 0.2)
+  }
+
+  test("minhash bucket cap bounds identical-doc floods without losing normal pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val flood = (0 until 200).map(i => (i.toLong, "the same exact flooded document text repeated verbatim many times over"))
+    val nearDup = Seq(
+      (1000L, "a genuinely distinct document about stream processing engines and shuffles"),
+      (1001L, "a genuinely distinct document about stream processing engines and shuffling"))
+    val docs = (flood ++ nearDup).toDF("doc_id", "text")
+    val capped = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text", maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // flooded bucket (200 members) dropped: no pairs among flood ids
+    assert(!capped.exists { case (a, b) => a < 200 && b < 200 })
+    // the normal near-dup pair survives in its own small bucket
+    assert(capped.contains((1000L, 1001L)))
+  }
+
   test("knnLsh candidates carry no vector payload through the dedup shuffle") {
     val emb = Tables.embeddings(spark, sf)
     val plan = Similarity.knnLsh(emb, "vec_id", "embedding", 10, 5)
