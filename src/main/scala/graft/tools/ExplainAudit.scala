@@ -20,7 +20,8 @@ object ExplainAudit {
     val sf = "/root/testdata/sf0.001"
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing_summary", "q3_top_orders", "doc_fingerprint",
-        "dedup_minhash", "knn_bruteforce", "mr_wordcount")
+        "dedup_minhash", "dedup_embedding", "knn_lsh", "mr_wordcount",
+        "corpus_quota_sample", "pack_sequences")
     names.foreach { n =>
       println(s"\n================ $n ================")
       graft.SparkEntry.queries(n)(spark, sf).explain("formatted")
