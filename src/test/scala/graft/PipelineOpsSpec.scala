@@ -37,6 +37,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs((1L, 2L)) == 0)
   }
 
+  test("simhash canonical (HOF) definition equals the aggregate form") {
+    val hof = toy.select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashByDoc(toy, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hof == agg)
+  }
+
   test("dedup clusters merge transitively (A~B, B~C => one cluster)") {
     // B shares most text with A and with C, but A and C differ more:
     // the chain must still collapse into a single min-labeled cluster
