@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, MapReduceOps, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, MapReduceOps, Similarity, TextAnalysis}
 
 /** Operators must degrade cleanly: empty inputs → empty outputs with
   * the right schema, single-row inputs → no pair explosions, documents
@@ -26,6 +26,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.simhashPairs(empty, "doc_id", "text").count() == 0)
     assert(Dedup.corpusDedup(empty, "doc_id", "text").count() == 0)
     assert(TextAnalysis.quality(empty, "doc_id", "text").count() == 0)
+  }
+
+  test("curation ops degrade cleanly on empty and tiny strata") {
+    val stratified = empty.withColumn("source",
+      org.apache.spark.sql.functions.lit("s"))
+    assert(Curation.quotaSample(stratified, "doc_id", "source", 5).count() == 0)
+    assert(Curation.packSequences(stratified, "doc_id", "text", "source", 512).count() == 0)
+    val one = docsOf((1L, "alpha beta gamma"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    assert(Curation.quotaSample(one, "doc_id", "source", 5).count() == 1)
+    val packed = Curation.packSequences(one, "doc_id", "text", "source", 512).collect()
+    assert(packed.length == 1 && packed(0).getLong(3) == 0L && packed(0).getLong(4) == 0L)
   }
 
   test("single doc: no self-pairs from any pairwise operator") {
