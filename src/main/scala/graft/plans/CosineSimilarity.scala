@@ -118,5 +118,13 @@ object GraftFunctions {
       "graft_dot",
       exprs => DotProductF64(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_tokens",
+      exprs => TokensExpr(exprs(0)),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => ShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
   }
 }

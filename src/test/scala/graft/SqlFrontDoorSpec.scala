@@ -28,6 +28,18 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(r.forall(row => math.abs(row.getDouble(1) - 1.0) < 1e-9))
   }
 
+  test("native graft_tokens / graft_shingles callable from SQL") {
+    Tables.registerAll(spark, sf)
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT doc_id,
+        |  size(graft_tokens(text)) AS n_tokens,
+        |  size(graft_shingles(graft_tokens(text), 3)) AS n_shingles
+        |FROM documents WHERE doc_id < 5""".stripMargin).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(row => row.getInt(2) == math.max(row.getInt(1) - 2, 0)))
+  }
+
   test("IVF ANN recall vs brute force is measured and positive") {
     val brute = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
