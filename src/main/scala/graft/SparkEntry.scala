@@ -458,7 +458,9 @@ object SparkEntry {
     "ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents WHERE doc_id % 2 = 0),
          |sh AS (SELECT doc_id, unnest(${TextFunctions.shinglesSql("tokens", 3)}) AS s FROM toks),
-         |ex AS (SELECT DISTINCT doc_id, cast('0x' || substr(md5(s), 1, 12) as bigint) AS sk FROM sh),
+         |ex0 AS (SELECT DISTINCT doc_id, cast('0x' || substr(md5(s), 1, 12) as bigint) AS sk FROM sh),
+         |ex AS (SELECT * FROM ex0 WHERE sk IN (
+         |  SELECT sk FROM ex0 GROUP BY sk HAVING count(*) <= 10000)),
          |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
          |  FROM ex x JOIN ex y ON x.sk = y.sk AND x.doc_id < y.doc_id GROUP BY 1, 2),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1)

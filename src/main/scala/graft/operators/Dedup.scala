@@ -230,18 +230,33 @@ object Dedup {
   /** C4: exact n-gram Jaccard on a deterministic sample (quadratic
     * verifier — the LSH above is the scale path; this one is for
     * candidate verification / evaluation).
+    *
+    * `maxShingleDf` caps a shingle's document frequency before the
+    * self-join: a 3-gram shared by m docs emits m² pairs, so one
+    * stop-word shingle ("one of the") in millions of documents would
+    * dominate the join at corpus scale while contributing almost
+    * nothing to any pair's Jaccard. Shingles above the cap are dropped
+    * from BOTH the intersection and the set sizes (the estimate is over
+    * the capped shingle space, consistently on both engines — the
+    * oracle applies the same cap). The default never triggers at the
+    * driver SFs, so results there equal the uncapped form.
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, sampleMod: Int = 2, minJaccard: Double = 0.1): DataFrame = {
+                   n: Int = 3, sampleMod: Int = 2, minJaccard: Double = 0.1,
+                   maxShingleDf: Int = 10000): DataFrame = {
     // Distinct 48-bit shingle hashes as join keys: long compares and a
     // long-keyed shuffle instead of full shingle strings.
-    val ex = docs
+    val ex0 = docs
       .filter(col(idCol) % sampleMod === 0)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(shingles(col("toks"), n)).as("s"))
       .select(col("doc_id"),
         conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("sk"))
       .distinct()
+    val rare = ex0.groupBy(col("sk")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleDf)
+      .select(col("sk"))
+    val ex = ex0.join(rare, Seq("sk"), "left_semi")
     val inter = ex.as("x").join(ex.as("y"), col("x.sk") === col("y.sk") &&
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

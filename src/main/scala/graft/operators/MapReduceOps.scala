@@ -90,20 +90,33 @@ object MapReduceOps {
   }
 
   /** Secondary sort: per-key values ordered by a secondary key — the
-    * classic MapReduce composite-key/grouping-comparator pattern, here
-    * a single `sort_array(collect_list(struct(...)))` (the sort happens
-    * post-shuffle per group; nothing global). Emits the first `take`
-    * ordered values joined for oracle comparability.
+    * classic MapReduce composite-key/grouping-comparator pattern.
+    * Emits the first `take` ordered values joined for oracle
+    * comparability, plus the per-key count.
+    *
+    * The first-k rows come from the custom TopKPerKey operator
+    * (ascending), NOT from `collect_list`-then-slice: collecting every
+    * value of a hot key into one array is an unbounded allocation at
+    * corpus scale, while TopKPerKey reduces each partition to ≤ take
+    * rows per key before the shuffle. The count rides a separate
+    * partial aggregation and joins back on the (already co-partitioned)
+    * key. Requires (ordCol, valCol) to be total per key for a
+    * deterministic result.
     */
   def secondarySort(df: DataFrame, keyCol: String, ordCol: String,
-                    valCol: String, take: Int): DataFrame =
-    df.groupBy(col(keyCol))
-      .agg(sort_array(collect_list(struct(col(ordCol), col(valCol)))).as("__sorted"))
-      .select(col(keyCol),
-        concat_ws(",",
-          slice(transform(col("__sorted"), s => s.getField(valCol).cast("string")),
-            1, take)).as("first_values"),
-        size(col("__sorted")).as("n_values"))
+                    valCol: String, take: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).cast("int").as("n_values"))
+    val firstK = graft.plans.TopK.perKey(
+      df.select(col(keyCol), col(ordCol), col(valCol)),
+      Seq(keyCol), Seq(ordCol, valCol), take, descending = false)
+    val firsts = firstK.groupBy(col(keyCol))
+      .agg(concat_ws(",",
+        transform(sort_array(collect_list(struct(col(ordCol), col(valCol)))),
+          s => s.getField(valCol).cast("string"))).as("first_values"))
+    firsts.join(counts, Seq(keyCol))
+      .select(col(keyCol), col("first_values"), col("n_values"))
+  }
 
   /** Combiner-shaped aggregation: per-key exact sum + count. */
   def combinerAgg(df: DataFrame, keyCol: String, valCol: String): DataFrame =
