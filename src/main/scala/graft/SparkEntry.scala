@@ -389,6 +389,18 @@ object SparkEntry {
       Curation.quotaSample(Tables.documents(s, d), "doc_id", "source", 10)),
     "pack_sequences" -> ((s, d) =>
       Curation.packSequences(Tables.documents(s, d), "doc_id", "text", "source", 512)),
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incremental(docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    }),
+    "decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.decontaminate(docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text")
+    }),
+    "corpus_stats" -> ((s, d) =>
+      Curation.corpusStats(Tables.documents(s, d), "text", "source", "lang")),
   )
 
   private def ph(expr: String): String =
@@ -594,6 +606,48 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY ${ph("concat(source, '|', doc_id)")}, doc_id) AS rnk
          |  FROM documents) WHERE rnk <= 10""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents),
+         |sh AS (SELECT doc_id, ${TextFunctions.shinglesSql("tokens", 3)} AS shingles FROM toks),
+         |hp AS (SELECT doc_id,
+         |    list_transform(shingles, s -> struct_pack(
+         |      h1 := cast('0x' || substr(md5(s), 1, 12) as bigint),
+         |      h2 := cast('0x' || substr(md5(s), 17, 12) as bigint))) AS hp
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |    list_transform(range(0, 16), i ->
+         |      list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS sig
+         |  FROM hp WHERE len(hp) >= 1),
+         |bands AS (SELECT doc_id, b,
+         |    ${ph("concat(b, '|', sig[2*b+1], ',', sig[2*b+2])")} AS bkey
+         |  FROM sig CROSS JOIN range(0, 8) t(b)),
+         |exact_kept AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+         |  AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 3 <> 0)),
+         |near AS (SELECT DISTINCT a.doc_id
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+         |    AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+         |  JOIN sig sa ON sa.doc_id = a.doc_id JOIN sig sb ON sb.doc_id = b.doc_id
+         |  WHERE list_sum(list_transform(range(1, 17),
+         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 8)
+         |SELECT doc_id FROM exact_kept
+         |WHERE doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin,
+    "decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents),
+         |sh AS (SELECT doc_id, unnest(${TextFunctions.shinglesSql("tokens", 4)}) AS s FROM toks),
+         |ex AS (SELECT DISTINCT doc_id,
+         |    cast('0x' || substr(md5(s), 1, 12) as bigint) AS gk FROM sh),
+         |bench AS (SELECT DISTINCT gk FROM ex WHERE doc_id % 10 = 7)
+         |SELECT e.doc_id, count(*) AS n_hits
+         |FROM ex e JOIN bench b ON e.gk = b.gk
+         |WHERE e.doc_id % 10 <> 7 GROUP BY 1""".stripMargin,
+    "corpus_stats" ->
+      s"""SELECT source, lang,
+         |  count(*) AS n_docs,
+         |  cast(sum(length(text)) AS bigint) AS n_chars,
+         |  cast(sum(len($tok)) AS bigint) AS n_tokens,
+         |  count(DISTINCT md5(text)) AS n_unique,
+         |  1.0 - cast(count(DISTINCT md5(text)) AS double) / count(*) AS dup_rate
+         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
     "pack_sequences" ->
       s"""SELECT doc_id, source, n_tokens,
          |  cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id

@@ -51,6 +51,52 @@ object Curation {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Benchmark decontamination: for each training document, count the
+    * distinct word `n`-grams it shares with any document of the
+    * `benchmark` (evaluation) set — the overlap check run before
+    * training so eval data is provably absent from the corpus. Returns
+    * only contaminated docs: (doc_id, n_hits), n_hits ≥ 1.
+    *
+    * Scale shape: an eval benchmark is small and fixed by nature (MBs
+    * against a 100 TB corpus), so its distinct-gram set carries a
+    * compile-time broadcast hint like a dimension table — the corpus is
+    * scanned once, grams hashed to 48-bit longs map-side, and the
+    * membership probe never shuffles the corpus.
+    */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 4): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("toks"), n)).as("s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("gk"))
+      .distinct()
+    val benchGrams = grams(benchmark).select(col("gk")).distinct()
+    grams(train)
+      .join(broadcast(benchGrams), Seq("gk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Corpus composition report: docs / chars / tokens / distinct
+    * contents and the implied duplicate rate per (stratum, substratum)
+    * with ROLLUP subtotals — the per-source × per-language table every
+    * curation run publishes. One scan, partial-agg'd grouping sets;
+    * the distinct-content count rides Spark's two-phase
+    * count-distinct expansion, never a per-group set collection.
+    */
+  def corpusStats(docs: DataFrame, textCol: String,
+                  strata: String, substrata: String): DataFrame =
+    docs.rollup(col(strata), col(substrata))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(size(TextFunctions.tokens(col(textCol))).cast("long")).as("n_tokens"),
+        countDistinct(md5(col(textCol).cast("binary"))).as("n_unique"))
+      .select(col(strata), col(substrata),
+        col("n_docs"), col("n_chars"), col("n_tokens"), col("n_unique"),
+        (lit(1.0) - col("n_unique").cast("double") / col("n_docs")).as("dup_rate"))
+
   /** Token-stream packing: docs are concatenated in (stratum, id) order
     * and cut into fixed `budget`-token examples — document boundaries
     * may straddle examples, the standard LM-pretraining packing. Each

@@ -61,6 +61,20 @@ object Dedup {
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** LSH banding rows for a signature table: one (doc_id, sig, band,
+    * bkey) row per band, bkey a 60-bit hash of the band's signature
+    * slice — the bucket key every LSH consumer equi-joins on.
+    */
+  private def bandRows(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          phash(concat(b.cast("string"), lit("|"),
+            concat_ws(",", transform(sequence(lit(0), lit(rows - 1)),
+              r => element_at(col("sig"), b * rows + r + 1).cast("string"))))).as("bkey"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+
   /** `maxBucket` (default unbounded, keeps the oracle contract) is the
     * skew guardrail for pathological corpora: a band bucket holding m
     * docs emits m² candidate pairs, so a flood of identical documents
@@ -75,15 +89,7 @@ object Dedup {
                  maxBucket: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
     require(rows * bands == k)
-    val sigs = minhashSignatures(docs, idCol, textCol, k)
-    val banded0 = sigs.select(col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          phash(concat(b.cast("string"), lit("|"),
-            concat_ws(",", transform(sequence(lit(0), lit(rows - 1)),
-              r => element_at(col("sig"), b * rows + r + 1).cast("string"))))).as("bkey"))))
-        .as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+    val banded0 = bandRows(minhashSignatures(docs, idCol, textCol, k), bands, rows)
     val banded = if (maxBucket == Int.MaxValue) banded0 else {
       val ok = banded0.groupBy(col("band"), col("bkey"))
         .agg(count(lit(1)).as("__bsz"))
@@ -225,6 +231,48 @@ object Dedup {
       .distinct()
     kept.select(col(idCol).as("doc_id"))
       .join(drops, col("doc_id") === col("__drop"), "left_anti")
+  }
+
+  /** Incremental dedup — the continuous-ingestion form of
+    * [[corpusDedup]]: drop from `batch` every document that exactly
+    * duplicates (same content fingerprint) or near-duplicates (minhash
+    * LSH estimate ≥ `minEst`) a document already in `reference`.
+    * Returns surviving batch doc ids. Batch-internal duplicates are out
+    * of scope (run [[corpusDedup]] on the batch first).
+    *
+    * Scale shape: the reference is scanned once for fingerprints (the
+    * anti-join ships 16-byte digests, never text) and once for
+    * signatures; near-dup candidates come from the same LSH band-bucket
+    * equi-join as [[minhashLsh]] — batch docs only ever meet same-bucket
+    * reference docs, never the whole corpus.
+    */
+  def incremental(batch: DataFrame, reference: DataFrame, idCol: String,
+                  textCol: String, minEst: Double = 0.5,
+                  k: Int = 16, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    require(rows * bands == k)
+    val refFp = reference
+      .select(md5(col(textCol).cast("binary")).as("__fp")).distinct()
+    val exactKept = batch
+      .withColumn("__fp", md5(col(textCol).cast("binary")))
+      .join(refFp, Seq("__fp"), "left_anti")
+      .drop("__fp")
+    // est_jaccard ≥ minEst ⇔ signature agreements ≥ ceil(minEst·k):
+    // integer threshold, no floating-point compare on the hot join.
+    val minAgree = math.ceil(minEst * k).toInt
+    val bBands = bandRows(minhashSignatures(exactKept, idCol, textCol, k), bands, rows)
+    val rBands = bandRows(minhashSignatures(reference, idCol, textCol, k), bands, rows)
+    val nearDrops = bBands.as("x")
+      .join(rBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("doc_id"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .filter(aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+        >= lit(minAgree))
+      .select(col("doc_id")).distinct()
+    exactKept.select(col(idCol).as("doc_id"))
+      .join(nearDrops, Seq("doc_id"), "left_anti")
   }
 
   /** C4: exact n-gram Jaccard on a deterministic sample (quadratic

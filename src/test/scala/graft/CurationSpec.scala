@@ -29,6 +29,68 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"quota sample fell back to a window sort:\n$plan")
   }
 
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    val docs = Tables.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") % 10 === 7)
+    val train = docs.filter(col("doc_id") % 10 =!= 7)
+    val hits = Curation.decontaminate(train, bench, "doc_id", "text", n = 4)
+    assert(hits.count() > 0, "vacuous: no contaminated docs at this SF")
+    // only training docs, every hit count positive
+    assert(hits.filter(col("doc_id") % 10 === 7).count() == 0)
+    assert(hits.filter(col("n_hits") < 1).count() == 0)
+    // cross-check one flagged doc the slow way: distinct shared 4-grams
+    import graft.functions.TextFunctions
+    val some = hits.orderBy("doc_id").limit(1).collect()(0)
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(TextFunctions.shingles(
+        TextFunctions.tokens(col("text")), 4)).as("s"))
+      .distinct()
+    val shared = grams(train.filter(col("doc_id") === some.getLong(0)))
+      .join(grams(bench).select(col("s")).distinct(), Seq("s"), "left_semi")
+      .count()
+    assert(shared == some.getLong(1))
+    // the benchmark gram set rides a broadcast, not a shuffle of the corpus
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("corpus stats rollup levels are consistent") {
+    val docs = Tables.documents(spark, sf)
+    val stats = Curation.corpusStats(docs, "text", "source", "lang")
+    val grand = stats.filter(col("source").isNull && col("lang").isNull).collect()
+    assert(grand.length == 1)
+    assert(grand(0).getAs[Long]("n_docs") == docs.count())
+    // per-source subtotals sum to the grand total
+    val perSource = stats.filter(col("source").isNotNull && col("lang").isNull)
+    assert(perSource.agg(sum("n_docs")).collect()(0).getLong(0) == docs.count())
+    // dup_rate bounded and zero when all contents distinct
+    assert(stats.filter(col("dup_rate") < 0 || col("dup_rate") > 1).count() == 0)
+  }
+
+  test("incremental dedup drops exact and near reference duplicates, keeps the rest") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val ref = docs.filter(col("doc_id") % 3 =!= 0)
+    val kept = Dedup.incremental(batch, ref, "doc_id", "text")
+    assert(kept.count() > 0 && kept.count() <= batch.count())
+    // no survivor's exact content appears in the reference
+    val survivorTexts = docs.join(kept, Seq("doc_id"), "left_semi").select(md5(col("text").cast("binary")).as("f"))
+    val refTexts = ref.select(md5(col("text").cast("binary")).as("f"))
+    assert(survivorTexts.join(refTexts, Seq("f"), "left_semi").count() == 0)
+    // agrees with minhashLsh run over the union: any batch doc paired
+    // with a ref doc at est ≥ 0.5 must be dropped
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+    val crossPairs = pairs.filter(
+      (col("doc_a") % 3 === 0 && col("doc_b") % 3 =!= 0) ||
+      (col("doc_a") % 3 =!= 0 && col("doc_b") % 3 === 0))
+    val mustDrop = crossPairs
+      .select(when(col("doc_a") % 3 === 0, col("doc_a")).otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+    assert(mustDrop.join(kept, Seq("doc_id"), "left_semi").count() == 0)
+  }
+
   test("packing offsets are contiguous and bins follow floor(start/budget)") {
     val packed = Curation.packSequences(
       Tables.documents(spark, sf), "doc_id", "text", "source", 512)
