@@ -84,6 +84,9 @@ object Curation {
     * curation run publishes. One scan, partial-agg'd grouping sets;
     * the distinct-content count rides Spark's two-phase
     * count-distinct expansion, never a per-group set collection.
+    * On empty input the result is empty — Spark's grouping-sets
+    * aggregate emits no grand-total row for zero rows (engines differ
+    * here; the oracle only compares on non-empty corpora).
     */
   def corpusStats(docs: DataFrame, textCol: String,
                   strata: String, substrata: String): DataFrame =

@@ -40,6 +40,29 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(packed.length == 1 && packed(0).getLong(3) == 0L && packed(0).getLong(4) == 0L)
   }
 
+  test("incremental dedup: empty reference keeps everything, identical reference drops everything") {
+    val batch = docsOf((3L, "alpha beta gamma delta"), (6L, "epsilon zeta eta theta"))
+    assert(Dedup.incremental(batch, empty, "doc_id", "text").count() == 2)
+    assert(Dedup.incremental(batch, batch, "doc_id", "text").count() == 0)
+    assert(Dedup.incremental(empty, batch, "doc_id", "text").count() == 0)
+  }
+
+  test("decontaminate: empty benchmark flags nothing; disjoint vocab flags nothing") {
+    val train = docsOf((1L, "alpha beta gamma delta epsilon"))
+    assert(Curation.decontaminate(train, empty, "doc_id", "text").count() == 0)
+    val bench = docsOf((7L, "one two three four five"))
+    assert(Curation.decontaminate(train, bench, "doc_id", "text").count() == 0)
+    assert(Curation.decontaminate(train, train, "doc_id", "text").count() == 1)
+  }
+
+  test("corpus stats on empty input is empty (no phantom grand-total row)") {
+    val stratified = empty
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .filter(org.apache.spark.sql.functions.lit(false))
+    assert(Curation.corpusStats(stratified, "text", "source", "lang").count() == 0)
+  }
+
   test("single doc: no self-pairs from any pairwise operator") {
     val one = docsOf((1L, "alpha beta gamma delta"))
     assert(Dedup.minhashLsh(one, "doc_id", "text").count() == 0)
