@@ -20,6 +20,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming incremental dedup drops reference and in-stream duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val reference = Seq((100L, "already in the corpus")).toDF("doc_id", "text")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = ms.toDF().toDF("doc_id", "ts", "text")
+    val kept = graft.streaming.DocStreams.incrementalDedup(
+      docs, reference, "doc_id", "text", "ts", "1 hour")
+    val q = kept.writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    try {
+      ms.addData(
+        (1L, t(3600), "already in the corpus"),   // exact ref duplicate → drop
+        (2L, t(3601), "a brand new document"),    // fresh → keep
+        (3L, t(3602), "a brand new document"))    // in-stream duplicate → drop
+      q.processAllAvailable()
+      ms.addData((4L, t(3700), "another fresh one")) // fresh → keep
+      q.processAllAvailable()
+      val ids = spark.table("incdedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(2L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits closed sessions; watermark flushes idle state") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
