@@ -401,6 +401,8 @@ object SparkEntry {
     }),
     "corpus_stats" -> ((s, d) =>
       Curation.corpusStats(Tables.documents(s, d), "text", "source", "lang")),
+    "curation_pipeline" -> ((s, d) =>
+      Curation.curationPipeline(Tables.documents(s, d), "doc_id", "text", "source")),
   )
 
   private def ph(expr: String): String =
@@ -648,6 +650,44 @@ object SparkEntry {
          |  count(DISTINCT md5(text)) AS n_unique,
          |  1.0 - cast(count(DISTINCT md5(text)) AS double) / count(*) AS dup_rate
          |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+    "curation_pipeline" ->
+      s"""WITH t0 AS (SELECT doc_id, text, source, $tok AS t FROM documents),
+         |good AS (SELECT doc_id, text, source FROM t0 WHERE
+         |  cast((CASE WHEN len(t) >= 5 THEN 4 ELSE 0 END)
+         |    + (CASE WHEN cast(len(list_filter(t, x -> x IN ${TextFunctions.stopwordsSql})) AS double)
+         |              / greatest(len(t), 1) > 0.05 THEN 3 ELSE 0 END)
+         |    + (CASE WHEN cast(list_sum(list_transform(t, x -> length(x))) AS double) / greatest(len(t), 1)
+         |              BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END) AS double) / 10.0 >= 0.9),
+         |fp AS (SELECT md5(text) AS f, min(doc_id) AS sid FROM good GROUP BY 1),
+         |kept AS (SELECT d.doc_id, d.text, d.source FROM good d JOIN fp ON d.doc_id = fp.sid),
+         |toks AS (SELECT doc_id, $tok AS tokens FROM kept),
+         |sh AS (SELECT doc_id, ${TextFunctions.shinglesSql("tokens", 3)} AS shingles FROM toks),
+         |hp AS (SELECT doc_id,
+         |    list_transform(shingles, s -> struct_pack(
+         |      h1 := cast('0x' || substr(md5(s), 1, 12) as bigint),
+         |      h2 := cast('0x' || substr(md5(s), 17, 12) as bigint))) AS hp
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |    list_transform(range(0, 16), i ->
+         |      list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS sig
+         |  FROM hp WHERE len(hp) >= 1),
+         |bands AS (SELECT doc_id, b,
+         |    ${ph("concat(b, '|', sig[2*b+1], ',', sig[2*b+2])")} AS bkey
+         |  FROM sig CROSS JOIN range(0, 8) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 AS est_jaccard
+         |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
+         |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE est_jaccard >= 0.5),
+         |surv AS (SELECT k.doc_id, k.source FROM kept k
+         |  WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = k.doc_id))
+         |SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${ph("concat(source, '|', doc_id)")}, doc_id) AS rnk
+         |  FROM surv) WHERE rnk <= 10""".stripMargin,
     "pack_sequences" ->
       s"""SELECT doc_id, source, n_tokens,
          |  cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id

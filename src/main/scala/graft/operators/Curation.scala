@@ -100,6 +100,28 @@ object Curation {
         col("n_docs"), col("n_chars"), col("n_tokens"), col("n_unique"),
         (lit(1.0) - col("n_unique").cast("double") / col("n_docs")).as("dup_rate"))
 
+  /** The full curation flow as ONE declarative plan — quality filter →
+    * exact dedup → minhash-LSH near-dup drop → per-stratum quota
+    * sample. This is the composition a 100 TB pretraining run executes
+    * end-to-end; expressing it as a single DataFrame lets Catalyst
+    * share scans and pipeline the map-side stages instead of
+    * materializing between jobs. Returns the sampled (doc_id, stratum)
+    * survivors, bit-deterministic on every engine.
+    */
+  def curationPipeline(docs: DataFrame, idCol: String, textCol: String,
+                       strataCol: String, minQuality: Double = 0.9,
+                       minEst: Double = 0.5, quota: Int = 10): DataFrame = {
+    val good = TextAnalysis.quality(docs, idCol, textCol)
+      .filter(col("quality_score") >= minQuality)
+      .select(col("doc_id").as("__gid"))
+    val gdocs = docs.join(good, col(idCol) === col("__gid"), "left_semi")
+    val survivors = Dedup.corpusDedup(gdocs, idCol, textCol, minEst)
+      .select(col("doc_id").as("__sid"))
+    val sampledInput = docs.select(col(idCol), col(strataCol))
+      .join(survivors, col(idCol) === col("__sid"), "left_semi")
+    quotaSample(sampledInput, idCol, strataCol, quota)
+  }
+
   /** Token-stream packing: docs are concatenated in (stratum, id) order
     * and cut into fixed `budget`-token examples — document boundaries
     * may straddle examples, the standard LM-pretraining packing. Each

@@ -91,6 +91,24 @@ class CurationSpec extends AnyFunSuite {
     assert(mustDrop.join(kept, Seq("doc_id"), "left_semi").count() == 0)
   }
 
+  test("curation pipeline equals its step-by-step composition") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Tables.documents(spark, sf)
+    val piped = Curation.curationPipeline(docs, "doc_id", "text", "source")
+    // manual composition
+    val good = TextAnalysis.quality(docs, "doc_id", "text")
+      .filter(col("quality_score") >= 0.9).select("doc_id")
+    val gdocs = docs.join(good, Seq("doc_id"), "left_semi")
+    val surv = Dedup.corpusDedup(gdocs, "doc_id", "text", 0.5)
+    val manual = Curation.quotaSample(
+      docs.select(col("doc_id"), col("source"))
+        .join(surv, Seq("doc_id"), "left_semi"),
+      "doc_id", "source", 10)
+    assert(piped.exceptAll(manual).isEmpty && manual.exceptAll(piped).isEmpty)
+    assert(piped.groupBy("source").count().filter(col("count") > 10).count() == 0)
+    assert(piped.count() > 0)
+  }
+
   test("packing offsets are contiguous and bins follow floor(start/budget)") {
     val packed = Curation.packSequences(
       Tables.documents(spark, sf), "doc_id", "text", "source", 512)
