@@ -24,25 +24,33 @@ object Bench {
         // noop sink: every output column is fully evaluated — a count()
         // would let Catalyst prune the projected work (regex/md5/token
         // compute) out of map-only queries and under-measure them.
-        try Monitoring.tag(fn(spark, sfDir), name)
-          .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        val err =
+          try { Monitoring.tag(fn(spark, sfDir), name)
+                  .write.format("noop").mode("overwrite").save(); None }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+            Some(e) }
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $name%-22s $sec%8.2fs")
-        name -> sec
+        (name, sec, err.isEmpty)
       }
     }
     val results = scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(futures),
-      scala.concurrent.duration.Duration.Inf).toMap
+      scala.concurrent.duration.Duration.Inf)
     pool.shutdown()
     val total = (System.nanoTime() - wall0) / 1e9
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // "queries" stays name->sec (the driver's contract); failures are
+    // reported in a separate list so a crashing query can't masquerade
+    // as a normal timing.
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     // per-query engine metrics (rows / scanned bytes / listener time)
     Files.writeString(Paths.get("target/bench_metrics.json"), listener.json)
     System.err.println("[bench] metrics: " + listener.json)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
