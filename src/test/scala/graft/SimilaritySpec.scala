@@ -24,7 +24,9 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.subsetOf(want), "LSH produced a pair brute force did not")
     val recall = got.size.toDouble / want.size
     info(f"dedup_embedding LSH recall vs brute force: $recall%.3f (${got.size}/${want.size})")
-    assert(recall >= 0.25, f"recall $recall%.3f below floor")
+    // shipped config (5 planes × 16 tables) models ≈0.72 at the 0.3
+    // threshold boundary; 0.45 leaves headroom for data-dependence
+    assert(recall >= 0.45, f"recall $recall%.3f below floor")
   }
 
   test("IVF multi-probe is a monotone recall lever") {

@@ -40,6 +40,25 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(r.forall(row => row.getInt(2) == math.max(row.getInt(1) - 2, 0)))
   }
 
+  test("graft_shingles rejects bad width arguments with an analysis error naming the function") {
+    Tables.registerAll(spark, sf)
+    GraftFunctions.register(spark)
+    // BIGINT literal in Int range: accepted (no ClassCastException)
+    assert(spark.sql(
+      "SELECT size(graft_shingles(graft_tokens('a b c d'), cast(2 as bigint))) AS n")
+      .collect().head.getInt(0) == 3)
+    for (bad <- Seq("NULL", "'two'", "doc_id", "9999999999")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_shingles(graft_tokens(text), $bad) FROM documents")
+          .collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("graft_shingles")),
+        s"error for arg $bad does not name the function: $e")
+    }
+  }
+
   test("IVF ANN recall vs brute force is measured and positive") {
     val brute = SparkEntry.queries("knn_bruteforce")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
