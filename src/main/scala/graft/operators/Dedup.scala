@@ -177,11 +177,18 @@ object Dedup {
     * by their minimum doc id — the transitive-closure step real
     * dedup pipelines need (A~B, B~C ⇒ one cluster even if A≁C).
     *
-    * Iterative min-label propagation: each round every vertex takes the
-    * min of its own and its neighbors' labels; rounds ≈ graph diameter
-    * (near-dup clusters are shallow). Each iteration is a distributed
-    * join + partial-agg; `localCheckpoint` cuts lineage so plans don't
-    * grow. The driver only ever collects one convergence scalar.
+    * Iterative min-label propagation with pointer jumping: each round
+    * every vertex takes the min of its own and its neighbors' labels,
+    * then compresses one indirection (label ← label-of-label), so
+    * convergence needs O(log diameter) rounds instead of O(diameter) —
+    * on a 100 TB corpus each saved round is a full shuffle over the
+    * vertex set, and a pathological duplicate CHAIN (a~b~c~...~z) no
+    * longer degrades to thousands of rounds. The fixpoint is unchanged:
+    * every vertex ends at its component's minimum id (labels only ever
+    * decrease toward values reachable in the component). Each iteration
+    * is a distributed join + partial-agg; `localCheckpoint` cuts lineage
+    * so plans don't grow. The driver only ever collects one convergence
+    * scalar per round.
     */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
                     minEst: Double = 0.5, maxIters: Int = 20): DataFrame = {
@@ -201,16 +208,26 @@ object Dedup {
         .join(labels, bidir("doc_b") === labels("doc_id"))
         .groupBy(bidir("doc_a").as("nid"))
         .agg(min(col("label")).as("nlabel"))
-      labels = labels
+      val propagated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jump: labels are always doc_ids of the vertex set, so
+      // label-of-label is a self-join — one extra hop per round buys
+      // exponentially faster convergence on long chains
+      val parents = propagated
+        .select(col("doc_id").as("pid"), col("label").as("plabel"))
+      labels = propagated
+        .join(parents, propagated("label") === parents("pid"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .localCheckpoint()
       val sum = labels.agg(org.apache.spark.sql.functions.sum("label")).collect()(0).getLong(0)
       done = sum == prevSum
       prevSum = sum
       iters += 1
     }
+    System.err.println(s"[graft] dedupClusters converged in $iters rounds")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
