@@ -148,6 +148,7 @@ object SparkEntry {
     "q_extract_props"    -> (Relational.qExtractProps _),
     "q_monthly_orders"   -> (Relational.qMonthlyOrders _),
     "q_tumbling_window"  -> (Relational.qTumblingWindow _),
+    "q_hopping_window"   -> (Relational.qHoppingWindow _),
     "q_pivot"            -> (Relational.qPivot _),
     "q_asof_join"        -> (Relational.qAsofJoin _),
     "q_groupwise_max"    -> (Relational.qGroupwiseMax _),
@@ -340,12 +341,41 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY event_type""".stripMargin,
+    // Portable-sketch query: the KMV estimate and min-hash sample
+    // median are reproduced exactly (same md5-derived hashes, same
+    // IEEE formulas) — see graft.functions.Sketches for the twin
+    // fragment builders these strings are generated from.
+    "q_approx_stats" ->
+      s"""WITH kmv AS (${graft.functions.Sketches.kmvEstimateSql(
+             "events", "event_type", "user_id", 64)}),
+         |med AS (${graft.functions.Sketches.sampleMedianSql(
+             "events", "event_type", "event_id", "value", 64)}),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users,
+         |    min(value) AS min_value, max(value) AS max_value
+         |  FROM events GROUP BY event_type)
+         |SELECT ex.event_type, kmv_users, exact_users, sample_median,
+         |  min_value, max_value
+         |FROM ex JOIN kmv USING (event_type) JOIN med USING (event_type)""".stripMargin,
     "q_topk_per_key" ->
       """SELECT user_id, event_id, value FROM (
         |  SELECT user_id, event_id, value,
         |    row_number() OVER (PARTITION BY user_id
         |                       ORDER BY value DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
+    // Spark's window(ts, 1h, 30m) assigns each event to the len/slide=2
+    // epoch-aligned 30-min window starts covering it; DuckDB's
+    // time_bucket origin (2000-01-03) is 30-min-aligned to the epoch,
+    // so the buckets coincide.
+    "q_hopping_window" ->
+      """SELECT w_start, event_type, count(*) AS n,
+        |  cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
+        |FROM (
+        |  SELECT unnest([
+        |      time_bucket(INTERVAL '30 minutes', ts),
+        |      time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+        |    ]) AS w_start, event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin,
   )
 
   // ---- §2C: LLM-training-data pipeline ops ---------------------------------
@@ -407,6 +437,10 @@ object SparkEntry {
       Curation.corpusStats(Tables.documents(s, d), "text", "source", "lang")),
     "curation_pipeline" -> ((s, d) =>
       Curation.curationPipeline(Tables.documents(s, d), "doc_id", "text", "source")),
+    "corpus_split" -> ((s, d) =>
+      Curation.splitAssign(Tables.documents(s, d), "doc_id")),
+    "vocab_build" -> ((s, d) =>
+      Curation.vocabBuild(Tables.documents(s, d), "text", 500)),
   )
 
   private def ph(expr: String): String =
@@ -612,6 +646,20 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY ${ph("concat(source, '|', doc_id)")}, doc_id) AS rnk
          |  FROM documents) WHERE rnk <= 10""".stripMargin,
+    "corpus_split" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 10 THEN 'test'
+         |       WHEN bucket < 20 THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM (SELECT doc_id,
+         |    ${ph("concat('split|', cast(doc_id AS varchar))")} % 1000 AS bucket
+         |  FROM documents)""".stripMargin,
+    "vocab_build" ->
+      s"""SELECT token, cnt,
+         |  cast(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS int) AS token_id
+         |FROM (SELECT word AS token, count(*) AS cnt
+         |  FROM (SELECT unnest($tok) AS word FROM documents)
+         |  GROUP BY word ORDER BY cnt DESC, token LIMIT 500)""".stripMargin,
     "dedup_incremental" ->
       s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents),
          |sh AS (SELECT doc_id, ${TextFunctions.shinglesSql("tokens", 3)} AS shingles FROM toks),
@@ -747,10 +795,10 @@ object SparkEntry {
     aQueries ++ bQueries ++ cQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. The single omitted key, q_approx_stats,
-    * is rows-only by nature (HLL/quantile sketches are engine-specific);
-    * its exact columns are hash-checked via q_approx_stats_exact and
-    * its sketch error is bounded by ApproxSpec.
+    * the same parquet tables — every query, including the sketch one
+    * (q_approx_stats rides the portable KMinByHash aggregate, which
+    * both engines reproduce bit-for-bit; the engine-specific
+    * HLL/percentile_approx sketches live only in ApproxSpec).
     */
   def oracleSql: Map[String, String] =
     aOracles ++ bOracles ++ cOracles

@@ -127,6 +127,42 @@ object Curation {
     quotaSample(sampledInput, idCol, strataCol, quota)
   }
 
+  /** Deterministic train/val/test assignment: a doc's split is a pure
+    * function of its id (md5 bucket in [0, 1000)), so the same document
+    * lands in the same split on every run, every engine, and every
+    * corpus size — re-crawling or growing the corpus can never leak a
+    * training doc into eval. Pure map-side column math: no shuffle, no
+    * RNG, scan-rate at 100 TB. `test` takes buckets [0, testPermille),
+    * `val` the next `valPermille`, `train` the rest.
+    */
+  def splitAssign(docs: DataFrame, idCol: String,
+                  valPermille: Int = 10, testPermille: Int = 10): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000)
+    val b = phash(concat(lit("split|"), col(idCol).cast("string"))) % 1000
+    docs.select(col(idCol).as("doc_id"), b.as("bucket"),
+      when(b < testPermille, lit("test"))
+        .when(b < testPermille + valPermille, lit("val"))
+        .otherwise(lit("train")).as("split"))
+  }
+
+  /** Tokenizer vocabulary build: the `vocabSize` most frequent tokens
+    * with dense ids in (count desc, token asc) order. The global top-V
+    * compiles to TakeOrderedAndProject (per-partition top-V, merge —
+    * never a full sort of the token space); id assignment is a window
+    * over the V surviving rows only, so the single-partition window is
+    * bounded by the vocab size, not the corpus.
+    */
+  def vocabBuild(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(vocabSize)
+    counts.withColumn("token_id",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
+  }
+
   /** Token-stream packing: docs are concatenated in (stratum, id) order
     * and cut into fixed `budget`-token examples — document boundaries
     * may straddle examples, the standard LM-pretraining packing. Each

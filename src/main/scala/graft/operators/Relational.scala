@@ -330,19 +330,35 @@ object Relational {
       .agg(count(lit(1)).as("n_customers"), min(col("c_custkey")).as("min_key"))
   }
 
-  /** Approximate aggregates (HLL distinct + quantile sketch) next to
-    * their exact counterparts — rows-only checked (sketches are
-    * engine-specific); ApproxSpec bounds the error.
+  /** Approximate aggregates next to their exact counterparts — built on
+    * the engine's PORTABLE sketch primitive (graft.plans.KMinByHash):
+    * a KMV distinct-count estimate and a min-hash sample median, both
+    * O(k) state per group with map-side partials (the 100 TB shape) and
+    * both pure functions of the input set over md5-derived hashes, so
+    * the DuckDB oracle reproduces them bit-for-bit — unlike
+    * `approx_count_distinct`/`percentile_approx`, whose sketches are
+    * engine-specific (those stay spec-bounded in ApproxSpec).
     */
-  def qApproxStats(spark: SparkSession, dir: String): DataFrame =
+  def qApproxStats(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    graft.plans.GraftFunctions.register(spark)
+    val uh = graft.functions.PortableHash.portableHash(col("user_id"))
+    val eh = graft.functions.PortableHash.portableHash(col("event_id"))
+    import graft.functions.Sketches._
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        kminBy(uh, uh, k).as("kmv"),
         countDistinct(col("user_id")).as("exact_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+        kminBy(eh, col("value"), k).as("vsample"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
+      .select(col("event_type"),
+        kmvEstimate(col("kmv"), k).as("kmv_users"),
+        col("exact_users"),
+        sampleMedian(col("vsample")).as("sample_median"),
+        col("min_value"), col("max_value"))
+  }
 
   /** The exact companions of [[qApproxStats]] split into their own
     * query so they get a hash-checked DuckDB oracle (the sketch columns
@@ -367,5 +383,21 @@ object Relational {
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Hopping (sliding) 1-hour windows every 30 minutes via Spark's
+    * `window(ts, len, slide)` — each event lands in exactly
+    * len/slide = 2 overlapping windows (Catalyst expands them with a
+    * generator BEFORE the aggregation, so it is still one scan + one
+    * partial-agg shuffle keyed on (window, type); no self-join).
+    * Decimal accumulation keeps the per-window sums order-independent.
+    */
+  def qHoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total_value"))
 }

@@ -150,5 +150,10 @@ object GraftFunctions {
       "graft_shingles",
       exprs => ShinglesExpr(exprs(0), foldableIntArg("graft_shingles", "n", exprs(1))),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kmin_by",
+      exprs => KMinByHash(exprs(0), exprs(1),
+        foldableIntArg("graft_kmin_by", "k", exprs(2))),
+      "built-in")
   }
 }

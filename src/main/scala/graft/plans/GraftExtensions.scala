@@ -38,6 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShinglesExpr(exprs(0),
           GraftFunctions.foldableIntArg("graft_shingles", "n", exprs(1)))))
+    e.injectFunction((
+      FunctionIdentifier("graft_kmin_by"),
+      new ExpressionInfo(classOf[KMinByHash].getName, "graft_kmin_by"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KMinByHash(exprs(0), exprs(1),
+          GraftFunctions.foldableIntArg("graft_kmin_by", "k", exprs(2)))))
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

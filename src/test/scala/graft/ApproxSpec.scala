@@ -5,8 +5,32 @@ import org.scalatest.funsuite.AnyFunSuite
 class ApproxSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("approx_count_distinct is within 5% of exact; approx median within range") {
+  test("portable KMV sketch tracks exact distincts; sample median within range") {
     val rows = SparkEntry.queries("q_approx_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kmv = r.getLong(r.fieldIndex("kmv_users")).toDouble
+      val exact = r.getLong(r.fieldIndex("exact_users")).toDouble
+      // KMV with k=64: exact below k distincts, stderr ~1/sqrt(k-2) above
+      assert(math.abs(kmv - exact) / exact <= 0.4,
+        s"kmv=$kmv exact=$exact for ${r.getString(0)}")
+      val med = r.getDouble(r.fieldIndex("sample_median"))
+      assert(med >= r.getDouble(r.fieldIndex("min_value")) &&
+             med <= r.getDouble(r.fieldIndex("max_value")))
+    }
+  }
+
+  test("engine sketches (HLL distinct, quantile) stay within error of exact") {
+    import org.apache.spark.sql.functions._
+    val rows = sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getLong(r.fieldIndex("approx_users")).toDouble
@@ -17,6 +41,18 @@ class ApproxSpec extends AnyFunSuite {
       assert(med >= r.getDouble(r.fieldIndex("min_value")) &&
              med <= r.getDouble(r.fieldIndex("max_value")))
     }
+  }
+
+  test("hopping windows double-count each event exactly len/slide times") {
+    import org.apache.spark.sql.functions._
+    val hop = SparkEntry.queries("q_hopping_window")(spark, sf)
+    val nEvents = sources.Tables.events(spark, sf).count()
+    assert(hop.agg(sum("n")).collect()(0).getLong(0) == 2 * nEvents)
+    // every tumbling hour bucket appears among the hopping starts
+    val tumbling = SparkEntry.queries("q_tumbling_window")(spark, sf)
+      .select(col("hour_start")).distinct()
+    val starts = hop.select(col("w_start")).distinct()
+    assert(tumbling.exceptAll(tumbling.intersect(starts)).isEmpty)
   }
 
   test("asof join: every purchase appears once; click_id refers to a click") {

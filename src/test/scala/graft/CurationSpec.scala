@@ -109,6 +109,39 @@ class CurationSpec extends AnyFunSuite {
     assert(piped.count() > 0)
   }
 
+  test("split assignment is deterministic, exhaustive, and near the target ratios") {
+    val docs = Tables.documents(spark, sf)
+    val a = Curation.splitAssign(docs, "doc_id")
+    val b = Curation.splitAssign(docs, "doc_id")
+    assert(a.exceptAll(b).isEmpty) // pure function of the id
+    assert(a.count() == docs.count())
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(counts("train") / n > 0.9) // 980 permille target
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) > 0)
+    // stability under corpus growth: a doc's split never depends on the rest
+    val half = Curation.splitAssign(docs.filter(col("doc_id") % 2 === 0), "doc_id")
+    assert(half.exceptAll(a.filter(col("doc_id") % 2 === 0)).isEmpty)
+  }
+
+  test("vocab ids are dense, ordered by (count desc, token), and counts match wordcount") {
+    val docs = Tables.documents(spark, sf)
+    val v = Curation.vocabBuild(docs, "text", 100).collect()
+      .sortBy(r => r.getInt(r.fieldIndex("token_id")))
+    val nDistinct = graft.operators.MapReduceOps.wordCount(docs, "text").count()
+    assert(v.length == math.min(100, nDistinct))
+    assert(v.map(_.getInt(2)).toSeq == (0 until v.length))
+    // ranks strictly follow (cnt desc, token asc)
+    val pairs = v.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sliding(2).forall { case Array((c1, t1), (c2, t2)) =>
+      c1 > c2 || (c1 == c2 && t1 < t2) })
+    // counts agree with the wordcount query
+    val wc = graft.operators.MapReduceOps.wordCount(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v.forall(r => wc(r.getString(0)) == r.getLong(1)))
+  }
+
   test("packing offsets are contiguous and bins follow floor(start/budget)") {
     val packed = Curation.packSequences(
       Tables.documents(spark, sf), "doc_id", "text", "source", 512)
