@@ -47,6 +47,14 @@ object Similarity {
     * `nTables` independent hash tables → rows (id, table, bucket).
     * Ids only — vectors are re-joined AFTER candidate dedup so the
     * candidate shuffle never carries the 64-float payload.
+    *
+    * The result is materialized (localCheckpoint): every consumer
+    * self-joins it, and without a cut Spark recomputes BOTH sides —
+    * nTables × nPlanes dot products per vector, twice. The
+    * materialized rows are three numbers each (id, table, bucket) per
+    * table — at any scale that is vastly cheaper than re-running the
+    * projection scan, and it is exactly what a production ANN index
+    * build persists anyway.
     */
   private def lshBucketed(emb: DataFrame, idCol: String, vecCol: String,
                           nPlanes: Int, nTables: Int, dims: Int): DataFrame = {
@@ -57,6 +65,7 @@ object Similarity {
     emb.select(col(idCol).as("id"),
       explode(array(tableBuckets: _*)).as("tb"))
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .localCheckpoint()
   }
 
   /** C5: near-duplicate pairs by cosine ≥ threshold, via multi-table
