@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers — where 100 TB performance is actually won:
   *
@@ -10,8 +11,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * - **Bucketed layout**: pre-shuffled by join/agg key at write time;
   *   joins and aggregations on the bucket key skip the exchange
   *   entirely (co-located join).
+  * - **Z-ordered layout**: range-partition + sort by an interleaved-bit
+  *   key over TWO dimensions, so every parquet file covers a narrow
+  *   range of BOTH columns and row-group min/max stats prune scans for
+  *   predicates on either one (single-column sorting only prunes its
+  *   own column).
   */
 object Layouts {
+
+  /** Morton (Z-order) key: interleaves the low `bitsPerDim` bits of two
+    * non-negative int columns (x gets the even bit positions, y the
+    * odd). Pure column math — shifts, masks, adds — stays inside
+    * whole-stage codegen; values are clamped to the bit budget so the
+    * key is total. 2 × 30 bits fit a signed long.
+    */
+  def zOrderKey(x: Column, y: Column, bitsPerDim: Int = 16): Column = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 30)
+    def clamp(c: Column): Column =
+      least(greatest(c.cast("long"), lit(0L)), lit((1L << bitsPerDim) - 1))
+    val cx = clamp(x)
+    val cy = clamp(y)
+    (0 until bitsPerDim).map { b =>
+      (shiftright(cx, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b))) +
+        (shiftright(cy, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` clustered by the Z-order of (`xCol`, `yCol`):
+    * range-partition on the key (balanced files via reservoir-sampled
+    * bounds — the same mechanism as a global sort) and sort within
+    * partitions, then drop the key. Readers filtering on EITHER column
+    * skip most files/row-groups via min/max stats; LayoutsSpec measures
+    * the per-file range narrowing against an unclustered write.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    nFiles: Int, bitsPerDim: Int = 16): Unit =
+    df.withColumn("__z", zOrderKey(col(xCol), col(yCol), bitsPerDim))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
 
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)

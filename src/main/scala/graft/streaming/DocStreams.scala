@@ -35,4 +35,40 @@ object DocStreams {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
   }
+
+  /** Windowed per-term counts over a document stream — the continuous
+    * twin of mr_wordcount with event-time tumbling windows: tokenize
+    * map-side (the same native kernel as batch), explode, watermarked
+    * window aggregation. Emits (window_start, token, cnt) in append
+    * mode once the watermark closes a window; state is bounded by the
+    * watermark horizon, partitioned by (window, token).
+    *
+    * The per-window TOP-K cut is applied by the consumer over each
+    * closed window (a streaming agg can't feed a rank window in append
+    * mode) — `trendingTopK` is that batch cut, run on the sink or in a
+    * `foreachBatch`; at scale it rides the custom TopKPerKey operator,
+    * so even the post-cut is O(windows × k) shuffle, not O(tokens).
+    */
+  def windowedTermCounts(docs: DataFrame, textCol: String, tsCol: String,
+                         window: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("token"))
+      .count()
+      .select(col("window.start").as("w_start"), col("token"),
+        col("count").as("cnt"))
+
+  /** Top-`k` trending terms per closed window, deterministic tiebreak
+    * (count desc, token asc) — planned through TopKPerKey: each input
+    * partition is reduced to ≤ k rows per window BEFORE the shuffle.
+    */
+  def trendingTopK(termCounts: DataFrame, k: Int): DataFrame =
+    graft.plans.TopK.perKey(
+        termCounts.select(col("w_start"), col("token"), col("cnt"),
+          (-col("cnt")).as("__negcnt")),
+        Seq("w_start"), Seq("__negcnt", "token"), k, descending = false)
+      .select(col("w_start"), col("token"), col("cnt"))
 }

@@ -19,6 +19,49 @@ class LayoutsSpec extends AnyFunSuite {
       ev.filter(col("event_type") === "purchase").count())
   }
 
+  test("z-order key interleaves bits correctly") {
+    import spark.implicits._
+    val rows = Seq((0, 0), (1, 0), (0, 1), (1, 1), (3, 3), (5, 2), (65535, 65535))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), Layouts.zOrderKey(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def morton(x: Long, y: Long): Long =
+      (0 until 16).map(b => (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1)))
+        .reduce(_ | _)
+    assert(rows((0, 0)) == 0 && rows((1, 0)) == 1 && rows((0, 1)) == 2)
+    assert(rows((1, 1)) == 3 && rows((3, 3)) == 15)
+    rows.foreach { case ((x, y), z) => assert(z == morton(x, y)) }
+  }
+
+  test("z-ordered layout narrows per-file ranges on BOTH dimensions") {
+    import spark.implicits._
+    // 64x64 grid, uniformly covering both dims
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y))).toDF("x", "y")
+    val zdir = java.nio.file.Files.createTempDirectory("graft_z").toString + "/z"
+    val xdir = java.nio.file.Files.createTempDirectory("graft_z").toString + "/xsorted"
+    Layouts.writeZOrdered(grid, zdir, "x", "y", nFiles = 16, bitsPerDim = 6)
+    // baseline: single-dimension sort (prunes x, never y)
+    grid.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions(col("x"), col("y"))
+      .write.mode("overwrite").parquet(xdir)
+    def fileRanges(path: String): Array[(Long, Long)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).cast("long").as("xr"),
+             (max("y") - min("y")).cast("long").as("yr"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val z = fileRanges(zdir)
+    val xs = fileRanges(xdir)
+    def avg(a: Array[Long]) = a.sum.toDouble / a.length
+    // x-sorted layout: x ranges narrow but y ranges span the grid
+    assert(avg(xs.map(_._2)) > 48.0, s"x-sorted y-range ${avg(xs.map(_._2))}")
+    // z-ordered: BOTH dims' per-file ranges well under the full 63
+    assert(avg(z.map(_._1)) < 32.0, s"z x-range ${avg(z.map(_._1))}")
+    assert(avg(z.map(_._2)) < 32.0, s"z y-range ${avg(z.map(_._2))}")
+    // and nothing was lost
+    assert(spark.read.parquet(zdir).count() == 64 * 64)
+  }
+
   test("bucketed tables join without an exchange") {
     val warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     assume(warehouse.nonEmpty)

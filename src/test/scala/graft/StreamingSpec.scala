@@ -45,6 +45,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed term counts equal batch; trending top-k matches rank window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = ms.toDF().toDF("doc_id", "ts", "text")
+    val counts = graft.streaming.DocStreams.windowedTermCounts(
+      docs, "text", "ts", "1 hour", "1 hour")
+    val q = counts.writeStream.format("memory").queryName("trending")
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val batch = Seq(
+      (1L, t(100), "spark spark flink"),
+      (2L, t(200), "spark beam"),
+      (3L, t(3700), "flink flink flink beam"))
+    try {
+      ms.addData(batch: _*)
+      // advance the watermark far enough to close both windows
+      ms.addData((9L, t(20000), "sentinel"))
+      q.processAllAvailable()
+      val streamed = spark.table("trending").select("w_start", "token", "cnt")
+      val batchCounts = batch.toDF("doc_id", "ts", "text")
+        .select(col("ts"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(window(col("ts"), "1 hour"), col("token"))
+        .count()
+        .select(col("window.start").as("w_start"), col("token"), col("count").as("cnt"))
+      assert(streamed.exceptAll(batchCounts).isEmpty &&
+        batchCounts.exceptAll(streamed).isEmpty)
+      // top-k cut through TopKPerKey == rank-window formulation
+      def asSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      val topk = graft.streaming.DocStreams.trendingTopK(streamed, 2)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("w_start").orderBy(col("cnt").desc, col("token"))
+      val ref = streamed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).select("w_start", "token", "cnt")
+      assert(asSet(topk) == asSet(ref))
+      assert(topk.groupBy("w_start").count().filter(col("count") > 2).count() == 0)
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits closed sessions; watermark flushes idle state") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
