@@ -53,4 +53,41 @@ class PlanAuditSpec extends AnyFunSuite {
       audit(Relational.q14PromoShare(spark, sf), 0, "q14")
     }
   }
+
+  test("q_approx_stats: sketch branch stays a hash aggregate (no Expand demotion)") {
+    val plan = Relational.qApproxStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the regression this guards: countDistinct in the SAME Aggregate
+    // as the imperative sketch functions -> Expand + SortAggregate over
+    // every expanded row (measured 3.7x slower)
+    assert(plan.contains("ObjectHashAggregate"), s"sketch should hash-agg:\n$plan")
+    val expands = "Expand".r.findAllMatchIn(plan).length
+    val objAggs = "ObjectHashAggregate".r.findAllMatchIn(plan).length
+    // the exact branch's countDistinct legitimately expands; the sketch
+    // branch must not sit under one
+    assert(objAggs >= 2 && expands <= 1,
+      s"sketch aggregate demoted (expands=$expands objAggs=$objAggs):\n$plan")
+  }
+
+  test("corpus_split is pure map-side: no exchange at all") {
+    val plan = SparkEntry.queries("corpus_split")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must not shuffle:\n$plan")
+  }
+
+  test("vocab_build: global top-V plans as TakeOrderedAndProject, never a full sort") {
+    val plan = graft.operators.Curation
+      .vocabBuild(sources.Tables.documents(spark, sf), "text", 500)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-V should TOP:\n$plan")
+  }
+
+  test("q_hopping_window: generator expansion feeds ONE partial-agg shuffle") {
+    val plan = Relational.qHoppingWindow(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).length == 1,
+      s"hopping window should shuffle once:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"hopping window must not self-join:\n$plan")
+  }
 }
