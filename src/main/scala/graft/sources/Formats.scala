@@ -34,4 +34,23 @@ object Formats {
     df.select(df(col)).write.mode("overwrite").text(path)
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Parquet with a bloom filter on `bloomCol` — point lookups
+    * (`WHERE fingerprint = x`) skip whole row groups whose filter
+    * rules the value out, without reading the column data. The layout
+    * for membership-heavy workloads (dedup fingerprint probes, id
+    * lookups) at 100 TB: cost is a few bits per distinct value at
+    * write time; reads prune I/O before it happens.
+    */
+  def writeParquetBloom(df: DataFrame, path: String, bloomCol: String,
+                        ndv: Long = 1000000L): Unit =
+    df.write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol", ndv.toString)
+      .parquet(path)
 }

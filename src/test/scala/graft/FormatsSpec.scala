@@ -37,4 +37,39 @@ class FormatsSpec extends AnyFunSuite {
     val back = Formats.readText(spark, path)
     assert(back.count() == docs.count())
   }
+
+  test("orc round-trip preserves lineitem") {
+    val li = Tables.lineitem(spark, sf)
+    val path = tmp("orc")
+    Formats.writeOrc(li, path)
+    val back = Formats.readOrc(spark, path)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+  }
+
+  test("bloom-filtered parquet carries the filter and point lookups stay exact") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+      .withColumn("fp", md5(col("text").cast("binary")))
+    val path = tmp("bloom")
+    Formats.writeParquetBloom(docs, path, "fp", ndv = 10000L)
+    // the written footer must record a bloom filter offset for fp
+    val file = new java.io.File(path).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val fpCol = (0 until cols.size).map(cols.get)
+        .find(_.getPath.toDotString == "fp").get
+      assert(fpCol.getBloomFilterOffset > 0, "no bloom filter written for fp")
+    } finally reader.close()
+    // and a point membership probe over the layout is exact
+    val probe = docs.select(col("fp")).limit(1).collect()(0).getString(0)
+    val hit = Formats.readParquet(spark, path).filter(col("fp") === probe)
+    assert(hit.count() == docs.filter(col("fp") === probe).count())
+    assert(hit.queryExecution.executedPlan.toString.contains("PushedFilters"))
+  }
 }
