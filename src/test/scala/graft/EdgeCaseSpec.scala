@@ -85,6 +85,26 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(q.forall(r => !r.isNullAt(r.fieldIndex("quality_score"))))
   }
 
+  test("split/vocab/sketch degrade cleanly on empty and tiny inputs") {
+    // empty corpus: no assignments, no vocab
+    assert(Curation.splitAssign(empty, "doc_id").count() == 0)
+    assert(Curation.vocabBuild(empty, "text", 10).count() == 0)
+    // one doc: one deterministic assignment; vocab ids stay dense
+    val one = docsOf((42L, "tiny tiny corpus"))
+    val a = Curation.splitAssign(one, "doc_id").collect()
+    assert(a.length == 1 && Set("train", "val", "test").contains(a(0).getString(2)))
+    val v = Curation.vocabBuild(one, "text", 10).collect()
+    assert(v.map(_.getInt(2)).sorted.toSeq == (0 until v.length))
+    // KMV sketch over an all-null hash column: empty array, estimate 0
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.register(spark)
+    val est = one
+      .agg(graft.functions.Sketches.kmvEstimate(
+        graft.functions.Sketches.kminBy(lit(null).cast("bigint"), lit(1L), 8), 8))
+      .collect()(0).getLong(0)
+    assert(est == 0L)
+  }
+
   test("empty embeddings: knn returns empty") {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
