@@ -439,6 +439,8 @@ object SparkEntry {
       Curation.curationPipeline(Tables.documents(s, d), "doc_id", "text", "source")),
     "corpus_split" -> ((s, d) =>
       Curation.splitAssign(Tables.documents(s, d), "doc_id")),
+    "embedding_kmeans" -> ((s, d) =>
+      Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding")),
     "vocab_build" -> ((s, d) =>
       Curation.vocabBuild(Tables.documents(s, d), "text", 500)),
   )
@@ -646,6 +648,7 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY ${ph("concat(source, '|', doc_id)")}, doc_id) AS rnk
          |  FROM documents) WHERE rnk <= 10""".stripMargin,
+    "embedding_kmeans" -> Similarity.kmeansOracleSql(),
     "corpus_split" ->
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 10 THEN 'test'

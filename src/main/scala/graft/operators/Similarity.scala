@@ -189,6 +189,123 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Deterministic distributed k-means (Lloyd) over the embedding
+    * column — the semantic-clustering primitive curation pipelines use
+    * for cluster-balanced sampling and coarse semantic dedup. Returns
+    * (vec_id, cluster_id).
+    *
+    * Scale shape (the classic Spark k-means): centroids are a k×dims
+    * driver-side codebook (tiny); each iteration is ONE map-side
+    * assignment scan (argmin over k literal centroids — codegen'd
+    * `graft_dot`, no shuffle, no join) plus ONE partial-agg'd
+    * (cluster, dim) shuffle of at most k×dims rows per partition for
+    * the mean recompute. Nothing driver-side ever exceeds k×dims
+    * numbers.
+    *
+    * Determinism (DuckDB-oracle bit-parity):
+    *  - init: the k vectors with the smallest (portable md5 hash, id);
+    *  - argmin minimizes (‖c‖² − 2·v·c) — ‖v‖² is constant per row —
+    *    with (score, cid) lexicographic tie-break;
+    *  - means are computed on a 2⁻²⁰ fixed-point grid:
+    *    `floor(v·2²⁰ + 0.5)` per component summed as LONGS (exact in
+    *    any order) — double-sum nondeterminism and engine-specific
+    *    decimal rounding both sidestepped; the tiny quantization is
+    *    irrelevant to cluster semantics and documented here;
+    *  - empty clusters keep their previous centroid.
+    */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int = 8,
+             iters: Int = 2): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val Q = 1048576.0 // 2^20
+    val seeds = emb
+      .select(col(idCol).as("sid"), col(vecCol).as("sv"),
+        graft.functions.PortableHash.portableHash(col(idCol)).as("__h"))
+      .orderBy(col("__h"), col("sid")).limit(k) // TakeOrderedAndProject
+      .collect()
+    var centroids: Array[Array[Double]] =
+      seeds.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val dims = centroids.headOption.map(_.length).getOrElse(0)
+
+    // argmin over the k centroid literals: fold of (score, cid) structs
+    def assignCid(cs: Array[Array[Double]]): Column = {
+      val structs = cs.zipWithIndex.map { case (c, j) =>
+        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as dotSql
+        struct(
+          (lit(cc) - lit(2.0) * call_function("graft_dot", col(vecCol), typedLit(c.toSeq)))
+            .as("s"),
+          lit(j).as("c"))
+      }
+      structs.reduceLeft((a, b) => when(b < a, b).otherwise(a)).getField("c")
+    }
+
+    var it = 0
+    while (it < iters && dims > 0) {
+      val sums = emb
+        .select(assignCid(centroids).as("cid"),
+          posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .select(col("cid"), col("pos"),
+          floor(col("v").cast("double") * Q + lit(0.5)).cast("long").as("q"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val cid = r.getInt(0); val pos = r.getInt(1)
+        next(cid)(pos) = r.getLong(2).toDouble / Q / r.getLong(3)
+      }
+      centroids = next
+      it += 1
+    }
+    emb.select(col(idCol).as("vec_id"), assignCid(centroids).as("cluster_id"))
+  }
+
+  /** DuckDB twin of [[kmeans]] — the same init, assignment, and
+    * fixed-point mean arithmetic as a CTE chain (centroids in long
+    * (cid, pos, cval) form between iterations; `prev LEFT JOIN means`
+    * keeps empty clusters' centroids). Every constant and fold shape
+    * matches the Spark side expression-for-expression.
+    */
+  def kmeansOracleSql(k: Int = 8, iters: Int = 2, dims: Int = 64): String = {
+    val ph = "cast('0x' || substr(md5(cast(vec_id AS varchar)), 1, 15) AS bigint)"
+    def dot(a: String, b: String) = VectorFunctions.dotSql(a, b)
+    def assign(cT: String, aT: String) =
+      s"""$aT AS (
+         |  SELECT vec_id, min(struct_pack(s := score, c := cid)).c AS cid
+         |  FROM (SELECT e.vec_id, c.cid,
+         |          (${dot("c.cv", "c.cv")} - (2.0 * ${dot("e.embedding", "c.cv")})) AS score
+         |        FROM embeddings e CROSS JOIN $cT c)
+         |  GROUP BY vec_id)""".stripMargin
+    def step(i: Int): String = {
+      val (cPrev, cPrevL) = (s"c$i", s"c${i}l")
+      val (aT, mT, cNextL, cNext) = (s"a$i", s"m$i", s"c${i + 1}l", s"c${i + 1}")
+      s"""${assign(cPrev, aT)},
+         |$mT AS (
+         |  SELECT a.cid, t.pos,
+         |    sum(cast(floor(((e.embedding[t.pos]::DOUBLE) * 1048576.0) + 0.5) AS bigint)) AS s,
+         |    count(*) AS n
+         |  FROM embeddings e JOIN $aT a USING (vec_id), range(1, ${dims + 1}) t(pos)
+         |  GROUP BY a.cid, t.pos),
+         |$cNextL AS (
+         |  SELECT p.cid, p.pos,
+         |    coalesce((cast(m.s AS double) / 1048576.0) / m.n, p.cval) AS cval
+         |  FROM $cPrevL p LEFT JOIN $mT m ON p.cid = m.cid AND p.pos = m.pos),
+         |$cNext AS (
+         |  SELECT cid, list(cval ORDER BY pos) AS cv FROM $cNextL GROUP BY cid)""".stripMargin
+    }
+    val steps = (0 until iters).map(step).mkString(",\n")
+    s"""WITH seeds AS (
+       |  SELECT vec_id, embedding,
+       |    row_number() OVER (ORDER BY $ph, vec_id) AS rn
+       |  FROM embeddings),
+       |c0 AS (SELECT rn - 1 AS cid, list_transform(embedding, x -> x::DOUBLE) AS cv
+       |       FROM seeds WHERE rn <= $k),
+       |c0l AS (SELECT cid, pos, cv[pos] AS cval
+       |        FROM c0, range(1, ${dims + 1}) t(pos)),
+       |$steps,
+       |${assign(s"c$iters", "afinal")}
+       |SELECT vec_id, cid AS cluster_id FROM afinal""".stripMargin
+  }
+
   /** C7: ANN via multi-table random-hyperplane LSH — `nTables`
     * independent hash tables (distinct plane sets, offset seeds);
     * candidates are the UNION of bucket-mates across tables (the

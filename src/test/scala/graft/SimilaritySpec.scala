@@ -69,4 +69,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dedupAggs.forall(l => !l.contains("qv") && !l.contains("nv")),
       s"vector payload in candidate dedup:\n$plan")
   }
+
+  test("kmeans: total assignment, deterministic, WCSS non-increasing with iterations") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val a2 = Similarity.kmeans(emb, "vec_id", "embedding", k = 8, iters = 2)
+    assert(a2.count() == emb.count())
+    assert(a2.filter(col("cluster_id") < 0 || col("cluster_id") >= 8).count() == 0)
+    assert(a2.select("cluster_id").distinct().count() >= 2)
+    assert(a2.exceptAll(Similarity.kmeans(emb, "vec_id", "embedding", 8, 2)).isEmpty)
+    // Lloyd improves (or holds) the within-cluster L2 cost each iteration
+    def wcss(iters: Int): Double = {
+      val assigned = Similarity.kmeans(emb, "vec_id", "embedding", 8, iters)
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      val centers = assigned
+        .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cluster_id", "pos").agg(avg(col("v").cast("double")).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assigned
+        .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .collect().map { r =>
+          val d = r.getFloat(2) - centers((r.getInt(0), r.getInt(1)))
+          d * d
+        }.sum
+    }
+    val w1 = wcss(1); val w2 = wcss(2)
+    assert(w2 <= w1 * 1.0001, s"wcss grew: iter1=$w1 iter2=$w2")
+  }
 }
