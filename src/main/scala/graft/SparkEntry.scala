@@ -441,6 +441,14 @@ object SparkEntry {
       Curation.splitAssign(Tables.documents(s, d), "doc_id")),
     "embedding_kmeans" -> ((s, d) =>
       Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding")),
+    // cluster-balanced sampling: semantic diversity via k-means strata
+    // + the deterministic md5-order quota draw (TopKPerKey-planned) —
+    // the composition that keeps a subsample from collapsing onto the
+    // corpus's dominant semantic mode
+    "cluster_sample" -> ((s, d) =>
+      Curation.quotaSample(
+        Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding"),
+        "vec_id", "cluster_id", 25)),
     "vocab_build" -> ((s, d) =>
       Curation.vocabBuild(Tables.documents(s, d), "text", 500)),
   )
@@ -649,6 +657,14 @@ object SparkEntry {
          |      ORDER BY ${ph("concat(source, '|', doc_id)")}, doc_id) AS rnk
          |  FROM documents) WHERE rnk <= 10""".stripMargin,
     "embedding_kmeans" -> Similarity.kmeansOracleSql(),
+    "cluster_sample" ->
+      s"""${Similarity.kmeansCtePrefix()},
+         |ranked AS (
+         |  SELECT vec_id, cid AS cluster_id,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY ${ph("concat(cid, '|', vec_id)")}, vec_id) AS rnk
+         |  FROM afinal)
+         |SELECT vec_id, cluster_id FROM ranked WHERE rnk <= 25""".stripMargin,
     "corpus_split" ->
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 10 THEN 'test'

@@ -265,7 +265,14 @@ object Similarity {
     * keeps empty clusters' centroids). Every constant and fold shape
     * matches the Spark side expression-for-expression.
     */
-  def kmeansOracleSql(k: Int = 8, iters: Int = 2, dims: Int = 64): String = {
+  def kmeansOracleSql(k: Int = 8, iters: Int = 2, dims: Int = 64): String =
+    kmeansCtePrefix(k, iters, dims) +
+      "\nSELECT vec_id, cid AS cluster_id FROM afinal"
+
+  /** The WITH-chain alone (ending after `afinal`) so compositions —
+    * e.g. cluster-balanced sampling — can append their own CTEs.
+    */
+  def kmeansCtePrefix(k: Int = 8, iters: Int = 2, dims: Int = 64): String = {
     val ph = "cast('0x' || substr(md5(cast(vec_id AS varchar)), 1, 15) AS bigint)"
     def dot(a: String, b: String) = VectorFunctions.dotSql(a, b)
     def assign(cT: String, aT: String) =
@@ -302,8 +309,7 @@ object Similarity {
        |c0l AS (SELECT cid, pos, cv[pos] AS cval
        |        FROM c0, range(1, ${dims + 1}) t(pos)),
        |$steps,
-       |${assign(s"c$iters", "afinal")}
-       |SELECT vec_id, cid AS cluster_id FROM afinal""".stripMargin
+       |${assign(s"c$iters", "afinal")}""".stripMargin
   }
 
   /** C7: ANN via multi-table random-hyperplane LSH — `nTables`
