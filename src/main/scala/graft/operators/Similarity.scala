@@ -226,7 +226,12 @@ object Similarity {
       seeds.map(_.getSeq[Float](1).toArray.map(_.toDouble))
     val dims = centroids.headOption.map(_.length).getOrElse(0)
 
-    // argmin over the k centroid literals: fold of (score, cid) structs
+    // argmin over the k centroid literals via least() on (score, cid)
+    // structs — ONE expression with k children, each evaluated once.
+    // (A when(b < a, b).otherwise(a) fold would copy the accumulated
+    // tree at every step: 2^k duplicates of the first struct, blowing
+    // past codegen limits into exponential interpreted evaluation —
+    // measured 19.8s vs 1.3s for the same k=8 assignment.)
     def assignCid(cs: Array[Array[Double]]): Column = {
       val structs = cs.zipWithIndex.map { case (c, j) =>
         val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as dotSql
@@ -235,7 +240,7 @@ object Similarity {
             .as("s"),
           lit(j).as("c"))
       }
-      structs.reduceLeft((a, b) => when(b < a, b).otherwise(a)).getField("c")
+      (if (structs.length == 1) structs.head else least(structs: _*)).getField("c")
     }
 
     var it = 0
