@@ -213,8 +213,27 @@ object Similarity {
     *    irrelevant to cluster semantics and documented here;
     *  - empty clusters keep their previous centroid.
     */
-  def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int = 8,
-             iters: Int = 2): DataFrame = {
+  /** Map-side cluster assignment against a fixed centroid codebook —
+    * the "predict" half of [[kmeans]], usable on ANY DataFrame or
+    * stream with the vector column (no join, no shuffle, no state).
+    */
+  def kmeansAssignExpr(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty)
+    val structs = centroids.zipWithIndex.map { case (c, j) =>
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as dotSql
+      struct(
+        (lit(cc) - lit(2.0) * call_function("graft_dot", vecCol, typedLit(c.toSeq)))
+          .as("s"),
+        lit(j).as("c"))
+    }
+    (if (structs.length == 1) structs.head else least(structs: _*)).getField("c")
+  }
+
+  /** The trained codebook alone (cluster id = array index) — collect it
+    * once, then classify batches or streams with [[kmeansAssignExpr]].
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 8, iters: Int = 2): Array[Array[Double]] = {
     GraftFunctions.register(emb.sparkSession)
     val Q = 1048576.0 // 2^20
     val seeds = emb
@@ -226,27 +245,15 @@ object Similarity {
       seeds.map(_.getSeq[Float](1).toArray.map(_.toDouble))
     val dims = centroids.headOption.map(_.length).getOrElse(0)
 
-    // argmin over the k centroid literals via least() on (score, cid)
-    // structs — ONE expression with k children, each evaluated once.
-    // (A when(b < a, b).otherwise(a) fold would copy the accumulated
-    // tree at every step: 2^k duplicates of the first struct, blowing
-    // past codegen limits into exponential interpreted evaluation —
-    // measured 19.8s vs 1.3s for the same k=8 assignment.)
-    def assignCid(cs: Array[Array[Double]]): Column = {
-      val structs = cs.zipWithIndex.map { case (c, j) =>
-        val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as dotSql
-        struct(
-          (lit(cc) - lit(2.0) * call_function("graft_dot", col(vecCol), typedLit(c.toSeq)))
-            .as("s"),
-          lit(j).as("c"))
-      }
-      (if (structs.length == 1) structs.head else least(structs: _*)).getField("c")
-    }
-
+    // argmin via least() on (score, cid) structs — one expression, each
+    // child evaluated once. (A when(b < a, b).otherwise(a) fold copies
+    // the accumulated tree at every step: 2^k duplicates of the first
+    // struct, blowing past codegen limits into exponential interpreted
+    // evaluation — measured 19.8s vs 1.3s for this k=8 assignment.)
     var it = 0
     while (it < iters && dims > 0) {
       val sums = emb
-        .select(assignCid(centroids).as("cid"),
+        .select(kmeansAssignExpr(col(vecCol), centroids).as("cid"),
           posexplode(col(vecCol)).as(Seq("pos", "v")))
         .select(col("cid"), col("pos"),
           floor(col("v").cast("double") * Q + lit(0.5)).cast("long").as("q"))
@@ -261,7 +268,17 @@ object Similarity {
       centroids = next
       it += 1
     }
-    emb.select(col(idCol).as("vec_id"), assignCid(centroids).as("cluster_id"))
+    centroids
+  }
+
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int = 8,
+             iters: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(emb, idCol, vecCol, k, iters)
+    if (centroids.isEmpty)
+      emb.select(col(idCol).as("vec_id"), lit(0).as("cluster_id")).limit(0)
+    else
+      emb.select(col(idCol).as("vec_id"),
+        kmeansAssignExpr(col(vecCol), centroids).as("cluster_id"))
   }
 
   /** DuckDB twin of [[kmeans]] — the same init, assignment, and

@@ -61,6 +61,18 @@ object DocStreams {
       .select(col("window.start").as("w_start"), col("token"),
         col("count").as("cnt"))
 
+  /** Continuous semantic routing: classify an embedding stream against
+    * a batch-trained k-means codebook
+    * ([[graft.operators.Similarity.kmeansCentroids]]). Pure stateless
+    * map-side work — the codebook ships as expression literals, so this
+    * runs at scan rate inside any micro-batch with no joins, no state
+    * store, and per-row results identical to the batch assignment.
+    */
+  def classifyEmbeddings(stream: DataFrame, vecCol: String,
+                         centroids: Array[Array[Double]]): DataFrame =
+    stream.withColumn("cluster_id",
+      graft.operators.Similarity.kmeansAssignExpr(col(vecCol), centroids))
+
   /** Top-`k` trending terms per closed window, deterministic tiebreak
     * (count desc, token asc) — planned through TopKPerKey: each input
     * partition is reduced to ≤ k rows per window BEFORE the shuffle.

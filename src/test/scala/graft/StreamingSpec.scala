@@ -86,6 +86,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding classification equals the batch k-means assignment") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = sources.Tables.embeddings(spark, sf)
+    val centroids = graft.operators.Similarity
+      .kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val batchAssign = emb.select(col("vec_id"),
+        graft.operators.Similarity.kmeansAssignExpr(col("embedding"), centroids)
+          .as("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sample = emb.limit(20)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val stream = ms.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = graft.streaming.DocStreams.classifyEmbeddings(stream, "embedding", centroids)
+    val q = out.writeStream.format("memory").queryName("classify")
+      .outputMode("append").start()
+    try {
+      ms.addData(sample.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("classify").select("vec_id", "cluster_id")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got.size == sample.length)
+      got.foreach { case (id, cid) => assert(cid == batchAssign(id), s"vec $id") }
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits closed sessions; watermark flushes idle state") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
