@@ -419,6 +419,8 @@ object SparkEntry {
       Curation.quotaSample(Tables.documents(s, d), "doc_id", "source", 10)),
     "pack_sequences" -> ((s, d) =>
       Curation.packSequences(Tables.documents(s, d), "doc_id", "text", "source", 512)),
+    "pack_aligned" -> ((s, d) =>
+      Curation.packSequencesAligned(Tables.documents(s, d), "doc_id", "text", "source", 512)),
     "dedup_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incremental(docs.filter(col("doc_id") % 3 === 0),
@@ -767,6 +769,24 @@ object SparkEntry {
          |  cast(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 512.0) AS bigint) AS bin
          |FROM (SELECT doc_id, source, cast(len($tok) AS bigint) AS n_tokens FROM documents)""".stripMargin,
+    // next-fit is a sequential recurrence — the oracle replays it as a
+    // recursive CTE advancing every stratum one doc per level
+    "pack_aligned" ->
+      s"""WITH RECURSIVE sized AS (
+         |  SELECT doc_id, cast(source AS varchar) AS stratum,
+         |    cast(len($tok) AS bigint) AS n_tokens,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |pack AS (
+         |  SELECT doc_id, stratum, n_tokens, rn,
+         |    cast(0 AS bigint) AS bin, n_tokens AS used
+         |  FROM sized WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.doc_id, d.stratum, d.n_tokens, d.rn,
+         |    CASE WHEN p.used + d.n_tokens <= 512 THEN p.bin ELSE p.bin + 1 END,
+         |    CASE WHEN p.used + d.n_tokens <= 512 THEN p.used + d.n_tokens ELSE d.n_tokens END
+         |  FROM pack p JOIN sized d ON d.stratum = p.stratum AND d.rn = p.rn + 1)
+         |SELECT doc_id, stratum, n_tokens, bin FROM pack""".stripMargin,
     "text_redact" ->
       s"""SELECT doc_id,
          |  regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRegex}', '<EMAIL>', 'g'),

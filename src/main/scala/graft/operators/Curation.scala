@@ -127,6 +127,42 @@ object Curation {
     quotaSample(sampledInput, idCol, strataCol, quota)
   }
 
+  /** Document-ALIGNED sequence packing (next-fit): unlike
+    * [[packSequences]], a document never straddles two examples — a doc
+    * goes into the current bin if it fits the remaining budget,
+    * otherwise opens the next bin (an oversized doc gets a bin of its
+    * own). The assignment is a sequential recurrence, NOT a prefix sum,
+    * so it can't be a window; the Spark-first shape is the secondary
+    * sort pattern: hash-partition by stratum, spill-safe
+    * sortWithinPartitions on (stratum, id), then ONE streaming
+    * `mapPartitions` pass holding O(1) state (current stratum, bin,
+    * fill). One shuffle total; a single stratum's docs must share a
+    * partition (inherent to sequential packing — same locality the
+    * window form needs).
+    */
+  def packSequencesAligned(docs: DataFrame, idCol: String, textCol: String,
+                           strataCol: String, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs.select(col(idCol).cast("long").as("doc_id"),
+        col(strataCol).cast("string").as("stratum"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .repartition(col("stratum"))
+      .sortWithinPartitions(col("stratum"), col("doc_id"))
+      .as[(Long, String, Long)]
+    sized.mapPartitions { rows =>
+      var cur: String = null
+      var bin = 0L
+      var used = 0L
+      rows.map { case (id, stratum, n) =>
+        if (stratum != cur) { cur = stratum; bin = 0L; used = n }
+        else if (used + n <= budget) { used += n }
+        else { bin += 1L; used = n }
+        (id, stratum, n, bin)
+      }
+    }.toDF("doc_id", "stratum", "n_tokens", "bin")
+  }
+
   /** Deterministic train/val/test assignment: a doc's split is a pure
     * function of its id (md5 bucket in [0, 1000)), so the same document
     * lands in the same split on every run, every engine, and every

@@ -142,6 +142,32 @@ class CurationSpec extends AnyFunSuite {
     assert(v.forall(r => wc(r.getString(0)) == r.getLong(1)))
   }
 
+  test("aligned packing: bins respect the budget, ids contiguous, corpus preserved") {
+    val docs = Tables.documents(spark, sf)
+    val packed = Curation.packSequencesAligned(docs, "doc_id", "text", "source", 512L)
+    assert(packed.count() == docs.count())
+    // a bin only exceeds the budget when it holds a single oversized doc
+    val over = packed.groupBy("stratum", "bin")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("c"))
+      .filter(col("t") > 512 && col("c") > 1).count()
+    assert(over == 0)
+    // bin ids are contiguous 0..max per stratum
+    val bad = packed.groupBy("stratum")
+      .agg(countDistinct("bin").as("nbins"), max("bin").as("maxbin"))
+      .filter(col("nbins") =!= col("maxbin") + 1).count()
+    assert(bad == 0)
+    // deterministic
+    assert(packed.exceptAll(
+      Curation.packSequencesAligned(docs, "doc_id", "text", "source", 512L)).isEmpty)
+    // alignment costs bins vs the straddling form (waste is real but bounded)
+    val aligned = packed.groupBy("stratum").agg(max("bin")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val straddled = Curation.packSequences(docs, "doc_id", "text", "source", 512)
+      .groupBy("source").agg(max("bin")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    aligned.foreach { case (s, b) => assert(b >= straddled(s)) }
+  }
+
   test("packing offsets are contiguous and bins follow floor(start/budget)") {
     val packed = Curation.packSequences(
       Tables.documents(spark, sf), "doc_id", "text", "source", 512)
