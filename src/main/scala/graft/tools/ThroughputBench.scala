@@ -63,6 +63,25 @@ object ThroughputBench {
     hofSigs().write.format("noop").mode("overwrite").save()
     val sec3 = (System.nanoTime() - t2) / 1e9
     println(f"""{"metric":"minhash_sig_hof_throughput","input_mb":$mb%.1f,"sec":$sec3%.2f,"mb_per_sec":${mb / sec3}%.1f}""")
+
+    // Combiner on/off A/B — the reference's third benchmark axis
+    // (cooler-MapReduce benchmark.py: word count with/without
+    // combine_fn). "On" is the normal groupBy().agg() (partial
+    // aggregation = the combiner, free); "off" forces every token
+    // through the shuffle by aggregating AFTER an explicit hash
+    // repartition on the key with partial aggregation disabled via
+    // groupByKey.mapGroups (no map-side combine path).
+    import spark.implicits._
+    def tokensDs = corpus.select(
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .as[String]
+    tokensDs.groupByKey(identity).mapGroups((w, it) => (w, it.size))
+      .write.format("noop").mode("overwrite").save()
+    val t3 = System.nanoTime()
+    tokensDs.groupByKey(identity).mapGroups((w, it) => (w, it.size))
+      .write.format("noop").mode("overwrite").save()
+    val sec4 = (System.nanoTime() - t3) / 1e9
+    println(f"""{"metric":"wordcount_no_combiner","input_mb":$mb%.1f,"sec":$sec4%.2f,"mb_per_sec":${mb / sec4}%.1f}""")
     spark.stop()
   }
 }
