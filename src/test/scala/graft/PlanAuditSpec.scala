@@ -82,6 +82,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"top-V should TOP:\n$plan")
   }
 
+  test("pack_aligned: one stratum shuffle, nothing else") {
+    val plan = SparkEntry.queries("pack_aligned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).length == 1,
+      s"aligned packing should shuffle once (by stratum):\n$plan")
+  }
+
+  test("kmeans final assignment is pure map-side (codebook as literals, no join)") {
+    val plan = operators.Similarity
+      .kmeans(sources.Tables.embeddings(spark, sf), "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"assignment must not shuffle or join:\n$plan")
+  }
+
   test("q_hopping_window: generator expansion feeds ONE partial-agg shuffle") {
     val plan = Relational.qHoppingWindow(spark, sf)
       .queryExecution.executedPlan.toString
