@@ -389,6 +389,8 @@ object SparkEntry {
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")),
     "ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text")),
+    "ngram_containment" -> ((s, d) =>
+      Dedup.ngramContainment(Tables.documents(s, d), "doc_id", "text")),
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.3)),
     "knn_bruteforce" -> ((s, d) =>
@@ -532,6 +534,19 @@ object SparkEntry {
          |  cast(inter AS double) / (sa.n_sh + sb.n_sh - inter) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE cast(inter AS double) / (sa.n_sh + sb.n_sh - inter) >= 0.1""".stripMargin,
+    "ngram_containment" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents WHERE doc_id % 2 = 0),
+         |sh AS (SELECT doc_id, unnest(${TextFunctions.shinglesSql("tokens", 3)}) AS s FROM toks),
+         |ex0 AS (SELECT DISTINCT doc_id, cast('0x' || substr(md5(s), 1, 12) as bigint) AS sk FROM sh),
+         |ex AS (SELECT * FROM ex0 WHERE sk IN (
+         |  SELECT sk FROM ex0 GROUP BY sk HAVING count(*) <= 10000)),
+         |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+         |  FROM ex x JOIN ex y ON x.sk = y.sk AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1)
+         |SELECT doc_a, doc_b,
+         |  cast(inter AS double) / least(sa.n_sh, sb.n_sh) AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE cast(inter AS double) / least(sa.n_sh, sb.n_sh) >= 0.5""".stripMargin,
     "dedup_embedding" ->
       s"""WITH ${lshBucketsCte(nTables = 16)},
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

@@ -308,7 +308,25 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, sampleMod: Int = 2, minJaccard: Double = 0.1,
-                   maxShingleDf: Int = 10000): DataFrame = {
+                   maxShingleDf: Int = 10000): DataFrame =
+    ngramOverlap(docs, idCol, textCol, n, sampleMod, minJaccard,
+      maxShingleDf, containment = false)
+
+  /** Near-CONTAINMENT pairs: |A∩B| / min(|A|,|B|) ≥ threshold — catches
+    * a document quoted or scraped INSIDE a larger one, which symmetric
+    * Jaccard dilutes toward zero as the container grows. Same sampled,
+    * hash-keyed, df-capped plumbing as [[ngramJaccard]].
+    */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, sampleMod: Int = 2,
+                       minContainment: Double = 0.5,
+                       maxShingleDf: Int = 10000): DataFrame =
+    ngramOverlap(docs, idCol, textCol, n, sampleMod, minContainment,
+      maxShingleDf, containment = true)
+
+  private def ngramOverlap(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, sampleMod: Int, minScore: Double,
+                           maxShingleDf: Int, containment: Boolean): DataFrame = {
     // Distinct 48-bit shingle hashes as join keys: long compares and a
     // long-keyed shuffle instead of full shingle strings.
     val ex0 = docs
@@ -327,11 +345,13 @@ object Dedup {
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val score =
+      if (containment) (col("inter").cast("double") / least(col("na"), col("nb"))).as("containment")
+      else (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard")
     inter
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_a", "n_sh" -> "na")), Seq("doc_a"))
       .join(sizes.withColumnsRenamed(Map("doc_id" -> "doc_b", "n_sh" -> "nb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), score)
+      .filter(col(if (containment) "containment" else "jaccard") >= minScore)
   }
 }

@@ -68,6 +68,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.values.max == 1.0)
   }
 
+  test("containment flags a doc embedded in a larger one where jaccard stays low") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val container = s"intro words here $quote and then a very long tail " +
+      (1 to 60).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((2L, quote), (4L, container)).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainment(docs, "doc_id", "text",
+        sampleMod = 1, minContainment = 0.9)
+      .collect()
+    assert(cont.length == 1 && cont(0).getDouble(2) == 1.0) // fully contained
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text",
+        sampleMod = 1, minJaccard = 0.0)
+      .collect()
+    assert(jac.forall(_.getDouble(2) < 0.2)) // symmetric jaccard dilutes it
+  }
+
   test("knn_lsh returns valid ranks and scores, subset of bucket-mates") {
     val lsh = SparkEntry.queries("knn_lsh")(spark, sf).collect()
     assert(lsh.nonEmpty)
