@@ -195,11 +195,18 @@ object Dedup {
     val edges = minhashLsh(docs, idCol, textCol)
       .filter(col("est_jaccard") >= minEst)
       .select(col("doc_a"), col("doc_b"))
+    // Edges are the BIG side at corpus scale and every round joins them
+    // on doc_b — checkpoint them already hash-partitioned on doc_b
+    // (LogicalRDD preserves the partitioning), so no iteration ever
+    // reshuffles the edge set again. Labels likewise live partitioned
+    // on doc_id, co-partitioned with the edge join and the neighbor-min
+    // aggregation output.
     val bidir = edges
       .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct().localCheckpoint()
+      .distinct().repartition(col("doc_b")).localCheckpoint()
     var labels = bidir.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+      .withColumn("label", col("doc_id"))
+      .repartition(col("doc_id")).localCheckpoint()
     var prevSum = Long.MaxValue
     var iters = 0
     var done = false
@@ -221,7 +228,7 @@ object Dedup {
         .join(parents, propagated("label") === parents("pid"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .localCheckpoint()
+        .repartition(col("doc_id")).localCheckpoint()
       val sum = labels.agg(org.apache.spark.sql.functions.sum("label")).collect()(0).getLong(0)
       done = sum == prevSum
       prevSum = sum
