@@ -149,6 +149,9 @@ object SparkEntry {
     "q_monthly_orders"   -> (Relational.qMonthlyOrders _),
     "q_tumbling_window"  -> (Relational.qTumblingWindow _),
     "q_hopping_window"   -> (Relational.qHoppingWindow _),
+    // salting is semantically invisible — the oracle is the PLAIN sql
+    "q_salted_agg" -> ((s, d) =>
+      operators.Skew.saltedValueStats(Tables.events(s, d), "event_type", "value", 8)),
     "q_pivot"            -> (Relational.qPivot _),
     "q_asof_join"        -> (Relational.qAsofJoin _),
     "q_groupwise_max"    -> (Relational.qGroupwiseMax _),
@@ -362,6 +365,10 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id
         |                       ORDER BY value DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+        |  cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
     // Spark's window(ts, 1h, 30m) assigns each event to the len/slide=2
     // epoch-aligned 30-min window starts covering it; DuckDB's
     // time_bucket origin (2000-01-03) is 30-min-aligned to the epoch,

@@ -37,4 +37,22 @@ object Skew {
       .agg(count(lit(1)).as("__pc"))
       .groupBy(col(key))
       .agg(sum(col("__pc")).as("cnt"))
+
+  /** Salted two-phase sum+count over a decimal-cast value — the
+    * re-aggregable form for hot-key event streams. Salting is
+    * semantically invisible (the oracle for the registered query is
+    * the PLAIN GROUP BY SQL), only the shuffle shape changes: each hot
+    * key's rows spread over `salt` partial groups before the tiny
+    * final merge.
+    */
+  def saltedValueStats(df: DataFrame, key: String, valueCol: String,
+                       salt: Int): DataFrame =
+    df.withColumn("__salt",
+        pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(salt)).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__pc"),
+        sum(col(valueCol).cast("decimal(18,4)")).as("__ps"))
+      .groupBy(col(key))
+      .agg(sum(col("__pc")).as("n"),
+        sum(col("__ps")).cast("double").as("total_value"))
 }
