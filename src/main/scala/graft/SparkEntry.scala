@@ -462,6 +462,8 @@ object SparkEntry {
         "vec_id", "cluster_id", 25)),
     "vocab_build" -> ((s, d) =>
       Curation.vocabBuild(Tables.documents(s, d), "text", 500)),
+    "heavy_hitters" -> ((s, d) =>
+      Curation.heavyHittersCms(Tables.documents(s, d), "text")),
   )
 
   private def ph(expr: String): String =
@@ -680,6 +682,20 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY ${ph("concat(source, '|', doc_id)")}, doc_id) AS rnk
          |  FROM documents) WHERE rnk <= 10""".stripMargin,
+    "heavy_hitters" ->
+      s"""WITH toksr AS (SELECT unnest($tok) AS token FROM documents),
+         |cells AS (
+         |  SELECT r, cast('0x' || substr(md5(concat(r, ':', token)), 1, 15) AS bigint) % 1024 AS cell,
+         |    count(*) AS c
+         |  FROM toksr, range(0, 4) t(r) GROUP BY 1, 2),
+         |top AS (SELECT token, count(*) AS cnt FROM toksr
+         |  GROUP BY token ORDER BY cnt DESC, token LIMIT 20),
+         |probes AS (
+         |  SELECT token, cnt, r,
+         |    cast('0x' || substr(md5(concat(r, ':', token)), 1, 15) AS bigint) % 1024 AS cell
+         |  FROM top, range(0, 4) t(r))
+         |SELECT token, cnt, min(c) AS cms_est
+         |FROM probes JOIN cells USING (r, cell) GROUP BY token, cnt""".stripMargin,
     "embedding_kmeans" -> Similarity.kmeansOracleSql(),
     "cluster_sample" ->
       s"""${Similarity.kmeansCtePrefix()},

@@ -199,6 +199,35 @@ object Curation {
       row_number().over(Window.orderBy(col("cnt").desc, col("token"))) - 1)
   }
 
+  /** Portable count-min sketch heavy hitters: a d×w cell table (here
+    * 4×1024 counters — FIXED memory regardless of vocabulary size)
+    * summarizes token frequencies; a token's estimate is the min of its
+    * d cells, always ≥ the true count (collisions only inflate). The
+    * query reports the top `topN` true tokens next to their CMS
+    * estimates — the 100 TB shape is the cell table: one partial-agg'd
+    * shuffle of ≤ d×w rows per partition, mergeable across any split
+    * of the data, vs a full-vocabulary groupBy whose key space grows
+    * with the corpus. Hashes are the seeded portable md5 family, so
+    * the DuckDB oracle rebuilds the identical sketch.
+    */
+  def heavyHittersCms(docs: DataFrame, textCol: String, d: Int = 4,
+                      w: Int = 1024, topN: Int = 20): DataFrame = {
+    import graft.functions.PortableHash
+    val toks = docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+    def cellsOf(tok: Column): Column = explode(array((0 until d).map(r =>
+      struct(lit(r).as("r"), (PortableHash.portableHash(tok, r) % w).as("cell"))): _*))
+    val cells = toks.select(cellsOf(col("token")).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+    top.select(col("token"), col("cnt"), cellsOf(col("token")).as("rc"))
+      .select(col("token"), col("cnt"), col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .join(cells, Seq("r", "cell"))
+      .groupBy(col("token"), col("cnt"))
+      .agg(min(col("c")).as("cms_est"))
+  }
+
   /** Token-stream packing: docs are concatenated in (stratum, id) order
     * and cut into fixed `budget`-token examples — document boundaries
     * may straddle examples, the standard LM-pretraining packing. Each

@@ -142,6 +142,22 @@ class CurationSpec extends AnyFunSuite {
     assert(v.forall(r => wc(r.getString(0)) == r.getLong(1)))
   }
 
+  test("count-min estimates never undercount and stay near truth at this density") {
+    val docs = Tables.documents(spark, sf)
+    val hh = Curation.heavyHittersCms(docs, "text").collect()
+    assert(hh.nonEmpty)
+    val total = docs
+      .select(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    hh.foreach { r =>
+      val cnt = r.getLong(1); val est = r.getLong(2)
+      assert(est >= cnt, s"CMS undercounted ${r.getString(0)}: $est < $cnt")
+      // classic CMS error bound with w=1024, d=4 (generous slack)
+      assert(est <= cnt + 4L * total / 1024L + 1,
+        s"CMS overcount beyond bound for ${r.getString(0)}: est=$est cnt=$cnt N=$total")
+    }
+  }
+
   test("aligned packing: bins respect the budget, ids contiguous, corpus preserved") {
     val docs = Tables.documents(spark, sf)
     val packed = Curation.packSequencesAligned(docs, "doc_id", "text", "source", 512L)
