@@ -210,12 +210,20 @@ object Curation {
     * with the corpus. Hashes are the seeded portable md5 family, so
     * the DuckDB oracle rebuilds the identical sketch.
     */
+  /** One (r, cell) struct per CMS row for a token column — the shared
+    * kernel of [[heavyHittersCms]] and the streaming cell builder
+    * (graft.streaming.DocStreams.streamingCellCounts).
+    */
+  def cmsCellExpr(tok: Column, d: Int, w: Int): Column = {
+    import graft.functions.PortableHash
+    explode(array((0 until d).map(r =>
+      struct(lit(r).as("r"), (PortableHash.portableHash(tok, r) % w).as("cell"))): _*))
+  }
+
   def heavyHittersCms(docs: DataFrame, textCol: String, d: Int = 4,
                       w: Int = 1024, topN: Int = 20): DataFrame = {
-    import graft.functions.PortableHash
     val toks = docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
-    def cellsOf(tok: Column): Column = explode(array((0 until d).map(r =>
-      struct(lit(r).as("r"), (PortableHash.portableHash(tok, r) % w).as("cell"))): _*))
+    def cellsOf(tok: Column): Column = cmsCellExpr(tok, d, w)
     val cells = toks.select(cellsOf(col("token")).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
       .agg(count(lit(1)).as("c"))

@@ -61,6 +61,31 @@ object DocStreams {
       .select(col("window.start").as("w_start"), col("token"),
         col("count").as("cnt"))
 
+  /** Continuous frequency sketching: per-window count-min cells over a
+    * document stream — the streaming twin of
+    * [[graft.operators.Curation.heavyHittersCms]]'s build stage. State
+    * is bounded by (windows-in-watermark × d × w) counters no matter
+    * how large the vocabulary grows — the property that makes a
+    * frequency sketch the right streaming aggregate where a per-token
+    * count would accumulate unbounded keys. Emits
+    * (w_start, r, cell, c) on window close; probe estimates exactly as
+    * in the batch form (min over a token's d cells).
+    */
+  def streamingCellCounts(docs: DataFrame, textCol: String, tsCol: String,
+                          d: Int = 4, w: Int = 1024,
+                          window: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .select(col(tsCol), graft.operators.Curation.cmsCellExpr(col("token"), d, w).as("rc"))
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("rc.r").as("r"), col("rc.cell").as("cell"))
+      .count()
+      .select(col("window.start").as("w_start"), col("r"), col("cell"),
+        col("count").as("c"))
+
   /** Continuous semantic routing: classify an embedding stream against
     * a batch-trained k-means codebook
     * ([[graft.operators.Similarity.kmeansCentroids]]). Pure stateless

@@ -86,6 +86,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming count-min cells equal the batch sketch per window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = ms.toDF().toDF("doc_id", "ts", "text")
+    val cells = graft.streaming.DocStreams.streamingCellCounts(
+      docs, "text", "ts", d = 2, w = 64, "1 hour", "1 hour")
+    val q = cells.writeStream.format("memory").queryName("cms_cells")
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val batch = Seq((1L, t(100), "spark spark flink"), (2L, t(200), "spark beam"))
+    try {
+      ms.addData(batch: _*)
+      ms.addData((9L, t(20000), "sentinel"))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_cells")
+        .filter(col("w_start") === t(0)).select("r", "cell", "c")
+      val batchCells = batch.toDF("doc_id", "ts", "text")
+        .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+        .select(graft.operators.Curation.cmsCellExpr(col("token"), 2, 64).as("rc"))
+        .groupBy(col("rc.r").as("r"), col("rc.cell").as("cell"))
+        .agg(count(lit(1)).as("c"))
+      assert(streamed.exceptAll(batchCells).isEmpty &&
+        batchCells.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming embedding classification equals the batch k-means assignment") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
