@@ -156,6 +156,7 @@ object SparkEntry {
     "q_asof_join"        -> (Relational.qAsofJoin _),
     "q_groupwise_max"    -> (Relational.qGroupwiseMax _),
     "q_approx_stats"     -> (Relational.qApproxStats _),
+    "q_portable_quantiles" -> (Relational.qPortableQuantiles _),
     "q_approx_stats_exact" -> (Relational.qApproxStatsExact _),
     "q_set_ops"          -> (Relational.qSetOps _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
@@ -365,6 +366,10 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY user_id
         |                       ORDER BY value DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn <= 3""".stripMargin,
+    "q_portable_quantiles" ->
+      graft.functions.Sketches.sampleQuantilesSql(
+        "events", "event_type", "event_id", "value", 64,
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)),
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n,
         |  cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value

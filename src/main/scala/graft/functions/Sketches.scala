@@ -42,6 +42,39 @@ object Sketches {
     (lo + hi) / lit(2.0)
   }
 
+  /** Arbitrary quantile of the sample: average of the two nearest-rank
+    * order statistics around `(n-1)·q` (equals [[sampleMedian]] at
+    * q = 0.5). Same floor/ceil/average ops in the SQL twin.
+    */
+  def sampleQuantile(sample: Column, q: Double): Column = {
+    val sa = sort_array(sample)
+    val n = size(sa)
+    val lo = element_at(sa, (floor((n - lit(1)) * lit(q)) + lit(1)).cast("int"))
+    val hi = element_at(sa, (ceil((n - lit(1)) * lit(q)) + lit(1)).cast("int"))
+    (lo + hi) / lit(2.0)
+  }
+
+  /** DuckDB twin of a set of [[sampleQuantile]]s over the same k-row
+    * min-hash sample: one row per `grp` with a column per (name, q).
+    */
+  def sampleQuantilesSql(tbl: String, grp: String, hashExpr: String,
+                         valExpr: String, k: Int,
+                         qs: Seq[(String, Double)]): String = {
+    val cols = qs.map { case (name, q) =>
+      s"""(list_sort(list(v))[cast(floor((count(*) - 1) * $q) + 1 AS int)] +
+         |   list_sort(list(v))[cast(ceil((count(*) - 1) * $q) + 1 AS int)]) / 2.0 AS $name""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT $grp,
+       |  $cols
+       |FROM (
+       |  SELECT $grp, v, row_number() OVER (PARTITION BY $grp ORDER BY h) AS rn
+       |  FROM (SELECT $grp, ${PortableHash.duckdb(s"cast($hashExpr AS varchar)")} AS h,
+       |          min($valExpr) AS v
+       |        FROM $tbl WHERE $hashExpr IS NOT NULL AND $valExpr IS NOT NULL
+       |        GROUP BY $grp, h))
+       |WHERE rn <= $k GROUP BY $grp""".stripMargin
+  }
+
   // ---- DuckDB oracle twins -------------------------------------------------
 
   /** KMV estimate over `tbl`, one row per `grp`: k smallest distinct

@@ -372,6 +372,25 @@ object Relational {
         col("sample_median"), col("min_value"), col("max_value"))
   }
 
+  /** Quartiles from ONE deterministic min-hash sample per group — the
+    * general-quantile companion of [[qApproxStats]]: one O(k)-state
+    * sketch aggregate, three order statistics read off it. The
+    * percentile_approx engine sketch can't be oracle-checked; this can.
+    */
+  def qPortableQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    graft.plans.GraftFunctions.register(spark)
+    val eh = graft.functions.PortableHash.portableHash(col("event_id"))
+    import graft.functions.Sketches._
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(kminBy(eh, col("value"), k).as("vsample"))
+      .select(col("event_type"),
+        sampleQuantile(col("vsample"), 0.25).as("p25"),
+        sampleQuantile(col("vsample"), 0.5).as("p50"),
+        sampleQuantile(col("vsample"), 0.75).as("p75"))
+  }
+
   /** The exact companions of [[qApproxStats]] split into their own
     * query so they get a hash-checked DuckDB oracle (the sketch columns
     * are engine-specific and stay rows-only, error-bounded by

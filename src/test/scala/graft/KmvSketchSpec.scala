@@ -64,6 +64,23 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(med == 20.0) // 3 values < k -> the true median
   }
 
+  test("sample quantiles are ordered and q=0.5 equals the median formula") {
+    registered()
+    val df = (1 to 300).map(i => (i, i.toDouble)).toDF("id", "v")
+    val h = PortableHash.portableHash(col("id"))
+    val r = df.agg(
+        Sketches.kminBy(h, col("v"), 64).as("s"))
+      .select(
+        Sketches.sampleQuantile(col("s"), 0.25).as("p25"),
+        Sketches.sampleQuantile(col("s"), 0.5).as("p50"),
+        Sketches.sampleQuantile(col("s"), 0.75).as("p75"),
+        Sketches.sampleMedian(col("s")).as("med"))
+      .collect()(0)
+    assert(r.getDouble(0) <= r.getDouble(1) && r.getDouble(1) <= r.getDouble(2))
+    assert(r.getDouble(1) == r.getDouble(3)) // q=0.5 == median formula
+    assert(r.getDouble(0) >= 1.0 && r.getDouble(2) <= 300.0)
+  }
+
   test("SQL front door: graft_kmin_by callable from spark.sql") {
     registered()
     Seq(1, 2, 3).toDF("v").createOrReplaceTempView("kmv_probe")
