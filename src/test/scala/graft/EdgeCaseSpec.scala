@@ -112,5 +112,12 @@ class EdgeCaseSpec extends AnyFunSuite {
     val emptyEmb = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq.empty[Row], 2), schema)
     assert(Similarity.knnBruteForce(emptyEmb, "vec_id", "embedding", 10, 5).count() == 0)
+    assert(Similarity.kmeans(emptyEmb, "vec_id", "embedding").count() == 0)
+    // fewer vectors than k: every vector still assigned, ids within range
+    import org.apache.spark.sql.functions._
+    val three = sources.Tables.embeddings(spark, sf).limit(3)
+    val a = Similarity.kmeans(three, "vec_id", "embedding", k = 8, iters = 1)
+    assert(a.count() == 3)
+    assert(a.filter(col("cluster_id") < 0 || col("cluster_id") >= 3).count() == 0)
   }
 }
