@@ -65,6 +65,57 @@ object Monitoring {
     l
   }
 
+  // ---- Job control: cancellation + live progress ---------------------------
+  //
+  // The analog of the reference client's cancel_job / monitor_job_progress
+  // (cooler-MapReduce src/client/monitoring.py): actions run inside a named
+  // job group, so a driver-side controller can cancel the whole query
+  // mid-flight or poll task-level progress while it runs. Both surfaces are
+  // SparkContext-native (cancelJobGroup / statusTracker), so they work
+  // identically on a real cluster.
+
+  /** Live task-level progress of one named job group. */
+  final case class GroupProgress(name: String, activeJobs: Int,
+                                 tasksTotal: Int, tasksCompleted: Int,
+                                 tasksActive: Int, tasksFailed: Int) {
+    def fractionDone: Double =
+      if (tasksTotal == 0) 0.0 else tasksCompleted.toDouble / tasksTotal
+  }
+
+  /** Run `body`'s Spark actions inside job group `name` (cancellable via
+    * [[cancel]], observable via [[progress]]). Interrupt-on-cancel is set
+    * so running tasks stop promptly instead of draining. Restores the
+    * thread's previous group on exit — groups are thread-local, so
+    * concurrent queries from different threads don't clobber each other.
+    */
+  def inGroup[T](spark: SparkSession, name: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    sc.setJobGroup(Prefix + name, s"graft query: $name", interruptOnCancel = true)
+    try body finally sc.clearJobGroup()
+  }
+
+  /** Cancel every active job in group `name` (no-op if none). */
+  def cancel(spark: SparkSession, name: String): Unit =
+    spark.sparkContext.cancelJobGroup(Prefix + name)
+
+  /** Snapshot of `name`'s progress from the status tracker: sums task
+    * counts over every stage of the group's active jobs.
+    */
+  def progress(spark: SparkSession, name: String): GroupProgress = {
+    val tracker = spark.sparkContext.statusTracker
+    val jobIds = tracker.getJobIdsForGroup(Prefix + name)
+    val stages = jobIds.flatMap(id => tracker.getJobInfo(id).toSeq)
+      .flatMap(_.stageIds()).distinct
+      .flatMap(sid => tracker.getStageInfo(sid).toSeq)
+    GroupProgress(name,
+      activeJobs = jobIds.count(id =>
+        tracker.getJobInfo(id).exists(_.status() == org.apache.spark.JobExecutionStatus.RUNNING)),
+      tasksTotal = stages.map(_.numTasks()).sum,
+      tasksCompleted = stages.map(_.numCompletedTasks()).sum,
+      tasksActive = stages.map(_.numActiveTasks()).sum,
+      tasksFailed = stages.map(_.numFailedTasks()).sum)
+  }
+
   /** Sum of `filesSize` metrics over every scan in the (adaptive) plan. */
   private def scanBytes(p: SparkPlan): Long =
     allNodes(p).flatMap(_.metrics.get("filesSize").map(_.value)).sum

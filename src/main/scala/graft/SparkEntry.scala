@@ -26,6 +26,7 @@ object SparkEntry {
   // ---- §2A: reference MapReduce surface ------------------------------------
 
   private val grepPattern = "stream (join|merge)"
+  private val rawGrepPattern = "fox(es)? jump"
 
   /** The reference's own sample inputs (read-only), ingested through the
     * raw text/CSV source path — newline-delimited text and a headered
@@ -68,6 +69,13 @@ object SparkEntry {
     // raw-file ingestion: the reference's native input formats end-to-end
     "raw_wordcount" -> ((s, _) =>
       MapReduceOps.wordCount(graft.sources.Formats.readText(s, RawStoryPath), "value")),
+    // LINE-level grep — the reference's actual grep contract emits
+    // matching lines, not documents (reference design.md:276-278);
+    // mr_grep above keeps the document-level variant for the tables
+    "raw_grep" -> ((s, _) =>
+      MapReduceOps.grep(graft.sources.Formats.readText(s, RawStoryPath),
+          "value", rawGrepPattern)
+        .select(col("value").as("line"))),
     "raw_weather_stats" -> ((s, _) =>
       MapReduceOps.keyStats(rawWeather(s), "measurement", "value")),
   )
@@ -82,9 +90,12 @@ object SparkEntry {
     "mr_grep" ->
       s"""SELECT doc_id, source, n_chars FROM documents
          |WHERE regexp_matches(text, '$grepPattern')""".stripMargin,
+    // posting lists are capped at the first 1000 doc ids (ascending) —
+    // the bounded-state contract of MapReduceOps.invertedIndex; n_docs
+    // stays the full distinct count
     "mr_inverted_index" ->
       s"""SELECT word,
-         |  array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids,
+         |  array_to_string(list_sort(list(DISTINCT doc_id))[1:1000], ',') AS doc_ids,
          |  count(DISTINCT doc_id) AS n_docs
          |FROM (SELECT doc_id, unnest($tok) AS word FROM documents)
          |GROUP BY word""".stripMargin,
@@ -114,6 +125,13 @@ object SparkEntry {
          |FROM (SELECT unnest(${TextFunctions.tokensSql("content")}) AS word
          |      FROM read_text('$RawStoryPath'))
          |GROUP BY word""".stripMargin,
+    // duplicates matter: identical matching lines appear once per
+    // occurrence on both engines (the driver compare is multiset)
+    "raw_grep" ->
+      s"""SELECT line FROM (
+         |  SELECT unnest(string_split(content, chr(10))) AS line
+         |  FROM read_text('$RawStoryPath'))
+         |WHERE regexp_matches(line, '$rawGrepPattern')""".stripMargin,
     "raw_weather_stats" ->
       s"""WITH w AS (SELECT * FROM read_csv('$RawWeatherPath', header = true,
          |    columns = {'temperature': 'DOUBLE', 'humidity': 'DOUBLE', 'pressure': 'DOUBLE'})),

@@ -39,7 +39,11 @@ object Sketches {
     val n = size(sa)
     val lo = element_at(sa, floor((n + lit(1)) / lit(2)).cast("int"))
     val hi = element_at(sa, floor((n + lit(2)) / lit(2)).cast("int"))
-    (lo + hi) / lit(2.0)
+    // Empty sketch (group whose hash/value inputs were all NULL) →
+    // NULL, not an element_at(…, 0) runtime error. The SQL twins never
+    // see such a group: their pre-aggregation WHERE drops all-NULL rows
+    // so the group row simply doesn't exist on the oracle side.
+    when(n === 0, lit(null)).otherwise((lo + hi) / lit(2.0))
   }
 
   /** Arbitrary quantile of the sample: average of the two nearest-rank
@@ -51,7 +55,8 @@ object Sketches {
     val n = size(sa)
     val lo = element_at(sa, (floor((n - lit(1)) * lit(q)) + lit(1)).cast("int"))
     val hi = element_at(sa, (ceil((n - lit(1)) * lit(q)) + lit(1)).cast("int"))
-    (lo + hi) / lit(2.0)
+    // see sampleMedian: empty sketch → NULL, never element_at(…, 0)
+    when(n === 0, lit(null)).otherwise((lo + hi) / lit(2.0))
   }
 
   /** DuckDB twin of a set of [[sampleQuantile]]s over the same k-row

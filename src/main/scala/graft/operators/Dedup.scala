@@ -19,6 +19,28 @@ object Dedup {
   private def phash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Materialize a small derived table that is about to be self-joined.
+    *
+    * Without this cut Spark plans BOTH join sides from the parquet scan
+    * and recomputes the whole upstream pipeline twice (identical
+    * subtrees only reuse when they are exchange roots, which these
+    * aren't) — for the signature/shingle tables below that pipeline is
+    * the single most expensive compute of the query (tokenize → shingle
+    * → md5 per shingle), so the cut halves (or better) total work. The
+    * materialized rows are a few longs per document — negligible next
+    * to re-running the text scan at any corpus size, and exactly what a
+    * production dedup index persists anyway.
+    *
+    * Lazy (`eager = false`) so merely explaining/auditing a plan runs
+    * no job; the first real action computes the rows once and both join
+    * sides read the persisted blocks. Caveat: localCheckpoint blocks
+    * are not replicated — losing an executor mid-query fails the job
+    * (Spark resubmits it); a long-lived production index would use
+    * `persist`+reliable checkpoint instead.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    df.localCheckpoint(eager = false)
+
   /** C1: exact dedup — content fingerprint → survivor (min id) + count. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -89,7 +111,11 @@ object Dedup {
                  maxBucket: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
     require(rows * bands == k)
-    val banded0 = bandRows(minhashSignatures(docs, idCol, textCol, k), bands, rows)
+    // Materialized: the band table feeds BOTH sides of the candidate
+    // self-join (and, under maxBucket, the bucket-size filter too) —
+    // without the cut the whole signature pipeline runs 2-3x.
+    val banded0 = materialize(
+      bandRows(minhashSignatures(docs, idCol, textCol, k), bands, rows))
     val banded = if (maxBucket == Int.MaxValue) banded0 else {
       val ok = banded0.groupBy(col("band"), col("bkey"))
         .agg(count(lit(1)).as("__bsz"))
@@ -157,11 +183,13 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 10): DataFrame = {
     val sigs = simhashByDoc(docs, idCol, textCol)
-    val chunked = sigs.select(col("doc_id"), col("sh"),
+    // Materialized: both sides of the chunk-bucket self-join — else the
+    // 60-bit-vote aggregation over every token runs twice.
+    val chunked = materialize(sigs.select(col("doc_id"), col("sh"),
       explode(transform(sequence(lit(0), lit(3)),
         c => struct(c.as("chunk"),
           shiftright_dyn(col("sh"), c * 15).bitwiseAND(lit(32767L)).as("ckey")))).as("cc"))
-      .select(col("doc_id"), col("sh"), col("cc.chunk"), col("cc.ckey"))
+      .select(col("doc_id"), col("sh"), col("cc.chunk"), col("cc.ckey")))
     val a = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("ckey"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "ckey"))
@@ -215,10 +243,13 @@ object Dedup {
         .join(labels, bidir("doc_b") === labels("doc_id"))
         .groupBy(bidir("doc_a").as("nid"))
         .agg(min(col("label")).as("nlabel"))
-      val propagated = labels
+      // materialized: `propagated` feeds both sides of the pointer-jump
+      // self-join below — without the cut the propagation join+agg
+      // subtree executes twice per round
+      val propagated = materialize(labels
         .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
       // pointer jump: labels are always doc_ids of the vertex set, so
       // label-of-label is a self-join — one extra hop per round buys
       // exponentially faster convergence on long chains
@@ -246,8 +277,13 @@ object Dedup {
     */
   def corpusDedup(docs: DataFrame, idCol: String, textCol: String,
                   minEst: Double = 0.5): DataFrame = {
-    val exactSurvivors = exact(docs, idCol, textCol)
-      .select(col("survivor_id").as("__sid"))
+    // Materialize the survivor ID set (a long per unique doc): `kept`
+    // is consumed twice (signature build + final id projection), and
+    // without the cut the fingerprint groupBy pipeline would run twice.
+    // Ids — not text — are what we persist: the second `kept` use below
+    // column-prunes its scan to idCol, so no text is ever read twice.
+    val exactSurvivors = materialize(exact(docs, idCol, textCol)
+      .select(col("survivor_id").as("__sid")))
     val kept = docs.join(exactSurvivors, col(idCol) === col("__sid"), "left_semi")
     val drops = minhashLsh(kept, idCol, textCol)
       .filter(col("est_jaccard") >= minEst)
@@ -277,10 +313,15 @@ object Dedup {
     require(rows * bands == k)
     val refFp = reference
       .select(md5(col(textCol).cast("binary")).as("__fp")).distinct()
-    val exactKept = batch
+    // Materialized: the exact-kept batch feeds both the signature build
+    // and the final survivor anti-join — without the cut the batch scan
+    // + digest anti-join runs twice. Persisting batch text is fine
+    // here: in incremental ingestion the batch is the small new
+    // increment (the reference corpus is the big side, scanned once).
+    val exactKept = materialize(batch
       .withColumn("__fp", md5(col(textCol).cast("binary")))
       .join(refFp, Seq("__fp"), "left_anti")
-      .drop("__fp")
+      .select(col(idCol), col(textCol)))
     // est_jaccard ≥ minEst ⇔ signature agreements ≥ ceil(minEst·k):
     // integer threshold, no floating-point compare on the hot join.
     val minAgree = math.ceil(minEst * k).toInt
@@ -336,17 +377,21 @@ object Dedup {
                            maxShingleDf: Int, containment: Boolean): DataFrame = {
     // Distinct 48-bit shingle hashes as join keys: long compares and a
     // long-keyed shuffle instead of full shingle strings.
-    val ex0 = docs
+    // Materialized twice: `ex0` (the tokenize→shingle→md5→distinct
+    // pipeline) feeds both the df-cap aggregation and the semi-join;
+    // `ex` then feeds the x/y self-join AND the two size joins — without
+    // the cuts the shingle pipeline appears FOUR times in the plan.
+    val ex0 = materialize(docs
       .filter(col(idCol) % sampleMod === 0)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(shingles(col("toks"), n)).as("s"))
       .select(col("doc_id"),
         conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("sk"))
-      .distinct()
+      .distinct())
     val rare = ex0.groupBy(col("sk")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxShingleDf)
       .select(col("sk"))
-    val ex = ex0.join(rare, Seq("sk"), "left_semi")
+    val ex = materialize(ex0.join(rare, Seq("sk"), "left_semi"))
     val inter = ex.as("x").join(ex.as("y"), col("x.sk") === col("y.sk") &&
         col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

@@ -45,16 +45,33 @@ object MapReduceOps {
   def grep(docs: DataFrame, textCol: String, pattern: String): DataFrame =
     docs.filter(col(textCol).rlike(pattern))
 
-  /** Inverted index: word → sorted list of containing doc ids
-    * (design.md:277 analog). `collect_set` deduplicates per word;
-    * the joined-string form keeps result schema oracle-comparable.
+  /** Inverted index: word → the first `maxDocIds` containing doc ids
+    * (ascending) plus the full distinct count (design.md:277 analog).
+    *
+    * The posting list is CAPPED: an uncapped `collect_set(doc_id)`
+    * accumulates every containing doc id in ONE aggregation buffer, and
+    * for a stop word over a 100 TB corpus that is billions of ids in a
+    * single executor buffer → OOM. Instead the distinct (word, doc_id)
+    * pairs stream through TopKPerKey (ascending, ≤ maxDocIds rows per
+    * word survive each partition before the shuffle), so no buffer
+    * anywhere holds more than maxDocIds entries; the total count rides
+    * a separate partial aggregation and joins back on the word key.
+    * A full posting list, when genuinely needed, is the exploded PAIRS
+    * table (word, doc_id) — a dataset, not a single row's array.
     */
-  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokenStream(docs, textCol, col(idCol))
-      .groupBy("word")
-      .agg(
-        array_join(sort_array(collect_set(col(idCol))), ",").as("doc_ids"),
-        countDistinct(col(idCol)).as("n_docs"))
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxDocIds: Int = 1000): DataFrame = {
+    val pairs = tokenStream(docs, textCol, col(idCol))
+      .select(col("word"), col(idCol)).distinct()
+    val counts = pairs.groupBy("word")
+      .agg(count(lit(1)).as("n_docs"))
+    val firstK = graft.plans.TopK.perKey(
+      pairs, Seq("word"), Seq(idCol), maxDocIds, descending = false)
+    firstK.groupBy("word")
+      .agg(array_join(sort_array(collect_list(col(idCol))), ",").as("doc_ids"))
+      .join(counts, Seq("word"))
+      .select(col("word"), col("doc_ids"), col("n_docs"))
+  }
 
   /** Per-key avg/min/max/count of a numeric column (weather_stats.py
     * analog). The sum runs on decimal so the average is bit-exact and

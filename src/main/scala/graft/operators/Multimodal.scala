@@ -43,33 +43,65 @@ object Multimodal {
       .select(col("doc_id"), col("meta.mime").as("mime"),
         col("meta.n_bytes").as("n_bytes"), col("meta.content_md5").as("content_md5"))
 
+  /** The codec plug point for [[extractFeatures]]. An implementation is
+    * shipped to executors (must be Serializable) and driven with the
+    * lifecycle a real native decoder needs:
+    *
+    *   - `open()` once per partition, before the first decode — allocate
+    *     the JPEG decoder / audio resampler / ONNX session here, never
+    *     in the constructor (the driver-side instance is only a
+    *     serialization template and may not be able to hold native
+    *     handles).
+    *   - `decode(payload, dim)` per row, called from the partition's
+    *     single thread — no synchronization needed.
+    *   - `close()` once per partition after the last row (also on
+    *     task-abort via a completion listener), releasing native memory.
+    *
+    * Swapping the shipped [[FakeCodec]] for a real decoder is exactly
+    * one implementation of this trait — the distributed plumbing
+    * (schema, binary columns, batching, partitioning) is unchanged.
+    */
+  trait FeatureCodec extends Serializable {
+    def open(): Unit = ()
+    def decode(payload: Array[Byte], dim: Int): Array[Float]
+    def close(): Unit = ()
+  }
+
   /** STUB codec: a real implementation would decode `payload` (JPEG →
     * HxWx3, PCM → samples). This deterministic fake derives "features"
-    * from the payload bytes so the distributed plumbing is testable.
+    * from the payload bytes so the distributed plumbing is testable in
+    * an environment with no image/audio libraries.
     */
-  private def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < payload.length) {
-      out(i % dim) += (payload(i) & 0xff) / 255.0f
-      i += 1
+  object FakeCodec extends FeatureCodec {
+    override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < payload.length) {
+        out(i % dim) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+      out
     }
-    out
   }
 
   /** Batched feature extraction over payloads — the `mapPartitions`
-    * shape a real decoder needs (per-partition codec init, batch loop),
-    * mirroring `mapInPandas` batch semantics on the JVM.
+    * shape a real decoder needs (per-partition codec lifecycle, batch
+    * loop), mirroring `mapInPandas` batch semantics on the JVM.
     */
-  def extractFeatures(ingested: DataFrame, dim: Int = 16): DataFrame = {
+  def extractFeatures(ingested: DataFrame, dim: Int = 16,
+                      codec: FeatureCodec = FakeCodec): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     ingested.select(col("doc_id"), col("payload")).mapPartitions { it =>
-      // per-partition init site: a real codec would allocate here
+      codec.open() // per-partition init: native allocations live here
+      org.apache.spark.TaskContext.get() match {
+        case null => () // driver-side (testing) — close on iterator end only
+        case tc   => tc.addTaskCompletionListener[Unit](_ => codec.close())
+      }
       it.map { r =>
-        Row(r.getLong(0), fakeDecode(r.getAs[Array[Byte]](1), dim).toSeq)
+        Row(r.getLong(0), codec.decode(r.getAs[Array[Byte]](1), dim).toSeq)
       }
     }(enc)
   }

@@ -54,7 +54,11 @@ object Similarity {
     * materialized rows are three numbers each (id, table, bucket) per
     * table — at any scale that is vastly cheaper than re-running the
     * projection scan, and it is exactly what a production ANN index
-    * build persists anyway.
+    * build persists anyway. Lazy (`eager = false`) so explain-only
+    * consumers (plan audits) run no job; the first action computes the
+    * rows once. Caveat: localCheckpoint blocks are not replicated —
+    * an executor loss mid-query fails the job (Spark resubmits); a
+    * long-lived index would persist to reliable storage instead.
     */
   private def lshBucketed(emb: DataFrame, idCol: String, vecCol: String,
                           nPlanes: Int, nTables: Int, dims: Int): DataFrame = {
@@ -65,7 +69,7 @@ object Similarity {
     emb.select(col(idCol).as("id"),
       explode(array(tableBuckets: _*)).as("tb"))
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
   }
 
   /** C5: near-duplicate pairs by cosine ≥ threshold, via multi-table

@@ -80,8 +80,10 @@ case class KMinByHash(
   }
 
   private def insert(buf: java.util.TreeMap[java.lang.Long, Any], h: Long, p: Any): Unit = {
+    // values are never null (update/merge filter nulls), so a null get
+    // means "absent" — no containsKey double-lookup needed
     val existing = buf.get(h)
-    if (existing != null || buf.containsKey(h)) {
+    if (existing != null) {
       buf.put(h, payloadMin(existing, p))
     } else if (buf.size < k) {
       buf.put(h, p)

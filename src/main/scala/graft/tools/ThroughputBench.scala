@@ -67,10 +67,9 @@ object ThroughputBench {
     // Combiner on/off A/B — the reference's third benchmark axis
     // (cooler-MapReduce benchmark.py: word count with/without
     // combine_fn). "On" is the normal groupBy().agg() (partial
-    // aggregation = the combiner, free); "off" forces every token
-    // through the shuffle by aggregating AFTER an explicit hash
-    // repartition on the key with partial aggregation disabled via
-    // groupByKey.mapGroups (no map-side combine path).
+    // aggregation = the combiner, free); "off" is groupByKey.mapGroups,
+    // which has no map-side combine: every token row rides the shuffle
+    // to its key's reducer and is counted there.
     import spark.implicits._
     def tokensDs = corpus.select(
         explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))

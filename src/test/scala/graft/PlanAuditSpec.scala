@@ -97,6 +97,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"assignment must not shuffle or join:\n$plan")
   }
 
+  // The recompute guard: every Dedup self-join must read a MATERIALIZED
+  // signature/shingle table (Scan ExistingRDD on both sides), never
+  // rebuild the tokenize→shingle→md5 pipeline per side. Pin = the final
+  // plan contains no parquet scan at all (all text reading happens once,
+  // inside the checkpoint job that builds the materialized table).
+  private def auditMaterializedSelfJoin(name: String, minScans: Int): Unit = {
+    val plan = SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+    val rddScans = "Scan ExistingRDD".r.findAllMatchIn(plan).length
+    assert(rddScans >= minScans,
+      s"$name: expected >= $minScans materialized scans, got $rddScans:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"$name: signature pipeline recomputed from the source scan:\n$plan")
+  }
+
+  test("dedup_minhash: band table materialized, signature pipeline runs once") {
+    auditMaterializedSelfJoin("dedup_minhash", 2)
+  }
+
+  test("dedup_simhash: chunk table materialized, simhash pipeline runs once") {
+    auditMaterializedSelfJoin("dedup_simhash", 2)
+  }
+
+  test("ngram_containment: shingle set materialized, pipeline runs once") {
+    auditMaterializedSelfJoin("ngram_containment", 4)
+  }
+
+  test("ngram_jaccard: shingle set materialized, pipeline runs once") {
+    auditMaterializedSelfJoin("ngram_jaccard", 4)
+  }
+
   test("q_hopping_window: generator expansion feeds ONE partial-agg shuffle") {
     val plan = Relational.qHoppingWindow(spark, sf)
       .queryExecution.executedPlan.toString

@@ -47,6 +47,25 @@ class TopKBoundedSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted index: stop-word posting list capped, count exact, state bounded") {
+    withFlushKeys(1024) {
+      // every doc contains "the" (the stop-word / hot-key case) plus one
+      // rare token; 100k docs across 4 partitions
+      val docs = spark.range(0, 100000L, 1, 4)
+        .select(col("id").as("doc_id"),
+          concat(lit("The tok"), (col("id") % 1000).cast("string")).as("text"))
+      val idx = operators.MapReduceOps
+        .invertedIndex(docs, "doc_id", "text", maxDocIds = 10)
+      val hot = idx.filter(col("word") === "the").collect()(0)
+      assert(hot.getAs[Long]("n_docs") == 100000L)
+      assert(hot.getAs[String]("doc_ids") == (0 until 10).mkString(","),
+        "posting list must be the first maxDocIds ids ascending")
+      val rare = idx.filter(col("word") === "tok7").collect()(0)
+      assert(rare.getAs[Long]("n_docs") == 100L)
+      assert(rare.getAs[String]("doc_ids").split(",").length == 10)
+    }
+  }
+
   test("string ordering column is copied, not aliased to the reused row buffer") {
     val df = spark.range(0, 50000L, 1, 4)
       .select((col("id") % 50).as("k"),
