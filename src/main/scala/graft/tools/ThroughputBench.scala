@@ -81,6 +81,33 @@ object ThroughputBench {
       .write.format("noop").mode("overwrite").save()
     val sec4 = (System.nanoTime() - t3) / 1e9
     println(f"""{"metric":"wordcount_no_combiner","input_mb":$mb%.1f,"sec":$sec4%.2f,"mb_per_sec":${mb / sec4}%.1f}""")
+
+    // Reduce-scaling sweep — the reference's fourth benchmark axis
+    // (cooler-MapReduce benchmark.py reduce_scaling_{1,2,4,8}): the same
+    // word count with the reduce side pinned to R partitions, AQE's
+    // partition coalescing disabled so R is what actually runs. Two
+    // curves: with the combiner (partial agg) the reduce side carries
+    // one row per distinct word and R is nearly irrelevant — the
+    // declarative plan has already deleted the reduce-scaling problem.
+    // Without the combiner every token crosses the wire and R behaves
+    // like the reference's knob: R=1 serializes the count, R≈cores
+    // saturates.
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    Seq(1, 2, 4, 8, 16, 32).foreach { r =>
+      spark.conf.set("spark.sql.shuffle.partitions", r.toString)
+      val t = System.nanoTime()
+      MapReduceOps.wordCount(corpus, "text").write.format("noop").mode("overwrite").save()
+      val s = (System.nanoTime() - t) / 1e9
+      val tn = System.nanoTime()
+      tokensDs.groupByKey(identity).mapGroups((w, it) => (w, it.size))
+        .write.format("noop").mode("overwrite").save()
+      val sn = (System.nanoTime() - tn) / 1e9
+      println(f"""{"metric":"wordcount_reduce_scaling","reduce_partitions":$r,"input_mb":$mb%.1f,"combiner_sec":$s%.2f,"no_combiner_sec":$sn%.2f}""")
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     spark.stop()
   }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Job control — the analog of the reference client's cancel_job /
+  * monitor_job_progress (cooler-MapReduce src/client/monitoring.py):
+  * a query launched inside a named job group can be cancelled
+  * mid-flight from another thread and observed via task-level progress
+  * while it runs.
+  */
+class JobControlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("cancel(name) stops a running query mid-flight; session stays usable") {
+    import spark.implicits._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+
+    // ~60 s of work if left alone (60k × 1 ms over 4 cores) — the
+    // cancel must be what ends it
+    val slow = spark.range(0, 60000L, 1, 4).as[Long]
+      .map { i => Thread.sleep(1); i }
+
+    // job groups are thread-local: the group is set inside the future's
+    // thread, wrapping the action itself
+    val running = Future {
+      Monitoring.inGroup(spark, "slow_query") { slow.reduce(_ + _) }
+    }
+
+    // wait until the group's job is actually on the cluster
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var p = Monitoring.progress(spark, "slow_query")
+    while (p.activeJobs == 0 && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      p = Monitoring.progress(spark, "slow_query")
+    }
+    assert(p.activeJobs > 0, "query never started")
+    assert(p.tasksTotal > 0, s"progress should see the stage's tasks: $p")
+    assert(p.fractionDone < 1.0)
+
+    val t0 = System.nanoTime()
+    Monitoring.cancel(spark, "slow_query")
+    val failure = intercept[Exception](Await.result(running, 30.seconds))
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 20.0, s"cancellation took $sec s — not mid-flight")
+    val chain = Iterator.iterate[Throwable](failure)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString(" | ").toLowerCase
+    assert(chain.contains("cancel"), s"expected a cancellation failure, got: $chain")
+
+    // the session survives a cancelled group: later queries run normally
+    assert(spark.range(100).count() == 100L)
+  }
+
+  test("progress of an unknown group is empty, not an error") {
+    val p = Monitoring.progress(spark, "never_ran")
+    assert(p.activeJobs == 0 && p.tasksTotal == 0 && p.fractionDone == 0.0)
+  }
+}

@@ -122,6 +122,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(f.map(_.getSeq[Float](1)).toSeq == f2.map(_.getSeq[Float](1)).toSeq)
   }
 
+  test("a custom FeatureCodec plugs into extractFeatures (real-decoder swap point)") {
+    // stand-in for a real decoder: "features" = payload byte length in
+    // every slot, with the per-partition open() lifecycle observed
+    val opened = spark.sparkContext.longAccumulator("codec_opened")
+    val codec = new Multimodal.FeatureCodec {
+      override def open(): Unit = opened.add(1)
+      override def decode(payload: Array[Byte], dim: Int): Array[Float] =
+        Array.fill(dim)(payload.length.toFloat)
+    }
+    val ingested = Multimodal.ingest(toy, "doc_id", "text")
+    val f = Multimodal.extractFeatures(ingested, dim = 3, codec = codec).collect()
+    val nBytes = Multimodal.meta(toy, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val want = nBytes(r.getLong(0)).toFloat
+      assert(r.getSeq[Float](1) == Seq(want, want, want))
+    }
+    assert(opened.value >= 1, "open() must run on the executors")
+  }
+
   test("frame sampling keeps every stride-th frame") {
     val fr = Multimodal.sampleFrames(
       Multimodal.ingest(toy, "doc_id", "text"), frameBytes = 8, stride = 2).collect()

@@ -5,8 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 object TestSpark {
   lazy val spark: SparkSession = {
+    // local[4, 2]: 4 cores, spark.task.maxFailures = 2 — lets
+    // FaultToleranceSpec exercise task retry (a first-attempt failure
+    // must recover); retries never trigger for healthy tests
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config(graft.sources.Tables.NanosAsLong, "true")
