@@ -60,8 +60,12 @@ object Similarity {
     * an executor loss mid-query fails the job (Spark resubmits); a
     * long-lived index would persist to reliable storage instead.
     */
-  private def lshBucketed(emb: DataFrame, idCol: String, vecCol: String,
-                          nPlanes: Int, nTables: Int, dims: Int): DataFrame = {
+  /** One (id, table, bucket) row per vector per hash table — the raw
+    * bucketing scan shared by the ad-hoc ([[lshBucketed]]) and
+    * persisted ([[buildLshIndex]]) index forms.
+    */
+  private def bucketRows(emb: DataFrame, idCol: String, vecCol: String,
+                         nPlanes: Int, nTables: Int, dims: Int): DataFrame = {
     val tableBuckets = (0 until nTables).map { t =>
       struct(lit(t).as("table"),
         lshBucket(col(vecCol), nPlanes, dims, planeOffset = t * nPlanes).as("bucket"))
@@ -69,8 +73,12 @@ object Similarity {
     emb.select(col(idCol).as("id"),
       explode(array(tableBuckets: _*)).as("tb"))
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-      .localCheckpoint(eager = false)
   }
+
+  private def lshBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                          nPlanes: Int, nTables: Int, dims: Int): DataFrame =
+    bucketRows(emb, idCol, vecCol, nPlanes, nTables, dims)
+      .localCheckpoint(eager = false)
 
   /** C5: near-duplicate pairs by cosine ≥ threshold, via multi-table
     * LSH candidate generation + exact cosine verification on candidates
@@ -363,6 +371,87 @@ object Similarity {
     val qv = emb.filter(col(idCol) < nQueries)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val nv = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    cand.join(broadcast(qv), Seq("query_id")).join(nv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosineNative(col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  // ---- Persisted ANN index -------------------------------------------------
+
+  /** Build and persist the LSH index for `emb` at `path` — the
+    * production form of the per-query bucketing scan: the bucket table
+    * lands under `path/buckets` directory-partitioned by hash table
+    * (probes prune to the tables they touch), the id→vector map under
+    * `path/vectors`, and the plane parameters under `path/params` so a
+    * probe can never run against mismatched hyperplanes. The build
+    * costs the one bucketing scan every ad-hoc query pays anyway;
+    * amortized across every later probe batch, the corpus is never
+    * re-bucketed again.
+    */
+  def buildLshIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
+                    nPlanes: Int = 5, nTables: Int = 8, dims: Int = 64): Unit = {
+    GraftFunctions.register(emb.sparkSession)
+    bucketRows(emb, idCol, vecCol, nPlanes, nTables, dims)
+      .write.mode("overwrite").partitionBy("table").parquet(s"$path/buckets")
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    import emb.sparkSession.implicits._
+    Seq((nPlanes, nTables, dims)).toDF("n_planes", "n_tables", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Append a new batch of vectors to a persisted index — the
+    * continuous-ingestion path: the batch is bucketed with the INDEX's
+    * stored parameters (never its own), and its bucket/vector rows are
+    * appended to the existing tables. No existing row is touched, so
+    * appends are cheap at any index size; callers dedup the batch
+    * first ([[graft.operators.Dedup.incremental]]) if ids may repeat.
+    */
+  def appendToLshIndex(emb: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    val (nPlanes, nTables, dims) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    bucketRows(emb, idCol, vecCol, nPlanes, nTables, dims)
+      .write.mode("append").partitionBy("table").parquet(s"$path/buckets")
+    emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .write.mode("append").parquet(s"$path/vectors")
+  }
+
+  /** Top-k neighbors for a PROBE batch against a persisted index:
+    * probe vectors are bucketed map-side with the index's stored
+    * parameters (a scan of the probe batch only), candidates come from
+    * an equi-join against the prebuilt bucket table, and exact cosine
+    * runs against the stored vectors — the corpus is neither rescanned
+    * nor re-bucketed. `queries` is the (small) probe batch — any
+    * (id, vector) DataFrame, not necessarily index members — and is
+    * broadcast; identical ids on both sides are excluded as
+    * self-matches. Same answer as [[knnLsh]] on identical parameters
+    * (spec-pinned).
+    */
+  def knnLshProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    val (nPlanes, nTables, dims) = (p.getInt(0), p.getInt(1), p.getInt(2))
+    val corpus = spark.read.parquet(s"$path/buckets")
+      .select(col("id").as("neighbor_id"), col("table"), col("bucket"))
+    val qb = bucketRows(queries, idCol, vecCol, nPlanes, nTables, dims)
+      .select(col("id").as("query_id"), col("table"), col("bucket"))
+    val cand = broadcast(qb).join(corpus, Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val nv = spark.read.parquet(s"$path/vectors")
+      .select(col("id").as("neighbor_id"), col("vec").as("nv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     cand.join(broadcast(qv), Seq("query_id")).join(nv, Seq("neighbor_id"))

@@ -59,6 +59,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capped.contains((1000L, 1001L)))
   }
 
+  test("persisted LSH index: probe equals the ad-hoc knnLsh answer, corpus not rescanned") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshidx").toString
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val got = Similarity.knnLshProbe(spark, dir, queries, "vec_id", "embedding", k = 5)
+    val want = Similarity.knnLsh(emb, "vec_id", "embedding", nQueries = 10, k = 5)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the probe plan reads the PREBUILT index — the only scans are the
+    // index files and the probe batch, never a corpus re-bucketing
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("buckets"), s"probe should scan the persisted bucket table:\n$plan")
+  }
+
+  test("index append: probing after append equals one index built from the union") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 =!= 0)
+    val grown = java.nio.file.Files.createTempDirectory("graft_lshidx_a").toString
+    Similarity.buildLshIndex(first, "vec_id", "embedding", grown)
+    Similarity.appendToLshIndex(batch, "vec_id", "embedding", grown)
+    val whole = java.nio.file.Files.createTempDirectory("graft_lshidx_b").toString
+    Similarity.buildLshIndex(emb, "vec_id", "embedding", whole)
+    val queries = emb.filter(col("vec_id") < 10)
+    val a = Similarity.knnLshProbe(spark, grown, queries, "vec_id", "embedding", k = 5)
+    val b = Similarity.knnLshProbe(spark, whole, queries, "vec_id", "embedding", k = 5)
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("knnLsh candidates carry no vector payload through the dedup shuffle") {
     val emb = Tables.embeddings(spark, sf)
     val plan = Similarity.knnLsh(emb, "vec_id", "embedding", 10, 5)
