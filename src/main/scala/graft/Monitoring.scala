@@ -84,32 +84,47 @@ object Monitoring {
 
   /** Run `body`'s Spark actions inside job group `name` (cancellable via
     * [[cancel]], observable via [[progress]]). Interrupt-on-cancel is set
-    * so running tasks stop promptly instead of draining. Restores the
-    * thread's previous group on exit — groups are thread-local, so
-    * concurrent queries from different threads don't clobber each other.
+    * so running tasks stop promptly instead of draining. Saves and
+    * restores the thread's previous group properties on exit, so nested
+    * `inGroup` blocks hand control back to the enclosing group (and
+    * groups are thread-local, so concurrent query threads don't clobber
+    * each other).
     */
   def inGroup[T](spark: SparkSession, name: String)(body: => T): T = {
     val sc = spark.sparkContext
+    val prevId = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.setJobGroup(Prefix + name, s"graft query: $name", interruptOnCancel = true)
-    try body finally sc.clearJobGroup()
+    try body finally {
+      // setLocalProperty(key, null) clears the key, so a top-level
+      // inGroup restores to "no group" and a nested one to its parent
+      sc.setLocalProperty("spark.jobGroup.id", prevId)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
+    }
   }
 
   /** Cancel every active job in group `name` (no-op if none). */
   def cancel(spark: SparkSession, name: String): Unit =
     spark.sparkContext.cancelJobGroup(Prefix + name)
 
-  /** Snapshot of `name`'s progress from the status tracker: sums task
-    * counts over every stage of the group's active jobs.
+  /** Snapshot of `name`'s LIVE progress from the status tracker: task
+    * counts summed over the stages of the group's currently-RUNNING
+    * jobs only. Finished runs of a reused group name don't leak in —
+    * a group with nothing running reports all zeros, so a poll loop
+    * on `fractionDone` can't mistake a freshly relaunched query for a
+    * completed one.
     */
   def progress(spark: SparkSession, name: String): GroupProgress = {
     val tracker = spark.sparkContext.statusTracker
-    val jobIds = tracker.getJobIdsForGroup(Prefix + name)
-    val stages = jobIds.flatMap(id => tracker.getJobInfo(id).toSeq)
-      .flatMap(_.stageIds()).distinct
+    val running = tracker.getJobIdsForGroup(Prefix + name)
+      .flatMap(id => tracker.getJobInfo(id).toSeq)
+      .filter(_.status() == org.apache.spark.JobExecutionStatus.RUNNING)
+    val stages = running.flatMap(_.stageIds()).distinct
       .flatMap(sid => tracker.getStageInfo(sid).toSeq)
     GroupProgress(name,
-      activeJobs = jobIds.count(id =>
-        tracker.getJobInfo(id).exists(_.status() == org.apache.spark.JobExecutionStatus.RUNNING)),
+      activeJobs = running.length,
       tasksTotal = stages.map(_.numTasks()).sum,
       tasksCompleted = stages.map(_.numCompletedTasks()).sum,
       tasksActive = stages.map(_.numActiveTasks()).sum,

@@ -126,10 +126,13 @@ object SparkEntry {
          |      FROM read_text('$RawStoryPath'))
          |GROUP BY word""".stripMargin,
     // duplicates matter: identical matching lines appear once per
-    // occurrence on both engines (the driver compare is multiset)
+    // occurrence on both engines (the driver compare is multiset); the
+    // regex split mirrors Spark's text source, which terminates lines
+    // on \n, \r\n AND lone \r — a CRLF re-checkout of the sample file
+    // must not break parity
     "raw_grep" ->
       s"""SELECT line FROM (
-         |  SELECT unnest(string_split(content, chr(10))) AS line
+         |  SELECT unnest(string_split_regex(content, '\\r\\n|\\r|\\n')) AS line
          |  FROM read_text('$RawStoryPath'))
          |WHERE regexp_matches(line, '$rawGrepPattern')""".stripMargin,
     "raw_weather_stats" ->

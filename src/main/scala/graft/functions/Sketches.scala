@@ -40,9 +40,11 @@ object Sketches {
     val lo = element_at(sa, floor((n + lit(1)) / lit(2)).cast("int"))
     val hi = element_at(sa, floor((n + lit(2)) / lit(2)).cast("int"))
     // Empty sketch (group whose hash/value inputs were all NULL) →
-    // NULL, not an element_at(…, 0) runtime error. The SQL twins never
-    // see such a group: their pre-aggregation WHERE drops all-NULL rows
-    // so the group row simply doesn't exist on the oracle side.
+    // NULL, not an element_at(…, 0) runtime error. For oracle-checked
+    // queries, FILTER such groups out before reading the sketch (as
+    // Relational.qApproxStats/qPortableQuantiles do): the SQL twins'
+    // pre-aggregation WHERE means the group row doesn't exist on the
+    // oracle side at all, so a NULL row here would hash-mismatch.
     when(n === 0, lit(null)).otherwise((lo + hi) / lit(2.0))
   }
 

@@ -41,6 +41,15 @@ object Dedup {
   private def materialize(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
 
+  /** The checkpointed RDD behind a [[materialize]]d / localCheckpoint'ed
+    * DataFrame — so iterative loops can explicitly unpersist a round's
+    * dead blocks instead of waiting for the context cleaner's GC sweep.
+    */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
   /** C1: exact dedup — content fingerprint → survivor (min id) + count. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -255,17 +264,24 @@ object Dedup {
       // exponentially faster convergence on long chains
       val parents = propagated
         .select(col("doc_id").as("pid"), col("label").as("plabel"))
+      val prevLabels = labels
       labels = propagated
         .join(parents, propagated("label") === parents("pid"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .repartition(col("doc_id")).localCheckpoint()
+      // the new labels checkpoint is materialized (eager) — last round's
+      // labels and this round's propagated blocks are now dead; free
+      // them so a 20-round run holds O(1) label-table copies, not O(2n)
+      checkpointRdd(propagated).foreach(_.unpersist(blocking = false))
+      checkpointRdd(prevLabels).foreach(_.unpersist(blocking = false))
       val sum = labels.agg(org.apache.spark.sql.functions.sum("label")).collect()(0).getLong(0)
       done = sum == prevSum
       prevSum = sum
       iters += 1
     }
     System.err.println(s"[graft] dedupClusters converged in $iters rounds")
+    checkpointRdd(bidir).foreach(_.unpersist(blocking = false)) // edges are dead too
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -60,6 +60,13 @@ object Multimodal {
     * Swapping the shipped [[FakeCodec]] for a real decoder is exactly
     * one implementation of this trait — the distributed plumbing
     * (schema, binary columns, batching, partitioning) is unchanged.
+    *
+    * Implement a STATEFUL codec as a `class`, not an `object`: a Scala
+    * object deserializes to the ONE shared singleton per executor JVM,
+    * so concurrent tasks on a multi-core executor would share (and
+    * double-open / early-close) its native handles. A class instance is
+    * deserialized fresh per task closure, giving each task its own
+    * lifecycle. The stateless [[FakeCodec]] is safely an object.
     */
   trait FeatureCodec extends Serializable {
     def open(): Unit = ()
@@ -96,12 +103,25 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     ingested.select(col("doc_id"), col("payload")).mapPartitions { it =>
       codec.open() // per-partition init: native allocations live here
-      org.apache.spark.TaskContext.get() match {
-        case null => () // driver-side (testing) — close on iterator end only
-        case tc   => tc.addTaskCompletionListener[Unit](_ => codec.close())
-      }
-      it.map { r =>
+      val rows = it.map { r =>
         Row(r.getLong(0), codec.decode(r.getAs[Array[Byte]](1), dim).toSeq)
+      }
+      org.apache.spark.TaskContext.get() match {
+        case null =>
+          // driver-side (local testing) — no completion listener exists,
+          // so close when the iterator is exhausted
+          new Iterator[Row] {
+            private var closed = false
+            override def hasNext: Boolean = {
+              val h = rows.hasNext
+              if (!h && !closed) { closed = true; codec.close() }
+              h
+            }
+            override def next(): Row = rows.next()
+          }
+        case tc =>
+          tc.addTaskCompletionListener[Unit](_ => codec.close())
+          rows
       }
     }(enc)
   }

@@ -358,6 +358,11 @@ object Relational {
       .agg(
         kminBy(uh, uh, k).as("kmv"),
         kminBy(eh, col("value"), k).as("vsample"))
+      // oracle parity on degenerate groups: the SQL twins filter NULL
+      // inputs BEFORE aggregating, so a group whose inputs are all NULL
+      // never exists on the oracle side — drop its empty sketches here
+      // too instead of emitting a NULL-sketch row the oracle lacks
+      .filter(size(col("kmv")) > 0 && size(col("vsample")) > 0)
       .select(col("event_type"),
         kmvEstimate(col("kmv"), k).as("kmv_users"),
         sampleMedian(col("vsample")).as("sample_median"))
@@ -385,6 +390,8 @@ object Relational {
     Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(kminBy(eh, col("value"), k).as("vsample"))
+      // see qApproxStats: all-NULL groups don't exist on the oracle side
+      .filter(size(col("vsample")) > 0)
       .select(col("event_type"),
         sampleQuantile(col("vsample"), 0.25).as("p25"),
         sampleQuantile(col("vsample"), 0.5).as("p50"),

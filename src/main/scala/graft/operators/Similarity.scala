@@ -46,23 +46,9 @@ object Similarity {
   /** One map pass assigning every vector to its bucket in each of
     * `nTables` independent hash tables → rows (id, table, bucket).
     * Ids only — vectors are re-joined AFTER candidate dedup so the
-    * candidate shuffle never carries the 64-float payload.
-    *
-    * The result is materialized (localCheckpoint): every consumer
-    * self-joins it, and without a cut Spark recomputes BOTH sides —
-    * nTables × nPlanes dot products per vector, twice. The
-    * materialized rows are three numbers each (id, table, bucket) per
-    * table — at any scale that is vastly cheaper than re-running the
-    * projection scan, and it is exactly what a production ANN index
-    * build persists anyway. Lazy (`eager = false`) so explain-only
-    * consumers (plan audits) run no job; the first action computes the
-    * rows once. Caveat: localCheckpoint blocks are not replicated —
-    * an executor loss mid-query fails the job (Spark resubmits); a
-    * long-lived index would persist to reliable storage instead.
-    */
-  /** One (id, table, bucket) row per vector per hash table — the raw
-    * bucketing scan shared by the ad-hoc ([[lshBucketed]]) and
-    * persisted ([[buildLshIndex]]) index forms.
+    * candidate shuffle never carries the 64-float payload. NOT
+    * materialized: the raw bucketing scan shared by the ad-hoc
+    * ([[lshBucketed]]) and persisted ([[buildLshIndex]]) index forms.
     */
   private def bucketRows(emb: DataFrame, idCol: String, vecCol: String,
                          nPlanes: Int, nTables: Int, dims: Int): DataFrame = {
@@ -75,6 +61,18 @@ object Similarity {
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
+  /** [[bucketRows]] materialized (localCheckpoint) for the ad-hoc
+    * queries: every consumer self-joins the bucket table, and without a
+    * cut Spark recomputes BOTH sides — nTables × nPlanes dot products
+    * per vector, twice. The materialized rows are three numbers each
+    * per (vector, table) — at any scale vastly cheaper than re-running
+    * the projection scan ([[buildLshIndex]] persists the same rows to
+    * disk instead). Lazy (`eager = false`) so explain-only consumers
+    * (plan audits) run no job; the first action computes the rows once.
+    * Caveat: localCheckpoint blocks are not replicated — an executor
+    * loss mid-query fails the job (Spark resubmits); long-lived indexes
+    * belong on reliable storage via [[buildLshIndex]].
+    */
   private def lshBucketed(emb: DataFrame, idCol: String, vecCol: String,
                           nPlanes: Int, nTables: Int, dims: Int): DataFrame =
     bucketRows(emb, idCol, vecCol, nPlanes, nTables, dims)

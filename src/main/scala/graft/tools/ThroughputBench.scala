@@ -94,20 +94,25 @@ object ThroughputBench {
     // saturates.
     val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
     val prevCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-    Seq(1, 2, 4, 8, 16, 32).foreach { r =>
-      spark.conf.set("spark.sql.shuffle.partitions", r.toString)
-      val t = System.nanoTime()
-      MapReduceOps.wordCount(corpus, "text").write.format("noop").mode("overwrite").save()
-      val s = (System.nanoTime() - t) / 1e9
-      val tn = System.nanoTime()
-      tokensDs.groupByKey(identity).mapGroups((w, it) => (w, it.size))
-        .write.format("noop").mode("overwrite").save()
-      val sn = (System.nanoTime() - tn) / 1e9
-      println(f"""{"metric":"wordcount_reduce_scaling","reduce_partitions":$r,"input_mb":$mb%.1f,"combiner_sec":$s%.2f,"no_combiner_sec":$sn%.2f}""")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      Seq(1, 2, 4, 8, 16, 32).foreach { r =>
+        spark.conf.set("spark.sql.shuffle.partitions", r.toString)
+        val t = System.nanoTime()
+        MapReduceOps.wordCount(corpus, "text").write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t) / 1e9
+        val tn = System.nanoTime()
+        tokensDs.groupByKey(identity).mapGroups((w, it) => (w, it.size))
+          .write.format("noop").mode("overwrite").save()
+        val sn = (System.nanoTime() - tn) / 1e9
+        println(f"""{"metric":"wordcount_reduce_scaling","reduce_partitions":$r,"input_mb":$mb%.1f,"combiner_sec":$s%.2f,"no_combiner_sec":$sn%.2f}""")
+      }
+    } finally {
+      // a mid-sweep failure must not leave the session pinned at the
+      // last swept R with AQE coalescing off
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     }
-    spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevCoalesce)
     spark.stop()
   }
 }
