@@ -490,6 +490,11 @@ object SparkEntry {
       Curation.vocabBuild(Tables.documents(s, d), "text", 500)),
     "heavy_hitters" -> ((s, d) =>
       Curation.heavyHittersCms(Tables.documents(s, d), "text")),
+    "corpus_shuffle" -> ((s, d) =>
+      Curation.shuffleOrder(Tables.documents(s, d), "doc_id")),
+    "corpus_token_budget" -> ((s, d) =>
+      Curation.tokenBudgetSample(Tables.documents(s, d), "doc_id", "text",
+        "source", 500L)),
   )
 
   private def ph(expr: String): String =
@@ -722,6 +727,21 @@ object SparkEntry {
          |  FROM top, range(0, 4) t(r))
          |SELECT token, cnt, min(c) AS cms_est
          |FROM probes JOIN cells USING (r, cell) GROUP BY token, cnt""".stripMargin,
+    "corpus_shuffle" ->
+      s"""SELECT doc_id,
+         |  cast(row_number() OVER (
+         |    ORDER BY ${ph("concat('shuffle|', cast(doc_id AS varchar))")}, doc_id)
+         |    AS integer) AS pos
+         |FROM documents""".stripMargin,
+    "corpus_token_budget" ->
+      s"""SELECT doc_id, source, n_tokens FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tokens_before
+         |  FROM (SELECT doc_id, source, cast(len($tok) AS bigint) AS n_tokens,
+         |          ${ph("concat(source, '|', doc_id)")} AS h
+         |        FROM documents))
+         |WHERE tokens_before < 500""".stripMargin,
     "embedding_kmeans" -> Similarity.kmeansOracleSql(),
     "cluster_sample" ->
       s"""${Similarity.kmeansCtePrefix()},

@@ -51,6 +51,41 @@ object Curation {
       .select(col(idCol), col(strataCol))
   }
 
+  /** Deterministic global corpus shuffle: every doc gets a stable
+    * position in a reproducible pseudo-random order (md5 of the id) —
+    * the "shuffle the training data once, identically on every rerun"
+    * step before sequence packing, with no RNG state to manage.
+    * Positions come from [[MapReduceOps.distributedSort]]'s
+    * range-partitioned sort + zipWithIndex — never a global
+    * single-partition row_number window.
+    */
+  def shuffleOrder(docs: DataFrame, idCol: String): DataFrame =
+    MapReduceOps.distributedSort(
+      docs.select(col(idCol),
+        phash(concat(lit("shuffle|"), col(idCol).cast("string"))).as("__k")),
+      Seq(col("__k"), col(idCol)), Seq(col(idCol), col("__k")))
+      .drop("__k")
+
+  /** Per-stratum token-budget sampling — the mixture-weighting step of
+    * corpus assembly ("cap source X at N tokens"): keep each stratum's
+    * docs in deterministic md5-hash order until the stratum's token
+    * budget is spent. A doc is kept iff the tokens BEFORE it in the
+    * order are under budget, so a non-empty stratum always contributes
+    * at least one doc and budgets overshoot by less than one document —
+    * the standard greedy contract. One key-partitioned window; the
+    * shuffle carries (id, stratum, count) rows, never text.
+    */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+                        strataCol: String, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__h"), col(idCol))
+    docs.select(col(idCol), col(strataCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"),
+        phash(concat(col(strataCol), lit("|"), col(idCol).cast("string"))).as("__h"))
+      .withColumn("__before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("__before") < budgetTokens)
+      .select(col(idCol), col(strataCol), col("n_tokens"))
+  }
+
   /** Benchmark decontamination: for each training document, count the
     * distinct word `n`-grams it shares with any document of the
     * `benchmark` (evaluation) set — the overlap check run before

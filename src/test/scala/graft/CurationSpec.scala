@@ -29,6 +29,40 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"quota sample fell back to a window sort:\n$plan")
   }
 
+  test("corpus shuffle is a deterministic permutation of 1..N") {
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val a = Curation.shuffleOrder(docs, "doc_id")
+    assert(a.count() == n)
+    // positions are exactly 1..N, each once
+    assert(a.agg(min(col("pos")), max(col("pos")), countDistinct(col("pos")))
+      .collect()(0).toSeq == Seq(1, n.toInt, n))
+    // reproducible: a rerun assigns identical positions
+    val b = Curation.shuffleOrder(docs, "doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and it IS a shuffle: position order differs from id order somewhere
+    assert(a.filter(col("pos") =!= col("doc_id") + 1).count() > 0)
+  }
+
+  test("token-budget sample stops each stratum under budget plus one doc") {
+    val budget = 2000L
+    val docs = Tables.documents(spark, sf)
+    val got = Curation.tokenBudgetSample(docs, "doc_id", "text", "source", budget)
+    val perSource = got.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("total"), max(col("n_tokens")).as("biggest"))
+      .collect()
+    assert(perSource.nonEmpty)
+    perSource.foreach { r =>
+      // greedy contract: total < budget + the last kept doc's tokens,
+      // i.e. total - ANY single doc stays under budget
+      assert(r.getLong(1) - r.getLong(2) < budget,
+        s"${r.getString(0)}: ${r.getLong(1)} tokens exceeds budget+1 doc")
+    }
+    // every non-empty stratum contributes at least one doc
+    assert(got.select(col("source")).distinct().count() ==
+      docs.select(col("source")).distinct().count())
+  }
+
   test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
     val docs = Tables.documents(spark, sf)
     val bench = docs.filter(col("doc_id") % 10 === 7)
