@@ -44,6 +44,21 @@ object ThroughputBench {
     val sec2 = (System.nanoTime() - t1) / 1e9
     println(f"""{"metric":"minhash_sig_throughput","input_mb":$mb%.1f,"sec":$sec2%.2f,"mb_per_sec":${mb / sec2}%.1f}""")
 
+    // End-to-end corpus dedup on the replicated corpus — the flood
+    // case: every document has mult-1 exact copies, which would give a
+    // bucketed LSH quadratic candidate pairs; corpusDedup's
+    // exact-dedup-first composition collapses the copies in one
+    // fingerprint shuffle, so the LSH stage only ever sees the unique
+    // docs. Throughput here is the full pipeline rate a curation run
+    // would see on duplicate-heavy crawl data.
+    graft.operators.Dedup.corpusDedup(docsId, "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
+    val t15 = System.nanoTime()
+    graft.operators.Dedup.corpusDedup(docsId, "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
+    val sec15 = (System.nanoTime() - t15) / 1e9
+    println(f"""{"metric":"corpus_dedup_throughput","input_mb":$mb%.1f,"sec":$sec15%.2f,"mb_per_sec":${mb / sec15}%.1f}""")
+
     // A/B: the same signature pipeline built from the interpreted HOF
     // tokenize/shingle forms it replaced (graft_tokens/graft_shingles
     // vs filter(transform(split(...)))+transform/slice lambdas)

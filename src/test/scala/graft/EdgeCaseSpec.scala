@@ -105,6 +105,21 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(est == 0L)
   }
 
+  test("shuffle and token-budget sampling degrade cleanly on empty/tiny input") {
+    import org.apache.spark.sql.functions._
+    assert(Curation.shuffleOrder(empty, "doc_id").count() == 0)
+    val one = docsOf((7L, "just one document here"))
+      .withColumn("source", lit("s"))
+    val sh = Curation.shuffleOrder(one, "doc_id").collect()
+    assert(sh.length == 1 && sh(0).getInt(1) == 1)
+    // a doc bigger than the whole budget is still kept (greedy contract:
+    // tokens-before = 0 < budget)
+    val tb = Curation.tokenBudgetSample(one, "doc_id", "text", "source", 1L).collect()
+    assert(tb.length == 1)
+    assert(Curation.tokenBudgetSample(
+      empty.withColumn("source", lit("s")), "doc_id", "text", "source", 100L).count() == 0)
+  }
+
   test("empty embeddings: knn returns empty") {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),

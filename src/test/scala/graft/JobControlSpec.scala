@@ -58,4 +58,25 @@ class JobControlSpec extends AnyFunSuite {
     val p = Monitoring.progress(spark, "never_ran")
     assert(p.activeJobs == 0 && p.tasksTotal == 0 && p.fractionDone == 0.0)
   }
+
+  test("progress is LIVE: a finished run of a reused group reports zeros") {
+    Monitoring.inGroup(spark, "reused") { spark.range(1000).count() }
+    // the job is done — a poll loop must not read the finished tasks as
+    // progress of a future relaunch
+    val p = Monitoring.progress(spark, "reused")
+    assert(p.activeJobs == 0 && p.tasksTotal == 0, s"stale progress: $p")
+  }
+
+  test("nested inGroup restores the enclosing group on exit") {
+    val sc = spark.sparkContext
+    Monitoring.inGroup(spark, "outer") {
+      Monitoring.inGroup(spark, "inner") {
+        assert(sc.getLocalProperty("spark.jobGroup.id") == "graft:inner")
+      }
+      // actions after the inner block must still belong to "outer"
+      assert(sc.getLocalProperty("spark.jobGroup.id") == "graft:outer")
+    }
+    assert(sc.getLocalProperty("spark.jobGroup.id") == null,
+      "top-level exit should clear the group")
+  }
 }

@@ -143,6 +143,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(opened.value >= 1, "open() must run on the executors")
   }
 
+  test("codec close() fires exactly once per partition after the last row") {
+    // accumulators observe the executor-side lifecycle across the
+    // task-completion-listener path
+    val opened = spark.sparkContext.longAccumulator("lc_opened")
+    val closed = spark.sparkContext.longAccumulator("lc_closed")
+    val codec = new Multimodal.FeatureCodec {
+      override def open(): Unit = opened.add(1)
+      override def decode(payload: Array[Byte], dim: Int): Array[Float] =
+        new Array[Float](dim)
+      override def close(): Unit = closed.add(1)
+    }
+    val ingested = Multimodal.ingest(toy, "doc_id", "text")
+    Multimodal.extractFeatures(ingested, dim = 2, codec = codec).count()
+    assert(opened.value == closed.value,
+      s"every open() needs its close(): opened=${opened.value} closed=${closed.value}")
+    assert(closed.value >= 1)
+  }
+
   test("frame sampling keeps every stride-th frame") {
     val fr = Multimodal.sampleFrames(
       Multimodal.ingest(toy, "doc_id", "text"), frameBytes = 8, stride = 2).collect()
