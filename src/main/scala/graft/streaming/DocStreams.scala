@@ -98,6 +98,40 @@ object DocStreams {
     stream.withColumn("cluster_id",
       graft.operators.Similarity.kmeansAssignExpr(col(vecCol), centroids))
 
+  /** Continuous admission control under per-source token budgets — the
+    * streaming twin of [[graft.operators.Curation.tokenBudgetSample]]:
+    * each source's running admitted-token total lives in the state
+    * store (ONE long per source — state is bounded by source
+    * cardinality, never by stream length), and an arriving document is
+    * admitted iff its source's total is still under budget. Same
+    * greedy contract as batch (admit while tokens-before < budget, so
+    * budgets overshoot by under one document); the ORDER differs by
+    * design — batch draws in deterministic md5 order over the whole
+    * corpus, a stream must admit in arrival order (doc-id order within
+    * a micro-batch, which materializes each group's batch slice — the
+    * slice is bounded by the micro-batch, not the stream).
+    */
+  def tokenBudgetAdmission(docs: DataFrame, idCol: String, textCol: String,
+                           srcCol: String, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col(srcCol).as("source"), col(idCol).cast("long").as("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (src: String, rows: Iterator[(String, Long, Long)], state: GroupState[Long]) => {
+          var used = state.getOption.getOrElse(0L)
+          val admitted = rows.toSeq.sortBy(_._2).flatMap { case (_, id, n) =>
+            if (used < budgetTokens) { used += n; Some((src, id, n)) } else None
+          }
+          state.update(used)
+          admitted.iterator
+        })
+      .toDF("source", "doc_id", "n_tokens")
+  }
+
   /** Top-`k` trending terms per closed window, deterministic tiebreak
     * (count desc, token asc) — planned through TopKPerKey: each input
     * partition is reduced to ≤ k rows per window BEFORE the shuffle.

@@ -45,6 +45,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming token-budget admission carries state across batches per source") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, String)]
+    val docs = ms.toDF().toDF("doc_id", "source", "text")
+    // budget 10: each doc below is 6 tokens
+    val admitted = graft.streaming.DocStreams
+      .tokenBudgetAdmission(docs, "doc_id", "text", "source", 10L)
+    val q = admitted.writeStream.format("memory").queryName("tba")
+      .outputMode("append").start()
+    try {
+      val six = "one two three four five six"
+      ms.addData((1L, "a", six), (2L, "a", six), (3L, "b", six))
+      q.processAllAvailable()
+      // a: doc1 admitted (0<10), doc2 admitted (6<10, overshoot to 12)
+      // b: doc3 admitted (0<10)
+      ms.addData((4L, "a", six), (5L, "b", six))
+      q.processAllAvailable()
+      // a is over budget (12 >= 10) → doc4 rejected; b admits doc5 (6<10)
+      val ids = spark.table("tba").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 3L, 5L), s"got $ids")
+      val totals = spark.table("tba").groupBy("source")
+        .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+        .as[(String, Long)].collect().toMap
+      assert(totals == Map("a" -> 12L, "b" -> 12L))
+    } finally q.stop()
+  }
+
   test("streaming windowed term counts equal batch; trending top-k matches rank window") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
