@@ -90,13 +90,19 @@ object Monitoring {
     * groups are thread-local, so concurrent query threads don't clobber
     * each other).
     */
+  // group names currently inside an inGroup block (entry-counted so the
+  // same name entered from two threads stays listed until both exit)
+  private val entered = new ConcurrentHashMap[String, Integer]()
+
   def inGroup[T](spark: SparkSession, name: String)(body: => T): T = {
     val sc = spark.sparkContext
     val prevId = sc.getLocalProperty("spark.jobGroup.id")
     val prevDesc = sc.getLocalProperty("spark.job.description")
     val prevInterrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     sc.setJobGroup(Prefix + name, s"graft query: $name", interruptOnCancel = true)
+    entered.merge(name, 1, (a, b) => a + b)
     try body finally {
+      entered.compute(name, (_, v) => if (v == null || v <= 1) null else v - 1)
       // setLocalProperty(key, null) clears the key, so a top-level
       // inGroup restores to "no group" and a nested one to its parent
       sc.setLocalProperty("spark.jobGroup.id", prevId)
@@ -104,6 +110,27 @@ object Monitoring {
       sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
     }
   }
+
+  /** Every named query currently inside an [[inGroup]] block, with its
+    * live progress — the reference client's `list_jobs` analog.
+    */
+  def activeQueries(spark: SparkSession): Seq[GroupProgress] = {
+    import scala.jdk.CollectionConverters._
+    entered.keySet.asScala.toSeq.sorted.map(progress(spark, _))
+  }
+
+  /** Per-executor resource snapshot from the status tracker — the
+    * reference client's `show_resource_usage` analog (host, running
+    * tasks, storage-memory use). In local mode the one row is the
+    * driver; on a cluster the same call lists every executor.
+    */
+  final case class ExecutorSnapshot(host: String, numRunningTasks: Int,
+                                    cacheSize: Long, usedOnHeapStorage: Long)
+  def executors(spark: SparkSession): Seq[ExecutorSnapshot] =
+    spark.sparkContext.statusTracker.getExecutorInfos.toSeq.map { e =>
+      ExecutorSnapshot(e.host(), e.numRunningTasks(), e.cacheSize(),
+        e.usedOnHeapStorageMemory())
+    }
 
   /** Cancel every active job in group `name` (no-op if none). */
   def cancel(spark: SparkSession, name: String): Unit =

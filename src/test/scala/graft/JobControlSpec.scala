@@ -40,6 +40,10 @@ class JobControlSpec extends AnyFunSuite {
     assert(p.activeJobs > 0, "query never started")
     assert(p.tasksTotal > 0, s"progress should see the stage's tasks: $p")
     assert(p.fractionDone < 1.0)
+    // the running query is listed (the client's list_jobs analog), and
+    // the executor snapshot sees its running tasks
+    assert(Monitoring.activeQueries(spark).exists(_.name == "slow_query"))
+    assert(Monitoring.executors(spark).nonEmpty)
 
     val t0 = System.nanoTime()
     Monitoring.cancel(spark, "slow_query")
@@ -52,6 +56,8 @@ class JobControlSpec extends AnyFunSuite {
 
     // the session survives a cancelled group: later queries run normally
     assert(spark.range(100).count() == 100L)
+    // ...and the cancelled query has left the active list
+    assert(!Monitoring.activeQueries(spark).exists(_.name == "slow_query"))
   }
 
   test("progress of an unknown group is empty, not an error") {
