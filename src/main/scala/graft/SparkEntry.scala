@@ -162,6 +162,7 @@ object SparkEntry {
     "q_window_rank"      -> (Relational.qWindowRank _),
     "q_window_running"   -> (Relational.qWindowRunning _),
     "q_rollup"           -> (Relational.qRollup _),
+    "q_cube"             -> (Relational.qCube _),
     "q_topk"             -> (Relational.qTopK _),
     "q_union"            -> (Relational.qUnion _),
     "q_scalar_subquery"  -> (Relational.qScalarSubquery _),
@@ -257,6 +258,11 @@ object SparkEntry {
         |  cast(sum(cast(l_quantity AS decimal(18,4))) AS double) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity AS decimal(18,4))) AS double) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin,

@@ -159,6 +159,18 @@ object Relational {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
 
+  /** CUBE over the same keys — all four grouping sets in one pass
+    * (rollup's prefix sets plus the per-linestatus marginals), the
+    * remaining member of the grouping-sets family. Same partial-agg'd
+    * Expand plan as rollup: one scan, one shuffle.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
   /** Global top-k — compiles to TakeOrderedAndProject (per-partition
     * top-k then merge on the driver; never a full sort).
     */
