@@ -356,6 +356,78 @@ object Dedup {
       .join(nearDrops, Seq("doc_id"), "left_anti")
   }
 
+  // ---- Persisted dedup index -----------------------------------------------
+
+  /** Build and persist the dedup index of a reference corpus at `path`
+    * — the continuous-ingestion form of [[incremental]]'s reference
+    * side: content fingerprints under `path/fingerprints`, LSH band
+    * rows (with signatures, for the agreement filter) under
+    * `path/bands`, and (k, bands) under `path/params` so a batch can
+    * never probe with a mismatched hash family. The reference corpus
+    * is scanned and signed ONCE at build time; every later batch signs
+    * only itself — at a 100 TB reference that converts the per-batch
+    * cost from O(reference) to O(batch).
+    */
+  def buildMinhashIndex(reference: DataFrame, idCol: String, textCol: String,
+                        path: String, k: Int = 16, bands: Int = 8): Unit = {
+    val rows = k / bands
+    require(rows * bands == k)
+    reference.select(md5(col(textCol).cast("binary")).as("fp")).distinct()
+      .write.mode("overwrite").parquet(s"$path/fingerprints")
+    bandRows(minhashSignatures(reference, idCol, textCol, k), bands, rows)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    import reference.sparkSession.implicits._
+    Seq((k, bands)).toDF("k", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Extend a persisted dedup index with new documents (e.g. the
+    * survivors of the batch just admitted) using the INDEX's stored
+    * parameters. Appends only — no existing row is touched.
+    */
+  def appendToMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
+                           path: String): Unit = {
+    val spark = docs.sparkSession
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    val (k, bands) = (p.getInt(0), p.getInt(1))
+    docs.select(md5(col(textCol).cast("binary")).as("fp")).distinct()
+      .write.mode("append").parquet(s"$path/fingerprints")
+    bandRows(minhashSignatures(docs, idCol, textCol, k), bands, k / bands)
+      .write.mode("append").parquet(s"$path/bands")
+  }
+
+  /** [[incremental]] against a persisted index: same survivors, but the
+    * reference side comes from the prebuilt fingerprint and band tables
+    * — only the BATCH is fingerprinted and signed. Equality with the
+    * two-corpus form is spec-pinned.
+    */
+  def incrementalIndexed(batch: DataFrame, path: String, idCol: String,
+                         textCol: String, minEst: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    val (k, bands) = (p.getInt(0), p.getInt(1))
+    val refFp = spark.read.parquet(s"$path/fingerprints")
+      .select(col("fp").as("__fp"))
+    val exactKept = materialize(batch
+      .withColumn("__fp", md5(col(textCol).cast("binary")))
+      .join(refFp, Seq("__fp"), "left_anti")
+      .select(col(idCol), col(textCol)))
+    val minAgree = math.ceil(minEst * k).toInt
+    val bBands = bandRows(minhashSignatures(exactKept, idCol, textCol, k), bands, k / bands)
+    val rBands = spark.read.parquet(s"$path/bands")
+    val nearDrops = bBands.as("x")
+      .join(rBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("doc_id"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .filter(aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+        >= lit(minAgree))
+      .select(col("doc_id")).distinct()
+    exactKept.select(col(idCol).as("doc_id"))
+      .join(nearDrops, Seq("doc_id"), "left_anti")
+  }
+
   /** C4: exact n-gram Jaccard on a deterministic sample (quadratic
     * verifier — the LSH above is the scale path; this one is for
     * candidate verification / evaluation).

@@ -125,6 +125,22 @@ class CurationSpec extends AnyFunSuite {
     assert(mustDrop.join(kept, Seq("doc_id"), "left_semi").count() == 0)
   }
 
+  test("indexed incremental dedup equals the two-corpus form; append closes the loop") {
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val reference = docs.filter(col("doc_id") % 3 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedupidx").toString
+    graft.operators.Dedup.buildMinhashIndex(reference, "doc_id", "text", dir)
+    val got = graft.operators.Dedup.incrementalIndexed(batch, dir, "doc_id", "text")
+    val want = graft.operators.Dedup.incremental(batch, reference, "doc_id", "text")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // ingest the batch into the index; replaying the same batch must now
+    // drop every doc as an exact duplicate of the indexed corpus
+    graft.operators.Dedup.appendToMinhashIndex(batch, "doc_id", "text", dir)
+    assert(graft.operators.Dedup.incrementalIndexed(batch, dir, "doc_id", "text").count() == 0)
+  }
+
   test("curation pipeline equals its step-by-step composition") {
     import graft.operators.{Dedup, TextAnalysis}
     val docs = Tables.documents(spark, sf)
