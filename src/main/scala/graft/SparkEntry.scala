@@ -498,6 +498,8 @@ object SparkEntry {
       Curation.heavyHittersCms(Tables.documents(s, d), "text")),
     "corpus_shuffle" -> ((s, d) =>
       Curation.shuffleOrder(Tables.documents(s, d), "doc_id")),
+    "source_overlap" -> ((s, d) =>
+      Curation.sourceOverlap(Tables.documents(s, d), "text", "source")),
     "corpus_token_budget" -> ((s, d) =>
       Curation.tokenBudgetSample(Tables.documents(s, d), "doc_id", "text",
         "source", 500L)),
@@ -733,6 +735,18 @@ object SparkEntry {
          |  FROM top, range(0, 4) t(r))
          |SELECT token, cnt, min(c) AS cms_est
          |FROM probes JOIN cells USING (r, cell) GROUP BY token, cnt""".stripMargin,
+    "source_overlap" ->
+      s"""WITH ex AS (SELECT DISTINCT source,
+         |    cast('0x' || substr(md5(s), 1, 12) as bigint) AS gk
+         |  FROM (SELECT source, unnest(${TextFunctions.shinglesSql("tokens", 3)}) AS s
+         |        FROM (SELECT source, $tok AS tokens FROM documents))),
+         |inter AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS shared_grams
+         |  FROM ex x JOIN ex y ON x.gk = y.gk AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT source, count(*) AS n_grams FROM ex GROUP BY 1)
+         |SELECT src_a, src_b, shared_grams,
+         |  cast(shared_grams AS double) / (sa.n_grams + sb.n_grams - shared_grams) AS gram_jaccard
+         |FROM inter JOIN sizes sa ON sa.source = src_a JOIN sizes sb ON sb.source = src_b""".stripMargin,
     "corpus_shuffle" ->
       s"""SELECT doc_id,
          |  cast(row_number() OVER (

@@ -86,6 +86,39 @@ object Curation {
       .select(col(idCol), col(strataCol), col("n_tokens"))
   }
 
+  /** Cross-source overlap matrix: for every pair of sources, the count
+    * of distinct word `n`-grams they share and the gram-set Jaccard —
+    * the inter-source duplication audit run before mixing corpora
+    * (e.g. how much of a web crawl already lives in a curated set).
+    *
+    * Scale shape: one scan to distinct (source, gram-hash) pairs
+    * (materialized — it feeds the pair self-join AND the per-source
+    * size aggregation), then a gram-keyed equi-join whose fan-out is
+    * bounded by sources² per gram (sources are a fixed handful, so
+    * never a pair explosion), grouped down to one row per source pair.
+    */
+  def sourceOverlap(docs: DataFrame, textCol: String, srcCol: String,
+                    n: Int = 3): DataFrame = {
+    val ex = docs
+      .select(col(srcCol).as("source"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("source"), explode(TextFunctions.shingles(col("toks"), n)).as("s"))
+      .select(col("source"),
+        conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("gk"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val inter = ex.as("x").join(ex.as("y"),
+        col("x.gk") === col("y.gk") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    val sizes = ex.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("source" -> "src_a", "n_grams" -> "na")), Seq("src_a"))
+      .join(sizes.withColumnsRenamed(Map("source" -> "src_b", "n_grams" -> "nb")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("shared_grams"),
+        (col("shared_grams").cast("double")
+          / (col("na") + col("nb") - col("shared_grams"))).as("gram_jaccard"))
+  }
+
   /** Benchmark decontamination: for each training document, count the
     * distinct word `n`-grams it shares with any document of the
     * `benchmark` (evaluation) set — the overlap check run before

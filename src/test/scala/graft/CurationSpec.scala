@@ -125,6 +125,20 @@ class CurationSpec extends AnyFunSuite {
     assert(mustDrop.join(kept, Seq("doc_id"), "left_semi").count() == 0)
   }
 
+  test("source overlap: identical sources score jaccard 1, disjoint pairs emit no row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s1"),
+      (2L, "alpha beta gamma delta epsilon", "s2"), // s2 ≡ s1
+      (3L, "one two three four five six", "s3")     // disjoint vocabulary
+    ).toDF("doc_id", "text", "source")
+    val o = Curation.sourceOverlap(docs, "text", "source").collect()
+    assert(o.length == 1, s"only the (s1,s2) pair shares grams: ${o.toSeq}")
+    val r = o(0)
+    assert(r.getString(0) == "s1" && r.getString(1) == "s2")
+    assert(r.getDouble(3) == 1.0)
+  }
+
   test("indexed incremental dedup equals the two-corpus form; append closes the loop") {
     val docs = Tables.documents(spark, sf)
     val batch = docs.filter(col("doc_id") % 3 === 0)
