@@ -128,6 +128,18 @@ class PlanAuditSpec extends AnyFunSuite {
     auditMaterializedSelfJoin("ngram_jaccard", 4)
   }
 
+  test("source_overlap: gram table materialized, shingle pipeline runs once") {
+    auditMaterializedSelfJoin("source_overlap", 4)
+  }
+
+  test("corpus_token_budget: one stratum-window shuffle, no join") {
+    val plan = SparkEntry.queries("corpus_token_budget")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).length == 1,
+      s"token budget should shuffle once (by stratum):\n$plan")
+    assert(!plan.contains("Join"), s"token budget must not join:\n$plan")
+  }
+
   test("q_hopping_window: generator expansion feeds ONE partial-agg shuffle") {
     val plan = Relational.qHoppingWindow(spark, sf)
       .queryExecution.executedPlan.toString
