@@ -108,6 +108,8 @@ class EdgeCaseSpec extends AnyFunSuite {
   test("shuffle and token-budget sampling degrade cleanly on empty/tiny input") {
     import org.apache.spark.sql.functions._
     assert(Curation.shuffleOrder(empty, "doc_id").count() == 0)
+    assert(Curation.sourceOverlap(
+      empty.withColumn("source", lit("s")), "text", "source").count() == 0)
     val one = docsOf((7L, "just one document here"))
       .withColumn("source", lit("s"))
     val sh = Curation.shuffleOrder(one, "doc_id").collect()
