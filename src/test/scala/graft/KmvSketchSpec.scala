@@ -25,6 +25,24 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(out == 40)
   }
 
+  test("all-NULL group yields an empty sketch; NULL quantiles; droppable for oracle parity") {
+    registered()
+    // group "b" has only NULL values — its sketch must be empty (not a
+    // crash), sampleMedian/sampleQuantile on it must be NULL, and the
+    // size-filter the oracle-checked queries apply must drop the group
+    val df = Seq(("a", Option(1.0), 1L), ("a", Option(3.0), 2L),
+      ("b", Option.empty[Double], 3L)).toDF("g", "v", "id")
+    val eh = PortableHash.portableHash(col("id"))
+    val agg = df.groupBy(col("g")).agg(Sketches.kminBy(eh, col("v"), 8).as("s"))
+    val rows = agg.select(col("g"), size(col("s")).as("n"),
+        Sketches.sampleMedian(col("s")).as("med"),
+        Sketches.sampleQuantile(col("s"), 0.25).as("q"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("b").getInt(1) == 0 && rows("b").isNullAt(2) && rows("b").isNullAt(3))
+    assert(rows("a").getInt(1) == 2 && rows("a").getDouble(2) == 2.0)
+    assert(agg.filter(size(col("s")) > 0).count() == 1)
+  }
+
   test("kmv estimate within 40% of 10k distincts at k=64") {
     registered()
     val df = (1 to 10000).toDF("v")
