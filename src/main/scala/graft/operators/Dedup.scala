@@ -368,13 +368,24 @@ object Dedup {
     * only itself — at a 100 TB reference that converts the per-batch
     * cost from O(reference) to O(batch).
     */
+  /** Index layout is NORMALIZED: the k-long signature is stored once
+    * per doc under `signatures`, and `bands` carries only (doc_id,
+    * band, bkey) — storing the signature inside every band row would
+    * multiply the index by the band count (≈1 KB/doc at k=16×8: an
+    * index rivaling the corpus at 100 TB). Probes join candidates on
+    * ids and fetch signatures once, the same ids-only-shuffle shape
+    * the ANN side uses for vectors.
+    */
   def buildMinhashIndex(reference: DataFrame, idCol: String, textCol: String,
                         path: String, k: Int = 16, bands: Int = 8): Unit = {
     val rows = k / bands
     require(rows * bands == k)
     reference.select(md5(col(textCol).cast("binary")).as("fp")).distinct()
       .write.mode("overwrite").parquet(s"$path/fingerprints")
-    bandRows(minhashSignatures(reference, idCol, textCol, k), bands, rows)
+    val sigs = minhashSignatures(reference, idCol, textCol, k)
+      .localCheckpoint(eager = false) // feeds both writes: sign once
+    sigs.write.mode("overwrite").parquet(s"$path/signatures")
+    bandRows(sigs, bands, rows).select(col("doc_id"), col("band"), col("bkey"))
       .write.mode("overwrite").parquet(s"$path/bands")
     import reference.sparkSession.implicits._
     Seq((k, bands)).toDF("k", "bands")
@@ -392,7 +403,10 @@ object Dedup {
     val (k, bands) = (p.getInt(0), p.getInt(1))
     docs.select(md5(col(textCol).cast("binary")).as("fp")).distinct()
       .write.mode("append").parquet(s"$path/fingerprints")
-    bandRows(minhashSignatures(docs, idCol, textCol, k), bands, k / bands)
+    val sigs = minhashSignatures(docs, idCol, textCol, k)
+      .localCheckpoint(eager = false)
+    sigs.write.mode("append").parquet(s"$path/signatures")
+    bandRows(sigs, bands, k / bands).select(col("doc_id"), col("band"), col("bkey"))
       .write.mode("append").parquet(s"$path/bands")
   }
 
@@ -413,13 +427,23 @@ object Dedup {
       .join(refFp, Seq("__fp"), "left_anti")
       .select(col(idCol), col(textCol)))
     val minAgree = math.ceil(minEst * k).toInt
-    val bBands = bandRows(minhashSignatures(exactKept, idCol, textCol, k), bands, k / bands)
+    // batch signatures feed the band build AND the agreement filter
+    val bSigs = materialize(minhashSignatures(exactKept, idCol, textCol, k))
+    val bBands = bandRows(bSigs, bands, k / bands)
+      .select(col("doc_id"), col("band"), col("bkey"))
     val rBands = spark.read.parquet(s"$path/bands")
-    val nearDrops = bBands.as("x")
+    // candidate pairs are ids only (deduped across bands BEFORE the
+    // signature fetch, so each pair's agreement is evaluated once)
+    val candIds = bBands.as("x")
       .join(rBands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
-      .select(col("x.doc_id").as("doc_id"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("ref_id"))
+      .distinct()
+    val rSigs = spark.read.parquet(s"$path/signatures")
+      .select(col("doc_id").as("ref_id"), col("sig").as("sig_b"))
+    val nearDrops = candIds
+      .join(bSigs.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
+      .join(rSigs, Seq("ref_id"))
       .filter(aggregate(zip_with(col("sig_a"), col("sig_b"),
         (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
         >= lit(minAgree))
