@@ -106,7 +106,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
     "mr_distributed_sort" ->
       """SELECT event_id, value,
-        |  cast(row_number() OVER (ORDER BY value DESC, event_id) AS integer) AS pos
+        |  row_number() OVER (ORDER BY value DESC, event_id) AS pos
         |FROM events""".stripMargin,
     "mr_combiner_agg" ->
       """SELECT user_id,
@@ -749,9 +749,8 @@ object SparkEntry {
          |FROM inter JOIN sizes sa ON sa.source = src_a JOIN sizes sb ON sb.source = src_b""".stripMargin,
     "corpus_shuffle" ->
       s"""SELECT doc_id,
-         |  cast(row_number() OVER (
-         |    ORDER BY ${ph("concat('shuffle|', cast(doc_id AS varchar))")}, doc_id)
-         |    AS integer) AS pos
+         |  row_number() OVER (
+         |    ORDER BY ${ph("concat('shuffle|', cast(doc_id AS varchar))")}, doc_id) AS pos
          |FROM documents""".stripMargin,
     "corpus_token_budget" ->
       s"""SELECT doc_id, source, n_tokens FROM (

@@ -97,11 +97,13 @@ object MapReduceOps {
     */
   def distributedSort(df: DataFrame, ord: Seq[Column], out: Seq[Column]): DataFrame = {
     val sorted = df.select(out: _*).orderBy(ord: _*)
+    // positions are LONG: an int position overflows past 2^31 rows,
+    // which a 100 TB sort crosses early
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
-        org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, false))
+        org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType, false))
     val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1).toInt)
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
     }
     sorted.sparkSession.createDataFrame(rdd, schema)
   }

@@ -36,7 +36,7 @@ class CurationSpec extends AnyFunSuite {
     assert(a.count() == n)
     // positions are exactly 1..N, each once
     assert(a.agg(min(col("pos")), max(col("pos")), countDistinct(col("pos")))
-      .collect()(0).toSeq == Seq(1, n.toInt, n))
+      .collect()(0).toSeq == Seq(1L, n, n))
     // reproducible: a rerun assigns identical positions
     val b = Curation.shuffleOrder(docs, "doc_id")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)

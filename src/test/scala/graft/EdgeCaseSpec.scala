@@ -113,7 +113,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     val one = docsOf((7L, "just one document here"))
       .withColumn("source", lit("s"))
     val sh = Curation.shuffleOrder(one, "doc_id").collect()
-    assert(sh.length == 1 && sh(0).getInt(1) == 1)
+    assert(sh.length == 1 && sh(0).getLong(1) == 1L)
     // a doc bigger than the whole budget is still kept (greedy contract:
     // tokens-before = 0 < budget)
     val tb = Curation.tokenBudgetSample(one, "doc_id", "text", "source", 1L).collect()
