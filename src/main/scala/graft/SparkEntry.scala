@@ -116,7 +116,7 @@ object SparkEntry {
     "mr_secondary_sort" ->
       """SELECT user_id,
         |  array_to_string(list(cast(event_id AS varchar) ORDER BY ts, event_id)[1:5], ',') AS first_values,
-        |  cast(count(*) AS integer) AS n_values
+        |  count(*) AS n_values
         |FROM events GROUP BY user_id""".stripMargin,
     // whitespace tokenization is line-break agnostic, so tokens over the
     // whole file (read_text) equal Spark's per-line tokens exactly

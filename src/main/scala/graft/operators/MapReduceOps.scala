@@ -124,8 +124,9 @@ object MapReduceOps {
     */
   def secondarySort(df: DataFrame, keyCol: String, ordCol: String,
                     valCol: String, take: Int): DataFrame = {
+    // long, not int: a per-key value count is unbounded at corpus scale
     val counts = df.groupBy(col(keyCol))
-      .agg(count(lit(1)).cast("int").as("n_values"))
+      .agg(count(lit(1)).as("n_values"))
     val firstK = graft.plans.TopK.perKey(
       df.select(col(keyCol), col(ordCol), col(valCol)),
       Seq(keyCol), Seq(ordCol, valCol), take, descending = false)
