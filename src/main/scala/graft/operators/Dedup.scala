@@ -395,6 +395,12 @@ object Dedup {
   /** Extend a persisted dedup index with new documents (e.g. the
     * survivors of the batch just admitted) using the INDEX's stored
     * parameters. Appends only — no existing row is touched.
+    *
+    * Crash semantics: the three appends are separate jobs. Any partial
+    * or replayed state here is BENIGN for dedup correctness — extra
+    * fingerprints only strengthen exact dedup, and duplicate
+    * band/signature rows collapse in the probe's distinct steps — so a
+    * failed append may simply be retried.
     */
   def appendToMinhashIndex(docs: DataFrame, idCol: String, textCol: String,
                            path: String): Unit = {

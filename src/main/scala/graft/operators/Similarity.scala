@@ -408,6 +408,14 @@ object Similarity {
     * appended to the existing tables. No existing row is touched, so
     * appends are cheap at any index size; callers dedup the batch
     * first ([[graft.operators.Dedup.incremental]]) if ids may repeat.
+    *
+    * Crash semantics: the two appends are separate jobs, not one
+    * transaction. A crash between them leaves bucket rows without
+    * vectors — benign (the probe's inner vector join drops them) — but
+    * REPLAYING a partially-failed append duplicates rows, and
+    * duplicated vector rows surface as repeated neighbors in probe
+    * top-k. After a mid-append failure, rebuild the index (or append
+    * the batch under fresh ids); don't blind-retry.
     */
   def appendToLshIndex(emb: DataFrame, idCol: String, vecCol: String,
                        path: String): Unit = {
