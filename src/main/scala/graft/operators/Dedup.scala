@@ -238,9 +238,13 @@ object Dedup {
     // reshuffles the edge set again. Labels likewise live partitioned
     // on doc_id, co-partitioned with the edge join and the neighbor-min
     // aggregation output.
+    // No distinct needed on the union: minhashLsh pairs are unique with
+    // doc_a < doc_b, so the forward branch (a<b) and the reversed one
+    // (a>b) are disjoint — a distinct here would be one full extra
+    // shuffle of the edge set for nothing.
     val bidir = edges
       .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .distinct().repartition(col("doc_b")).localCheckpoint()
+      .repartition(col("doc_b")).localCheckpoint()
     var labels = bidir.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .repartition(col("doc_id")).localCheckpoint()
