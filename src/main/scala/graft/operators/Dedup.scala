@@ -305,10 +305,12 @@ object Dedup {
     val exactSurvivors = materialize(exact(docs, idCol, textCol)
       .select(col("survivor_id").as("__sid")))
     val kept = docs.join(exactSurvivors, col(idCol) === col("__sid"), "left_semi")
+    // no distinct before the anti-join: anti-join semantics ignore
+    // right-side duplicates, and the distinct would be one extra
+    // shuffle of the drop set
     val drops = minhashLsh(kept, idCol, textCol)
       .filter(col("est_jaccard") >= minEst)
       .select(col("doc_b").as("__drop"))
-      .distinct()
     kept.select(col(idCol).as("doc_id"))
       .join(drops, col("doc_id") === col("__drop"), "left_anti")
   }
@@ -331,8 +333,11 @@ object Dedup {
                   k: Int = 16, bands: Int = 8): DataFrame = {
     val rows = k / bands
     require(rows * bands == k)
+    // no distinct on the digest set: the anti-join below tolerates
+    // duplicates, and a distinct would add a full shuffle of the
+    // reference digests before the join's own shuffle
     val refFp = reference
-      .select(md5(col(textCol).cast("binary")).as("__fp")).distinct()
+      .select(md5(col(textCol).cast("binary")).as("__fp"))
     // Materialized: the exact-kept batch feeds both the signature build
     // and the final survivor anti-join — without the cut the batch scan
     // + digest anti-join runs twice. Persisting batch text is fine
@@ -355,7 +360,7 @@ object Dedup {
       .filter(aggregate(zip_with(col("sig_a"), col("sig_b"),
         (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
         >= lit(minAgree))
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id")) // anti-join below tolerates duplicates
     exactKept.select(col(idCol).as("doc_id"))
       .join(nearDrops, Seq("doc_id"), "left_anti")
   }
@@ -457,7 +462,7 @@ object Dedup {
       .filter(aggregate(zip_with(col("sig_a"), col("sig_b"),
         (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
         >= lit(minAgree))
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id")) // anti-join below tolerates duplicates
     exactKept.select(col(idCol).as("doc_id"))
       .join(nearDrops, Seq("doc_id"), "left_anti")
   }
