@@ -184,9 +184,15 @@ object Curation {
   def curationPipeline(docs: DataFrame, idCol: String, textCol: String,
                        strataCol: String, minQuality: Double = 0.9,
                        minEst: Double = 0.5, quota: Int = 10): DataFrame = {
+    // Materialized (ids only): gdocs is consumed three times inside
+    // corpusDedup (fingerprints, signatures, final ids) — without the
+    // cut the quality-scoring pipeline (a full tokenize per doc) would
+    // re-run on every consumption. With it, each re-use is a pruned
+    // parquet scan + a semi-join against the persisted id set.
     val good = TextAnalysis.quality(docs, idCol, textCol)
       .filter(col("quality_score") >= minQuality)
       .select(col("doc_id").as("__gid"))
+      .localCheckpoint(eager = false)
     val gdocs = docs.join(good, col(idCol) === col("__gid"), "left_semi")
     val survivors = Dedup.corpusDedup(gdocs, idCol, textCol, minEst)
       .select(col("doc_id").as("__sid"))
