@@ -503,6 +503,12 @@ object SparkEntry {
     "corpus_token_budget" -> ((s, d) =>
       Curation.tokenBudgetSample(Tables.documents(s, d), "doc_id", "text",
         "source", 500L)),
+    "tfidf_topterms" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", 5)),
+    "collocations" -> ((s, d) =>
+      TextAnalysis.collocations(Tables.documents(s, d), "text", 5, 50)),
+    "knn_join" -> ((s, d) =>
+      Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", 3)),
   )
 
   private def ph(expr: String): String =
@@ -930,6 +936,45 @@ object SparkEntry {
          |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE est_jaccard >= 0.5)
          |SELECT k.doc_id FROM kept k
          |WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = k.doc_id)""".stripMargin,
+    "tfidf_topterms" ->
+      s"""WITH pairs AS (SELECT doc_id, word AS token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($tok) AS word FROM documents) GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*) AS df FROM pairs GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, token, tf, df,
+         |    round(cast(tf * n_docs AS double) / df, 6) AS score
+         |  FROM pairs JOIN dfreq USING (token) CROSS JOIN n)
+         |SELECT doc_id, token, tf, df, score FROM (
+         |  SELECT doc_id, token, tf, df, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+         |  FROM scored) WHERE rnk <= 5""".stripMargin,
+    "collocations" ->
+      s"""WITH terms AS (SELECT unnest(list_concat(t, ${TextFunctions.shinglesSql("t", 2)})) AS term
+         |  FROM (SELECT $tok AS t FROM documents)),
+         |counts AS (SELECT term, count(*) AS cnt FROM terms GROUP BY 1),
+         |uni AS (SELECT term, cnt FROM counts WHERE NOT contains(term, ' ')),
+         |big AS (SELECT string_split(term, ' ')[1] AS w1, string_split(term, ' ')[2] AS w2,
+         |    cnt AS n_pair FROM counts WHERE contains(term, ' ')),
+         |t AS (SELECT cast(sum(cnt) AS bigint) AS total FROM uni)
+         |SELECT w1, w2, n_pair, u1.cnt AS n_w1, u2.cnt AS n_w2,
+         |  round((cast(n_pair AS double) * cast(total AS double))
+         |    / (cast(u1.cnt AS double) * cast(u2.cnt AS double)), 6) AS score
+         |FROM big JOIN uni u1 ON w1 = u1.term JOIN uni u2 ON w2 = u2.term CROSS JOIN t
+         |WHERE n_pair >= 5
+         |ORDER BY score DESC, w1, w2 LIMIT 50""".stripMargin,
+    "knn_join" ->
+      s"""WITH ${lshBucketsCte()},
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS neighbor_id
+         |  FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+         |    AND a.vec_id <> b.vec_id),
+         |scored AS (SELECT c.vec_id, c.neighbor_id,
+         |    round(${cosSql("x.embedding", "y.embedding")}, 6) AS score
+         |  FROM cand c JOIN embeddings x ON x.vec_id = c.vec_id
+         |  JOIN embeddings y ON y.vec_id = c.neighbor_id)
+         |SELECT vec_id, neighbor_id, score FROM (
+         |  SELECT vec_id, neighbor_id, score,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM scored) WHERE rnk <= 3""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

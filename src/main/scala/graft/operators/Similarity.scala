@@ -378,6 +378,43 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** C35: the k-NN SELF-JOIN — every vector's top-`k` nearest neighbors
+    * (not a probe batch's), the building block of semantic near-dup
+    * clustering and diversity scoring over a whole corpus. Candidates
+    * come from the same multi-table LSH bucketing as [[knnLsh]]; a
+    * vector's neighbors are ranked among its bucket-mates only, so a
+    * sparse-bucket vector may return fewer than `k` rows (the standard
+    * ANN contract — raise `nTables` for recall).
+    *
+    * Scale shape: the bucket table is computed once (materialized — both
+    * self-join sides read it), candidate pairs are deduplicated on ids
+    * alone, ONE vector copy per side is re-joined for the exact cosine,
+    * and the per-vector top-k runs through the custom TopKPerKey
+    * operator — the final shuffle carries O(vectors × k) rows, never
+    * the full candidate fan-out, and nothing is ever all-pairs.
+    */
+  def knnJoin(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+              nPlanes: Int = 5, nTables: Int = 8, dims: Int = 64): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val bucketed = lshBucketed(emb, idCol, vecCol, nPlanes, nTables, dims)
+    val a = bucketed.select(col("id").as("vec_id"), col("table"), col("bucket"))
+    val b = bucketed.select(col("id").as("neighbor_id"), col("table"), col("bucket"))
+    val cand = a.join(b, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"))
+      .distinct() // union across tables, ids only
+    val va = emb.select(col(idCol).as("vec_id"), col(vecCol).as("va"))
+    val vb = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("vb"))
+    val scored = cand.join(va, Seq("vec_id")).join(vb, Seq("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        round(VectorFunctions.cosineNative(col("va"), col("vb")), 6).as("score"))
+    // TopKPerKey sorts one direction: descending score = ascending
+    // negated score, with the ascending neighbor-id tie-break beside it
+    graft.plans.TopK.perKey(scored.withColumn("__neg", -col("score")),
+        Seq("vec_id"), Seq("__neg", "neighbor_id"), k, descending = false)
+      .select(col("vec_id"), col("neighbor_id"), col("score"))
+  }
+
   // ---- Persisted ANN index -------------------------------------------------
 
   /** Build and persist the LSH index for `emb` at `path` — the

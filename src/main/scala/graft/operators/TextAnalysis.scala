@@ -114,4 +114,80 @@ object TextAnalysis {
       md5(normalized.cast("binary")).as("fingerprint"))
       .withColumn("bucket", substring(col("fingerprint"), 1, 2))
   }
+
+  /** C33: per-document characteristic terms — each doc's top `k` tokens
+    * by tf·idf with a LINEAR idf ratio (`tf × N ∕ df`): ranking by
+    * `tf ∕ df` is what tf-idf contributes inside one document (N is
+    * constant), and staying log-free keeps the score a pure
+    * multiply/divide both engines round identically (transcendental
+    * `ln` is not bit-portable across libm implementations).
+    *
+    * Scale shape: the (doc, token, tf) table is ONE corpus scan + one
+    * (doc, token) partial-agg shuffle, then MATERIALIZED — it feeds both
+    * the document-frequency aggregation and the scoring join, and
+    * without the cut the tokenize+explode pipeline would run twice. The
+    * df side is vocabulary-sized and joins on the token key (a shuffle
+    * join — vocabulary grows with the corpus, so no broadcast hint);
+    * the per-doc top-k runs through the custom TopKPerKey operator, so
+    * the final shuffle carries O(docs × k) rows, not every (doc, token)
+    * pair.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfreq = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val scored = pairs.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs)) // one row — the N scalar
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round((col("tf") * col("__n")).cast("double") / col("df"), 6).as("score"))
+    // TopKPerKey sorts one direction, so descending score rides a
+    // negated copy with the ascending token tie-break beside it
+    graft.plans.TopK.perKey(scored.withColumn("__neg", -col("score")),
+        Seq("doc_id"), Seq("__neg", "token"), k, descending = false)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"))
+  }
+
+  /** C34: corpus-level collocation mining — the top `topN` word bigrams
+    * by LIFT, `P(w1 w2) ∕ (P(w1)·P(w2))` = `n_pair × T ∕ (n_w1 × n_w2)`
+    * (T = total tokens). Lift is a monotone transform of PMI
+    * (`PMI = log lift`), so the ranking is the PMI ranking without the
+    * non-portable logarithm. `minCount` floors the pair support (rare
+    * co-occurrences have unreliable lift).
+    *
+    * Scale shape: unigrams and bigrams are counted in ONE corpus scan —
+    * `explode(tokens ++ shingles2)` (a bigram contains a space, a token
+    * never does, so one term column carries both) — into a single
+    * vocabulary-sized count table, MATERIALIZED because it feeds four
+    * consumers (the bigram rows, both unigram joins, and the total-token
+    * scalar). The global top-N plans as TakeOrderedAndProject.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5,
+                   topN: Int = 50): DataFrame = {
+    val counts = docs
+      .select(tokens(col(textCol)).as("__t"))
+      .select(explode(concat(col("__t"), shingles(col("__t"), 2))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val uni = counts.filter(!col("term").contains(" "))
+    val big = counts.filter(col("term").contains(" "))
+      .select(split(col("term"), " ").getItem(0).as("w1"),
+        split(col("term"), " ").getItem(1).as("w2"),
+        col("cnt").as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val total = uni.agg(sum(col("cnt")).as("__t"))
+    big
+      .join(uni.select(col("term").as("w1"), col("cnt").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("cnt").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(total)) // one row — the T scalar
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        round((col("n_pair").cast("double") * col("__t").cast("double"))
+          / (col("n_w1").cast("double") * col("n_w2").cast("double")), 6).as("score"))
+      .orderBy(col("score").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
 }

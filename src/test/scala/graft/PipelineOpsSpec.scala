@@ -174,4 +174,70 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(p.forall(r => r.getLong(0) < r.getLong(1)))
     assert(p.forall(r => r.getDouble(2) >= 0.3))
   }
+
+  test("tfidf_topterms equals the row_number-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val got = graft.operators.TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val pairs = docs
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    val want = pairs.join(dfreq, "token")
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        round((col("tf") * lit(n)).cast("double") / col("df"), 6).as("score"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want)
+  }
+
+  test("tfidf: a doc-unique term outranks a corpus-wide term") {
+    val corpus = Seq(
+      (1L, "zebra zebra zebra common common"),
+      (2L, "common common filler words here"),
+      (3L, "common filler words again here")
+    ).toDF("doc_id", "text")
+    val top = graft.operators.TextAnalysis
+      .tfIdfTopTerms(corpus, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: zebra (tf=3, df=1, score 9.0) beats common (tf=2, df=3, 2.0)
+    assert(top(1L) == "zebra")
+  }
+
+  test("collocations: counts are exact and lift ranks the bound phrase first") {
+    // "quick fox" always co-occurs; its words appear nowhere else
+    val corpus = Seq(
+      (1L, "quick fox runs far today"),
+      (2L, "quick fox runs near today"),
+      (3L, "today runs far and near")
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.TextAnalysis
+      .collocations(corpus, "text", minCount = 2, topN = 10).collect()
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val (nPair, nW1, nW2, score) = byPair(("quick", "fox"))
+    assert(nPair == 2 && nW1 == 2 && nW2 == 2) // T = 15 tokens
+    assert(score == 7.5)
+    // exclusive phrase has the max lift; scores arrive ranked descending
+    assert(rows.head.getString(0) == "quick" && rows.head.getString(1) == "fox")
+    val scores = rows.map(_.getDouble(5))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("knn_join restricted to the probe ids equals knnLsh on the same params") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val got = Similarity.knnJoin(emb, "vec_id", "embedding", k = 5)
+      .filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = Similarity.knnLsh(emb, "vec_id", "embedding", nQueries = 10, k = 5)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
 }

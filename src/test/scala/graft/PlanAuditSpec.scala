@@ -140,6 +140,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"token budget must not join:\n$plan")
   }
 
+  test("tfidf_topterms: pair table materialized, tokenize runs once, TopKPerKey cut") {
+    val plan = SparkEntry.queries("tfidf_topterms")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the (doc, token, tf) table feeds the df aggregation AND the
+    // scoring join from one materialization; the only parquet scan left
+    // is the column-pruned count-star for the N scalar
+    val rddScans = "Scan ExistingRDD".r.findAllMatchIn(plan).length
+    val pqScans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(rddScans >= 2, s"tfidf: pair table not materialized:\n$plan")
+    assert(pqScans <= 1, s"tfidf: tokenize pipeline recomputed from source:\n$plan")
+    assert(plan.contains("TopKPerKey"), s"tfidf: per-doc cut should be TopKPerKey:\n$plan")
+  }
+
+  test("collocations: one count table feeds all four consumers, top-N is TOP") {
+    val plan = SparkEntry.queries("collocations")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val rddScans = "Scan ExistingRDD".r.findAllMatchIn(plan).length
+    assert(rddScans >= 4, s"collocations: count table not materialized:\n$plan")
+    assert(!plan.contains("Scan parquet"),
+      s"collocations: term pipeline recomputed from source:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"collocations: global top-N should plan as TOP:\n$plan")
+  }
+
+  test("knn_join: bucket table materialized, one vector copy per side, TopKPerKey cut") {
+    val plan = SparkEntry.queries("knn_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val rddScans = "Scan ExistingRDD".r.findAllMatchIn(plan).length
+    val pqScans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(rddScans >= 2, s"knn_join: bucket table not materialized:\n$plan")
+    assert(pqScans == 2, s"knn_join: expected exactly the two vector re-joins:\n$plan")
+    assert(plan.contains("TopKPerKey"), s"knn_join: per-vector cut should be TopKPerKey:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn_join must never be all-pairs:\n$plan")
+  }
+
   test("q_hopping_window: generator expansion feeds ONE partial-agg shuffle") {
     val plan = Relational.qHoppingWindow(spark, sf)
       .queryExecution.executedPlan.toString
