@@ -181,9 +181,12 @@ object SparkEntry {
     "q_portable_quantiles" -> (Relational.qPortableQuantiles _),
     "q_approx_stats_exact" -> (Relational.qApproxStatsExact _),
     "q_set_ops"          -> (Relational.qSetOps _),
+    "q4_order_priority"  -> (Relational.q4OrderPriority _),
     "q10_returned_items" -> (Relational.q10ReturnedItems _),
     "q14_promo_share"    -> (Relational.q14PromoShare _),
     "q18_large_orders"   -> (Relational.q18LargeOrders _),
+    "q19_disjunctive"    -> (Relational.q19Disjunctive _),
+    "q22_idle_customers" -> (Relational.q22IdleCustomers _),
     "q_topk_per_key"     -> ((s, d) =>
       graft.plans.TopK.perKey(
         Tables.events(s, d).select(col("user_id"), col("event_id"), col("value")),
@@ -335,6 +338,33 @@ object SparkEntry {
       """SELECT p_brand, p_partkey, p_retailprice FROM part p
         |WHERE p_retailprice = (
         |  SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT p_brand,
+        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2))) AS double) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+        |GROUP BY p_brand""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS n_custs,
+        |  cast(sum(cast(c_acctbal AS decimal(18,4))) AS double) AS total_bal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |    SELECT cast(sum(cast(c_acctbal AS decimal(18,4))) AS double) / count(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_mktsegment,
         |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2))) AS double) AS revenue,
@@ -509,6 +539,12 @@ object SparkEntry {
       TextAnalysis.collocations(Tables.documents(s, d), "text", 5, 50)),
     "knn_join" -> ((s, d) =>
       Similarity.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding", 3)),
+    "embedding_project" -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "embedding_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "dedup_pagerank" -> ((s, d) =>
+      operators.Graph.pagerankDocs(Tables.documents(s, d), "doc_id", "text")),
   )
 
   private def ph(expr: String): String =
@@ -977,6 +1013,12 @@ object SparkEntry {
          |  FROM scored) WHERE rnk <= 3""".stripMargin,
   )
 
+  private val cOracles2: Map[String, String] = Map(
+    "embedding_project" -> Similarity.randomProjectOracleSql(),
+    "embedding_quantize" -> Similarity.quantizeInt8OracleSql(),
+    "dedup_pagerank" -> operators.Graph.pagerankOracleSql(),
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     aQueries ++ bQueries ++ cQueries
@@ -988,5 +1030,5 @@ object SparkEntry {
     * HLL/percentile_approx sketches live only in ApproxSpec).
     */
   def oracleSql: Map[String, String] =
-    aOracles ++ bOracles ++ cOracles
+    aOracles ++ bOracles ++ cOracles ++ cOracles2
 }

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Iterative graph analytics over the near-duplicate graph.
+  *
+  * [[Dedup.dedupClusters]] answers "which docs form one duplicate
+  * component"; [[pagerank]] ranks WITHIN that graph — a doc's score
+  * grows with how centrally it sits in a dense duplication
+  * neighborhood, which is how a curation pipeline prioritizes template
+  * spam / boilerplate families for review (the most-central doc is the
+  * family's canonical exemplar).
+  *
+  * Scale shape (same as dedupClusters): the edge set is checkpointed
+  * ONCE, pre-partitioned on the join key, so no iteration reshuffles
+  * it; each round is one co-partitioned join + one partial-agg'd
+  * shuffle keyed on the destination vertex; driver traffic is zero
+  * (fixed iteration count — PageRank convergence is monotone enough
+  * that curation runs fix the budget up front).
+  *
+  * Determinism (DuckDB-oracle bit-parity): ranks live on a fixed-point
+  * integer grid (`scale` micro-units) and every update is integer
+  * arithmetic — `rank/outdeg` and the 0.85 damping both via integer
+  * division on non-negative values (truncation == floor, identical on
+  * both engines) — so results are bit-exact in any execution order.
+  */
+object Graph {
+
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+
+  /** Fixed-point PageRank over an undirected pair list (`doc_a`,
+    * `doc_b`; unique, doc_a < doc_b — [[Dedup.minhashLsh]]'s output
+    * contract). Returns (doc_id, rank_fp) where rank_fp is in `scale`
+    * micro-units (initial mass = `scale` per vertex; damping 0.85).
+    * Vertices outside any pair are not ranked — this is centrality of
+    * the duplication graph, not corpus membership.
+    */
+  def pagerank(pairs: DataFrame, iters: Int = 4,
+               scale: Long = 1000000L): DataFrame = {
+    // Symmetrize. No distinct: pairs are unique with doc_a < doc_b, so
+    // the forward and reversed branches are disjoint.
+    val bidir = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = bidir.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // Edges (with out-degree attached once) are the big reused side:
+    // checkpoint them pre-partitioned on src so every round's
+    // rank-distribution join is exchange-free on the edge side.
+    val edges = bidir.join(deg, Seq("src"))
+      .repartition(col("src")).localCheckpoint()
+    val verts = edges.select(col("src").as("doc_id")).distinct()
+      .repartition(col("doc_id")).localCheckpoint()
+    val base = 15L * scale / 100L // (1 - d) * scale, exact in longs
+    var ranks = verts.select(col("doc_id"), lit(scale).as("rank"))
+      .repartition(col("doc_id")).localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      // distribute: each vertex ships rank/outdeg to every neighbor
+      // (integer division — truncation == floor on non-negative ranks)
+      val sums = edges.join(ranks, edges("src") === ranks("doc_id"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      val prev = ranks
+      ranks = verts.join(sums, verts("doc_id") === sums("dst"), "left")
+        .select(col("doc_id"),
+          (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("rank"))
+        .repartition(col("doc_id")).localCheckpoint()
+      checkpointRdd(prev).foreach(_.unpersist(blocking = false))
+      it += 1
+    }
+    val out = ranks.select(col("doc_id"), col("rank").as("rank_fp"))
+    checkpointRdd(verts).foreach(_.unpersist(blocking = false))
+    checkpointRdd(edges).foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** C38: PageRank over the minhash-LSH near-duplicate graph (pairs
+    * with estimated Jaccard ≥ `minEst`) — the ranking twin of
+    * [[Dedup.dedupClusters]].
+    */
+  def pagerankDocs(docs: DataFrame, idCol: String, textCol: String,
+                   minEst: Double = 0.5, iters: Int = 4): DataFrame =
+    pagerank(
+      Dedup.minhashLsh(docs, idCol, textCol)
+        .filter(col("est_jaccard") >= minEst)
+        .select(col("doc_a"), col("doc_b")),
+      iters)
+
+  /** DuckDB twin of [[pagerankDocs]]: the same minhash-LSH pair CTE as
+    * the dedup_clusters oracle, then the rank recurrence unrolled one
+    * CTE per iteration with identical integer arithmetic.
+    */
+  def pagerankOracleSql(minEst: Double = 0.5, iters: Int = 4,
+                        scale: Long = 1000000L): String = {
+    val tok = TextFunctions.tokensSql("text")
+    val sh = TextFunctions.shinglesSql("tokens", 3)
+    val base = 15L * scale / 100L
+    val steps = (0 until iters).map { i =>
+      s"""r${i + 1} AS (SELECT v.doc_id,
+         |    cast($base + (85 * coalesce(s.m, 0)) // 100 AS bigint) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS doc_id, sum(r.rank // d.outdeg) AS m
+         |    FROM bidir e JOIN r$i r ON e.src = r.doc_id
+         |      JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) s ON v.doc_id = s.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents),
+       |sh AS (SELECT doc_id, $sh AS shingles FROM toks),
+       |hp AS (SELECT doc_id,
+       |    list_transform(shingles, s -> struct_pack(
+       |      h1 := cast('0x' || substr(md5(s), 1, 12) as bigint),
+       |      h2 := cast('0x' || substr(md5(s), 17, 12) as bigint))) AS hp
+       |  FROM sh),
+       |sig AS (SELECT doc_id,
+       |    list_transform(range(0, 16), i ->
+       |      list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS sig
+       |  FROM hp WHERE len(hp) >= 1),
+       |bands AS (SELECT doc_id, b,
+       |    cast('0x' || substr(md5(concat(b, '|', sig[2*b+1], ',', sig[2*b+2])), 1, 15) as bigint) AS bkey
+       |  FROM sig CROSS JOIN range(0, 8) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM cand
+       |  JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+       |  WHERE list_sum(list_transform(range(1, 17),
+       |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= $minEst),
+       |bidir AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |deg AS (SELECT src, count(*) AS outdeg FROM bidir GROUP BY src),
+       |verts AS (SELECT DISTINCT src AS doc_id FROM bidir),
+       |r0 AS (SELECT doc_id, cast($scale AS bigint) AS rank FROM verts),
+       |$steps
+       |SELECT doc_id, rank AS rank_fp FROM r$iters""".stripMargin
+  }
+}

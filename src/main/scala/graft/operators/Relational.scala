@@ -450,4 +450,72 @@ object Relational {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** TPC-H Q4-style order-priority check: orders from one quarter that
+    * had at least one LATE line (shipped ≥ 30 days after the order
+    * date), counted by priority. The correlated EXISTS is a left_semi
+    * join whose condition spans both tables — Spark plans it as an
+    * equi-join on the order key with the date comparison as a residual
+    * filter, so it shuffles on the key like any fact-fact join (no
+    * broadcast hint: lineitem grows with SF). The quarter filter is
+    * pushed into the orders parquet scan.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-04-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q19-style disjunctive-predicate join: three OR'd
+    * brand/size/quantity branches over lineitem⋈part. The join key is
+    * shared by every branch, so Catalyst keeps one equi-join with the
+    * disjunction as a residual — and pushes the derivable per-side
+    * bounds (p_size, l_quantity envelopes) down into both parquet
+    * scans. The revenue sum runs on decimal (order-independent).
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pt = Tables.part(spark, dir)
+    val rev = (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(8,2)"))
+    val branch1 = col("p_brand") === "Brand#3" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+    val branch2 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 35)
+    val branch3 = col("p_brand") === "Brand#21" &&
+      col("p_size").between(20, 50) && col("l_quantity").between(20, 50)
+    li.join(pt, col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .groupBy(col("p_brand"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22-style idle-customer report: customers whose balance is
+    * above the average POSITIVE balance and who have no orders, counted
+    * per nation. The global average is a scalar subquery (one-row
+    * broadcast), the "no orders" test a left_anti on the order key, and
+    * the final rollup a tiny per-nation aggregation — the whole query
+    * is two key shuffles regardless of scale.
+    */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))).as("a"))
+    cust.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("a"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("total_bal"))
+  }
 }

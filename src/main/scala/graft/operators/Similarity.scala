@@ -415,6 +415,89 @@ object Similarity {
       .select(col("vec_id"), col("neighbor_id"), col("score"))
   }
 
+  /** C36: deterministic random projection (Johnson–Lindenstrauss) of the
+    * embedding column onto `nOut` md5-derived hyperplanes — the standard
+    * dimensionality-reduction preprocessing before ANN indexing or
+    * clustering at 100 TB (shrinks every downstream shuffle and index by
+    * dims/nOut). Pure map-side: the planes are expression literals, each
+    * output component one codegen'd `graft_dot` — no join, no shuffle,
+    * no state (plan-guarded). Plane seeds live at offset 1000, a
+    * namespace disjoint from every LSH table's planes.
+    */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    nOut: Int = 8, dims: Int = 64): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val comps = (0 until nOut).map { j =>
+      round(call_function("graft_dot", col(vecCol),
+        typedLit(planeVec(1000 + j, dims).toSeq)), 6).as(s"p$j")
+    }
+    emb.select(col(idCol).as("vec_id") +: comps: _*)
+  }
+
+  /** DuckDB twin of [[randomProject]] — the same plane literals
+    * (Double.toString round-trips exactly) and the same left-to-right
+    * dot-product fold.
+    */
+  def randomProjectOracleSql(nOut: Int = 8, dims: Int = 64): String = {
+    val comps = (0 until nOut).map { j =>
+      val vec = planeVec(1000 + j, dims)
+        .map(java.lang.Double.toString).mkString("[", ",", "]")
+      s"round(${VectorFunctions.dotSql("embedding", vec)}, 6) AS p$j"
+    }
+    s"SELECT vec_id, ${comps.mkString(",\n  ")} FROM embeddings"
+  }
+
+  /** C37: int8 scalar quantization of the embedding column — the
+    * compression step a 100 TB vector store applies before indexing
+    * (4× smaller payloads through every shuffle and on disk). Per-vector
+    * max-abs scaling: `scale = max|v|/127`, `q_i = ⌊v_i/scale + 0.5⌋`
+    * (round-half-up, portable), zero vectors quantize to all-zero at
+    * scale 0. Emits the quantized payload (comma-joined — the exact
+    * bytes a store would write) plus the reconstruction MSE so quality
+    * is measured where the compression happens. Pure map-side: one
+    * projection, no shuffle (plan-guarded).
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val scale = maxAbs / lit(127.0)
+    val q = when(maxAbs === 0.0, transform(v, _ => lit(0L)))
+      .otherwise(transform(v, x => floor(x / scale + lit(0.5)).cast("long")))
+    val err = zip_with(v, q, (x, qi) => (x - qi * scale) * (x - qi * scale))
+    emb.select(col(idCol).as("vec_id"),
+        round(scale, 6).as("scale"),
+        concat_ws(",", transform(q, _.cast("string"))).as("qvec"),
+        round(aggregate(err, lit(0.0), (acc, e) => acc + e)
+          / greatest(size(v), lit(1)), 9).as("recon_mse"))
+  }
+
+  /** DuckDB twin of [[quantizeInt8]] — same double casts, same
+    * round-half-up, same left-to-right error fold.
+    */
+  def quantizeInt8OracleSql(): String =
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |scaled AS (
+       |  SELECT vec_id, v,
+       |    list_reduce(list_transform(v, x -> abs(x)),
+       |      (a, x) -> greatest(a, x)) AS maxabs
+       |  FROM base),
+       |qd AS (
+       |  SELECT vec_id, v, maxabs / 127.0 AS scale,
+       |    CASE WHEN maxabs = 0
+       |      THEN list_transform(v, x -> 0::BIGINT)
+       |      ELSE list_transform(v, x -> cast(floor(x / (maxabs / 127.0) + 0.5) AS bigint))
+       |    END AS q
+       |  FROM scaled)
+       |SELECT vec_id, round(scale, 6) AS scale,
+       |  array_to_string(q, ',') AS qvec,
+       |  round(list_reduce(list_transform(range(1, len(v) + 1),
+       |      i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)),
+       |      (a, e) -> a + e)
+       |    / greatest(len(v), 1), 9) AS recon_mse
+       |FROM qd""".stripMargin
+
   // ---- Persisted ANN index -------------------------------------------------
 
   /** Build and persist the LSH index for `emb` at `path` — the

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Graph, Similarity}
+import graft.sources.Tables
+
+/** Invariants for the round-4 additions: fixed-point PageRank over the
+  * near-dup graph, random projection, and int8 quantization. Value
+  * equality vs DuckDB is the driver correctness gate; these pin the
+  * structural/semantic contracts.
+  */
+class GraphVectorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val pairSchema = StructType(Seq(
+    StructField("doc_a", LongType), StructField("doc_b", LongType)))
+  private def pairsOf(rows: (Long, Long)*) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), pairSchema)
+
+  test("pagerank: symmetric pair has equal ranks; center of a star outranks leaves") {
+    val pair = Graph.pagerank(pairsOf((1L, 2L))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pair(1L) == pair(2L))
+
+    // star: 1 at the center of 2..5
+    val star = Graph.pagerank(pairsOf((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((2L to 5L).forall(l => star(1L) > star(l)))
+    assert((2L to 5L).map(star).toSet.size == 1) // leaves identical
+  }
+
+  test("pagerank: path graph ranks the middle vertex highest; mass stays bounded") {
+    val path = Graph.pagerank(pairsOf((1L, 2L), (2L, 3L))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(path(2L) > path(1L) && path(1L) == path(3L))
+    // integer floors only ever LOSE mass: total ≤ n * scale
+    assert(path.values.sum <= 3L * 1000000L)
+    assert(path.values.forall(_ >= 150000L)) // every vertex keeps the base share
+  }
+
+  test("pagerank is deterministic and empty on an empty pair list") {
+    val a = Graph.pagerank(pairsOf((1L, 2L), (2L, 3L), (4L, 5L))).collect().toSet
+    val b = Graph.pagerank(pairsOf((1L, 2L), (2L, 3L), (4L, 5L))).collect().toSet
+    assert(a == b && a.nonEmpty)
+    assert(Graph.pagerank(pairsOf()).count() == 0)
+  }
+
+  test("random projection: map-side only (no exchange), deterministic, norm-bounded") {
+    val emb = Tables.embeddings(spark, sf)
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding")
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+    val rows = proj.collect()
+    assert(rows.length == emb.count())
+    // |p_j| = |v·u_j| ≤ ‖v‖·‖u_j‖; planes have components in [-0.5,0.5)
+    // over 64 dims so ‖u‖ ≤ 4; embeddings are unit-ish (‖v‖ ≤ ~2)
+    assert(rows.forall(r => (1 to 8).forall(j => math.abs(r.getDouble(j)) < 16.0)))
+    assert(proj.collect().sameElements(rows))
+  }
+
+  test("int8 quantization: map-side, values in [-127,127], zero vector handled, error small") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantization must not shuffle:\n$plan")
+    val rows = q.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val qs = r.getString(2).split(",").map(_.toLong)
+      assert(qs.forall(v => v >= -127 && v <= 127))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1e-4,
+        s"reconstruction MSE should be tiny, got ${r.getDouble(3)}")
+    }
+    // zero vector: scale 0, all-zero payload, zero error
+    val zschema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val z = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, Seq.fill(4)(0.0f))), 1), zschema)
+    val zr = Similarity.quantizeInt8(z, "vec_id", "embedding").collect()(0)
+    assert(zr.getDouble(1) == 0.0 && zr.getString(2) == "0,0,0,0" && zr.getDouble(3) == 0.0)
+  }
+
+  test("quantization round-trips ordering: argmax of |v| maps to ±127") {
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(1L, Seq(0.5f, -1.0f, 0.25f))), 1), schema)
+    val r = Similarity.quantizeInt8(df, "vec_id", "embedding").collect()(0)
+    assert(r.getString(2) == "64,-127,32") // 0.5/ (1/127) = 63.5 → floor(63.5+0.5)=64
+  }
+}
