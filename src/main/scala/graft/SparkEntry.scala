@@ -171,6 +171,7 @@ object SparkEntry {
     "q_monthly_orders"   -> (Relational.qMonthlyOrders _),
     "q_tumbling_window"  -> (Relational.qTumblingWindow _),
     "q_hopping_window"   -> (Relational.qHoppingWindow _),
+    "q_histogram"        -> (Relational.qHistogram _),
     // salting is semantically invisible — the oracle is the PLAIN sql
     "q_salted_agg" -> ((s, d) =>
       operators.Skew.saltedValueStats(Tables.events(s, d), "event_type", "value", 8)),
@@ -338,6 +339,11 @@ object SparkEntry {
       """SELECT p_brand, p_partkey, p_retailprice FROM part p
         |WHERE p_retailprice = (
         |  SELECT max(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin,
+    "q_histogram" ->
+      """SELECT cast(floor(value / 10) AS bigint) AS bin, count(*) AS n,
+        |  cast(sum(cast(value AS decimal(18,4))) AS double) AS total_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders o
@@ -363,7 +369,9 @@ object SparkEntry {
         |WHERE c_acctbal > (
         |    SELECT cast(sum(cast(c_acctbal AS decimal(18,4))) AS double) / count(*)
         |    FROM customer WHERE c_acctbal > 0)
-        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_mktsegment,
@@ -545,6 +553,18 @@ object SparkEntry {
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")),
     "dedup_pagerank" -> ((s, d) =>
       operators.Graph.pagerankDocs(Tables.documents(s, d), "doc_id", "text")),
+    // semantic dedup clusters: connected components over the
+    // embedding-cosine near-dup graph — the same generic label-prop
+    // engine as dedup_clusters, fed by LSH-bucketed cosine pairs
+    "semantic_clusters" -> ((s, d) =>
+      operators.Graph.connectedComponents(
+        Similarity.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))),
+    "mixture_sample" -> ((s, d) =>
+      Curation.mixtureSample(Tables.documents(s, d), "doc_id", "lang",
+          Map("en" -> 0.3, "zh" -> 1.0), defaultRate = 0.7)
+        .select(col("doc_id"), col("lang"))),
   )
 
   private def ph(expr: String): String =
@@ -1017,6 +1037,27 @@ object SparkEntry {
     "embedding_project" -> Similarity.randomProjectOracleSql(),
     "embedding_quantize" -> Similarity.quantizeInt8OracleSql(),
     "dedup_pagerank" -> operators.Graph.pagerankOracleSql(),
+    "semantic_clusters" ->
+      s"""WITH RECURSIVE ${lshBucketsCte(nTables = 16)},
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT c.vec_a, c.vec_b
+         |  FROM cand c JOIN embeddings x ON x.vec_id = c.vec_a
+         |    JOIN embeddings y ON y.vec_id = c.vec_b
+         |  WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= 0.4),
+         |bidir AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+         |  UNION SELECT vec_b, vec_a FROM pairs),
+         |reach(a, b) AS (SELECT a, b FROM bidir
+         |  UNION SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a)
+         |SELECT a AS vec_id, least(min(b), a) AS cluster_id
+         |FROM reach GROUP BY a""".stripMargin,
+    "mixture_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${ph("concat(lang, '|', cast(doc_id AS varchar))")} % 1000000 <
+         |  CASE WHEN lang = 'en' THEN 300000
+         |       WHEN lang = 'zh' THEN 1000000
+         |       ELSE 700000 END""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -331,4 +331,30 @@ object Curation {
       .select(col(idCol), col(strataCol), col("n_tokens"),
         col("start_offset"), col("bin"))
   }
+
+  /** C39: deterministic mixture re-weighting — each stratum (source,
+    * language, quality tier) is down-sampled at its own rate, the knob
+    * a training-mixture recipe turns ("30% of the English crawl, all of
+    * the low-resource languages"). A document is kept iff
+    * `md5(stratum|id) mod 1e6 < rate·1e6`: pure map-side filter — no
+    * shuffle, no state, no RNG (reproducible across runs AND stable
+    * under corpus growth: adding documents never flips an existing
+    * document's fate, unlike any sort- or window-based sampler).
+    * `rates` is a fixed-cardinality recipe (one entry per stratum —
+    * compiled to a literal CASE chain); strata not listed fall back to
+    * `defaultRate`.
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, stratumCol: String,
+                    rates: Map[String, Double],
+                    defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1))
+    val M = 1000000L
+    val threshold = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultRate * M))) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(math.round(r * M))).otherwise(acc)
+    }
+    docs.filter(
+      phash(concat(col(stratumCol), lit("|"), col(idCol).cast("string"))) % M
+        < threshold)
+  }
 }

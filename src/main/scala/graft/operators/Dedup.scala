@@ -41,15 +41,6 @@ object Dedup {
   private def materialize(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
 
-  /** The checkpointed RDD behind a [[materialize]]d / localCheckpoint'ed
-    * DataFrame — so iterative loops can explicitly unpersist a round's
-    * dead blocks instead of waiting for the context cleaner's GC sweep.
-    */
-  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }
-
   /** C1: exact dedup — content fingerprint → survivor (min id) + count. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -213,81 +204,17 @@ object Dedup {
     * minhash-LSH pairs (est ≥ `minEst`) collapse into clusters labeled
     * by their minimum doc id — the transitive-closure step real
     * dedup pipelines need (A~B, B~C ⇒ one cluster even if A≁C).
-    *
-    * Iterative min-label propagation with pointer jumping: each round
-    * every vertex takes the min of its own and its neighbors' labels,
-    * then compresses one indirection (label ← label-of-label), so
-    * convergence needs O(log diameter) rounds instead of O(diameter) —
-    * on a 100 TB corpus each saved round is a full shuffle over the
-    * vertex set, and a pathological duplicate CHAIN (a~b~c~...~z) no
-    * longer degrades to thousands of rounds. The fixpoint is unchanged:
-    * every vertex ends at its component's minimum id (labels only ever
-    * decrease toward values reachable in the component). Each iteration
-    * is a distributed join + partial-agg; `localCheckpoint` cuts lineage
-    * so plans don't grow. The driver only ever collects one convergence
-    * scalar per round.
+    * The iterative engine (min-label propagation + pointer jumping,
+    * pre-partitioned checkpointed edges) lives in
+    * [[Graph.connectedComponents]] so any similarity graph can reuse it.
     */
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
-                    minEst: Double = 0.5, maxIters: Int = 20): DataFrame = {
-    val edges = minhashLsh(docs, idCol, textCol)
-      .filter(col("est_jaccard") >= minEst)
-      .select(col("doc_a"), col("doc_b"))
-    // Edges are the BIG side at corpus scale and every round joins them
-    // on doc_b — checkpoint them already hash-partitioned on doc_b
-    // (LogicalRDD preserves the partitioning), so no iteration ever
-    // reshuffles the edge set again. Labels likewise live partitioned
-    // on doc_id, co-partitioned with the edge join and the neighbor-min
-    // aggregation output.
-    // No distinct needed on the union: minhashLsh pairs are unique with
-    // doc_a < doc_b, so the forward branch (a<b) and the reversed one
-    // (a>b) are disjoint — a distinct here would be one full extra
-    // shuffle of the edge set for nothing.
-    val bidir = edges
-      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(col("doc_b")).localCheckpoint()
-    var labels = bidir.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .repartition(col("doc_id")).localCheckpoint()
-    var prevSum = Long.MaxValue
-    var iters = 0
-    var done = false
-    while (!done && iters < maxIters) {
-      val neighborMin = bidir
-        .join(labels, bidir("doc_b") === labels("doc_id"))
-        .groupBy(bidir("doc_a").as("nid"))
-        .agg(min(col("label")).as("nlabel"))
-      // materialized: `propagated` feeds both sides of the pointer-jump
-      // self-join below — without the cut the propagation join+agg
-      // subtree executes twice per round
-      val propagated = materialize(labels
-        .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
-      // pointer jump: labels are always doc_ids of the vertex set, so
-      // label-of-label is a self-join — one extra hop per round buys
-      // exponentially faster convergence on long chains
-      val parents = propagated
-        .select(col("doc_id").as("pid"), col("label").as("plabel"))
-      val prevLabels = labels
-      labels = propagated
-        .join(parents, propagated("label") === parents("pid"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .repartition(col("doc_id")).localCheckpoint()
-      // the new labels checkpoint is materialized (eager) — last round's
-      // labels and this round's propagated blocks are now dead; free
-      // them so a 20-round run holds O(1) label-table copies, not O(2n)
-      checkpointRdd(propagated).foreach(_.unpersist(blocking = false))
-      checkpointRdd(prevLabels).foreach(_.unpersist(blocking = false))
-      val sum = labels.agg(org.apache.spark.sql.functions.sum("label")).collect()(0).getLong(0)
-      done = sum == prevSum
-      prevSum = sum
-      iters += 1
-    }
-    System.err.println(s"[graft] dedupClusters converged in $iters rounds")
-    checkpointRdd(bidir).foreach(_.unpersist(blocking = false)) // edges are dead too
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
-  }
+                    minEst: Double = 0.5, maxIters: Int = 20): DataFrame =
+    Graph.connectedComponents(
+      minhashLsh(docs, idCol, textCol)
+        .filter(col("est_jaccard") >= minEst)
+        .select(col("doc_a"), col("doc_b")),
+      maxIters)
 
   /** End-to-end corpus dedup: exact duplicates collapse to their min-id
     * survivor, then minhash-LSH near-dup pairs above `minEst` drop the

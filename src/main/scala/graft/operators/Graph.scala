@@ -33,6 +33,83 @@ object Graph {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Connected components over an undirected pair list (`doc_a`,
+    * `doc_b`; unique, doc_a < doc_b): every vertex ends labeled with
+    * its component's minimum id. Extracted from the near-dup use so ANY
+    * similarity graph (minhash pairs, embedding-cosine pairs, explicit
+    * edges) can be clustered with the same engine.
+    *
+    * Iterative min-label propagation with pointer jumping: each round
+    * every vertex takes the min of its own and its neighbors' labels,
+    * then compresses one indirection (label ← label-of-label), so
+    * convergence needs O(log diameter) rounds instead of O(diameter) —
+    * on a 100 TB corpus each saved round is a full shuffle over the
+    * vertex set, and a pathological duplicate CHAIN (a~b~c~...~z) no
+    * longer degrades to thousands of rounds. The fixpoint is unchanged:
+    * labels only ever decrease toward values reachable in the
+    * component. Each iteration is a distributed join + partial-agg over
+    * edges checkpointed pre-partitioned on the join key (the big side
+    * never reshuffles across rounds); the driver only ever collects one
+    * convergence scalar per round.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+    // No distinct needed on the union: pairs are unique with
+    // doc_a < doc_b, so the forward branch (a<b) and the reversed one
+    // (a>b) are disjoint — a distinct here would be one full extra
+    // shuffle of the edge set for nothing.
+    val bidir = edges
+      .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(col("doc_b")).localCheckpoint()
+    var labels = bidir.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .repartition(col("doc_id")).localCheckpoint()
+    var prevSum = Long.MaxValue
+    var iters = 0
+    var done = false
+    while (!done && iters < maxIters) {
+      val neighborMin = bidir
+        .join(labels, bidir("doc_b") === labels("doc_id"))
+        .groupBy(bidir("doc_a").as("nid"))
+        .agg(min(col("label")).as("nlabel"))
+      // materialized: `propagated` feeds both sides of the pointer-jump
+      // self-join below — without the cut the propagation join+agg
+      // subtree executes twice per round
+      val propagated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(eager = false)
+      // pointer jump: labels are always doc_ids of the vertex set, so
+      // label-of-label is a self-join — one extra hop per round buys
+      // exponentially faster convergence on long chains
+      val parents = propagated
+        .select(col("doc_id").as("pid"), col("label").as("plabel"))
+      val prevLabels = labels
+      labels = propagated
+        .join(parents, propagated("label") === parents("pid"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+        .repartition(col("doc_id")).localCheckpoint()
+      // the new labels checkpoint is materialized (eager) — last round's
+      // labels and this round's propagated blocks are now dead; free
+      // them so a 20-round run holds O(1) label-table copies, not O(2n)
+      checkpointRdd(propagated).foreach(_.unpersist(blocking = false))
+      checkpointRdd(prevLabels).foreach(_.unpersist(blocking = false))
+      // coalesce: an EMPTY graph (no pairs above threshold at small
+      // corpora) must converge cleanly, not NPE on a NULL sum
+      val sum = labels
+        .agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
+        .collect()(0).getLong(0)
+      done = sum == prevSum
+      prevSum = sum
+      iters += 1
+    }
+    System.err.println(s"[graft] connectedComponents converged in $iters rounds")
+    checkpointRdd(bidir).foreach(_.unpersist(blocking = false)) // edges are dead
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Fixed-point PageRank over an undirected pair list (`doc_a`,
     * `doc_b`; unique, doc_a < doc_b — [[Dedup.minhashLsh]]'s output
     * contract). Returns (doc_id, rank_fp) where rank_fp is in `scale`

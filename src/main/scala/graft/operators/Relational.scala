@@ -451,6 +451,21 @@ object Relational {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Fixed-width value histogram of the event stream (width-bucket
+    * semantics, width 10): one scan, the bin computed map-side, one
+    * partial-agg'd shuffle keyed on the bin — the cardinality of the
+    * output is value-range/width regardless of row count, so the
+    * aggregation state is tiny at any scale. Decimal accumulation keeps
+    * per-bin sums order-independent.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(floor(col("value") / 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
   /** TPC-H Q4-style order-priority check: orders from one quarter that
     * had at least one LATE line (shipped ≥ 30 days after the order
     * date), counted by priority. The correlated EXISTS is a left_semi
@@ -499,21 +514,24 @@ object Relational {
   }
 
   /** TPC-H Q22-style idle-customer report: customers whose balance is
-    * above the average POSITIVE balance and who have no orders, counted
-    * per nation. The global average is a scalar subquery (one-row
-    * broadcast), the "no orders" test a left_anti on the order key, and
-    * the final rollup a tiny per-nation aggregation — the whole query
-    * is two key shuffles regardless of scale.
+    * above the average POSITIVE balance and who placed no RECENT order
+    * (nothing since 2000-01-01), counted per nation. The global average
+    * is a scalar subquery (one-row broadcast), the recency cutoff is
+    * pushed into the orders parquet scan before the left_anti on the
+    * order key, and the final rollup is a tiny per-nation aggregation —
+    * two key shuffles regardless of scale.
     */
   def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val avgBal = cust.filter(col("c_acctbal") > 0)
       .agg((sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
         count(lit(1))).as("a"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
     cust.join(broadcast(avgBal))
       .filter(col("c_acctbal") > col("a"))
-      .join(Tables.orders(spark, dir).select(col("o_custkey")),
-        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_custs"),
         sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("total_bal"))

@@ -132,6 +132,19 @@ object DocStreams {
       .toDF("source", "doc_id", "n_tokens")
   }
 
+  /** Continuous mixture admission — the streaming twin of
+    * [[graft.operators.Curation.mixtureSample]]: each arriving document
+    * is admitted iff its stratum's hash threshold says so. The filter is
+    * STATELESS and map-side (no state store, no watermark, no shuffle),
+    * and because the hash is per-document, the streamed decision for any
+    * document is identical to the batch decision — replaying the corpus
+    * through the stream reproduces the batch sample exactly (spec-pinned).
+    */
+  def mixtureAdmission(docs: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame =
+    graft.operators.Curation.mixtureSample(docs, idCol, stratumCol, rates, defaultRate)
+
   /** Top-`k` trending terms per closed window, deterministic tiebreak
     * (count desc, token asc) — planned through TopKPerKey: each input
     * partition is reduced to ≤ k rows per window BEFORE the shuffle.

@@ -49,6 +49,65 @@ class GraphVectorSpec extends AnyFunSuite {
     assert(Graph.pagerank(pairsOf()).count() == 0)
   }
 
+  test("connectedComponents: components labeled by their min id; chain collapses to one") {
+    val cc = Graph.connectedComponents(pairsOf((1L, 2L), (2L, 3L), (4L, 5L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    // long chain: pointer jumping must still converge to one label
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val ccChain = Graph.connectedComponents(pairsOf(chain: _*))
+      .collect().map(_.getLong(1)).toSet
+    assert(ccChain == Set(1L))
+    // empty graph must converge cleanly, not crash on the NULL sum
+    assert(Graph.connectedComponents(pairsOf()).count() == 0)
+  }
+
+  test("mixture sampling: map-side, deterministic, rate-monotone nested subsets") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+    val all = Curation.mixtureSample(docs, "doc_id", "lang", Map.empty, 1.0)
+    assert(all.count() == docs.count())
+    assert(Curation.mixtureSample(docs, "doc_id", "lang", Map.empty, 0.0).count() == 0)
+    val s30 = Curation.mixtureSample(docs, "doc_id", "lang", Map.empty, 0.3)
+    val s70 = Curation.mixtureSample(docs, "doc_id", "lang", Map.empty, 0.7)
+    val plan = s30.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixture sample must not shuffle:\n$plan")
+    val ids30 = s30.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids70 = s70.select("doc_id").collect().map(_.getLong(0)).toSet
+    // hash-threshold sampling nests: raising the rate only ADDS docs
+    assert(ids30.subsetOf(ids70))
+    assert(ids30.nonEmpty && ids30.size < ids70.size && ids70.size < docs.count())
+    // per-stratum override: rate 0 for one lang empties exactly that stratum
+    val noEn = Curation.mixtureSample(docs, "doc_id", "lang", Map("en" -> 0.0), 1.0)
+    assert(noEn.filter(col("lang") === "en").count() == 0)
+    assert(noEn.count() == docs.filter(col("lang") =!= "en").count())
+  }
+
+  test("streaming mixture admission equals the batch sample exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Curation
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang")
+    val rates = Map("en" -> 0.3, "zh" -> 1.0)
+    val batchIds = Curation.mixtureSample(docs, "doc_id", "lang", rates, 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDF().toDF("doc_id", "lang")
+    val out = graft.streaming.DocStreams
+      .mixtureAdmission(stream, "doc_id", "lang", rates, 0.7)
+    val q = out.writeStream.format("memory").queryName("mixture")
+      .outputMode("append").start()
+    try {
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      ms.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("mixture").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == batchIds)
+    } finally q.stop()
+  }
+
   test("random projection: map-side only (no exchange), deterministic, norm-bounded") {
     val emb = Tables.embeddings(spark, sf)
     val proj = Similarity.randomProject(emb, "vec_id", "embedding")
