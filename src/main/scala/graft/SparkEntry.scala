@@ -565,6 +565,8 @@ object SparkEntry {
       Curation.mixtureSample(Tables.documents(s, d), "doc_id", "lang",
           Map("en" -> 0.3, "zh" -> 1.0), defaultRate = 0.7)
         .select(col("doc_id"), col("lang"))),
+    "cdc_chunks" -> ((s, d) =>
+      Dedup.cdcChunkDups(Tables.documents(s, d), "doc_id", "text")),
   )
 
   private def ph(expr: String): String =
@@ -1058,6 +1060,27 @@ object SparkEntry {
          |  CASE WHEN lang = 'en' THEN 300000
          |       WHEN lang = 'zh' THEN 1000000
          |       ELSE 700000 END""".stripMargin,
+    "cdc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents),
+         |pt AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |  SELECT doc_id, unnest(list_transform(tokens,
+         |    (x, i) -> struct_pack(tok := x, pos := i))) AS u
+         |  FROM toks)),
+         |anchored AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN ${ph("concat('cdc|', tok)")} % 16 = 0 THEN 1 ELSE 0 END AS is_anchor
+         |  FROM pt),
+         |chunked AS (SELECT doc_id, pos, tok,
+         |    sum(is_anchor) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+         |  FROM anchored),
+         |chunks AS (SELECT doc_id, chunk,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,
+         |    count(*) AS n_tokens
+         |  FROM chunked GROUP BY doc_id, chunk)
+         |SELECT chunk_fp, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs,
+         |  min(doc_id) AS example_doc, min(n_tokens) AS n_tokens
+         |FROM chunks GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -394,6 +394,52 @@ object Dedup {
       .join(nearDrops, Seq("doc_id"), "left_anti")
   }
 
+  /** C41: content-defined chunking (CDC) + chunk-level dedup — the
+    * partial-overlap detector whole-document fingerprints can't see:
+    * a paragraph shared between two otherwise-different pages yields
+    * identical CHUNKS even though the documents differ.
+    *
+    * A token is an anchor iff `md5("cdc|"+token) mod anchorMod == 0`;
+    * chunks run from one anchor to the next. Boundaries are functions
+    * of CONTENT, not position — an insertion near the head moves no
+    * later boundary (the fixed-width chunking failure mode), which is
+    * what makes chunk fingerprints stable across near-duplicate edits.
+    *
+    * Scale shape: tokenize+posexplode map-side; one doc-keyed window
+    * (running anchor count) on the per-doc shuffle; chunk reassembly
+    * buffers ONE CHUNK per aggregation state (expected `anchorMod`
+    * tokens, geometric tail) — never a whole document, except the
+    * pathological all-anchor-free doc, which degrades to one whole-doc
+    * chunk (equivalent to the exact-dedup fingerprint, still bounded by
+    * doc length). The final chunk-fingerprint groupBy shuffles digests
+    * only. Returns chunks appearing in ≥ 2 distinct documents.
+    */
+  def cdcChunkDups(docs: DataFrame, idCol: String, textCol: String,
+                   anchorMod: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val anchored = toks.withColumn("is_anchor",
+      (phash(concat(lit("cdc|"), col("tok"))) % anchorMod === 0).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val chunked = anchored.withColumn("chunk", sum(col("is_anchor")).over(w))
+    val chunks = chunked.groupBy(col("doc_id"), col("chunk"))
+      .agg(
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok"))).cast("binary")).as("chunk_fp"),
+        count(lit(1)).as("n_tokens"))
+    chunks.groupBy(col("chunk_fp"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("example_doc"),
+        min(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") >= 2)
+  }
+
   /** C4: exact n-gram Jaccard on a deterministic sample (quadratic
     * verifier — the LSH above is the scale path; this one is for
     * candidate verification / evaluation).

@@ -83,6 +83,29 @@ class GraphVectorSpec extends AnyFunSuite {
     assert(noEn.count() == docs.filter(col("lang") =!= "en").count())
   }
 
+  test("CDC chunking: shared paragraph surfaces as shared chunks; head edit keeps later chunks") {
+    import graft.operators.Dedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def docsOf(rows: (Long, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), docSchema)
+    val para = (1 to 40).map(i => s"w$i").mkString(" ")
+    // doc 2 = doc 1 with an insertion at the head: content-defined
+    // boundaries mean the shared tail still chunks identically
+    val docs = docsOf((1L, para), (2L, s"inserted tokens here $para"))
+    val dups = Dedup.cdcChunkDups(docs, "doc_id", "text", anchorMod = 2).collect()
+    assert(dups.nonEmpty, "shared tail chunks must be detected")
+    assert(dups.forall(_.getLong(2) == 2)) // each shared chunk in both docs
+    // disjoint-vocabulary docs share nothing
+    val disjoint = docsOf((1L, "alpha beta gamma delta"), (2L, "uno dos tres cuatro"))
+    assert(Dedup.cdcChunkDups(disjoint, "doc_id", "text", anchorMod = 2).count() == 0)
+    // identical docs: every chunk shared, occurrences = 2
+    val twin = docsOf((1L, para), (2L, para))
+    val t = Dedup.cdcChunkDups(twin, "doc_id", "text", anchorMod = 2).collect()
+    assert(t.nonEmpty && t.forall(r => r.getLong(1) == 2 && r.getLong(2) == 2))
+  }
+
   test("streaming mixture admission equals the batch sample exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Curation
