@@ -188,6 +188,9 @@ object SparkEntry {
     "q18_large_orders"   -> (Relational.q18LargeOrders _),
     "q19_disjunctive"    -> (Relational.q19Disjunctive _),
     "q22_idle_customers" -> (Relational.q22IdleCustomers _),
+    "q16_supplier_variety" -> (Relational.q16SupplierVariety _),
+    "q21_sole_late_supplier" -> (Relational.q21SoleLateSupplier _),
+    "q_ntile"            -> (Relational.qNtile _),
     "q_topk_per_key"     -> ((s, d) =>
       graft.plans.TopK.perKey(
         Tables.events(s, d).select(col("user_id"), col("event_id"), col("value")),
@@ -373,6 +376,35 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand NOT IN ('Brand#1', 'Brand#2')
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |GROUP BY p_brand, p_size""".stripMargin,
+    "q21_sole_late_supplier" ->
+      """WITH pairs AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk,
+        |    max(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS has_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |late AS (SELECT ok, sk FROM pairs WHERE has_late = 1)
+        |SELECT l.sk AS l_suppkey, count(*) AS numwait
+        |FROM late l
+        |WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.ok = l.ok AND p.sk <> l.sk)
+        |  AND NOT EXISTS (SELECT 1 FROM late o WHERE o.ok = l.ok AND o.sk <> l.sk)
+        |GROUP BY l.sk""".stripMargin,
+    "q_ntile" ->
+      """SELECT c_nationkey, tier, count(*) AS n_custs,
+        |  cast(sum(cast(c_acctbal AS decimal(18,4))) AS double) AS total_bal
+        |FROM (
+        |  SELECT c_nationkey, c_acctbal,
+        |    cast(ntile(4) OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS int) AS tier
+        |  FROM customer)
+        |GROUP BY c_nationkey, tier""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_mktsegment,
         |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2))) AS double) AS revenue,

@@ -513,6 +513,66 @@ object Relational {
       .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q16-style supplier-variety report: distinct suppliers per
+    * surviving (brand, size) combination, with NOT-IN brand exclusion
+    * and an IN size list — both pushed into the part parquet scan. The
+    * count-distinct runs as Spark's standard two-phase distinct
+    * aggregation (partial per (group, supplier), then merge): no
+    * supplier set is ever collected into one buffer.
+    */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir)
+      .filter(!col("p_brand").isin("Brand#1", "Brand#2") &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    Tables.lineitem(spark, dir)
+      .join(pt, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21-style "sole late supplier": suppliers that were the ONLY
+    * late shipper (≥ 60 days after the order date) on a multi-supplier
+    * order — the double-correlated EXISTS / NOT EXISTS shape. The
+    * (order, supplier, was-late) pairs are built ONCE with a partial
+    * agg, then the semi join (some other supplier on the order) and the
+    * anti join (no other LATE supplier) both run against that pair
+    * table on the order-key shuffle — compound conditions with a
+    * supplier inequality residual, never a cartesian.
+    */
+  def q21SoleLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max((col("l_shipdate") >=
+        col("o_orderdate") + expr("INTERVAL 60 DAYS")).cast("int")).as("has_late"))
+    val late = pairs.filter(col("has_late") === 1).select(col("ok"), col("sk"))
+    val all = pairs.select(col("ok").as("ok2"), col("sk").as("sk2"))
+    val lateOther = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+    late
+      .join(all, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(lateOther, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      .groupBy(col("sk").as("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** Per-nation balance quartiles via `ntile(4)` — the window is
+    * PARTITIONED by nation (never a global single-partition ntile, the
+    * classic window scale-killer) with a unique (balance, custkey)
+    * ordering for determinism; the quartile rollup is a tiny follow-up
+    * aggregation.
+    */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_acctbal"),
+        ntile(4).over(w).as("tier"))
+      .groupBy(col("c_nationkey"), col("tier"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("total_bal"))
+  }
+
   /** TPC-H Q22-style idle-customer report: customers whose balance is
     * above the average POSITIVE balance and who placed no RECENT order
     * (nothing since 2000-01-01), counted per nation. The global average

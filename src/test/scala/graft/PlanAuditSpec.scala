@@ -69,6 +69,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sketch aggregate demoted (expands=$expands objAggs=$objAggs):\n$plan")
   }
 
+  test("q19_disjunctive: per-side bounds derived from the OR push into BOTH scans") {
+    val plan = Relational.q19Disjunctive(spark, sf)
+      .queryExecution.executedPlan.toString
+    // lineitem scan gets the quantity envelope, part scan the
+    // brand/size envelope — the disjunction must not block pushdown
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      s"quantity bounds not pushed to lineitem scan:\n$plan")
+    assert(plan.contains("EqualTo(p_brand,Brand#3)"),
+      s"brand/size bounds not pushed to part scan:\n$plan")
+  }
+
+  test("q4_order_priority: quarter filter pushed into the orders scan") {
+    val plan = Relational.q4OrderPriority(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate,1995-04-01"),
+      s"date range not pushed:\n$plan")
+  }
+
+  test("q21_sole_late_supplier: semi+anti equi-joins on the order key, no cartesian") {
+    noAutoBroadcast {
+      val plan = Relational.q21SoleLateSupplier(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+        s"correlated pair joins degraded to a product:\n$plan")
+      assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+        s"expected semi+anti joins:\n$plan")
+    }
+  }
+
+  test("mixture_sample and embedding_project stay exchange-free") {
+    Seq("mixture_sample", "embedding_project").foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$n must not shuffle:\n$plan")
+    }
+  }
+
   test("corpus_split is pure map-side: no exchange at all") {
     val plan = SparkEntry.queries("corpus_split")(spark, sf)
       .queryExecution.executedPlan.toString
