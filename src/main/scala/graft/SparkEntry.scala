@@ -599,6 +599,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))),
     "cdc_chunks" -> ((s, d) =>
       Dedup.cdcChunkDups(Tables.documents(s, d), "doc_id", "text")),
+    // snapshot halves stand in for two curation iterations (the same
+    // synthetic-split convention as dedup_incremental)
+    "corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.corpusDiff(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+    }),
   )
 
   private def ph(expr: String): String =
@@ -1113,6 +1120,17 @@ object SparkEntry {
          |  count(DISTINCT doc_id) AS n_docs,
          |  min(doc_id) AS example_doc, min(n_tokens) AS n_tokens
          |FROM chunks GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "corpus_diff" ->
+      """WITH olds AS (SELECT md5(text) AS fingerprint, min(doc_id) AS old_id
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |news AS (SELECT md5(text) AS fingerprint, min(doc_id) AS new_id
+        |  FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1)
+        |SELECT coalesce(olds.fingerprint, news.fingerprint) AS fingerprint,
+        |  CASE WHEN old_id IS NULL THEN 'added'
+        |       WHEN new_id IS NULL THEN 'removed'
+        |       ELSE 'kept' END AS status,
+        |  old_id, new_id
+        |FROM olds FULL OUTER JOIN news ON olds.fingerprint = news.fingerprint""".stripMargin,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -332,6 +332,31 @@ object Curation {
         col("start_offset"), col("bin"))
   }
 
+  /** C42: corpus snapshot diff — what changed between two curation
+    * iterations, by CONTENT (fingerprint), not by id: a re-crawled page
+    * with identical text is `kept` even under a new doc id, and an
+    * edited page shows up as one `removed` + one `added` fingerprint.
+    * Returns one row per distinct fingerprint with its status and the
+    * min doc id on each side.
+    *
+    * Scale shape: one scan per snapshot, fingerprint partial-agg per
+    * side, one digest-keyed full-outer join — text never shuffles, the
+    * join carries 16-byte digests + two longs. The status rollup a
+    * report wants is a follow-up groupBy over this output.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    def fps(df: DataFrame, side: String) = df
+      .groupBy(md5(col(textCol).cast("binary")).as("fingerprint"))
+      .agg(min(col(idCol)).as(s"${side}_id"))
+    fps(oldDocs, "old").join(fps(newDocs, "new"), Seq("fingerprint"), "full_outer")
+      .select(col("fingerprint"),
+        when(col("old_id").isNull, lit("added"))
+          .when(col("new_id").isNull, lit("removed"))
+          .otherwise(lit("kept")).as("status"),
+        col("old_id"), col("new_id"))
+  }
+
   /** C39: deterministic mixture re-weighting — each stratum (source,
     * language, quality tier) is down-sampled at its own rate, the knob
     * a training-mixture recipe turns ("30% of the English crawl, all of

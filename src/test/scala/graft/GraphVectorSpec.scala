@@ -106,6 +106,28 @@ class GraphVectorSpec extends AnyFunSuite {
     assert(t.nonEmpty && t.forall(r => r.getLong(1) == 2 && r.getLong(2) == 2))
   }
 
+  test("corpus diff: kept under id churn, added/removed on content change") {
+    import graft.operators.Curation
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def docsOf(rows: (Long, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), docSchema)
+    val a = docsOf((1L, "alpha beta"), (2L, "gamma delta"))
+    // same content under NEW ids + one edit + one addition
+    val b = docsOf((10L, "alpha beta"), (11L, "gamma delta EDITED"), (12L, "brand new"))
+    val d = Curation.corpusDiff(a, b, "doc_id", "text")
+      .collect().map(r => r.getString(1) -> r).toSeq
+    assert(d.count(_._1 == "kept") == 1)    // alpha beta survived id churn
+    assert(d.count(_._1 == "removed") == 1) // gamma delta's old text gone
+    assert(d.count(_._1 == "added") == 2)   // the edit + the new doc
+    val kept = d.find(_._1 == "kept").get._2
+    assert(kept.getLong(2) == 1L && kept.getLong(3) == 10L)
+    // identical snapshots: everything kept
+    assert(Curation.corpusDiff(a, a, "doc_id", "text")
+      .filter(col("status") =!= "kept").count() == 0)
+  }
+
   test("streaming mixture admission equals the batch sample exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.Curation
