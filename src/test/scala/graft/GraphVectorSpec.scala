@@ -106,6 +106,30 @@ class GraphVectorSpec extends AnyFunSuite {
     assert(t.nonEmpty && t.forall(r => r.getLong(1) == 2 && r.getLong(2) == 2))
   }
 
+  test("edge cases: empty inputs degrade cleanly across the new operators") {
+    import graft.operators.{Curation, Dedup}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 2), docSchema)
+    assert(Dedup.cdcChunkDups(empty, "doc_id", "text").count() == 0)
+    assert(Graph.pagerankDocs(empty, "doc_id", "text").count() == 0)
+    assert(Curation.corpusDiff(empty, empty, "doc_id", "text").count() == 0)
+    // one-sided diff: everything added / everything removed
+    val one = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "alpha beta")), 1), docSchema)
+    val added = Curation.corpusDiff(empty, one, "doc_id", "text").collect()
+    assert(added.length == 1 && added(0).getString(1) == "added")
+    val removed = Curation.corpusDiff(one, empty, "doc_id", "text").collect()
+    assert(removed.length == 1 && removed(0).getString(1) == "removed")
+    // single doc: chunks exist but none shared
+    assert(Dedup.cdcChunkDups(one, "doc_id", "text", anchorMod = 2).count() == 0)
+    // mixture rates outside [0,1] are rejected
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSample(one, "doc_id", "text", Map("x" -> 1.5))
+    }
+  }
+
   test("corpus diff: kept under id churn, added/removed on content change") {
     import graft.operators.Curation
     val docSchema = StructType(Seq(
