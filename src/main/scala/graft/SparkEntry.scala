@@ -606,6 +606,13 @@ object SparkEntry {
       Curation.corpusDiff(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
     }),
+    // chunk-level containment screen: batch docs mostly made of chunks
+    // already in the reference (same synthetic split as dedup_incremental)
+    "cdc_containment" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.cdcContainment(docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    }),
   )
 
   private def ph(expr: String): String =
@@ -1120,6 +1127,36 @@ object SparkEntry {
          |  count(DISTINCT doc_id) AS n_docs,
          |  min(doc_id) AS example_doc, min(n_tokens) AS n_tokens
          |FROM chunks GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    "cdc_containment" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents),
+         |pt AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+         |  SELECT doc_id, unnest(list_transform(tokens,
+         |    (x, i) -> struct_pack(tok := x, pos := i))) AS u
+         |  FROM toks)),
+         |anchored AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN ${ph("concat('cdc|', tok)")} % 16 = 0 THEN 1 ELSE 0 END AS is_anchor
+         |  FROM pt),
+         |chunked AS (SELECT doc_id, pos, tok,
+         |    sum(is_anchor) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+         |  FROM anchored),
+         |chunks AS (SELECT doc_id, chunk,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,
+         |    count(*) AS n_tokens
+         |  FROM chunked GROUP BY doc_id, chunk),
+         |ref AS (SELECT DISTINCT chunk_fp FROM chunks WHERE doc_id % 3 <> 0),
+         |bat AS (SELECT * FROM chunks WHERE doc_id % 3 = 0),
+         |tot AS (SELECT doc_id, count(*) AS n_chunks,
+         |    cast(sum(n_tokens) AS bigint) AS total_tokens
+         |  FROM bat GROUP BY 1),
+         |mat AS (SELECT doc_id, count(*) AS n_matched,
+         |    cast(sum(n_tokens) AS bigint) AS matched_tokens
+         |  FROM bat WHERE chunk_fp IN (SELECT chunk_fp FROM ref) GROUP BY 1)
+         |SELECT t.doc_id, n_chunks,
+         |  coalesce(n_matched, 0) AS n_matched,
+         |  cast(coalesce(matched_tokens, 0) AS double) / total_tokens AS matched_frac
+         |FROM tot t LEFT JOIN mat USING (doc_id)
+         |WHERE cast(coalesce(matched_tokens, 0) AS double) / total_tokens >= 0.5""".stripMargin,
     "corpus_diff" ->
       """WITH olds AS (SELECT md5(text) AS fingerprint, min(doc_id) AS old_id
         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),

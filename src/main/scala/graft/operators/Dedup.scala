@@ -414,8 +414,12 @@ object Dedup {
     * doc length). The final chunk-fingerprint groupBy shuffles digests
     * only. Returns chunks appearing in ≥ 2 distinct documents.
     */
-  def cdcChunkDups(docs: DataFrame, idCol: String, textCol: String,
-                   anchorMod: Int = 16): DataFrame = {
+  /** The per-document CDC chunk table: (doc_id, chunk, chunk_fp,
+    * n_tokens) — the shared build stage of [[cdcChunkDups]],
+    * [[cdcContainment]] and [[buildCdcIndex]].
+    */
+  def cdcChunkTable(docs: DataFrame, idCol: String, textCol: String,
+                    anchorMod: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
@@ -424,20 +428,96 @@ object Dedup {
       (phash(concat(lit("cdc|"), col("tok"))) % anchorMod === 0).cast("long"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val chunked = anchored.withColumn("chunk", sum(col("is_anchor")).over(w))
-    val chunks = chunked.groupBy(col("doc_id"), col("chunk"))
+    anchored.withColumn("chunk", sum(col("is_anchor")).over(w))
+      .groupBy(col("doc_id"), col("chunk"))
       .agg(
         md5(concat_ws(" ",
           transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
             s => s.getField("tok"))).cast("binary")).as("chunk_fp"),
         count(lit(1)).as("n_tokens"))
-    chunks.groupBy(col("chunk_fp"))
+  }
+
+  def cdcChunkDups(docs: DataFrame, idCol: String, textCol: String,
+                   anchorMod: Int = 16): DataFrame =
+    cdcChunkTable(docs, idCol, textCol, anchorMod)
+      .groupBy(col("chunk_fp"))
       .agg(
         count(lit(1)).as("n_occurrences"),
         count_distinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("example_doc"),
         min(col("n_tokens")).as("n_tokens"))
       .filter(col("n_docs") >= 2)
+
+  /** C43: chunk-level containment screen — the fraction of a batch
+    * document's TOKENS living in chunks already present in a reference
+    * corpus. Catches "mostly quoted / scraped" documents that exact
+    * dedup misses (ids differ, some glue text added) and that
+    * whole-doc near-dup estimators under-score when the container
+    * grows. Returns per-batch-doc (n_chunks, n_matched, matched_frac)
+    * for docs above `minFrac`.
+    *
+    * Scale shape: each side is chunked in one scan + one doc-keyed
+    * window; the overlap test is a digest-only left_semi join (16-byte
+    * keys, no text); the per-doc rollup is a partial agg on the
+    * already-partitioned doc key. Never all-pairs — containment here
+    * is against the chunk SET, not per document pair.
+    */
+  def cdcContainment(batch: DataFrame, reference: DataFrame, idCol: String,
+                     textCol: String, anchorMod: Int = 16,
+                     minFrac: Double = 0.5): DataFrame = {
+    val refChunks = cdcChunkTable(reference, idCol, textCol, anchorMod)
+      .select(col("chunk_fp"))
+    cdcContainmentAgainst(
+      cdcChunkTable(batch, idCol, textCol, anchorMod), refChunks, minFrac)
+  }
+
+  private def cdcContainmentAgainst(batchChunks: DataFrame,
+                                    refChunkFps: DataFrame,
+                                    minFrac: Double): DataFrame = {
+    val matched = batchChunks
+      .join(refChunkFps.select(col("chunk_fp")), Seq("chunk_fp"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("n_tokens")).as("matched_tokens"))
+    batchChunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("total_tokens"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        (coalesce(col("matched_tokens"), lit(0L)).cast("double") /
+          col("total_tokens")).as("matched_frac"))
+      .filter(col("matched_frac") >= minFrac)
+  }
+
+  /** Persist a reference corpus's CDC chunk fingerprints at `path`
+    * (distinct digests only — the smallest index in the family) plus
+    * the anchor parameter, so a batch can never chunk with a
+    * mismatched boundary function. Chunk the reference once; screen
+    * every later batch at O(batch).
+    */
+  def buildCdcIndex(reference: DataFrame, idCol: String, textCol: String,
+                    path: String, anchorMod: Int = 16): Unit = {
+    cdcChunkTable(reference, idCol, textCol, anchorMod)
+      .select(col("chunk_fp")).distinct()
+      .write.mode("overwrite").parquet(s"$path/chunks")
+    import reference.sparkSession.implicits._
+    Seq(anchorMod).toDF("anchor_mod")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** [[cdcContainment]] against a persisted index — only the batch is
+    * chunked (equality with the two-corpus form is spec-pinned).
+    * Append new chunk digests with a plain parquet append to
+    * `path/chunks`; duplicate digests are harmless (left_semi).
+    */
+  def cdcContainmentIndexed(batch: DataFrame, path: String, idCol: String,
+                            textCol: String,
+                            minFrac: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val anchorMod = spark.read.parquet(s"$path/params").collect()(0).getInt(0)
+    cdcContainmentAgainst(
+      cdcChunkTable(batch, idCol, textCol, anchorMod),
+      spark.read.parquet(s"$path/chunks"), minFrac)
   }
 
   /** C4: exact n-gram Jaccard on a deterministic sample (quadratic

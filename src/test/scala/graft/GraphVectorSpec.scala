@@ -130,6 +130,32 @@ class GraphVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC containment: quoted doc flagged; indexed form equals two-corpus form") {
+    import graft.operators.Dedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def docsOf(rows: (Long, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), docSchema)
+    val para = (1 to 30).map(i => s"c$i").mkString(" ")
+    val reference = docsOf((10L, para), (11L, "other content entirely here"))
+    // doc 3 quotes the reference paragraph inside new glue text;
+    // doc 6 is fresh — only doc 3 crosses the containment threshold
+    val batch = docsOf((3L, s"intro words $para closing words"),
+      (6L, "fresh unrelated text body of words"))
+    val direct = Dedup.cdcContainment(batch, reference, "doc_id", "text",
+      anchorMod = 2, minFrac = 0.3).collect()
+    assert(direct.map(_.getLong(0)).toSet == Set(3L))
+    val flagged = direct.head
+    assert(flagged.getDouble(3) > 0.3 && flagged.getDouble(3) <= 1.0)
+    // the persisted-index screen is row-identical to the two-corpus form
+    val path = java.nio.file.Files.createTempDirectory("cdcidx").toString
+    Dedup.buildCdcIndex(reference, "doc_id", "text", path, anchorMod = 2)
+    val indexed = Dedup.cdcContainmentIndexed(batch, path, "doc_id", "text",
+      minFrac = 0.3).collect()
+    assert(indexed.map(_.toSeq).toSet == direct.map(_.toSeq).toSet)
+  }
+
   test("corpus diff: kept under id churn, added/removed on content change") {
     import graft.operators.Curation
     val docSchema = StructType(Seq(
