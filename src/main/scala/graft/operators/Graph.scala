@@ -53,7 +53,12 @@ object Graph {
     * convergence scalar per round.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Materialized: the symmetrizing union below consumes `pairs` in
+    // BOTH branches, and only exchange-rooted subtrees are reused — a
+    // pair pipeline ending in a join+filter (embedding-cosine pairs:
+    // the exact-cosine verification) would run twice without the cut.
     val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = false)
     // No distinct needed on the union: pairs are unique with
     // doc_a < doc_b, so the forward branch (a<b) and the reversed one
     // (a>b) are disjoint — a distinct here would be one full extra
@@ -120,9 +125,14 @@ object Graph {
   def pagerank(pairs: DataFrame, iters: Int = 4,
                scale: Long = 1000000L): DataFrame = {
     // Symmetrize. No distinct: pairs are unique with doc_a < doc_b, so
-    // the forward and reversed branches are disjoint.
-    val bidir = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // the forward and reversed branches are disjoint. Materialized for
+    // the same reason as connectedComponents: both union branches
+    // consume `pairs`, and a non-exchange-rooted pair pipeline would
+    // otherwise run twice.
+    val edges0 = pairs.select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(eager = false)
+    val bidir = edges0.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = bidir.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // Edges (with out-degree attached once) are the big reused side:
     // checkpoint them pre-partitioned on src so every round's
