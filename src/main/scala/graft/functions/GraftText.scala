@@ -37,6 +37,71 @@ object GraftText {
     else new GenericArrayData(java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], n))
   }
 
+  private val CdcPrefix = "cdc|".getBytes("UTF-8")
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Content-defined chunks of a token array: one pass, one md5 per
+    * token (the anchor test) plus one per chunk (the fingerprint).
+    * Returns array<struct<fp: string, n: int>> — chunk md5 hex and its
+    * token count, in document order.
+    *
+    * Anchor semantics are IDENTICAL to the SQL form they replace
+    * (`conv(substring(md5('cdc|'||tok), 1, 15), 16, 10) % anchorMod
+    * == 0`, the anchor starting a new chunk): the 15-hex-digit prefix
+    * is the digest's first 7 bytes plus the high nibble of the 8th.
+    * Chunk fingerprints are md5 of the chunk's tokens joined with
+    * single spaces — byte-identical to `md5(concat_ws(' ', ...))` and
+    * DuckDB's `md5(string_agg(tok, ' ' ORDER BY pos))`.
+    */
+  def cdcChunks(toks: ArrayData, anchorMod: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m == 0) return Empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def anchor60(t: UTF8String): Long = {
+      md.reset()
+      md.update(CdcPrefix)
+      md.update(t.getBytes)
+      val d = md.digest()
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      (v << 4) | ((d(7) & 0xf0L) >>> 4)
+    }
+    def hex(d: Array[Byte]): UTF8String = {
+      val out = new Array[Char](32)
+      var i = 0
+      while (i < 16) {
+        out(2 * i) = HexDigits((d(i) & 0xf0) >>> 4)
+        out(2 * i + 1) = HexDigits(d(i) & 0x0f)
+        i += 1
+      }
+      UTF8String.fromString(new String(out))
+    }
+    val chunks = new scala.collection.mutable.ArrayBuffer[Any]()
+    val window = new Array[UTF8String](m)
+    def emit(start: Int, end: Int): Unit = if (end > start) {
+      var j = start
+      while (j < end) { window(j - start) = toks.getUTF8String(j); j += 1 }
+      val text = UTF8String.concatWs(Space,
+        java.util.Arrays.copyOfRange(window, 0, end - start).toSeq: _*)
+      md.reset()
+      md.update(text.getBytes)
+      chunks += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](hex(md.digest()), end - start))
+    }
+    var start = 0
+    var i = 0
+    while (i < m) {
+      if (anchor60(toks.getUTF8String(i)) % anchorMod == 0) {
+        emit(start, i)
+        start = i
+      }
+      i += 1
+    }
+    emit(start, m)
+    new GenericArrayData(chunks.toArray)
+  }
+
   /** Word n-gram shingles (tokens joined with single spaces). */
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()

@@ -49,6 +49,17 @@ object TextFunctions {
       graft.plans.ShinglesExpr(GraftPlanFactory.expression(tokensCol), n))
   }
 
+  /** Content-defined chunks over a token array — native codegen'd
+    * expression (graft.plans.CdcChunksExpr): array<struct<fp, n>> of
+    * chunk md5 + token count, computed in ONE map-side pass (no
+    * explode, no window, no token shuffle).
+    */
+  def cdcChunks(tokensCol: Column, anchorMod: Int): Column = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftPlanFactory.column(
+      graft.plans.CdcChunksExpr(GraftPlanFactory.expression(tokensCol), anchorMod))
+  }
+
   /** Reference implementation of [[shingles]] from built-in HOFs — for
     * the parity spec only.
     */

@@ -414,12 +414,31 @@ object Dedup {
     * doc length). The final chunk-fingerprint groupBy shuffles digests
     * only. Returns chunks appearing in ≥ 2 distinct documents.
     */
-  /** The per-document CDC chunk table: (doc_id, chunk, chunk_fp,
-    * n_tokens) — the shared build stage of [[cdcChunkDups]],
-    * [[cdcContainment]] and [[buildCdcIndex]].
+  /** The per-document CDC chunk table: (doc_id, chunk_fp, n_tokens) —
+    * the shared build stage of [[cdcChunkDups]], [[cdcContainment]]
+    * and [[buildCdcIndex]]. ONE map-side pass through the native
+    * codegen'd chunk kernel (graft.plans.CdcChunksExpr): no explode of
+    * tokens to rows, no doc-keyed window — i.e. the corpus' TOKENS
+    * never shuffle; only chunk digests leave the scan stage. (The
+    * windowed formulation this replaces shuffled one row per token to
+    * run the running-anchor-count window; [[cdcChunkTableWindowed]]
+    * keeps it as the parity-spec reference.)
     */
   def cdcChunkTable(docs: DataFrame, idCol: String, textCol: String,
-                    anchorMod: Int): DataFrame = {
+                    anchorMod: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.cdcChunks(
+          tokens(col(textCol)), anchorMod)).as("c"))
+      .select(col("doc_id"), col("c.fp").as("chunk_fp"),
+        col("c.n").cast("long").as("n_tokens"))
+
+  /** Reference formulation of [[cdcChunkTable]] from built-in
+    * functions (posexplode → running-anchor window → ordered
+    * reassembly) — for the parity spec only; it shuffles every token.
+    */
+  def cdcChunkTableWindowed(docs: DataFrame, idCol: String, textCol: String,
+                            anchorMod: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
@@ -435,6 +454,7 @@ object Dedup {
           transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
             s => s.getField("tok"))).cast("binary")).as("chunk_fp"),
         count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("chunk_fp"), col("n_tokens"))
   }
 
   def cdcChunkDups(docs: DataFrame, idCol: String, textCol: String,

@@ -31,6 +31,27 @@ case class TokensExpr(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.GraftText.tokens($c);")
 }
 
+case class CdcChunksExpr(child: Expression, anchorMod: Int) extends UnaryExpression {
+  require(anchorMod >= 1)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.GraftText.cdcChunks(input.asInstanceOf[ArrayData], anchorMod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftText.cdcChunks($c, $anchorMod);")
+}
+
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -130,6 +130,25 @@ class GraphVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC kernel chunk table equals the windowed reference formulation") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val kernel = Dedup.cdcChunkTable(docs, "doc_id", "text", 16)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val windowed = Dedup.cdcChunkTableWindowed(docs, "doc_id", "text", 16)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(kernel == windowed)
+    // and the kernel build never shuffles tokens: no window, and the
+    // only exchanges are the digest-keyed distinct-count pair (both
+    // AFTER chunk digests exist — tokens never leave the scan stage)
+    val plan = SparkEntry.queries("cdc_chunks")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"kernel build must not window:\n$plan")
+    assert("Exchange".r.findAllMatchIn(plan).length <= 2,
+      s"cdc_chunks should shuffle only chunk digests:\n$plan")
+    assert(plan.contains("graft_cdc_chunks"), s"kernel expression missing:\n$plan")
+  }
+
   test("CDC containment: quoted doc flagged; indexed form equals two-corpus form") {
     import graft.operators.Dedup
     val docSchema = StructType(Seq(
