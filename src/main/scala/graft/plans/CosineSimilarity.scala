@@ -155,5 +155,10 @@ object GraftFunctions {
       exprs => KMinByHash(exprs(0), exprs(1),
         foldableIntArg("graft_kmin_by", "k", exprs(2))),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cdc_chunks",
+      exprs => CdcChunksExpr(exprs(0),
+        foldableIntArg("graft_cdc_chunks", "anchorMod", exprs(1))),
+      "built-in")
   }
 }

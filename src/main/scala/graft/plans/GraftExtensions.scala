@@ -44,6 +44,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         KMinByHash(exprs(0), exprs(1),
           GraftFunctions.foldableIntArg("graft_kmin_by", "k", exprs(2)))))
+    e.injectFunction((
+      FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunksExpr].getName, "graft_cdc_chunks"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CdcChunksExpr(exprs(0),
+          GraftFunctions.foldableIntArg("graft_cdc_chunks", "anchorMod", exprs(1)))))
     e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -40,6 +40,20 @@ class SqlFrontDoorSpec extends AnyFunSuite {
     assert(r.forall(row => row.getInt(2) == math.max(row.getInt(1) - 2, 0)))
   }
 
+  test("native graft_cdc_chunks callable from SQL; token counts reconcile") {
+    Tables.registerAll(spark, sf)
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT doc_id,
+        |  size(graft_tokens(text)) AS n_tokens,
+        |  aggregate(graft_cdc_chunks(graft_tokens(text), 16),
+        |    0, (acc, c) -> acc + c.n) AS chunk_tokens
+        |FROM documents WHERE doc_id < 20""".stripMargin).collect()
+    assert(r.nonEmpty)
+    // every token lands in exactly one chunk
+    assert(r.forall(row => row.getInt(1) == row.getInt(2)))
+  }
+
   test("graft_shingles rejects bad width arguments with an analysis error naming the function") {
     Tables.registerAll(spark, sf)
     GraftFunctions.register(spark)
