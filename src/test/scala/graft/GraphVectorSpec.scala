@@ -175,6 +175,44 @@ class GraphVectorSpec extends AnyFunSuite {
     assert(indexed.map(_.toSeq).toSet == direct.map(_.toSeq).toSet)
   }
 
+  test("streaming CDC screen via foreachBatch equals the batch screen") {
+    // the documented continuous-ingestion loop: chunk-containment needs
+    // per-doc aggregation, so it runs per MICRO-BATCH against the
+    // persisted index (not as an unbounded streaming agg)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def docsOf(rows: (Long, String)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), docSchema)
+    val para = (1 to 30).map(i => s"s$i").mkString(" ")
+    val reference = docsOf((100L, para))
+    val path = java.nio.file.Files.createTempDirectory("cdcstream").toString
+    Dedup.buildCdcIndex(reference, "doc_id", "text", s"$path/idx", anchorMod = 2)
+    val batchRows = Seq((1L, s"lead in $para trailer"), (2L, "totally fresh body here"))
+    val expected = Dedup.cdcContainmentIndexed(
+        docsOf(batchRows: _*), s"$path/idx", "doc_id", "text", minFrac = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = scala.collection.mutable.Set[Long]()
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        flagged ++= Dedup.cdcContainmentIndexed(
+            batch, s"$path/idx", "doc_id", "text", minFrac = 0.3)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    try {
+      ms.addData(batchRows: _*)
+      q.processAllAvailable()
+      assert(flagged.toSet == expected && expected == Set(1L))
+    } finally q.stop()
+  }
+
   test("corpus diff: kept under id churn, added/removed on content change") {
     import graft.operators.Curation
     val docSchema = StructType(Seq(
