@@ -49,6 +49,27 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Continuous cardinality monitoring: per-window distinct-user
+    * ESTIMATE via the portable KMinByHash sketch — the streaming twin
+    * of q_approx_stats' KMV branch. A streaming `count(DISTINCT ...)`
+    * isn't supported (and an exact per-window user set would grow with
+    * the user space); the sketch keeps O(k) state per open window in
+    * the state store, merges across micro-batches like any partial
+    * aggregate, and emits on watermark close. Bit-identical to the
+    * batch sketch over the same rows (spec-pinned) because the
+    * aggregate is a pure function of the input SET.
+    */
+  def windowedUserEstimate(events: DataFrame, k: Int = 64): DataFrame = {
+    graft.plans.GraftFunctions.register(events.sparkSession)
+    val uh = graft.functions.PortableHash.portableHash(col("user_id"))
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.Sketches.kminBy(uh, uh, k).as("kmv"))
+      .select(col("window.start").as("hour_start"),
+        graft.functions.Sketches.kmvEstimate(col("kmv"), k).as("est_users"))
+  }
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding 30 minutes. Both sides carry
     * watermarks, so the join state store evicts rows once they can no

@@ -149,6 +149,24 @@ class GraphVectorSpec extends AnyFunSuite {
     assert(plan.contains("graft_cdc_chunks"), s"kernel expression missing:\n$plan")
   }
 
+  test("CDC kernel: 50k-token docs chunk completely; anchor-free doc degrades to one chunk") {
+    import graft.operators.Dedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val text = (1 to 50000).map(i => s"t$i").mkString(" ")
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, text)), 1), docSchema)
+    // normal anchors: every token accounted for, chunks near 1/16 rate
+    val chunks = Dedup.cdcChunkTable(df, "doc_id", "text", 16).collect()
+    assert(chunks.map(_.getLong(2)).sum == 50000L)
+    assert(chunks.length > 1000 && chunks.length < 10000)
+    // the documented pathological case: no anchor ever fires → ONE
+    // whole-doc chunk (bounded by doc length, equivalent to the exact
+    // fingerprint) — completes, no error
+    val one = Dedup.cdcChunkTable(df, "doc_id", "text", Int.MaxValue).collect()
+    assert(one.map(_.getLong(2)).sum == 50000L && one.length <= 2)
+  }
+
   test("CDC containment: quoted doc flagged; indexed form equals two-corpus form") {
     import graft.operators.Dedup
     val docSchema = StructType(Seq(

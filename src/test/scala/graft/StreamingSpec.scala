@@ -20,6 +20,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming windowed user estimate equals the batch KMV sketch per window") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.windowedUserEstimate(stream)
+      .writeStream.format("memory").queryName("userest")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("userest")
+    graft.plans.GraftFunctions.register(spark)
+    val uh = graft.functions.PortableHash.portableHash(col("user_id"))
+    val batch = sources.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.Sketches.kminBy(uh, uh, 64).as("kmv"))
+      .select(col("window.start").as("hour_start"),
+        graft.functions.Sketches.kmvEstimate(col("kmv"), 64).as("est_users"))
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // estimates are sane: never more than 64x off the exact count
+    val exact = sources.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .select(col("window.start").as("hour_start"), col("exact_users"))
+    val joined = streamed.join(exact, "hour_start").collect()
+    joined.foreach { r =>
+      val (est, ex) = (r.getLong(1), r.getLong(2))
+      assert(est > 0 && math.abs(est - ex).toDouble / ex < 0.5,
+        s"window ${r.get(0)}: est $est vs exact $ex")
+    }
+  }
+
   test("streaming incremental dedup drops reference and in-stream duplicates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
