@@ -613,6 +613,21 @@ object SparkEntry {
       Dedup.cdcContainment(docs.filter(col("doc_id") % 3 === 0),
         docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
     }),
+    // the quality × diversity capstone composition: per-semantic-cluster
+    // quota of the highest-quality documents — quality scorer ⋈ k-means
+    // assignment (map-side codebook), per-cluster cut through the
+    // custom TopKPerKey operator (shuffle O(clusters × quota))
+    "diverse_quality_sample" -> ((s, d) => {
+      val q = TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val clusters = Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding")
+      val joined = q.join(clusters, col("doc_id") === col("vec_id"))
+        .select(col("cluster_id"), col("doc_id"), col("quality_score"),
+          (-col("quality_score")).as("__negq"))
+      graft.plans.TopK.perKey(joined, Seq("cluster_id"),
+          Seq("__negq", "doc_id"), 25, descending = false)
+        .select(col("cluster_id"), col("doc_id"), col("quality_score"))
+    }),
   )
 
   private def ph(expr: String): String =
@@ -1157,6 +1172,22 @@ object SparkEntry {
          |  cast(coalesce(matched_tokens, 0) AS double) / total_tokens AS matched_frac
          |FROM tot t LEFT JOIN mat USING (doc_id)
          |WHERE cast(coalesce(matched_tokens, 0) AS double) / total_tokens >= 0.5""".stripMargin,
+    "diverse_quality_sample" ->
+      s"""${Similarity.kmeansCtePrefix()},
+         |q AS (SELECT doc_id,
+         |  cast((CASE WHEN len(t) >= 5 THEN 4 ELSE 0 END)
+         |    + (CASE WHEN cast(len(list_filter(t, x -> x IN ${TextFunctions.stopwordsSql})) AS double)
+         |              / greatest(len(t), 1) > 0.05 THEN 3 ELSE 0 END)
+         |    + (CASE WHEN cast(list_sum(list_transform(t, x -> length(x))) AS double) / greatest(len(t), 1)
+         |              BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END) AS double) / cast(10.0 AS double) AS quality_score
+         |  FROM (SELECT doc_id, $tok AS t FROM documents)),
+         |j AS (SELECT a.cid AS cluster_id, q.doc_id, q.quality_score
+         |  FROM q JOIN afinal a ON q.doc_id = a.vec_id)
+         |SELECT cluster_id, doc_id, quality_score FROM (
+         |  SELECT cluster_id, doc_id, quality_score,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY quality_score DESC, doc_id) AS rnk
+         |  FROM j) WHERE rnk <= 25""".stripMargin,
     "corpus_diff" ->
       """WITH olds AS (SELECT md5(text) AS fingerprint, min(doc_id) AS old_id
         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
