@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized properties over the operators whose contracts are
+  * algebraic (bounds, nesting, parity with an independent model) —
+  * generated with FIXED seeds so runs are reproducible.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.iterate((Option.empty[A], rng.Seed(seed))) { case (_, s) =>
+      (g.apply(params, s), s.next)
+    }.drop(1).map(_._1).take(n * 2).flatten.take(n).toSeq
+  }
+
+  /** Independent model of the CDC chunker: plain Scala + MessageDigest,
+    * written directly from the SQL convention (md5 hex prefix → 60-bit
+    * long; anchors start chunks; chunk md5 of space-joined tokens) —
+    * shares NO code with graft.functions.GraftText.cdcChunks.
+    */
+  private def modelChunks(toks: Seq[String], anchorMod: Int): Seq[(String, Int)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+    def isAnchor(t: String) = {
+      val h = hex(md.digest(s"cdc|$t".getBytes("UTF-8"))).substring(0, 15)
+      java.lang.Long.parseLong(h, 16) % anchorMod == 0
+    }
+    if (toks.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    var current = scala.collection.mutable.ArrayBuffer[String]()
+    toks.foreach { t =>
+      if (isAnchor(t) && current.nonEmpty) {
+        out += ((hex(md.digest(current.mkString(" ").getBytes("UTF-8"))), current.length))
+        current = scala.collection.mutable.ArrayBuffer[String]()
+      }
+      current += t
+    }
+    out += ((hex(md.digest(current.mkString(" ").getBytes("UTF-8"))), current.length))
+    out.toSeq
+  }
+
+  test("property: CDC kernel matches an independent model on random token streams") {
+    val word = Gen.chooseNum(0, 40).map(i => s"w$i") // small vocab → frequent repeats
+    val doc = Gen.chooseNum(0, 120).flatMap(n => Gen.listOfN(n, word))
+    val docs = samples(doc, 300, seed = 42L)
+    docs.zipWithIndex.foreach { case (toks, i) =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      for (anchorMod <- Seq(2, 7, 16)) {
+        val got = graft.functions.GraftText.cdcChunks(arr, anchorMod)
+        val gotSeq = (0 until got.numElements()).map { j =>
+          val r = got.getStruct(j, 2)
+          (r.getUTF8String(0).toString, r.getInt(1))
+        }
+        assert(gotSeq == modelChunks(toks, anchorMod),
+          s"doc $i (${toks.length} toks, mod $anchorMod)")
+      }
+    }
+  }
+
+  test("property: quantization bounds hold on random vectors") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-8.0f, 8.0f))
+    val vecs = samples(vec, 150, seed = 7L)
+      .zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs.toSeq, 4), schema)
+    val rows = graft.operators.Similarity
+      .quantizeInt8(df, "vec_id", "embedding").collect()
+    assert(rows.length == vecs.length)
+    rows.foreach { r =>
+      val scale = r.getDouble(1)
+      val qs = r.getString(2).split(",").map(_.toLong)
+      val mse = r.getDouble(3)
+      assert(qs.forall(q => q >= -127 && q <= 127))
+      // per-component error is at most scale/2 (round-half-up), so the
+      // mean square can't exceed (scale/2)^2 (+ rounding slop)
+      assert(mse <= scale * scale / 4.0 + 1e-9, s"mse $mse scale $scale")
+    }
+  }
+
+  test("property: mixture sampling nests across random rate pairs") {
+    val docs = sources.Tables.documents(spark, sf)
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { _ =>
+      val (a, b) = (rnd.nextDouble(), rnd.nextDouble())
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      val idsLo = graft.operators.Curation
+        .mixtureSample(docs, "doc_id", "lang", Map.empty, lo)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val idsHi = graft.operators.Curation
+        .mixtureSample(docs, "doc_id", "lang", Map.empty, hi)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(idsLo.subsetOf(idsHi), s"rates $lo ⊄ $hi")
+    }
+  }
+
+  test("property: pagerank mass bounds on random graphs") {
+    val pairSchema = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    val rnd = new scala.util.Random(23)
+    (1 to 3).foreach { _ =>
+      val n = 4 + rnd.nextInt(12)
+      val pairs = (for {
+        a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.3
+      } yield (a, b)).toSeq
+      if (pairs.nonEmpty) {
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(pairs.map(p => Row(p._1, p._2)), 2),
+          pairSchema)
+        val ranks = graft.operators.Graph.pagerank(df)
+          .collect().map(_.getLong(1))
+        val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length
+        assert(ranks.length == verts)
+        // integer floors only lose mass; every vertex keeps the base share
+        assert(ranks.sum <= verts * 1000000L)
+        assert(ranks.forall(_ >= 150000L))
+      }
+    }
+  }
+}
