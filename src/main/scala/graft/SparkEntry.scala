@@ -191,6 +191,8 @@ object SparkEntry {
     "q16_supplier_variety" -> (Relational.q16SupplierVariety _),
     "q21_sole_late_supplier" -> (Relational.q21SoleLateSupplier _),
     "q_ntile"            -> (Relational.qNtile _),
+    "q_funnel"           -> (Relational.qFunnel _),
+    "q_retention"        -> (Relational.qRetention _),
     "q_topk_per_key"     -> ((s, d) =>
       graft.plans.TopK.perKey(
         Tables.events(s, d).select(col("user_id"), col("event_id"), col("value")),
@@ -376,6 +378,29 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin,
+    "q_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  count(CASE WHEN first_view IS NOT NULL THEN 1 END) AS n_view,
+        |  count(CASE WHEN first_click > first_view THEN 1 END) AS n_view_click,
+        |  count(CASE WHEN first_click > first_view
+        |              AND first_purchase > first_click THEN 1 END) AS n_view_click_purchase
+        |FROM per_user""".stripMargin,
+    "q_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id, cast(date_trunc('week', ts) AS date) AS week
+        |  FROM events)
+        |SELECT w.week, count(*) AS active_users,
+        |  count(n.user_id) AS retained_users
+        |FROM weeks w LEFT JOIN weeks n
+        |  ON w.user_id = n.user_id
+        |  AND cast(w.week + INTERVAL 7 DAY AS date) = n.week
+        |GROUP BY w.week""".stripMargin,
     "q16_supplier_variety" ->
       """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt,
         |  count(*) AS n_lines

@@ -513,6 +513,48 @@ object Relational {
       .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
   }
 
+  /** Funnel analysis over the event stream: how many users progressed
+    * view → click → purchase, in strict event-time order (classic
+    * product analytics). ONE partial-agg'd pass builds each user's
+    * first-timestamp-per-stage (conditional mins), and the stage
+    * predicates are a tiny map over that per-user row — no self-joins,
+    * no sequence explosion, one shuffle keyed on the user.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"first_$t")
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+    val reachedClick = col("first_view").isNotNull &&
+      col("first_click") > col("first_view")
+    val reachedPurchase = reachedClick && col("first_purchase") > col("first_click")
+    perUser.agg(
+      count(when(col("first_view").isNotNull, 1)).as("n_view"),
+      count(when(reachedClick, 1)).as("n_view_click"),
+      count(when(reachedPurchase, 1)).as("n_view_click_purchase"))
+  }
+
+  /** Week-over-week cohort retention: of the users active in week w,
+    * how many are also active in w+1. The distinct (user, week)
+    * activity table is built with one partial-agg'd pass; retention is
+    * a self-join on (user, next week) — both sides key-partitioned on
+    * the user, counts rolled up per week. Output cardinality is the
+    * number of weeks regardless of user count.
+    */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct()
+    val next = weeks.select(col("user_id").as("n_user"), col("week").as("n_week"))
+    weeks
+      .join(next, col("user_id") === col("n_user") &&
+        date_add(col("week"), 7) === col("n_week"), "left")
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("active_users"),
+        count(col("n_user")).as("retained_users"))
+  }
+
   /** TPC-H Q16-style supplier-variety report: distinct suppliers per
     * surviving (brand, size) combination, with NOT-IN brand exclusion
     * and an IN size list — both pushed into the part parquet scan. The
