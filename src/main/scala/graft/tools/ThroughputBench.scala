@@ -59,6 +59,17 @@ object ThroughputBench {
     val sec15 = (System.nanoTime() - t15) / 1e9
     println(f"""{"metric":"corpus_dedup_throughput","input_mb":$mb%.1f,"sec":$sec15%.2f,"mb_per_sec":${mb / sec15}%.1f}""")
 
+    // CDC chunk-table build rate (the native kernel: tokenize → chunk →
+    // per-chunk md5, all in the scan — the zero-token-shuffle path that
+    // replaced the posexplode+window formulation).
+    graft.operators.Dedup.cdcChunkTable(docsId, "doc_id", "text", 16)
+      .write.format("noop").mode("overwrite").save()
+    val t16 = System.nanoTime()
+    graft.operators.Dedup.cdcChunkTable(docsId, "doc_id", "text", 16)
+      .write.format("noop").mode("overwrite").save()
+    val sec16 = (System.nanoTime() - t16) / 1e9
+    println(f"""{"metric":"cdc_chunk_throughput","input_mb":$mb%.1f,"sec":$sec16%.2f,"mb_per_sec":${mb / sec16}%.1f}""")
+
     // A/B: the same signature pipeline built from the interpreted HOF
     // tokenize/shingle forms it replaced (graft_tokens/graft_shingles
     // vs filter(transform(split(...)))+transform/slice lambdas)
