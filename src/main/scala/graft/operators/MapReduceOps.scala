@@ -102,7 +102,7 @@ object MapReduceOps {
     val schema = org.apache.spark.sql.types.StructType(
       sorted.schema.fields :+
         org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.LongType, false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
       org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
     }
     sorted.sparkSession.createDataFrame(rdd, schema)

@@ -236,7 +236,8 @@ object Similarity {
           .as("s"),
         lit(j).as("c"))
     }
-    (if (structs.length == 1) structs.head else least(structs: _*)).getField("c")
+    (if (structs.length == 1) structs.head
+     else least(structs.toIndexedSeq: _*)).getField("c")
   }
 
   /** The trained codebook alone (cluster id = array index) — collect it
