@@ -70,6 +70,50 @@ object EventStreams {
         graft.functions.Sketches.kmvEstimate(col("kmv"), k).as("est_users"))
   }
 
+  /** Continuous funnel tracking — the streaming twin of q_funnel: each
+    * user's earliest view/click/purchase timestamps live in the state
+    * store (THREE longs per user — state bounded by user cardinality,
+    * never stream length), and a (user_id, completion timestamps) row
+    * is emitted the moment the strict view < click < purchase order
+    * first holds. Late/out-of-order events are handled by keeping
+    * MINIMA per stage: once every event has arrived the emitted set
+    * equals the batch funnel's completed-user set regardless of
+    * arrival order (spec-pinned); a completion is emitted exactly once
+    * (a completed flag rides the state).
+    */
+  def funnelCompletions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = events.sparkSession
+    import s.implicits._
+    // state: (firstView, firstClick, firstPurchase, emitted) — MaxValue = unseen
+    events.select(col("user_id").cast("long"), col("event_type"),
+        col("ts").cast("long").as("tsl"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Long, Long, Long, Boolean)]) => {
+          var (v, c, p, emitted) =
+            state.getOption.getOrElse((Long.MaxValue, Long.MaxValue, Long.MaxValue, false))
+          rows.foreach { case (_, t, ts) =>
+            t match {
+              case "view"     => if (ts < v) v = ts
+              case "click"    => if (ts < c) c = ts
+              case "purchase" => if (ts < p) p = ts
+              case _          => ()
+            }
+          }
+          val completed = v < c && c < p && p != Long.MaxValue
+          val out = if (completed && !emitted) {
+            emitted = true
+            Iterator((user, v, c, p))
+          } else Iterator.empty
+          state.update((v, c, p, emitted))
+          out
+        })
+      .toDF("user_id", "first_view", "first_click", "first_purchase")
+  }
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding 30 minutes. Both sides carry
     * watermarks, so the join state store evicts rows once they can no

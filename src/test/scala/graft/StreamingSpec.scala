@@ -50,6 +50,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel completions equal the batch funnel, out of order") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ev = sources.Tables.events(spark, sf)
+    def firstTs(t: String) =
+      min(when(col("event_type") === t, col("ts").cast("long"))).as(t)
+    val batchCompleted = ev.groupBy(col("user_id"))
+      .agg(firstTs("view"), firstTs("click"), firstTs("purchase"))
+      .filter(col("view") < col("click") && col("click") < col("purchase"))
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(batchCompleted.nonEmpty)
+    // feed the same events SHUFFLED and split across two micro-batches:
+    // stage minima make arrival order irrelevant to the final set
+    val rows = ev.select(col("user_id"), col("event_type"), col("ts").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val shuffled = new scala.util.Random(5).shuffle(rows.toSeq)
+    val (h1, h2) = shuffled.splitAt(shuffled.length / 2)
+    val ms = MemoryStream[(Long, String, Long)]
+    val out = EventStreams.funnelCompletions(ms.toDF().toDF("user_id", "event_type", "ts"))
+    val q = out.writeStream.format("memory").queryName("funnel")
+      .outputMode("append").start()
+    try {
+      ms.addData(h1: _*); q.processAllAvailable()
+      ms.addData(h2: _*); q.processAllAvailable()
+      val got = spark.table("funnel").select("user_id")
+        .collect().map(_.getLong(0))
+      assert(got.length == got.distinct.length, "completion emitted twice")
+      assert(got.toSet == batchCompleted)
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup drops reference and in-stream duplicates") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
