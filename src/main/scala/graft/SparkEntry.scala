@@ -638,6 +638,16 @@ object SparkEntry {
       Dedup.cdcContainment(docs.filter(col("doc_id") % 3 === 0),
         docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
     }),
+    // quality-aware near-dup dedup: each pair drops its LOWER-QUALITY
+    // side (the survivor policy real curation uses), not just the
+    // larger id
+    "corpus_dedup_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.corpusDedupKeepBest(docs,
+        TextAnalysis.quality(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality_score")),
+        "doc_id", "text", "quality_score")
+    }),
     // the quality × diversity capstone composition: per-semantic-cluster
     // quota of the highest-quality documents — quality scorer ⋈ k-means
     // assignment (map-side codebook), per-cluster cut through the
@@ -1078,6 +1088,41 @@ object SparkEntry {
          |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 AS est_jaccard
          |  FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b),
          |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE est_jaccard >= 0.5)
+         |SELECT k.doc_id FROM kept k
+         |WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = k.doc_id)""".stripMargin,
+    "corpus_dedup_best" ->
+      s"""WITH fp AS (SELECT md5(text) AS f, min(doc_id) AS sid FROM documents GROUP BY 1),
+         |kept AS (SELECT d.doc_id, d.text FROM documents d JOIN fp ON d.doc_id = fp.sid),
+         |toks AS (SELECT doc_id, $tok AS tokens FROM kept),
+         |sh AS (SELECT doc_id, ${TextFunctions.shinglesSql("tokens", 3)} AS shingles FROM toks),
+         |hp AS (SELECT doc_id,
+         |    list_transform(shingles, s -> struct_pack(
+         |      h1 := cast('0x' || substr(md5(s), 1, 12) as bigint),
+         |      h2 := cast('0x' || substr(md5(s), 17, 12) as bigint))) AS hp
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |    list_transform(range(0, 16), i ->
+         |      list_min(list_transform(hp, p -> p.h1 + i * p.h2))) AS sig
+         |  FROM hp WHERE len(hp) >= 1),
+         |bands AS (SELECT doc_id, b,
+         |    cast('0x' || substr(md5(concat(b, '|', sig[2*b+1], ',', sig[2*b+2])), 1, 15) as bigint) AS bkey
+         |  FROM sig CROSS JOIN range(0, 8) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM cand
+         |  JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b
+         |  WHERE list_sum(list_transform(range(1, 17),
+         |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5),
+         |q AS (SELECT doc_id,
+         |  cast((CASE WHEN len(t) >= 5 THEN 4 ELSE 0 END)
+         |    + (CASE WHEN cast(len(list_filter(t, x -> x IN ${TextFunctions.stopwordsSql})) AS double)
+         |              / greatest(len(t), 1) > 0.05 THEN 3 ELSE 0 END)
+         |    + (CASE WHEN cast(list_sum(list_transform(t, x -> length(x))) AS double) / greatest(len(t), 1)
+         |              BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END) AS double) / cast(10.0 AS double) AS qs
+         |  FROM (SELECT doc_id, $tok AS t FROM documents)),
+         |drops AS (SELECT DISTINCT
+         |    CASE WHEN qa.qs < qb.qs THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM pairs JOIN q qa ON qa.doc_id = doc_a JOIN q qb ON qb.doc_id = doc_b)
          |SELECT k.doc_id FROM kept k
          |WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = k.doc_id)""".stripMargin,
     "tfidf_topterms" ->

@@ -242,6 +242,36 @@ object Dedup {
       .join(drops, col("doc_id") === col("__drop"), "left_anti")
   }
 
+  /** Quality-aware corpus dedup — [[corpusDedup]] with the survivor
+    * policy real curation wants: within each near-duplicate pair the
+    * LOWER-QUALITY document is dropped (quality ties break to the
+    * larger id, matching corpusDedup). Exact duplicates still collapse
+    * to the min id first — identical text has identical quality, so
+    * nothing is lost there. Greedy and pair-local like corpusDedup: in
+    * a chain a~b~c every pairwise loser is dropped independently
+    * (conservative — may drop both b and c), deterministic either way.
+    *
+    * `scores` is (id, score) — any quality signal; the score join adds
+    * two digest-keyed hash joins on the pair table (ids + doubles, no
+    * text). Everything else inherits corpusDedup's scale shape.
+    */
+  def corpusDedupKeepBest(docs: DataFrame, scores: DataFrame, idCol: String,
+                          textCol: String, scoreCol: String,
+                          minEst: Double = 0.5): DataFrame = {
+    val exactSurvivors = materialize(exact(docs, idCol, textCol)
+      .select(col("survivor_id").as("__sid")))
+    val kept = docs.join(exactSurvivors, col(idCol) === col("__sid"), "left_semi")
+    val sa = scores.select(col(idCol).as("doc_a"), col(scoreCol).as("__qa"))
+    val sb = scores.select(col(idCol).as("doc_b"), col(scoreCol).as("__qb"))
+    val drops = minhashLsh(kept, idCol, textCol)
+      .filter(col("est_jaccard") >= minEst)
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(when(col("__qa") < col("__qb"), col("doc_a"))
+        .otherwise(col("doc_b")).as("__drop")) // tie → doc_b (larger id)
+    kept.select(col(idCol).as("doc_id"))
+      .join(drops, col("doc_id") === col("__drop"), "left_anti")
+  }
+
   /** Incremental dedup — the continuous-ingestion form of
     * [[corpusDedup]]: drop from `batch` every document that exactly
     * duplicates (same content fingerprint) or near-duplicates (minhash
