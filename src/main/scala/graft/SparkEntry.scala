@@ -1121,8 +1121,11 @@ object SparkEntry {
          |              BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END) AS double) / cast(10.0 AS double) AS qs
          |  FROM (SELECT doc_id, $tok AS t FROM documents)),
          |drops AS (SELECT DISTINCT
-         |    CASE WHEN qa.qs < qb.qs THEN doc_a ELSE doc_b END AS doc_id
-         |  FROM pairs JOIN q qa ON qa.doc_id = doc_a JOIN q qb ON qb.doc_id = doc_b)
+         |    CASE WHEN coalesce(qa.qs, -1.7976931348623157e308)
+         |           < coalesce(qb.qs, -1.7976931348623157e308)
+         |         THEN doc_a ELSE doc_b END AS doc_id
+         |  FROM pairs LEFT JOIN q qa ON qa.doc_id = doc_a
+         |             LEFT JOIN q qb ON qb.doc_id = doc_b)
          |SELECT k.doc_id FROM kept k
          |WHERE NOT EXISTS (SELECT 1 FROM drops x WHERE x.doc_id = k.doc_id)""".stripMargin,
     "tfidf_topterms" ->

@@ -102,6 +102,63 @@ object GraftText {
     new GenericArrayData(chunks.toArray)
   }
 
+  private val StopwordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    TextFunctions.Stopwords.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** One-pass quality stats over raw text — the native form of
+    * TextAnalysis.quality's per-row compute. Returns a struct row
+    * (n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+    * quality_score) with every field BIT-IDENTICAL to the composed
+    * HOF form it replaces: token semantics are [[tokens]] (lowercase,
+    * whitespace split, punct-trim, drop empties); lengths are
+    * codepoint counts (what Spark's `length` returns); each ratio is
+    * the same int-cast-to-double division; the composite score is the
+    * same 4/3/3 vote over the same double comparisons. The HOF form
+    * evaluated its `aggregate`/`filter` lambdas interpreted, per
+    * element, on a full-corpus scan path — this is one flat loop per
+    * row inside whole-stage codegen.
+    */
+  def qualityStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val nChars = text.numChars()
+    // punct chars are single-byte ASCII; UTF-8 continuation bytes have
+    // the high bit set, so a byte scan counts exactly the matching
+    // codepoints that regexp_replace("[.,!?;:]") would delete
+    var punct = 0
+    val nBytes = text.numBytes()
+    var b = 0
+    while (b < nBytes) {
+      val ch = text.getByte(b)
+      if (ch == '.' || ch == ',' || ch == '!' || ch == '?' || ch == ';' || ch == ':')
+        punct += 1
+      b += 1
+    }
+    val parts = text.toLowerCase.split(Whitespace, -1)
+    var nTokens = 0
+    var sumLen = 0
+    var stop = 0
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i).trim(Punct)
+      if (t.numBytes() > 0) {
+        nTokens += 1
+        sumLen += t.numChars()
+        if (StopwordSet.contains(t)) stop += 1
+      }
+      i += 1
+    }
+    val avgTokenLen = sumLen.toDouble / math.max(nTokens, 1)
+    val punctRatio = punct.toDouble / math.max(nChars, 1)
+    val stopwordRatio = stop.toDouble / math.max(nTokens, 1)
+    val score = ((if (nTokens >= 5) 4 else 0) +
+      (if (stopwordRatio > 0.05) 3 else 0) +
+      (if (avgTokenLen >= 3.0 && avgTokenLen <= 10.0) 3 else 0)).toDouble / 10.0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nChars, nTokens, avgTokenLen, punctRatio, stopwordRatio, score))
+  }
+
   /** Word n-gram shingles (tokens joined with single spaces). */
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()

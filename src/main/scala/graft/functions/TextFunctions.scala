@@ -60,6 +60,18 @@ object TextFunctions {
       graft.plans.CdcChunksExpr(GraftPlanFactory.expression(tokensCol), anchorMod))
   }
 
+  /** One-pass quality-stats struct over raw text — native codegen'd
+    * expression (graft.plans.QualityStatsExpr): tokenize + token-length
+    * sum + stopword count + punct count fused into one kernel call per
+    * row, replacing the interpreted `aggregate`/`filter` HOF lambdas on
+    * the full-corpus quality scan path.
+    */
+  def qualityStats(c: Column): Column = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftPlanFactory.column(
+      graft.plans.QualityStatsExpr(GraftPlanFactory.expression(c)))
+  }
+
   /** Reference implementation of [[shingles]] from built-in HOFs — for
     * the parity spec only.
     */

@@ -253,7 +253,13 @@ object Dedup {
     *
     * `scores` is (id, score) — any quality signal; the score join adds
     * two digest-keyed hash joins on the pair table (ids + doubles, no
-    * text). Everything else inherits corpusDedup's scale shape.
+    * text). The score projection is materialized ONCE before the
+    * `sa`/`sb` split: both sides of the pair join consume the same
+    * persisted (id, score) blocks, so an expensive score pipeline
+    * (e.g. a full-corpus quality scan) never runs twice. Docs with no
+    * score row default to -∞ — the unscored side of a pair loses
+    * deterministically instead of the pair silently surviving.
+    * Everything else inherits corpusDedup's scale shape.
     */
   def corpusDedupKeepBest(docs: DataFrame, scores: DataFrame, idCol: String,
                           textCol: String, scoreCol: String,
@@ -261,12 +267,16 @@ object Dedup {
     val exactSurvivors = materialize(exact(docs, idCol, textCol)
       .select(col("survivor_id").as("__sid")))
     val kept = docs.join(exactSurvivors, col(idCol) === col("__sid"), "left_semi")
-    val sa = scores.select(col(idCol).as("doc_a"), col(scoreCol).as("__qa"))
-    val sb = scores.select(col(idCol).as("doc_b"), col(scoreCol).as("__qb"))
+    val s = materialize(scores.select(col(idCol).as("__qid"),
+      col(scoreCol).cast("double").as("__q")))
+    val sa = s.select(col("__qid").as("doc_a"), col("__q").as("__qa"))
+    val sb = s.select(col("__qid").as("doc_b"), col("__q").as("__qb"))
+    val noScore = lit(Double.MinValue)
     val drops = minhashLsh(kept, idCol, textCol)
       .filter(col("est_jaccard") >= minEst)
-      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .select(when(col("__qa") < col("__qb"), col("doc_a"))
+      .join(sa, Seq("doc_a"), "left").join(sb, Seq("doc_b"), "left")
+      .select(when(coalesce(col("__qa"), noScore) < coalesce(col("__qb"), noScore),
+        col("doc_a"))
         .otherwise(col("doc_b")).as("__drop")) // tie → doc_b (larger id)
     kept.select(col(idCol).as("doc_id"))
       .join(drops, col("doc_id") === col("__drop"), "left_anti")

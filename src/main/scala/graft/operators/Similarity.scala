@@ -493,8 +493,9 @@ object Similarity {
        |  FROM embeddings),
        |scaled AS (
        |  SELECT vec_id, v,
-       |    list_reduce(list_transform(v, x -> abs(x)),
-       |      (a, x) -> greatest(a, x)) AS maxabs
+       |    CASE WHEN len(v) = 0 THEN 0.0
+       |      ELSE list_reduce(list_transform(v, x -> abs(x)),
+       |        (a, x) -> greatest(a, x)) END AS maxabs
        |  FROM base),
        |qd AS (
        |  SELECT vec_id, v, maxabs / 127.0 AS scale,
@@ -505,9 +506,10 @@ object Similarity {
        |  FROM scaled)
        |SELECT vec_id, round(scale, 6) AS scale,
        |  array_to_string(q, ',') AS qvec,
-       |  round(list_reduce(list_transform(range(1, len(v) + 1),
-       |      i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)),
-       |      (a, e) -> a + e)
+       |  round(CASE WHEN len(v) = 0 THEN 0.0
+       |      ELSE list_reduce(list_transform(range(1, len(v) + 1),
+       |        i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)),
+       |        (a, e) -> a + e) END
        |    / greatest(len(v), 1), 9) AS recon_mse
        |FROM qd""".stripMargin
 

@@ -40,10 +40,36 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred)
   }
 
-  /** C9: quality metrics + a deterministic composite score. */
+  /** C9: quality metrics + a deterministic composite score.
+    *
+    * One native codegen'd kernel call per row
+    * (graft.plans.QualityStatsExpr → GraftText.qualityStats): tokenize,
+    * token-length sum, stopword count and punct count fused into a
+    * single flat loop — the interpreted `aggregate`/`filter` HOF form
+    * it replaces is kept as [[qualityHof]] and pinned bit-identical by
+    * TextExprSpec. The six field extractions below are GetStructField
+    * over one subexpression — subexpression elimination runs the
+    * kernel once per row.
+    */
   def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val q = col("__q")
+    docs.select(col(idCol).as("doc_id"),
+        qualityStats(col(textCol)).as("__q"))
+      .select(col("doc_id"),
+        q.getField("n_chars").as("n_chars"),
+        q.getField("n_tokens").as("n_tokens"),
+        q.getField("avg_token_len").as("avg_token_len"),
+        q.getField("punct_ratio").as("punct_ratio"),
+        q.getField("stopword_ratio").as("stopword_ratio"),
+        q.getField("quality_score").as("quality_score"))
+  }
+
+  /** Reference implementation of [[quality]] from built-in HOFs — for
+    * the parity spec only (interpreted lambdas; NOT for hot paths).
+    */
+  def qualityHof(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = col("__toks")
-    docs.select(col(idCol), col(textCol), tokens(col(textCol)).as("__toks")).select(
+    docs.select(col(idCol), col(textCol), tokensHof(col(textCol)).as("__toks")).select(
       col(idCol).as("doc_id"),
       length(col(textCol)).as("n_chars"),
       size(toks).as("n_tokens"),

@@ -31,6 +31,39 @@ case class TokensExpr(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.GraftText.tokens($c);")
 }
 
+/** One-pass quality-stats struct over raw text (GraftText.qualityStats):
+  * (n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+  * quality_score). Field extraction downstream is GetStructField; with
+  * subexpression elimination the kernel runs once per row even when all
+  * six fields are selected.
+  */
+case class QualityStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("avg_token_len",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("punct_ratio",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("stopword_ratio",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("quality_score",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def prettyName: String = "graft_quality_stats"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.GraftText.qualityStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftText.qualityStats($c);")
+}
+
 case class CdcChunksExpr(child: Expression, anchorMod: Int) extends UnaryExpression {
   require(anchorMod >= 1)
   override def dataType: DataType = ArrayType(

@@ -169,6 +169,21 @@ class PlanAuditSpec extends AnyFunSuite {
     auditMaterializedSelfJoin("source_overlap", 4)
   }
 
+  test("corpus_dedup_best: score projection materialized, quality scan runs once") {
+    val plan = SparkEntry.queries("corpus_dedup_best")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // The quality pipeline must live ONLY inside the materialized
+    // (id, score) checkpoint — if it appears in the executed plan at
+    // all, a join side is recomputing the full-corpus quality scan.
+    assert(!plan.contains("graft_quality_stats"),
+      s"corpus_dedup_best: quality pipeline recomputed on a join side:\n$plan")
+    // Exactly one parquet scan survives: the ids-only survivor read.
+    // A second one means a side re-derived its input from the source.
+    val parquetScans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(parquetScans == 1,
+      s"corpus_dedup_best: expected 1 parquet scan, got $parquetScans:\n$plan")
+  }
+
   test("corpus_token_budget: one stratum-window shuffle, no join") {
     val plan = SparkEntry.queries("corpus_token_budget")(spark, sf)
       .queryExecution.executedPlan.toString

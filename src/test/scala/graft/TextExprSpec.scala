@@ -67,4 +67,35 @@ class TextExprSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan)
     assert(!plan.contains("transform("), plan) // no interpreted HOF lambdas
   }
+
+  test("native quality stats equal the HOF quality pipeline bit-for-bit") {
+    import graft.operators.TextAnalysis
+    val edge = edgeCases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val native = TextAnalysis.quality(df, "doc_id", "text")
+      val hof = TextAnalysis.qualityHof(df, "doc_id", "text")
+      // <=> on every column, joined on doc_id: bit-level double equality
+      val joined = native.alias("n").join(hof.alias("h"), Seq("doc_id"))
+      val mismatches = joined.filter(not(
+        col("n.n_chars") <=> col("h.n_chars") &&
+          col("n.n_tokens") <=> col("h.n_tokens") &&
+          col("n.avg_token_len") <=> col("h.avg_token_len") &&
+          col("n.punct_ratio") <=> col("h.punct_ratio") &&
+          col("n.stopword_ratio") <=> col("h.stopword_ratio") &&
+          col("n.quality_score") <=> col("h.quality_score"))).count()
+      assert(mismatches == 0)
+      assert(native.count() == hof.count())
+    }
+  }
+
+  test("quality scan path stays in whole-stage codegen with no HOF lambdas") {
+    import graft.operators.TextAnalysis
+    val plan = TextAnalysis.quality(Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("aggregate("), plan) // no interpreted fold lambda
+    assert(!plan.contains("lambdafunction"), plan)
+  }
 }
