@@ -72,44 +72,65 @@ object EventStreams {
 
   /** Continuous funnel tracking — the streaming twin of q_funnel: each
     * user's earliest view/click/purchase timestamps live in the state
-    * store (THREE longs per user — state bounded by user cardinality,
-    * never stream length), and a (user_id, completion timestamps) row
-    * is emitted the moment the strict view < click < purchase order
-    * first holds. Late/out-of-order events are handled by keeping
-    * MINIMA per stage: once every event has arrived the emitted set
-    * equals the batch funnel's completed-user set regardless of
-    * arrival order (spec-pinned); a completion is emitted exactly once
-    * (a completed flag rides the state).
+    * store (FOUR longs per user), and a (user_id, completion
+    * timestamps) row is emitted when the EVENT-TIME WATERMARK closes
+    * the user's horizon (`horizonSec` past their last event) AND the
+    * strict view < click < purchase order holds over the final minima.
+    * Emitting only on watermark close makes the minima final — a late
+    * click that would break the order is folded in before any row is
+    * emitted, so the emitted set equals the batch funnel over the same
+    * rows (spec-pinned), not a superset built from partial state. The
+    * same timeout EVICTS state: completed and idle users alike are
+    * removed once their horizon passes, so the store is bounded by
+    * users active inside one horizon, never all users ever seen. A
+    * user who resumes activity after eviction starts a fresh funnel
+    * epoch (one emission per epoch — the same per-activity-epoch
+    * contract as [[sessionize]]); equality with the batch funnel holds
+    * when each user's events span at most one horizon.
+    *
+    * Input: (user_id, event_type, ts-micros). A watermarked
+    * `event_time` column is derived internally (`latenessSec` allowed
+    * disorder) — events later than the watermark are dropped by the
+    * engine before they reach the state function.
     */
-  def funnelCompletions(events: DataFrame): DataFrame = {
+  def funnelCompletions(events: DataFrame, horizonSec: Long = 7200,
+                        latenessSec: Long = 3600): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val s = events.sparkSession
     import s.implicits._
-    // state: (firstView, firstClick, firstPurchase, emitted) — MaxValue = unseen
+    // state: (firstView, firstClick, firstPurchase, maxTs) — MaxValue = unseen
     events.select(col("user_id").cast("long"), col("event_type"),
-        col("ts").cast("long").as("tsl"))
-      .as[(Long, String, Long)]
+        col("ts").cast("long").as("tsl"),
+        timestamp_micros(col("ts").cast("long")).as("event_time"))
+      .withWatermark("event_time", s"$latenessSec seconds")
+      .as[(Long, String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (user: Long, rows: Iterator[(Long, String, Long)],
-         state: GroupState[(Long, Long, Long, Boolean)]) => {
-          var (v, c, p, emitted) =
-            state.getOption.getOrElse((Long.MaxValue, Long.MaxValue, Long.MaxValue, false))
-          rows.foreach { case (_, t, ts) =>
-            t match {
-              case "view"     => if (ts < v) v = ts
-              case "click"    => if (ts < c) c = ts
-              case "purchase" => if (ts < p) p = ts
-              case _          => ()
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long, Long)]) => {
+          if (state.hasTimedOut) {
+            // watermark passed maxTs + horizon: minima are final (any
+            // later event would be beyond the watermark for this epoch)
+            val (v, c, p, _) = state.get
+            state.remove()
+            if (v < c && c < p && p != Long.MaxValue) Iterator((user, v, c, p))
+            else Iterator.empty
+          } else {
+            var (v, c, p, maxTs) = state.getOption
+              .getOrElse((Long.MaxValue, Long.MaxValue, Long.MaxValue, Long.MinValue))
+            rows.foreach { case (_, t, ts, _) =>
+              t match {
+                case "view"     => if (ts < v) v = ts
+                case "click"    => if (ts < c) c = ts
+                case "purchase" => if (ts < p) p = ts
+                case _          => ()
+              }
+              if (ts > maxTs) maxTs = ts
             }
+            state.update((v, c, p, maxTs))
+            state.setTimeoutTimestamp(maxTs / 1000 + horizonSec * 1000)
+            Iterator.empty
           }
-          val completed = v < c && c < p && p != Long.MaxValue
-          val out = if (completed && !emitted) {
-            emitted = true
-            Iterator((user, v, c, p))
-          } else Iterator.empty
-          state.update((v, c, p, emitted))
-          out
         })
       .toDF("user_id", "first_view", "first_click", "first_purchase")
   }

@@ -63,22 +63,46 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id").collect().map(_.getLong(0)).toSet
     assert(batchCompleted.nonEmpty)
     // feed the same events SHUFFLED and split across two micro-batches:
-    // stage minima make arrival order irrelevant to the final set
+    // stage minima make arrival order irrelevant to the final set, and
+    // emission waits for the watermark to close each user's horizon so
+    // the minima are FINAL (no irrevocable emission from partial state)
     val rows = ev.select(col("user_id"), col("event_type"), col("ts").cast("long"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val shuffled = new scala.util.Random(5).shuffle(rows.toSeq)
     val (h1, h2) = shuffled.splitAt(shuffled.length / 2)
+    // the feed is fully disordered and every user spans the whole data
+    // range, so both the allowed lateness and the funnel horizon must
+    // cover the span for stream ≡ batch to be the contract under test
+    val maxTs = rows.map(_._3).max
+    val spanSec = (maxTs - rows.map(_._3).min) / 1000000L + 10
     val ms = MemoryStream[(Long, String, Long)]
-    val out = EventStreams.funnelCompletions(ms.toDF().toDF("user_id", "event_type", "ts"))
+    val out = EventStreams.funnelCompletions(
+      ms.toDF().toDF("user_id", "event_type", "ts"),
+      horizonSec = spanSec, latenessSec = spanSec)
     val q = out.writeStream.format("memory").queryName("funnel")
       .outputMode("append").start()
     try {
       ms.addData(h1: _*); q.processAllAvailable()
       ms.addData(h2: _*); q.processAllAvailable()
+      // nothing may be emitted before the watermark closes a horizon
+      assert(spark.table("funnel").count() == 0,
+        "emitted from partial state before watermark close")
+      // advance the watermark past every user's horizon via a sentinel
+      // user (two batches: the watermark used by batch N comes from
+      // batch N-1); its timeout fires every real user's emission+evict
+      val flushTs = maxTs + (spanSec * 2 + 200) * 1000000L
+      ms.addData((-1L, "view", flushTs)); q.processAllAvailable()
+      ms.addData((-1L, "view", flushTs + 1000000L)); q.processAllAvailable()
       val got = spark.table("funnel").select("user_id")
         .collect().map(_.getLong(0))
       assert(got.length == got.distinct.length, "completion emitted twice")
       assert(got.toSet == batchCompleted)
+      // state is EVICTED on emission/timeout: only the sentinel user's
+      // state may remain in the store
+      val stateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal)
+      assert(stateRows.exists(_ <= 1), s"state not evicted: $stateRows rows remain")
     } finally q.stop()
   }
 
