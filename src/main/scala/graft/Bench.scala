@@ -2,7 +2,9 @@ package graft
 import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_SF_DIR"))
+      .getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // the tuned library session (AQE, bloom-filter pruning, UTC,
     // nanosAsLong, GraftExtensions) — benchmark what users run
@@ -50,7 +52,14 @@ object Bench {
     // per-query engine metrics (rows / scanned bytes / listener time)
     Files.writeString(Paths.get("target/bench_metrics.json"), listener.json)
     System.err.println("[bench] metrics: " + listener.json)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // stdout is tail-captured by the harness and a 97-entry map can be
+    // truncated mid-JSON — the file is the durable copy of the SAME line
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
+    Files.createDirectories(Paths.get(outFile).toAbsolutePath.getParent)
+    Files.writeString(Paths.get(outFile), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -1,0 +1,160 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{GraftSession, Monitoring, SparkEntry}
+
+/** One user-facing command surface for the library — the Spark-native
+  * analog of the reference client (cooler-MapReduce
+  * `src/client/client.py`: submit :27, status/watch :65, list :102,
+  * results :123) and its `mapreduce.sh` wrapper. A MapReduce cluster
+  * needs a client talking to a coordinator over gRPC; on Spark the
+  * "cluster" is the SparkSession itself, so submit+results collapse
+  * into one synchronous `run`, and the status surface reads the
+  * session's own status tracker via graft.Monitoring instead of a
+  * coordinator RPC.
+  *
+  * {{{
+  * sbt "runMain graft.tools.Cli run mr_wordcount /root/testdata/sf0.01 /tmp/out"
+  * sbt "runMain graft.tools.Cli run dedup_minhash /root/testdata/sf0.1 --watch"
+  * sbt "runMain graft.tools.Cli list"
+  * sbt "runMain graft.tools.Cli explain q5_region_revenue"
+  * sbt "runMain graft.tools.Cli sql 'SELECT count(*) FROM lineitem'"
+  * sbt "runMain graft.tools.Cli status"
+  * sbt "runMain graft.tools.Cli bench /root/testdata/sf0.01"
+  * sbt "runMain graft.tools.Cli verify /root/testdata/sf0.01 /tmp/verify"
+  * }}}
+  *
+  * Reference-command map: `submit` → `run` (the catalog entry is the
+  * job file; the sf dir is `--input`; the parquet dir is `--output`),
+  * `status --watch` → `run --watch` (live progress bar from the status
+  * tracker), `list` → `list`, `results` → `run`'s printed rows /
+  * parquet output, `resources` → `status`, `cancel` →
+  * Monitoring.cancel (exercised in JobControlSpec; a one-shot CLI has
+  * nothing long-lived to cancel).
+  */
+object Cli {
+  private val DefaultSf = "/root/testdata/sf0.001"
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "run" :: rest if rest.nonEmpty              => run(rest)
+    case "list" :: _                                 => list()
+    case "explain" :: name :: rest                   => explain(name, rest.headOption.getOrElse(DefaultSf))
+    case "sql" :: stmt :: rest                       => sql(stmt, rest.headOption.getOrElse(DefaultSf))
+    case "status" :: _                               => status()
+    case "bench" :: rest                             => graft.Bench.main(rest.toArray)
+    case "verify" :: sfDir :: outDir :: _            => graft.Verify.main(Array(sfDir, outDir))
+    case _                                           => usage()
+  }
+
+  private def usage(): Unit = {
+    System.err.println(
+      """usage: graft.tools.Cli <command>
+        |  run <query> [sfDir] [outDir] [--watch]  run a catalog query; parquet to
+        |                                          outDir or print rows; --watch shows
+        |                                          a live progress bar
+        |  list                                    the runnable query catalog
+        |  explain <query> [sfDir]                 formatted physical plan
+        |  sql <statement> [sfDir]                 ad-hoc SQL over the registered tables
+        |  status                                  executor / resource snapshot
+        |  bench [sfDir]                           the benchmark main
+        |  verify <sfDir> <outDir>                 the correctness-dump main""".stripMargin)
+    sys.exit(2)
+  }
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def bar(done: Int, total: Int, width: Int = 40): String = {
+    val frac = if (total <= 0) 0.0 else done.toDouble / total
+    val filled = (frac * width).toInt
+    s"[${"=" * filled}${" " * (width - filled)}] $done/$total tasks (${(frac * 100).toInt}%)"
+  }
+
+  private def run(rest: List[String]): Unit = {
+    val watch = rest.contains("--watch")
+    val a = rest.filterNot(_ == "--watch")
+    val name = a.head
+    val sfDir = a.lift(1).getOrElse(DefaultSf)
+    val outDir = a.lift(2)
+    SparkEntry.queries.get(name) match {
+      case None =>
+        System.err.println(s"unknown query '$name' — see `list`"); sys.exit(1)
+      case Some(fn) =>
+        val spark = session()
+        val t0 = System.nanoTime()
+        val result = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
+        val runner = new Thread(() => Monitoring.inGroup(spark, name) {
+          val df: DataFrame = Monitoring.tag(fn(spark, sfDir), name)
+          outDir match {
+            case Some(dir) =>
+              df.write.mode("overwrite").parquet(dir)
+              result.set(Some(spark.read.parquet(dir).count()))
+            case None =>
+              val rows = df.limit(20).collect()
+              result.set(Some(df.count()))
+              rows.foreach(r => println(r.mkString("\t")))
+          }
+        })
+        runner.start()
+        // the reference client's watch mode: poll the coordinator for
+        // task counts and redraw a progress bar — here the
+        // "coordinator" is the session's status tracker
+        while (runner.isAlive) {
+          if (watch) {
+            val p = Monitoring.progress(spark, name)
+            System.err.print(s"\r${bar(p.tasksCompleted, math.max(p.tasksTotal, 1))}")
+          }
+          runner.join(500)
+        }
+        if (watch) System.err.println()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"query=$name rows=${result.get().getOrElse(-1L)} sec=$sec%.2f" +
+          outDir.map(d => s" output=$d").getOrElse(""))
+        spark.stop()
+    }
+  }
+
+  private def list(): Unit = {
+    val oracle = SparkEntry.oracleSql.keySet
+    println(f"${"QUERY"}%-28s ORACLE")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      println(f"$n%-28s ${if (oracle(n)) "sql-checked" else "rows-only"}")
+    }
+    System.err.println(s"${SparkEntry.queries.size} queries " +
+      s"(${oracle.size} with DuckDB oracle)")
+  }
+
+  private def explain(name: String, sfDir: String): Unit =
+    SparkEntry.queries.get(name) match {
+      case None => System.err.println(s"unknown query '$name' — see `list`"); sys.exit(1)
+      case Some(fn) =>
+        val spark = session()
+        fn(spark, sfDir).explain("formatted")
+        spark.stop()
+    }
+
+  private def sql(stmt: String, sfDir: String): Unit = {
+    val spark = session()
+    graft.sources.Tables.registerAll(spark, sfDir)
+    spark.sql(stmt).show(50, truncate = false)
+    spark.stop()
+  }
+
+  private def status(): Unit = {
+    val spark = session()
+    println(f"${"HOST"}%-24s TASKS  CACHED  STORAGE_USED")
+    Monitoring.executors(spark).foreach { e =>
+      println(f"${e.host}%-24s ${e.numRunningTasks}%5d  ${e.cacheSize}%6d  ${e.usedOnHeapStorage}%12d")
+    }
+    val active = Monitoring.activeQueries(spark)
+    if (active.nonEmpty) {
+      println(f"${"ACTIVE QUERY"}%-28s JOBS  PROGRESS")
+      active.foreach(g => println(f"${g.name}%-28s ${g.activeJobs}%4d  ${bar(g.tasksCompleted, math.max(g.tasksTotal, 1))}"))
+    }
+    spark.stop()
+  }
+}
