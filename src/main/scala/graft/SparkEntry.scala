@@ -781,14 +781,15 @@ object SparkEntry {
     "knn_ivf" ->
       s"""WITH centroids AS (SELECT vec_id AS centroid_id, embedding AS cv
          |  FROM embeddings WHERE vec_id % 50 = 0),
-         |assigned AS (SELECT vec_id, embedding, centroid_id FROM (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |ranked AS (SELECT e.vec_id, e.embedding, c.centroid_id,
          |    row_number() OVER (PARTITION BY e.vec_id
          |      ORDER BY ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS crnk
-         |  FROM embeddings e CROSS JOIN centroids c) WHERE crnk = 1),
+         |  FROM embeddings e CROSS JOIN centroids c),
+         |assigned AS (SELECT vec_id, embedding, centroid_id FROM ranked WHERE crnk = 1),
+         |probed AS (SELECT vec_id, embedding, centroid_id FROM ranked WHERE crnk <= 4),
          |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |    round(${cosSql("q.embedding", "c.embedding")}, 6) AS score
-         |  FROM assigned q JOIN assigned c ON q.centroid_id = c.centroid_id
+         |  FROM probed q JOIN assigned c ON q.centroid_id = c.centroid_id
          |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
          |SELECT query_id, neighbor_id, score, rnk FROM (
          |  SELECT query_id, neighbor_id, score,

@@ -160,12 +160,14 @@ object Similarity {
     * codebook stays broadcast-sized while the assignment and probe
     * stages are embarrassingly parallel scans; nProbes is the standard
     * IVF compute↔recall lever (each extra probe joins one more
-    * inverted list per query) — recall is spec-measured vs C6 at 1 and
-    * 3 probes.
+    * inverted list per query). The default of 4 probes is the
+    * documented high-recall setting — SimilaritySpec pins the
+    * recall-vs-nProbes curve as monotone with a ≥ 0.5 floor at the
+    * default (a 1-probe scan is the cheap setting, not the default).
     */
   def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
              nQueries: Int, k: Int, centroidMod: Int = 50,
-             nProbes: Int = 1): DataFrame = {
+             nProbes: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(emb.sparkSession)
     val centroids = emb.filter(col(idCol) % centroidMod === 0)
