@@ -539,6 +539,13 @@ object SparkEntry {
       TextAnalysis.quality(Tables.documents(s, d), "doc_id", "text")),
     "token_count" -> ((s, d) =>
       TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")),
+    // Gini–Simpson token diversity + top-token share (boilerplate /
+    // keyword-stuffing signal; transcendental-free entropy twin)
+    "token_diversity" -> ((s, d) =>
+      TextAnalysis.tokenDiversity(Tables.documents(s, d), "doc_id", "text")),
+    // embedding hygiene: per-vector L2 norm z-scored against the corpus
+    "embedding_outliers" -> ((s, d) =>
+      Similarity.embeddingOutliers(Tables.embeddings(s, d), "vec_id", "embedding")),
     "doc_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "multimodal_meta" -> ((s, d) =>
@@ -844,6 +851,36 @@ object SparkEntry {
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
         |  substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 2) AS bucket
         |FROM documents""".stripMargin,
+    // integer-ratio arithmetic only (no log()): doubles are identical
+    // IEEE divisions of exact longs on both engines, so no rounding
+    "token_diversity" ->
+      s"""WITH pairs AS (SELECT doc_id, t AS tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest($tok) AS t FROM documents) GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, cast(sum(c) AS bigint) AS n,
+         |    cast(count(*) AS bigint) AS dt, max(c) AS maxc,
+         |    cast(sum(c * c) AS bigint) AS sumc2
+         |  FROM pairs GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n, 0) AS n_tokens,
+         |  coalesce(dt, 0) AS distinct_tokens,
+         |  CASE WHEN n IS NULL THEN 0.0
+         |       ELSE maxc::DOUBLE / n::DOUBLE END AS top_share,
+         |  CASE WHEN n IS NULL THEN 0.0
+         |       ELSE 1.0 - sumc2::DOUBLE / (n * n)::DOUBLE END AS simpson_diversity
+         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "embedding_outliers" ->
+      s"""WITH normed AS (SELECT vec_id,
+         |    ${VectorFunctions.normSql("list_transform(embedding, x -> x::DOUBLE)")} AS l2_norm
+         |  FROM embeddings),
+         |stats AS (SELECT
+         |    cast(sum(cast(l2_norm AS DECIMAL(28,12))) AS double) / count(*) AS m,
+         |    cast(sum(cast(l2_norm * l2_norm AS DECIMAL(28,12))) AS double) / count(*) AS msq
+         |  FROM normed),
+         |s2 AS (SELECT m, sqrt(msq - m * m) AS sd FROM stats)
+         |SELECT vec_id, l2_norm,
+         |  (l2_norm - m) / sd AS z_score,
+         |  abs((l2_norm - m) / sd) > 2.0 AS is_outlier
+         |FROM normed CROSS JOIN s2""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,
         |  cast(octet_length(encode(text)) AS integer) AS n_bytes,

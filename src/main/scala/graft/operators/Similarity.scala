@@ -96,12 +96,30 @@ object Similarity {
     * Scale shape: one scan to bucket, an equi-join on (table, bucket),
     * id-pair dedup, then one vector copy re-joined per side — never an
     * all-pairs product, never a corpus broadcast.
+    *
+    * SIZE nPlanes TO THE CORPUS: a table has only 2^nPlanes buckets,
+    * so an average bucket holds n/2^nPlanes vectors and the candidate
+    * join emits ~n²/2^nPlanes pairs per table — at the 5-plane default
+    * (32 buckets, sized for the sf oracle tables) a 40k-vector corpus
+    * already generates hundreds of millions of candidates
+    * (SoakBench-measured). Pick `nPlanes ≈ log2(n / B)` for target
+    * bucket size B (64-256), trading worst-pair recall (compounded
+    * back via nTables) for bounded candidates; `maxBucket` is the
+    * skew guard that drops degenerate hot buckets (identical/correlated
+    * vector floods) the plane count can't predict.
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
                      minCosine: Double, nPlanes: Int = 5, nTables: Int = 16,
-                     dims: Int = 64): DataFrame = {
+                     dims: Int = 64, maxBucket: Int = Int.MaxValue): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val bucketed = lshBucketed(emb, idCol, vecCol, nPlanes, nTables, dims)
+    val bucketed0 = lshBucketed(emb, idCol, vecCol, nPlanes, nTables, dims)
+    val bucketed = if (maxBucket == Int.MaxValue) bucketed0 else {
+      val ok = bucketed0.groupBy(col("table"), col("bucket"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucket)
+        .select(col("table"), col("bucket"))
+      bucketed0.join(ok, Seq("table", "bucket"), "left_semi")
+    }
     val a = bucketed.select(col("id").as("vec_a"), col("table"), col("bucket"))
     val b = bucketed.select(col("id").as("vec_b"), col("table"), col("bucket"))
     val cand = a.join(b, Seq("table", "bucket"))
@@ -460,6 +478,37 @@ object Similarity {
     * is measured where the compression happens. Pure map-side: one
     * projection, no shuffle (plan-guarded).
     */
+  /** C47: embedding hygiene — per-vector L2 norm plus its z-score
+    * against the corpus, flagging |z| > 2 outliers (truncated, zeroed
+    * or exploded vectors are the embedding-pipeline bugs a curation
+    * run wants surfaced before ANN indexes ingest them). The norm is
+    * the native dot-product fold (deterministic per-dim order); the
+    * corpus mean/std use decimal-cast sums (the house dsum pattern) so
+    * the aggregate is order-independent and the DuckDB twin
+    * bit-identical; the two scalars broadcast back over the scan —
+    * two passes, no wide shuffle, O(1) driver state at any corpus
+    * size.
+    */
+  def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    // graft_dot is float-left × double-right; both sides hold the same
+    // float values widened to double, matching the oracle's x::DOUBLE
+    val normed = emb.select(col(idCol).as("vec_id"),
+      sqrt(call_function("graft_dot", col(vecCol),
+        col(vecCol).cast("array<double>"))).as("l2_norm"))
+    val stats = normed.agg(
+      (sum(col("l2_norm").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("__mean"),
+      (sum((col("l2_norm") * col("l2_norm")).cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("__meansq"))
+      .select(col("__mean"),
+        sqrt(col("__meansq") - col("__mean") * col("__mean")).as("__std"))
+    normed.crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("l2_norm"),
+        ((col("l2_norm") - col("__mean")) / col("__std")).as("z_score"))
+      .withColumn("is_outlier", abs(col("z_score")) > 2.0)
+  }
+
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     // Staged projections, NOT one inline tree: writing `scale` inline
     // would copy the max-abs fold into every element lambda (~2·dims

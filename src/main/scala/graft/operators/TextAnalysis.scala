@@ -129,6 +129,38 @@ object TextAnalysis {
           lit(1.0) - size(array_distinct(col("__grams"))).cast("double") / size(col("__grams")))
           .otherwise(lit(0.0)).as("repetition_ratio"))
 
+  /** C46: token-distribution diversity — Gini–Simpson index
+    * (`1 − Σ(c/n)²`) and top-token share per document: the
+    * transcendental-free twin of token entropy (same curation signal —
+    * boilerplate and keyword-stuffed docs score low diversity / high
+    * top-share — but pure integer-ratio arithmetic, so the DuckDB twin
+    * is bit-identical with no log() cross-engine ulp risk). One
+    * (doc_id, token) count shuffle then a per-doc fold over EXACT long
+    * counts; docs that tokenize to nothing keep a row with zeros.
+    */
+  def tokenDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val agg = pairs.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("__n"),
+      count(lit(1)).as("__d"),
+      max(col("c")).as("__maxc"),
+      sum(col("c") * col("c")).as("__sumc2"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        coalesce(col("__d"), lit(0L)).as("distinct_tokens"),
+        when(col("__n").isNull, lit(0.0))
+          .otherwise(col("__maxc").cast("double") / col("__n").cast("double"))
+          .as("top_share"),
+        when(col("__n").isNull, lit(0.0))
+          .otherwise(lit(1.0) - col("__sumc2").cast("double") /
+            (col("__n") * col("__n")).cast("double"))
+          .as("simpson_diversity"))
+  }
+
   /** C11: document fingerprint — md5 of whitespace-normalized text,
     * plus a 2-hex-char shard bucket (the partition key a 100 TB dedup
     * would shuffle on).
