@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Benchmark plots — the analog of the reference's plot_results.py
+(cooler-MapReduce benchmark_results/plots/), dependency-free: reads the
+BENCH_r*.json artifacts (and target/bench_out.json if present) and
+hand-writes one SVG with (a) suite wall-clock and query count per
+round, (b) the latest round's slowest queries as horizontal bars.
+
+Usage: python3 scripts/plot_bench.py [outfile.svg]
+Truncated artifacts (tail-captured stdout) are skipped with a note.
+"""
+import glob, json, os, re, sys
+
+
+def load_rounds():
+    rounds = []
+    for path in sorted(glob.glob("BENCH_r*.json")) + ["target/bench_out.json"]:
+        if not os.path.exists(path):
+            continue
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            label = re.search(r"r(\d+)", path)
+            rounds.append({
+                "label": f"r{int(label.group(1))}" if label else "now",
+                "wall": d.get("value"),
+                "queries": d.get("queries", {}),
+            })
+        except (json.JSONDecodeError, ValueError):
+            print(f"  [skip] {path}: truncated/unparseable", file=sys.stderr)
+    return rounds
+
+
+def svg(rounds, out):
+    W, H, PAD = 900, 640, 50
+    parts = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{W}" height="{H}" '
+             f'font-family="monospace" font-size="12">',
+             f'<rect width="{W}" height="{H}" fill="white"/>',
+             f'<text x="{PAD}" y="24" font-size="16">graft bench — suite wall per round '
+             f'(top), slowest queries latest round (bottom)</text>']
+    # ---- panel 1: wall seconds + query count per round ----
+    p1h = 200
+    walls = [(r["label"], r["wall"], len(r["queries"])) for r in rounds if r["wall"]]
+    if walls:
+        wmax = max(w for _, w, _ in walls)
+        bw = min(80, (W - 2 * PAD) // max(len(walls), 1))
+        for i, (lab, w, nq) in enumerate(walls):
+            x = PAD + i * (bw + 14)
+            h = int((w / wmax) * (p1h - 30))
+            y = 40 + (p1h - 30) - h
+            parts.append(f'<rect x="{x}" y="{y}" width="{bw}" height="{h}" fill="#4878a8"/>')
+            parts.append(f'<text x="{x + bw // 2}" y="{y - 4}" text-anchor="middle">'
+                         f'{w:.1f}s</text>')
+            parts.append(f'<text x="{x + bw // 2}" y="{40 + p1h - 12}" text-anchor="middle">'
+                         f'{lab} ({nq}q)</text>')
+    # ---- panel 2: slowest queries, latest complete round ----
+    latest = next((r for r in reversed(rounds) if r["queries"]), None)
+    if latest:
+        top = sorted(latest["queries"].items(), key=lambda kv: -kv[1])[:18]
+        tmax = top[0][1]
+        y0 = 40 + p1h + 30
+        parts.append(f'<text x="{PAD}" y="{y0 - 8}">{latest["label"]}: slowest queries '
+                     f'(sec, overlapped pool)</text>')
+        for i, (name, sec) in enumerate(top):
+            y = y0 + i * 19
+            w = int((sec / tmax) * (W - 2 * PAD - 240))
+            parts.append(f'<rect x="{PAD + 220}" y="{y}" width="{w}" height="14" fill="#b04838"/>')
+            parts.append(f'<text x="{PAD + 214}" y="{y + 11}" text-anchor="end">{name}</text>')
+            parts.append(f'<text x="{PAD + 226 + w}" y="{y + 11}">{sec:.2f}</text>')
+    parts.append("</svg>")
+    with open(out, "w") as f:
+        f.write("\n".join(parts))
+    print(f"wrote {out} ({len(rounds)} rounds)")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "target/bench_plot.svg"
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    rounds = load_rounds()
+    if not rounds:
+        sys.exit("no parseable BENCH artifacts found")
+    svg(rounds, out)
