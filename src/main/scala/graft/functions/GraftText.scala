@@ -159,6 +159,48 @@ object GraftText {
       Array[Any](nChars, nTokens, avgTokenLen, punctRatio, stopwordRatio, score))
   }
 
+  /** One-pass token-diversity stats over raw text: tokenize (same
+    * semantics as [[tokens]]), sort a scratch copy, walk equal-token
+    * runs — (n_tokens, distinct_tokens, top_share, simpson_diversity)
+    * without ever shuffling a (doc, token) pair. Counts are exact
+    * longs; the two ratios are single IEEE divisions of those longs,
+    * so the DuckDB group-by twin is bit-identical. Only run EQUALITY
+    * matters, so the binary UTF8String order is fine.
+    */
+  def tokenDiversityStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val parts = text.toLowerCase.split(Whitespace, -1)
+    val toks = new Array[UTF8String](parts.length)
+    var n = 0
+    var i = 0
+    while (i < parts.length) {
+      val t = parts(i).trim(Punct)
+      if (t.numBytes() > 0) { toks(n) = t; n += 1 }
+      i += 1
+    }
+    var distinct = 0L
+    var maxc = 0L
+    var sumc2 = 0L
+    if (n > 0) {
+      java.util.Arrays.sort(toks.asInstanceOf[Array[Object]], 0, n)
+      var run = 1L
+      var j = 1
+      while (j <= n) {
+        if (j < n && toks(j).equals(toks(j - 1))) run += 1
+        else {
+          distinct += 1
+          if (run > maxc) maxc = run
+          sumc2 += run * run
+          run = 1
+        }
+        j += 1
+      }
+    }
+    val topShare = if (n == 0) 0.0 else maxc.toDouble / n.toDouble
+    val simpson = if (n == 0) 0.0 else 1.0 - sumc2.toDouble / (n.toLong * n).toDouble
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, distinct, topShare, simpson))
+  }
+
   /** Word n-gram shingles (tokens joined with single spaces). */
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()

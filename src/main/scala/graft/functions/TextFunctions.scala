@@ -72,6 +72,17 @@ object TextFunctions {
       graft.plans.QualityStatsExpr(GraftPlanFactory.expression(c)))
   }
 
+  /** Zero-shuffle token-diversity struct over raw text — native
+    * codegen'd expression (graft.plans.TokenDiversityExpr): tokenize +
+    * sorted-run walk fused into one kernel call per row, replacing the
+    * (doc, token) explode→count→aggregate double shuffle.
+    */
+  def tokenDiversityStats(c: Column): Column = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftPlanFactory.column(
+      graft.plans.TokenDiversityExpr(GraftPlanFactory.expression(c)))
+  }
+
   /** Reference implementation of [[shingles]] from built-in HOFs — for
     * the parity spec only.
     */

@@ -134,6 +134,26 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
   }
 
+  /** [[embeddingPairs]] with the hyperplane count SIZED TO THE CORPUS:
+    * one cheap count() picks `nPlanes = max(5, ceil(log2(n / targetBucket)))`
+    * so the expected bucket holds ~targetBucket vectors no matter the
+    * corpus size — the production entry point for ad-hoc near-dup
+    * scans (SoakBench measured the fixed 5-plane default melting down
+    * 8× in shuffle volume at 40k vectors; the oracle-pinned queries
+    * keep the fixed default because their twin SQL bakes the plane
+    * literals). maxBucket still guards degenerate floods.
+    */
+  def embeddingPairsScaled(emb: DataFrame, idCol: String, vecCol: String,
+                           minCosine: Double, targetBucket: Int = 128,
+                           nTables: Int = 16, dims: Int = 64,
+                           maxBucket: Int = 10000): DataFrame = {
+    val n = emb.count()
+    val planes = math.max(5,
+      math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2)).toInt)
+    embeddingPairs(emb, idCol, vecCol, minCosine, nPlanes = planes,
+      nTables = nTables, dims = dims, maxBucket = maxBucket)
+  }
+
   /** Brute-force all-pairs verifier (quadratic, small tables / specs
     * only — C5 ships [[embeddingPairs]]).
     */

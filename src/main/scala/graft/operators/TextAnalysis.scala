@@ -134,11 +134,30 @@ object TextAnalysis {
     * transcendental-free twin of token entropy (same curation signal —
     * boilerplate and keyword-stuffed docs score low diversity / high
     * top-share — but pure integer-ratio arithmetic, so the DuckDB twin
-    * is bit-identical with no log() cross-engine ulp risk). One
-    * (doc_id, token) count shuffle then a per-doc fold over EXACT long
-    * counts; docs that tokenize to nothing keep a row with zeros.
+    * is bit-identical with no log() cross-engine ulp risk).
+    *
+    * ZERO shuffle: one native kernel call per row
+    * (graft.plans.TokenDiversityExpr — tokenize + sorted-run walk in
+    * the scan) instead of the (doc, token) explode→count→re-aggregate
+    * double shuffle ([[tokenDiversityShuffle]], kept as the parity
+    * reference); docs that tokenize to nothing keep a zero row for
+    * free.
     */
   def tokenDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = col("__s")
+    docs.select(col(idCol).as("doc_id"),
+        tokenDiversityStats(col(textCol)).as("__s"))
+      .select(col("doc_id"),
+        s.getField("n_tokens").as("n_tokens"),
+        s.getField("distinct_tokens").as("distinct_tokens"),
+        s.getField("top_share").as("top_share"),
+        s.getField("simpson_diversity").as("simpson_diversity"))
+  }
+
+  /** Shuffle formulation of [[tokenDiversity]] — parity reference only
+    * (two exchanges; the kernel form computes the same longs map-side).
+    */
+  def tokenDiversityShuffle(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val pairs = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))

@@ -64,6 +64,34 @@ case class QualityStatsExpr(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.GraftText.qualityStats($c);")
 }
 
+/** Zero-shuffle token-diversity struct over raw text
+  * (GraftText.tokenDiversityStats): (n_tokens, distinct_tokens,
+  * top_share, simpson_diversity) from a per-row sorted-run walk — the
+  * map-side form of the (doc, token) count-then-aggregate shuffle.
+  */
+case class TokenDiversityExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("distinct_tokens",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top_share",
+      org.apache.spark.sql.types.DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("simpson_diversity",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+  override def prettyName: String = "graft_token_diversity"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.GraftText.tokenDiversityStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftText.tokenDiversityStats($c);")
+}
+
 case class CdcChunksExpr(child: Expression, anchorMod: Int) extends UnaryExpression {
   require(anchorMod >= 1)
   override def dataType: DataType = ArrayType(

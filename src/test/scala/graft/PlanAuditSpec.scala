@@ -184,6 +184,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus_dedup_best: expected 1 parquet scan, got $parquetScans:\n$plan")
   }
 
+  test("token_diversity and embedding_outliers stay narrow (no wide shuffle)") {
+    // token_diversity: the sorted-run kernel computes per-doc counts in
+    // the scan — zero exchanges (the shuffle formulation had two)
+    val td = SparkEntry.queries("token_diversity")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!td.contains("Exchange"), s"token_diversity shuffles:\n$td")
+    // embedding_outliers: two scans + a broadcast of the 1-row stats —
+    // the only exchange allowed is the scalar-stats single partition
+    val eo = SparkEntry.queries("embedding_outliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(eo).isEmpty,
+      s"embedding_outliers wide shuffle:\n$eo")
+    assert(eo.contains("BroadcastExchange") || eo.contains("Exchange SinglePartition"),
+      s"embedding_outliers missing scalar-stats broadcast:\n$eo")
+  }
+
   test("corpus_token_budget: one stratum-window shuffle, no join") {
     val plan = SparkEntry.queries("corpus_token_budget")(spark, sf)
       .queryExecution.executedPlan.toString

@@ -48,6 +48,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rDefault >= 0.5, f"default-probe recall $rDefault%.2f below 0.5 floor")
   }
 
+  test("embeddingPairsScaled: small corpus resolves to the 5-plane default; cap preserves pairs") {
+    val emb = Tables.embeddings(spark, sf)
+    val fixed = Similarity.embeddingPairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // n < 128*32 here, so the sizing rule floors at 5 planes and the
+    // scaled form must return exactly the fixed-default pair set
+    // (maxBucket=10000 never trips on healthy buckets at this sf)
+    val scaled = Similarity.embeddingPairsScaled(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scaled == fixed)
+  }
+
   test("minhash bucket cap bounds identical-doc floods without losing normal pairs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -90,6 +90,25 @@ class TextExprSpec extends AnyFunSuite {
     }
   }
 
+  test("native token diversity equals the shuffle formulation bit-for-bit") {
+    import graft.operators.TextAnalysis
+    val edge = edgeCases.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val native = TextAnalysis.tokenDiversity(df, "doc_id", "text")
+      val shuffled = TextAnalysis.tokenDiversityShuffle(df, "doc_id", "text")
+      val joined = native.alias("n").join(shuffled.alias("h"), Seq("doc_id"))
+      val mismatches = joined.filter(not(
+        col("n.n_tokens") <=> col("h.n_tokens") &&
+          col("n.distinct_tokens") <=> col("h.distinct_tokens") &&
+          col("n.top_share") <=> col("h.top_share") &&
+          col("n.simpson_diversity") <=> col("h.simpson_diversity"))).count()
+      assert(mismatches == 0)
+      assert(native.count() == shuffled.count())
+    }
+  }
+
   test("quality scan path stays in whole-stage codegen with no HOF lambdas") {
     import graft.operators.TextAnalysis
     val plan = TextAnalysis.quality(Tables.documents(spark, sf), "doc_id", "text")
