@@ -33,6 +33,22 @@ object Graph {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Checkpoint + DROP THE STATS ESTIMATE. `localCheckpoint` truncates
+    * lineage but copies the original plan's ESTIMATED statistics onto
+    * the checkpoint node, and join estimates are size PRODUCTS — so in
+    * an iterative loop the label table's `sizeInBytes` BigInt grows
+    * ~4× in bit length per round and by round ~10 the driver spends
+    * minutes per checkpoint in BigInteger multiplication inside
+    * Catalyst's stats visitor (soak-measured: 447 s → 7 s for a
+    * 37k-edge / 200k-vertex connected components). Resetting to default
+    * stats each round keeps every estimate a bounded product of
+    * per-round terms. Partitioning survives the reset, so co-partitioned
+    * round joins stay co-partitioned.
+    */
+  private def checkpointNoStats(df: DataFrame): DataFrame =
+    org.apache.spark.sql.classic.GraftPlanFactory.statsTruncated(
+      df.localCheckpoint())
+
   /** Connected components over an undirected pair list (`doc_a`,
     * `doc_b`; unique, doc_a < doc_b): every vertex ends labeled with
     * its component's minimum id. Extracted from the near-dup use so ANY
@@ -52,7 +68,7 @@ object Graph {
     * never reshuffles across rounds); the driver only ever collects one
     * convergence scalar per round.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // Materialized: the symmetrizing union below consumes `pairs` in
     // BOTH branches, and only exchange-rooted subtrees are reused — a
     // pair pipeline ending in a join+filter (embedding-cosine pairs:
@@ -63,12 +79,12 @@ object Graph {
     // doc_a < doc_b, so the forward branch (a<b) and the reversed one
     // (a>b) are disjoint — a distinct here would be one full extra
     // shuffle of the edge set for nothing.
-    val bidir = edges
+    val bidir = checkpointNoStats(edges
       .unionByName(edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(col("doc_b")).localCheckpoint()
-    var labels = bidir.select(col("doc_a").as("doc_id")).distinct()
+      .repartition(col("doc_b")))
+    var labels = checkpointNoStats(bidir.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .repartition(col("doc_id")).localCheckpoint()
+      .repartition(col("doc_id")))
     var prevSum = Long.MaxValue
     var iters = 0
     var done = false
@@ -91,11 +107,11 @@ object Graph {
       val parents = propagated
         .select(col("doc_id").as("pid"), col("label").as("plabel"))
       val prevLabels = labels
-      labels = propagated
+      labels = checkpointNoStats(propagated
         .join(parents, propagated("label") === parents("pid"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .repartition(col("doc_id")).localCheckpoint()
+        .repartition(col("doc_id")))
       // the new labels checkpoint is materialized (eager) — last round's
       // labels and this round's propagated blocks are now dead; free
       // them so a 20-round run holds O(1) label-table copies, not O(2n)
@@ -110,7 +126,15 @@ object Graph {
       prevSum = sum
       iters += 1
     }
-    System.err.println(s"[graft] connectedComponents converged in $iters rounds")
+    if (done)
+      System.err.println(s"[graft] connectedComponents converged in $iters rounds")
+    else
+      // soak-measured: a 48k-vertex LSH pair graph needed 25 rounds, so
+      // the old default of 20 returned silently-unfinished labels —
+      // never cap quietly
+      System.err.println(s"[graft] WARNING: connectedComponents hit " +
+        s"maxIters=$maxIters without converging — labels are incomplete " +
+        s"(components may be split); raise maxIters")
     checkpointRdd(bidir).foreach(_.unpersist(blocking = false)) // edges are dead
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
@@ -137,13 +161,13 @@ object Graph {
     // Edges (with out-degree attached once) are the big reused side:
     // checkpoint them pre-partitioned on src so every round's
     // rank-distribution join is exchange-free on the edge side.
-    val edges = bidir.join(deg, Seq("src"))
-      .repartition(col("src")).localCheckpoint()
-    val verts = edges.select(col("src").as("doc_id")).distinct()
-      .repartition(col("doc_id")).localCheckpoint()
+    val edges = checkpointNoStats(bidir.join(deg, Seq("src"))
+      .repartition(col("src")))
+    val verts = checkpointNoStats(edges.select(col("src").as("doc_id")).distinct()
+      .repartition(col("doc_id")))
     val base = 15L * scale / 100L // (1 - d) * scale, exact in longs
-    var ranks = verts.select(col("doc_id"), lit(scale).as("rank"))
-      .repartition(col("doc_id")).localCheckpoint()
+    var ranks = checkpointNoStats(verts.select(col("doc_id"), lit(scale).as("rank"))
+      .repartition(col("doc_id")))
     var it = 0
     while (it < iters) {
       // distribute: each vertex ships rank/outdeg to every neighbor
@@ -152,10 +176,10 @@ object Graph {
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
       val prev = ranks
-      ranks = verts.join(sums, verts("doc_id") === sums("dst"), "left")
+      ranks = checkpointNoStats(verts.join(sums, verts("doc_id") === sums("dst"), "left")
         .select(col("doc_id"),
           (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("rank"))
-        .repartition(col("doc_id")).localCheckpoint()
+        .repartition(col("doc_id")))
       checkpointRdd(prev).foreach(_.unpersist(blocking = false))
       it += 1
     }

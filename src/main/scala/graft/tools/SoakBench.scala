@@ -1,0 +1,159 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** GB-scale soak of the dedup family — the "would this hold at 1000×"
+  * check run as a measurement, not a thought experiment. sf0.1 is
+  * ~1.5 MB of document text; the axes below scale it to multi-GB with
+  * two different generators because replication CHANGES the problem:
+  *
+  *  - `corpus_dedup` gets an EXACT-copY flood (every doc × mult): the
+  *    worst realistic crawl shape, and precisely the case its
+  *    exact-dedup-first composition claims to collapse before LSH.
+  *  - `dedup_minhash` gets a CROSS-COMBINED corpus (doc_i ⊕ doc_j for
+  *    mult distinct j per i): every generated doc is textually
+  *    distinct, two combined docs sharing one source sit near
+  *    jaccard ≈ 1/3 — BELOW the 0.5 near-dup bar but ABOVE the random
+  *    band-collision floor, so the LSH bucket join carries a heavy
+  *    honest candidate load instead of an artificial quadratic clique.
+  *  - `semantic_clusters` gets summed-vector embeddings (a+b for the
+  *    same pairing): genuinely new vectors whose shared-source cosine
+  *    sits near 0.5, probing the bucketed pair join + iterative CC at
+  *    100× the vector count.
+  *
+  * Prints one JSON line per axis: wall sec, input MB, MB/s, TOTAL and
+  * PEAK-stage shuffle write bytes (the numbers that decide whether a
+  * plan survives a 1000-executor run), and output rows. Recorded in
+  * SURVEY §6.
+  *
+  * Run: sbt "runMain graft.tools.SoakBench [targetTextMB] [vecMult]"
+  */
+object SoakBench {
+  final class ShuffleMeter extends SparkListener {
+    val total = new AtomicLong(0L)
+    val peak = new AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+      total.addAndGet(w)
+      peak.updateAndGet(m => math.max(m, w))
+    }
+    def reset(): Unit = { total.set(0); peak.set(0) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val targetMb = args.headOption.map(_.toInt).getOrElse(2000)
+    val vecMult = args.lift(1).map(_.toInt).getOrElse(100)
+    val spark = graft.GraftSession.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+    val baseMb = docs.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+    val n = docs.count()
+
+    // which axes to run: "flood,minhash,vectors" (default all) — lets a
+    // failed axis re-run without regenerating/re-timing the others
+    val axes = args.lift(3).map(_.split(',').toSet)
+      .getOrElse(Set("flood", "minhash", "vectors"))
+
+    def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
+      // warm-up run then timed run, like ThroughputBench
+      body.write.format("noop").mode("overwrite").save()
+      meter.reset()
+      val t0 = System.nanoTime()
+      body.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"soak_$name","input_mb":$inputMb%.0f,"sec":$sec%.1f,"mb_per_sec":${inputMb / sec}%.1f,"shuffle_write_mb":${meter.total.get / 1e6}%.1f,"peak_stage_shuffle_mb":${meter.peak.get / 1e6}%.1f}""")
+      // multi-GB axes in one JVM: shuffle files outlive their stage
+      // until the ContextCleaner's weak refs collect — with a mostly
+      // idle 8 GB heap that never happens on its own, and the disk
+      // fills with dead spills (first soak run died exactly that way)
+      System.gc()
+    }
+
+    // ---- axis 1: exact-copy flood → corpus_dedup --------------------
+    if (axes("flood")) {
+    val floodMult = math.max(1, (targetMb / baseMb).toInt)
+    val floodPath = "target/soak_flood"
+    docs.select(explode(sequence(lit(1), lit(floodMult))).as("copy"), col("doc_id"), col("text"))
+      .select((col("doc_id") * floodMult + col("copy")).as("doc_id"), col("text"))
+      .repartition(32).write.mode("overwrite").parquet(floodPath)
+    val flood = spark.read.parquet(floodPath)
+    val floodMb = baseMb * floodMult
+    axis("corpus_dedup_flood", floodMb) {
+      graft.operators.Dedup.corpusDedup(flood, "doc_id", "text")
+    }
+    }
+
+    // ---- axis 2: cross-combined distinct corpus → dedup_minhash -----
+    // doc (i,k) = text_i ⊕ text_{(i+k) mod n}: all distinct, shared-
+    // source jaccard ≈ 1/3 — a heavy candidate load under the 0.5 bar.
+    // maxBucket=200 is the production skew guard (same as the flood
+    // spec); without it one hot band bucket serializes a task.
+    if (axes("minhash")) {
+    val combMult = math.max(1, (targetMb / (2 * baseMb)).toInt)
+    val combPath = "target/soak_combined"
+    val a = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"),
+        explode(sequence(lit(1), lit(combMult))).as("k"))
+      .withColumn("b_id", (col("a_id") + col("k")) % n)
+    val b = docs.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    a.join(b, "b_id")
+      .select((col("a_id") * combMult + col("k")).as("doc_id"),
+        concat(col("a_text"), lit(" "), col("b_text")).as("text"))
+      .repartition(32).write.mode("overwrite").parquet(combPath)
+    val combined = spark.read.parquet(combPath)
+    val combMb = combined.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+    axis("dedup_minhash_combined", combMb) {
+      graft.operators.Dedup.minhashLsh(combined, "doc_id", "text", maxBucket = 200)
+        .filter(col("est_jaccard") >= 0.5)
+    }
+    }
+
+    // ---- axis 3: summed-vector embeddings → semantic_clusters -------
+    if (axes("vectors")) {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val nv = emb.count()
+    val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        explode(sequence(lit(1), lit(vecMult))).as("k"))
+      .withColumn("b_id", (col("a_id") + col("k")) % nv)
+    val eb = emb.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    val bigPath = "target/soak_vectors"
+    ea.join(eb, "b_id")
+      .select((col("a_id") * vecMult + col("k")).as("vec_id"),
+        zip_with(col("av"), col("bv"), (x, y) => x + y).as("embedding"))
+      .repartition(32).write.mode("overwrite").parquet(bigPath)
+    val bigEmb = spark.read.parquet(bigPath)
+    val vecMb = nv * vecMult * 64 * 8 / 1e6
+    val cosT = args.lift(2).map(_.toDouble).getOrElse(0.7)
+    // size the hyperplane count to the corpus (2^nPlanes buckets/table;
+    // target ~128 vectors per bucket) — the 5-plane oracle default has
+    // 32 buckets TOTAL and melts down quadratically at this scale; see
+    // the embeddingPairs scaladoc
+    val nVec = nv * vecMult
+    val planes = math.max(5, math.ceil(
+      math.log(nVec / 128.0) / math.log(2)).toInt)
+    // CLUSTERED embeddings concentrate into few sign patterns, so many
+    // buckets sit AT a generous cap: at maxBucket=2000 this axis
+    // generated tens of billions of candidate pairs and 49 GB of
+    // spills (measured — sign-LSH planes split uniform mass, not
+    // cluster mass). A tight cap bounds dense-region candidates at the
+    // cost of recall inside those regions; cluster-aware IVF (knn_ivf)
+    // is the structural answer for such corpora.
+    def pairs = graft.operators.Similarity.embeddingPairs(
+      bigEmb, "vec_id", "embedding", cosT, nPlanes = planes, maxBucket = 500)
+    val nEdges = pairs.count()
+    println(f"""{"metric":"soak_pair_graph","vectors":$nVec,"n_planes":$planes,"cos_threshold":$cosT,"edges":$nEdges}""")
+    axis("semantic_clusters_vectors", vecMb) {
+      graft.operators.Graph.connectedComponents(
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    }
+    }
+
+    spark.stop()
+  }
+}

@@ -90,6 +90,27 @@ object ThroughputBench {
     val sec3 = (System.nanoTime() - t2) / 1e9
     println(f"""{"metric":"minhash_sig_hof_throughput","input_mb":$mb%.1f,"sec":$sec3%.2f,"mb_per_sec":${mb / sec3}%.1f}""")
 
+    // Quality-score scan rate A/B — the other full-corpus text scan
+    // (consumed by text_quality, corpus_dedup_best, curation_pipeline,
+    // diverse_quality_sample): the fused native kernel
+    // (QualityStatsExpr, one flat loop per row) vs the interpreted
+    // aggregate/filter HOF pipeline it replaced.
+    import graft.operators.TextAnalysis
+    TextAnalysis.quality(docsId, "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
+    val tq = System.nanoTime()
+    TextAnalysis.quality(docsId, "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
+    val secQ = (System.nanoTime() - tq) / 1e9
+    println(f"""{"metric":"quality_score_throughput","input_mb":$mb%.1f,"sec":$secQ%.2f,"mb_per_sec":${mb / secQ}%.1f}""")
+    TextAnalysis.qualityHof(docsId, "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
+    val tqh = System.nanoTime()
+    TextAnalysis.qualityHof(docsId, "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
+    val secQh = (System.nanoTime() - tqh) / 1e9
+    println(f"""{"metric":"quality_score_hof_throughput","input_mb":$mb%.1f,"sec":$secQh%.2f,"mb_per_sec":${mb / secQh}%.1f}""")
+
     // Combiner on/off A/B — the reference's third benchmark axis
     // (cooler-MapReduce benchmark.py: word count with/without
     // combine_fn). "On" is the normal groupBy().agg() (partial
