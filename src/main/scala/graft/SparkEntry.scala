@@ -670,10 +670,41 @@ object SparkEntry {
           Seq("__negq", "doc_id"), 25, descending = false)
         .select(col("cluster_id"), col("doc_id"), col("quality_score"))
     }),
+    // BM25 keyword retrieval over the corpus: the ranked-search front
+    // door a curated corpus serves (query terms fixed; postings
+    // restricted to the query vocabulary before any shuffle)
+    "bm25_search" -> ((s, d) =>
+      TextAnalysis.bm25Search(Tables.documents(s, d), "doc_id", "text",
+        Bm25Queries, 10)),
+    // SemDeDup: k-means cells confine the pairwise cosine, pairs at
+    // ≥ minCos drop their higher id — semantic near-dup pruning
+    "semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding")),
+    // duplicated-n-gram fraction per doc (Gopher/RefinedWeb-style
+    // corpus-level boilerplate signal)
+    "ngram_novelty" -> ((s, d) =>
+      TextAnalysis.ngramNovelty(Tables.documents(s, d), "doc_id", "text")),
   )
+
+  /** Fixed keyword queries for C48 bm25_search — corpus-frequent terms
+    * so rankings are dense at every SF (same fixed-fixture convention
+    * as decontaminate's benchmark split).
+    */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join"),
+    2 -> Seq("hash", "table", "scan"),
+    3 -> Seq("stream", "window"),
+    4 -> Seq("customer", "order"),
+    5 -> Seq("vector", "data"))
 
   private def ph(expr: String): String =
     s"cast('0x' || substr(md5($expr), 1, 15) as bigint)"
+  private def bm25TermsSql: String =
+    Bm25Queries.flatMap(_._2).distinct.sorted
+      .map(t => s"'$t'").mkString("(", ", ", ")")
+  private def bm25QueryRowsSql: String =
+    Bm25Queries.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }
+      .mkString(", ")
   private def cosSql(a: String, b: String): String = VectorFunctions.cosineSql(a, b)
 
   /** DuckDB CTE fragment reproducing the deterministic LSH bucketing of
@@ -1299,6 +1330,54 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY cluster_id
          |      ORDER BY quality_score DESC, doc_id) AS rnk
          |  FROM j) WHERE rnk <= 25""".stripMargin,
+    // every arithmetic step in explicit DOUBLE (e0 literals — DuckDB
+    // bare decimals are DECIMAL typed), same tree shape as the Spark
+    // side; per-term contributions rounded to 6dp then DECIMAL-summed
+    // so the score is order-independent on both engines
+    "bm25_search" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS t FROM documents),
+         |bm_pairs AS (
+         |  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+         |  FROM (SELECT doc_id, cast(len(t) AS bigint) AS dl, unnest(t) AS token
+         |        FROM toks)
+         |  WHERE token IN ${bm25TermsSql}
+         |  GROUP BY 1, 2),
+         |bm_df AS (SELECT token, count(*) AS df FROM bm_pairs GROUP BY 1),
+         |bm_stats AS (SELECT count(*) AS n, cast(sum(len(t)) AS bigint) AS tot
+         |  FROM toks),
+         |bm_q(query_id, token) AS (VALUES ${bm25QueryRowsSql}),
+         |bm_contrib AS (SELECT query_id, p.doc_id,
+         |    cast(round(
+         |      ((n - df + 0.5e0) / (df + 0.5e0)) *
+         |      ((p.tf::DOUBLE * 2.2e0) /
+         |       (p.tf::DOUBLE + 1.2e0 * (0.25e0 + 0.75e0 *
+         |        (p.dl::DOUBLE / (tot::DOUBLE / n))))), 6) AS DECIMAL(28,9)) AS c
+         |  FROM bm_pairs p JOIN bm_q USING (token) JOIN bm_df USING (token)
+         |  CROSS JOIN bm_stats),
+         |bm_scores AS (SELECT query_id, doc_id, cast(sum(c) AS double) AS score
+         |  FROM bm_contrib GROUP BY 1, 2)
+         |SELECT query_id, doc_id, score FROM (
+         |  SELECT query_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS rnk
+         |  FROM bm_scores) WHERE rnk <= 10""".stripMargin,
+    "semantic_dedup" -> Similarity.semanticDedupOracleSql(),
+    "ngram_novelty" ->
+      s"""WITH nn_toks AS (SELECT doc_id, $tok AS t FROM documents),
+         |nn_grams AS (SELECT DISTINCT doc_id,
+         |    cast('0x' || substr(md5(s), 1, 12) AS bigint) AS gh
+         |  FROM (SELECT doc_id, unnest(${TextFunctions.shinglesSql("t", 3)}) AS s
+         |        FROM nn_toks)),
+         |nn_df AS (SELECT gh, count(*) AS df FROM nn_grams GROUP BY 1),
+         |nn_per AS (SELECT doc_id, cast(count(*) AS bigint) AS n_grams,
+         |    cast(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS bigint) AS dup_grams
+         |  FROM nn_grams JOIN nn_df USING (gh) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n_grams, 0) AS n_grams,
+         |  coalesce(dup_grams, 0) AS dup_grams,
+         |  coalesce(dup_grams, 0)::DOUBLE / greatest(coalesce(n_grams, 0), 1)
+         |    AS dup_fraction
+         |FROM documents d LEFT JOIN nn_per USING (doc_id)""".stripMargin,
     "corpus_diff" ->
       """WITH olds AS (SELECT md5(text) AS fingerprint, min(doc_id) AS old_id
         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),

@@ -385,6 +385,61 @@ object Similarity {
        |${assign(s"c$iters", "afinal")}""".stripMargin
   }
 
+  /** C49: SemDeDup-style semantic dedup — k-means partitions the
+    * corpus into semantic clusters, pairwise cosine runs WITHIN each
+    * cluster only, and for every pair at or above `minCos` the
+    * higher-id vector is dropped; survivors keep their cluster id.
+    * (Abbas et al. 2023, "SemDeDup": near-duplicate semantics live
+    * inside k-means cells, so the quadratic comparison is confined to
+    * cells instead of the corpus.)
+    *
+    * Scale shape: assignment is the map-side broadcast-codebook argmin
+    * (no join); the (id, vector, cluster) table is MATERIALIZED once
+    * and self-joined on the cluster key — an equi-join, never an
+    * all-pairs product. The within-cell product is (cell size)², so
+    * `k` must scale with the corpus to hold cells at a target size
+    * (the paper runs k ≈ N/100; the default k = 8 fits the driver
+    * SFs). Drop set is ids-only, applied as one anti-join.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, iters: Int = 2,
+                    minCos: Double = 0.35): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val centroids = kmeansCentroids(emb, idCol, vecCol, k, iters)
+    if (centroids.isEmpty)
+      return emb.select(col(idCol).as("vec_id"), lit(0).as("cluster_id")).limit(0)
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
+        kmeansAssignExpr(col(vecCol), centroids).as("cluster_id"))
+      .localCheckpoint(eager = false) // both sides of the cell self-join
+    val a = base.select(col("cluster_id"), col("vec_id").as("__ida"),
+      col("__v").as("__va"))
+    val b = base.select(col("cluster_id"), col("vec_id").as("__idb"),
+      col("__v").as("__vb"))
+    val drops = a.join(b, Seq("cluster_id"))
+      .filter(col("__ida") < col("__idb") &&
+        round(VectorFunctions.cosineNative(col("__va"), col("__vb")), 6) >= minCos)
+      .select(col("__idb").as("__drop")).distinct()
+    base.join(drops, col("vec_id") === col("__drop"), "left_anti")
+      .select(col("vec_id"), col("cluster_id"))
+  }
+
+  /** DuckDB twin of [[semanticDedup]] — the kmeans CTE chain, the same
+    * cell self-join and cosine fold, survivors by NOT IN.
+    */
+  def semanticDedupOracleSql(k: Int = 8, iters: Int = 2,
+                             minCos: Double = 0.35): String =
+    s"""${kmeansCtePrefix(k, iters)},
+       |sd_base AS (
+       |  SELECT e.vec_id, e.embedding, a.cid
+       |  FROM embeddings e JOIN afinal a USING (vec_id)),
+       |sd_drops AS (
+       |  SELECT DISTINCT b.vec_id AS d
+       |  FROM sd_base a JOIN sd_base b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE round(${VectorFunctions.cosineSql("a.embedding", "b.embedding")}, 6) >= $minCos)
+       |SELECT vec_id, cid AS cluster_id FROM sd_base
+       |WHERE vec_id NOT IN (SELECT d FROM sd_drops)""".stripMargin
+
   /** C7: ANN via multi-table random-hyperplane LSH — `nTables`
     * independent hash tables (distinct plane sets, offset seeds);
     * candidates are the UNION of bucket-mates across tables (the

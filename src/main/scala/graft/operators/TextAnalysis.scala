@@ -267,4 +267,97 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("w1"), col("w2"))
       .limit(topN)
   }
+
+  /** C48: BM25 top-k retrieval — rank documents against a fixed set of
+    * keyword queries with BM25 (k1 = 1.2, b = 0.75) and keep each
+    * query's `k` best docs. The idf is the RATIO form
+    * `(N − df + 0.5) ∕ (df + 0.5)` — BM25's idf without the log wrapper
+    * (monotone per term, so each term's doc ordering is the classic
+    * one, and log-free keeps the score bit-portable; the reference's
+    * analog is the tf-weighted grep/index family, re-ranked).
+    *
+    * Scale shape: the posting shuffle is restricted to the QUERY
+    * VOCABULARY before it happens (`isin` on the exploded tokens runs
+    * map-side in the scan), so the (doc, term, tf) table carries
+    * O(docs × |query terms|) rows, never the corpus vocabulary. The
+    * df table and the query table are bounded by the query-term count
+    * (compile-time broadcast is legitimate, like decontaminate's gram
+    * set); corpus length stats are a one-row aggregate broadcast back.
+    * Per-term contributions are rounded then summed as DECIMAL so the
+    * per-(query, doc) score is order-independent and engine-exact;
+    * the top-k cut runs through TopKPerKey (O(queries × k) final
+    * shuffle). Two corpus scans total: postings, and the length stats
+    * (count + sum partial-agg'd to one row per partition).
+    */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 queries: Seq[(Int, Seq[String])], k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    val queryTerms = queries.flatMap(_._2).distinct.sorted
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("__dl0"),
+        explode(col("__t")).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl0")).as("dl"))
+      .localCheckpoint(eager = false) // feeds df agg AND the scoring join
+    val dfreq = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = docs.select(size(tokens(col(textCol))).cast("long").as("__l"))
+      .agg(count(lit(1)).as("__n"), sum(col("__l")).as("__tot"))
+    val q = spark.createDataFrame(
+      queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) })
+      .toDF("query_id", "token")
+    val avgdl = col("__tot").cast("double") / col("__n")
+    val idf = (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val sat = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val scores = pairs
+      .join(broadcast(q), Seq("token"))
+      .join(broadcast(dfreq), Seq("token")) // ≤ |query terms| rows
+      .crossJoin(broadcast(stats)) // one row — the N / avgdl scalars
+      .select(col("query_id"), col("doc_id"),
+        round(idf * sat, 6).cast("decimal(28,9)").as("__c"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).cast("double").as("score"))
+    graft.plans.TopK.perKey(scores.withColumn("__neg", -col("score")),
+        Seq("query_id"), Seq("__neg", "doc_id"), k, descending = false)
+      .select(col("query_id"), col("doc_id"), col("score"))
+  }
+
+  /** C50: per-document duplicated-n-gram fraction — the share of a
+    * doc's DISTINCT n-grams that occur in at least one other document
+    * (the Gopher/RefinedWeb-style "duplicated n-gram" quality signal:
+    * high fractions flag boilerplate, templated, or scraped text that
+    * near-dup pair mining misses because no single partner document
+    * matches). Docs too short to form an n-gram keep a zero row.
+    *
+    * Scale shape: grams become 48-bit md5 hashes in the scan, so every
+    * shuffle carries longs, never gram strings; the distinct
+    * (doc, gram-hash) table is MATERIALIZED once (it feeds the
+    * document-frequency aggregation and the flag join); df is
+    * vocabulary-sized and partial-agg'd. No self-join anywhere — cost
+    * is linear in total grams, unlike the pair miners.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), explode(shingles(col("__t"), n)).as("__s"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("__s")), 1, 12), 16, 10).cast("long").as("gh"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds df agg AND the flag join
+    val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+    val per = grams.join(dfreq, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("__dg"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__ng"), lit(0L)).as("n_grams"),
+        coalesce(col("__dg"), lit(0L)).as("dup_grams"),
+        (coalesce(col("__dg"), lit(0L)).cast("double") /
+          greatest(coalesce(col("__ng"), lit(0L)), lit(1L))).as("dup_fraction"))
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** C48 bm25_search, C49 semantic_dedup, C50 ngram_novelty. */
+class RetrievalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bm25 returns at most k docs per query, scores positive and ranked") {
+    val got = TextAnalysis.bm25Search(Tables.documents(spark, sf),
+      "doc_id", "text", SparkEntry.Bm25Queries, 10)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getInt(0))
+    assert(byQuery.keySet == SparkEntry.Bm25Queries.map(_._1).toSet)
+    byQuery.values.foreach { rs =>
+      assert(rs.length <= 10)
+      assert(rs.forall(_.getDouble(2) > 0.0))
+    }
+  }
+
+  test("bm25 ranks higher term frequency first at equal document length") {
+    import spark.implicits._
+    // same length, same vocabulary exposure; doc 1 has 'spark' twice
+    val docs = Seq(
+      (1L, "spark spark join the row"),
+      (2L, "spark value join the row"),
+      (3L, "value value value the row")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq(1 -> Seq("spark")), 10).orderBy(desc("score")).collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // doc 3 never matches
+    assert(got(0).getDouble(2) > got(1).getDouble(2))
+  }
+
+  test("bm25 plans the per-query cut through TopKPerKey") {
+    val got = TextAnalysis.bm25Search(Tables.documents(spark, sf),
+      "doc_id", "text", SparkEntry.Bm25Queries, 10)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+
+  test("semantic dedup leaves no surviving within-cluster pair at or above the bar") {
+    val emb = Tables.embeddings(spark, sf)
+    val minCos = 0.35
+    val survivors = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      minCos = minCos)
+    val n = emb.count()
+    val kept = survivors.count()
+    assert(kept > 0 && kept < n, s"expected some drops: $kept of $n kept")
+    // among survivors, every same-cluster pair sits below the bar
+    val withVec = survivors.join(
+      emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = withVec.select(col("cluster_id"), col("vec_id").as("ida"),
+      col("embedding").as("va"))
+    val b = withVec.select(col("cluster_id"), col("vec_id").as("idb"),
+      col("embedding").as("vb"))
+    val offenders = a.join(b, Seq("cluster_id"))
+      .filter(col("ida") < col("idb") &&
+        round(graft.functions.VectorFunctions.cosine(col("va"), col("vb")), 6)
+          >= minCos)
+      .count()
+    assert(offenders == 0)
+    // survivors keep the k-means assignment of the full corpus
+    val asg = Similarity.kmeans(emb, "vec_id", "embedding")
+    assert(survivors.join(asg, Seq("vec_id", "cluster_id"), "left_anti")
+      .count() == 0)
+  }
+
+  test("ngram novelty: replicated docs hit fraction 1.0, short docs keep a zero row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact copy of 1
+      (3L, "zeta eta theta iota kappa"),      // fully novel
+      (4L, "one two")).toDF("doc_id", "text") // too short for a 3-gram
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(3) == 1.0 && got(2L).getDouble(3) == 1.0)
+    assert(got(3L).getDouble(3) == 0.0 && got(3L).getLong(1) > 0)
+    assert(got(4L).getLong(1) == 0L && got(4L).getDouble(3) == 0.0)
+  }
+
+  test("ngram novelty covers every document exactly once") {
+    val docs = Tables.documents(spark, sf)
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
+    assert(got.count() == docs.count())
+    assert(got.select("doc_id").distinct().count() == docs.count())
+    // fractions live in [0, 1]
+    assert(got.filter(col("dup_fraction") < 0 || col("dup_fraction") > 1)
+      .count() == 0)
+  }
+}
