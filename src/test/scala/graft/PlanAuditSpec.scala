@@ -184,6 +184,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus_dedup_best: expected 1 parquet scan, got $parquetScans:\n$plan")
   }
 
+  test("semantic_dedup: assignment+vector table materialized, no source rescans") {
+    // the (id, vector, cluster) checkpoint feeds both pair-join sides
+    // AND the survivor anti-join; kmeans assignment must never recompute
+    auditMaterializedSelfJoin("semantic_dedup", 3)
+  }
+
+  test("bm25_search: postings checkpointed once, one stats scan, TopKPerKey cut") {
+    val plan = SparkEntry.queries("bm25_search")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // exactly one parquet scan: the corpus length stats. The postings
+    // table is the materialized checkpoint, consumed by the df agg and
+    // the scoring join — a second parquet scan means one of them
+    // re-derived the postings from the source.
+    val parquetScans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(parquetScans == 1,
+      s"bm25_search: expected 1 parquet scan (length stats), got $parquetScans:\n$plan")
+    val rddScans = "Scan ExistingRDD".r.findAllMatchIn(plan).length
+    assert(rddScans >= 2,
+      s"bm25_search: postings checkpoint not reused, got $rddScans RDD scans:\n$plan")
+    assert(plan.contains("TopKPerKey"),
+      s"bm25_search: per-query cut fell back from TopKPerKey:\n$plan")
+  }
+
+  test("ngram_novelty: gram table materialized, one docs scan for the zero-row join") {
+    val plan = SparkEntry.queries("ngram_novelty")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val parquetScans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(parquetScans == 1,
+      s"ngram_novelty: expected 1 parquet scan (doc ids), got $parquetScans:\n$plan")
+    val rddScans = "Scan ExistingRDD".r.findAllMatchIn(plan).length
+    assert(rddScans >= 2,
+      s"ngram_novelty: gram checkpoint not reused, got $rddScans RDD scans:\n$plan")
+  }
+
   test("token_diversity and embedding_outliers stay narrow (no wide shuffle)") {
     // token_diversity: the sorted-run kernel computes per-doc counts in
     // the scan — zero exchanges (the shuffle formulation had two)
