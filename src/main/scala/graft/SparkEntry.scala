@@ -684,6 +684,11 @@ object SparkEntry {
     // corpus-level boilerplate signal)
     "ngram_novelty" -> ((s, d) =>
       TextAnalysis.ngramNovelty(Tables.documents(s, d), "doc_id", "text")),
+    // per-source quality z-scores: "bad for its provenance" beats any
+    // absolute quality threshold across heterogeneous sources
+    "quality_calibration" -> ((s, d) =>
+      TextAnalysis.qualityCalibration(Tables.documents(s, d), "doc_id",
+        "text", "source")),
   )
 
   /** Fixed keyword queries for C48 bm25_search — corpus-frequent terms
@@ -1378,6 +1383,25 @@ object SparkEntry {
          |  coalesce(dup_grams, 0)::DOUBLE / greatest(coalesce(n_grams, 0), 1)
          |    AS dup_fraction
          |FROM documents d LEFT JOIN nn_per USING (doc_id)""".stripMargin,
+    // same moment arithmetic as embedding_outliers (decimal-cast sums,
+    // sqrt of a zero-clamped variance), per source
+    "quality_calibration" ->
+      s"""WITH qc AS (SELECT doc_id, source,
+         |  cast((CASE WHEN len(t) >= 5 THEN 4 ELSE 0 END)
+         |    + (CASE WHEN cast(len(list_filter(t, x -> x IN ${TextFunctions.stopwordsSql})) AS double)
+         |              / greatest(len(t), 1) > 0.05 THEN 3 ELSE 0 END)
+         |    + (CASE WHEN cast(list_sum(list_transform(t, x -> length(x))) AS double) / greatest(len(t), 1)
+         |              BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END) AS double) / cast(10.0 AS double) AS q
+         |  FROM (SELECT doc_id, source, $tok AS t FROM documents)),
+         |qm AS (SELECT source,
+         |    cast(sum(cast(q AS DECIMAL(28,12))) AS double) / count(*) AS m,
+         |    cast(sum(cast(q * q AS DECIMAL(28,12))) AS double) / count(*) AS msq
+         |  FROM qc GROUP BY 1),
+         |qs2 AS (SELECT source, m, sqrt(greatest(msq - m * m, 0.0e0)) AS sd FROM qm)
+         |SELECT doc_id, qc.source, q AS quality_score,
+         |  CASE WHEN sd = 0.0e0 THEN 0.0e0 ELSE (q - m) / sd END AS z_score,
+         |  (CASE WHEN sd = 0.0e0 THEN 0.0e0 ELSE (q - m) / sd END) < -1.0e0 AS is_low
+         |FROM qc JOIN qs2 USING (source)""".stripMargin,
     "corpus_diff" ->
       """WITH olds AS (SELECT md5(text) AS fingerprint, min(doc_id) AS old_id
         |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),

@@ -291,7 +291,6 @@ object TextAnalysis {
     */
   def bm25Search(docs: DataFrame, idCol: String, textCol: String,
                  queries: Seq[(Int, Seq[String])], k: Int = 10): DataFrame = {
-    val spark = docs.sparkSession
     val queryTerms = queries.flatMap(_._2).distinct.sorted
     val pairs = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
@@ -304,25 +303,156 @@ object TextAnalysis {
     val dfreq = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = docs.select(size(tokens(col(textCol))).cast("long").as("__l"))
       .agg(count(lit(1)).as("__n"), sum(col("__l")).as("__tot"))
+    bm25Score(pairs, dfreq, stats, queries, k)
+  }
+
+  /** The BM25 idf — shared by the batch scorer, the index probe, and
+    * the streaming alerter so the arithmetic tree is identical.
+    */
+  private[graft] def bm25Idf(n: Column, df: Column): Column =
+    (n - df + lit(0.5)) / (df + lit(0.5))
+
+  /** The BM25 tf-saturation term (k1 = 1.2, b = 0.75, constants inlined
+    * so both engines parse the same double literals).
+    */
+  private[graft] def bm25Sat(tf: Column, dl: Column, avgdl: Column): Column =
+    (tf.cast("double") * lit(2.2)) /
+      (tf.cast("double") +
+        lit(1.2) * (lit(0.25) + lit(0.75) * (dl.cast("double") / avgdl)))
+
+  /** Scoring tail shared by [[bm25Search]] and [[bm25SearchIndexed]]:
+    * join postings to the (broadcast, query-term-bounded) df and query
+    * tables plus the one-row stats, DECIMAL-sum the 6dp-rounded per-term
+    * contributions, cut per query through TopKPerKey.
+    */
+  private def bm25Score(pairs: DataFrame, dfreq: DataFrame, stats: DataFrame,
+                        queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    val spark = pairs.sparkSession
     val q = spark.createDataFrame(
       queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) })
       .toDF("query_id", "token")
     val avgdl = col("__tot").cast("double") / col("__n")
-    val idf = (col("__n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-    val sat = (col("tf").cast("double") * lit(2.2)) /
-      (col("tf").cast("double") +
-        lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
     val scores = pairs
       .join(broadcast(q), Seq("token"))
       .join(broadcast(dfreq), Seq("token")) // ≤ |query terms| rows
       .crossJoin(broadcast(stats)) // one row — the N / avgdl scalars
       .select(col("query_id"), col("doc_id"),
-        round(idf * sat, 6).cast("decimal(28,9)").as("__c"))
+        round(bm25Idf(col("__n"), col("df")) *
+          bm25Sat(col("tf"), col("dl"), avgdl), 6)
+          .cast("decimal(28,9)").as("__c"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__c")).cast("double").as("score"))
     graft.plans.TopK.perKey(scores.withColumn("__neg", -col("score")),
         Seq("query_id"), Seq("__neg", "doc_id"), k, descending = false)
       .select(col("query_id"), col("doc_id"), col("score"))
+  }
+
+  /** Token partition count for the persisted BM25 index — postings land
+    * in `Bm25Buckets` directories keyed by a 48-bit md5 token hash, so
+    * a probe's scan prunes to the query terms' buckets.
+    */
+  val Bm25Buckets = 64
+
+  private def tkeyExpr(token: Column): Column =
+    (conv(substring(md5(token), 1, 12), 16, 10).cast("long")
+      % Bm25Buckets).cast("int")
+
+  /** Scala twin of [[tkeyExpr]] for probe-time partition-filter
+    * literals (same md5, same 48-bit prefix, same modulus).
+    */
+  private[graft] def tkeyOf(token: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes("UTF-8"))
+    val hex = d.take(6).map(b => f"$b%02x").mkString // first 12 hex chars
+    (java.lang.Long.parseLong(hex, 16) % Bm25Buckets).toInt
+  }
+
+  /** Build the persisted BM25 index — the production form of
+    * [[bm25Search]]'s per-query corpus scan (same convention as
+    * Dedup.buildMinhashIndex / Similarity.buildLshIndex: scan the
+    * corpus ONCE at build time, answer queries from the index at
+    * O(query) cost):
+    *
+    *  - `path/postings` — (token, doc_id, tf, dl), FULL vocabulary,
+    *    directory-partitioned by the 48-bit token-hash bucket `tkey`
+    *    so a probe reads only the query terms' buckets (partition
+    *    pruning — spec-pinned);
+    *  - `path/df`       — (token, df), the document frequencies;
+    *  - `path/stats`    — one row (n docs, total tokens).
+    *
+    * One tokenize scan feeds postings AND df (checkpoint cut); the
+    * length-stats scan is count+sum only.
+    */
+  def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                     path: String): Unit = {
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("__dl0"),
+        explode(col("__t")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl0")).as("dl"))
+      .localCheckpoint(eager = false) // feeds postings AND df: tokenize once
+    pairs.withColumn("tkey", tkeyExpr(col("token")))
+      .write.mode("overwrite").partitionBy("tkey").parquet(s"$path/postings")
+    pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/df")
+    docs.select(size(tokens(col(textCol))).cast("long").as("__l"))
+      .agg(count(lit(1)).as("__n"), sum(col("__l")).as("__tot"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Probe a persisted BM25 index: reads ONLY the query terms' posting
+    * buckets (directory pruning on `tkey`) plus the tiny df/stats
+    * tables — per-query cost O(matching postings), never a corpus
+    * scan. Bit-identical to [[bm25Search]] over the indexed corpus
+    * (spec-pinned): the scoring tail is the same code.
+    */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: Seq[(Int, Seq[String])],
+                        k: Int = 10): DataFrame = {
+    val terms = queries.flatMap(_._2).distinct.sorted
+    val tkeys = terms.map(tkeyOf).distinct
+    val pairs = spark.read.parquet(s"$path/postings")
+      .filter(col("tkey").isin(tkeys: _*) && col("token").isin(terms: _*))
+      .select(col("doc_id"), col("token"), col("tf"), col("dl"))
+    val dfreq = spark.read.parquet(s"$path/df")
+      .filter(col("token").isin(terms: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+    bm25Score(pairs, dfreq, stats, queries, k)
+  }
+
+  /** C51: per-source quality calibration — each document's quality
+    * score z-scored against ITS SOURCE's mean/std (the "is this doc bad
+    * for its provenance" signal: a 0.4 is normal for a crawl source and
+    * an outlier for a curated one; absolute-threshold filters miss
+    * that). `is_low` flags z < −1. Constant-quality sources get z = 0
+    * (the sqrt argument is clamped at zero — rounding can drive the
+    * variance a few ulps negative).
+    *
+    * Scale shape: ONE quality-kernel scan, checkpointed (ids + source +
+    * one double), feeds both the per-source moment aggregation
+    * (decimal-cast sums — order-independent, engine-exact) and the
+    * re-join; the moments table is source-cardinality and joins back on
+    * the source key.
+    */
+  def qualityCalibration(docs: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id"),
+        col(sourceCol).as("source"),
+        qualityStats(col(textCol)).getField("quality_score").as("__q"))
+      .localCheckpoint(eager = false) // feeds moments agg AND the join
+    val moments = scored.groupBy(col("source")).agg(
+      (sum(col("__q").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("__m"),
+      (sum((col("__q") * col("__q")).cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("__msq"))
+    val spread = moments.select(col("source"), col("__m"),
+      sqrt(greatest(col("__msq") - col("__m") * col("__m"), lit(0.0))).as("__sd"))
+    scored.join(spread, Seq("source"))
+      .select(col("doc_id"), col("source"), col("__q").as("quality_score"),
+        when(col("__sd") === 0.0, lit(0.0))
+          .otherwise((col("__q") - col("__m")) / col("__sd")).as("z_score"))
+      .withColumn("is_low", col("z_score") < -1.0)
   }
 
   /** C50: per-document duplicated-n-gram fraction — the share of a

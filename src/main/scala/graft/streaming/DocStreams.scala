@@ -155,4 +155,59 @@ object DocStreams {
           (-col("cnt")).as("__negcnt")),
         Seq("w_start"), Seq("__negcnt", "token"), k, descending = false)
       .select(col("w_start"), col("token"), col("cnt"))
+
+  /** Streaming BM25 keyword alerting — the continuous twin of
+    * TextAnalysis.bm25Search: every arriving document is scored against
+    * the fixed query set and (doc_id, query_id, score) is emitted for
+    * scores at or above `minScore`.
+    *
+    * The corpus statistics come from a persisted BM25 index
+    * (TextAnalysis.buildBm25Index): at STREAM SETUP the driver reads
+    * the query terms' df rows (≤ |query terms|) and the one-row length
+    * stats, then folds them into literal arithmetic — so the running
+    * stream is a STATELESS map-side select (append mode, no state
+    * store, no per-batch static join): per-term tf via one counting
+    * pass over the token array, the same idf/saturation tree as batch
+    * (shared bm25Idf/bm25Sat builders), the same 6dp round + DECIMAL
+    * sum. Scores are therefore bit-equal to the batch scorer over the
+    * same rows (spec-pinned); idf reflects the indexed corpus, which is
+    * the alerting contract (score against the reference, not the
+    * stream-so-far).
+    */
+  def bm25Alerts(docs: DataFrame, idCol: String, textCol: String,
+                 indexPath: String, queries: Seq[(Int, Seq[String])],
+                 minScore: Double): DataFrame = {
+    import graft.operators.TextAnalysis
+    val spark = docs.sparkSession
+    val terms = queries.flatMap(_._2).distinct.sorted
+    val dfMap = spark.read.parquet(s"$indexPath/df")
+      .filter(col("token").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = spark.read.parquet(s"$indexPath/stats").collect()(0)
+    val (n, tot) = (st.getLong(0), st.getLong(1))
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val dl = size(col("__t")).cast("long")
+    val avgdl = lit(tot).cast("double") / lit(n)
+    def tf(term: String): org.apache.spark.sql.Column =
+      size(filter(col("__t"), x => x === lit(term))).cast("long")
+    val perQuery = queries.map { case (qid, ts) =>
+      val contribs = ts.filter(dfMap.contains).map { t =>
+        val idf = TextAnalysis.bm25Idf(lit(n), lit(dfMap(t)))
+        when(tf(t) > 0,
+          round(idf * TextAnalysis.bm25Sat(tf(t), dl, avgdl), 6)
+            .cast("decimal(28,9)"))
+          .otherwise(lit(null).cast("decimal(28,9)"))
+      }
+      val total =
+        if (contribs.isEmpty) lit(null).cast("double")
+        else contribs.reduce((a, b) =>
+          coalesce(a + b, a, b).cast("decimal(28,9)")).cast("double")
+      struct(lit(qid).as("query_id"), total.as("score"))
+    }
+    docs.select(col(idCol).as("doc_id"), toks.as("__t"))
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("__s"))
+      .select(col("doc_id"), col("__s.query_id").as("query_id"),
+        col("__s.score").as("score"))
+      .filter(col("score") >= minScore)
+  }
 }

@@ -83,6 +83,68 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(4L).getLong(1) == 0L && got(4L).getDouble(3) == 0.0)
   }
 
+  test("bm25 index probe equals the direct scorer and prunes posting partitions") {
+    val docs = Tables.documents(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    TextAnalysis.buildBm25Index(docs, "doc_id", "text", path)
+    val direct = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      SparkEntry.Bm25Queries, 10)
+    val probed = TextAnalysis.bm25SearchIndexed(spark, path,
+      SparkEntry.Bm25Queries, 10)
+    assert(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty)
+    // the postings scan must carry a tkey partition filter (directory
+    // pruning to the query terms' buckets, not a full index scan)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tkey"),
+      s"bm25 probe reads all posting partitions:\n$plan")
+  }
+
+  test("streaming bm25 alerts are bit-equal to the batch scorer over the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("bm25alert").toString
+    TextAnalysis.buildBm25Index(docs, "doc_id", "text", path)
+    val minScore = 0.05
+    // batch truth: every (query, doc) score over the same corpus
+    val expected = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      SparkEntry.Bm25Queries, docs.count().toInt)
+      .filter(col("score") >= minScore)
+      .select(col("doc_id"), col("query_id"), col("score"))
+    val ms = MemoryStream[(Long, String)]
+    val alerts = graft.streaming.DocStreams.bm25Alerts(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", path,
+      SparkEntry.Bm25Queries, minScore)
+    val q = alerts.writeStream.format("memory").queryName("bm25alerts")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      ms.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      ms.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("bm25alerts")
+        .select(col("doc_id"), col("query_id"), col("score"))
+      assert(got.count() > 0)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        "streamed alert set diverged from the batch scorer")
+    } finally q.stop()
+  }
+
+  test("quality calibration: full coverage, near-zero z mean per source, flag matches z") {
+    val docs = Tables.documents(spark, sf)
+    val got = TextAnalysis.qualityCalibration(docs, "doc_id", "text", "source")
+    assert(got.count() == docs.count())
+    // z-scores average to ~0 within every source (they're centered)
+    val bad = got.groupBy(col("source"))
+      .agg(avg(col("z_score")).as("mz"))
+      .filter(abs(col("mz")) > 1e-9).count()
+    assert(bad == 0)
+    assert(got.filter(col("is_low") =!= (col("z_score") < -1.0)).count() == 0)
+  }
+
   test("ngram novelty covers every document exactly once") {
     val docs = Tables.documents(spark, sf)
     val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
