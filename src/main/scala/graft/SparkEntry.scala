@@ -197,6 +197,13 @@ object SparkEntry {
       graft.plans.TopK.perKey(
         Tables.events(s, d).select(col("user_id"), col("event_id"), col("value")),
         Seq("user_id"), Seq("value", "event_id"), 3)),
+    "q6_forecast_revenue"    -> (Relational.q6ForecastRevenue _),
+    "q7_nation_volume"       -> (Relational.q7NationVolume _),
+    "q8_market_share"        -> (Relational.q8MarketShare _),
+    "q9_product_profit"      -> (Relational.q9ProductProfit _),
+    "q13_order_distribution" -> (Relational.q13OrderDistribution _),
+    "q15_top_supplier"       -> (Relational.q15TopSupplier _),
+    "q17_small_quantity"     -> (Relational.q17SmallQuantity _),
   )
 
   private val bOracles: Map[String, String] = Map(
@@ -510,7 +517,86 @@ object SparkEntry {
         |    ]) AS w_start, event_type, value
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))
+        |    * cast(l_discount AS decimal(8,2))) AS double) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05e0 AND l_discount <= 0.07e0
+        |  AND l_quantity < 24""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year,
+         |  cast(sum($revSql) AS double) AS volume
+         |FROM lineitem, supplier, orders, customer, nation n1, nation n2
+         |WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+         |  AND o_custkey = c_custkey
+         |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+         |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  coalesce(cast(sum(CASE WHEN n2.n_name = 'NATION_5'
+         |      THEN $revSql END) AS double), 0.0e0)
+         |    / cast(sum($revSql) AS double) AS mkt_share,
+         |  cast(sum($revSql) AS double) AS total_volume
+         |FROM lineitem, part, supplier, orders, customer, nation n1,
+         |  nation n2, region
+         |WHERE l_partkey = p_partkey AND p_type = 'ECONOMY'
+         |  AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+         |  AND o_custkey = c_custkey
+         |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+         |  AND r_name = 'AFRICA' AND s_nationkey = n2.n_nationkey
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  cast(sum($revSql) AS double) AS sum_profit
+         |FROM lineitem, part, supplier, orders, nation
+         |WHERE l_partkey = p_partkey AND contains(p_name, 'bolt')
+         |  AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+         |  AND s_nationkey = n_nationkey
+         |GROUP BY 1, 2""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH q15rev AS (
+         |  SELECT l_suppkey, cast(sum($revSql) AS double) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN q15rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM q15rev)""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH q17pp AS (
+        |  SELECT l_partkey AS t_partkey,
+        |    0.2e0 * (cast(sum(cast(l_quantity AS decimal(18,4))) AS double)
+        |      / count(*)) AS threshold
+        |  FROM lineitem GROUP BY 1)
+        |SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double)
+        |    / 7.0e0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN q17pp ON l_partkey = t_partkey
+        |WHERE p_brand = 'Brand#1' AND l_quantity < threshold""".stripMargin,
   )
+
+  /** Shared decimal revenue fragment for the TPC-H-style oracles —
+    * mirrors Relational.revExpr exactly.
+    */
+  private def revSql: String =
+    "cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2))"
 
   // ---- §2C: LLM-training-data pipeline ops ---------------------------------
 
@@ -912,10 +998,11 @@ object SparkEntry {
          |    cast(sum(cast(l2_norm AS DECIMAL(28,12))) AS double) / count(*) AS m,
          |    cast(sum(cast(l2_norm * l2_norm AS DECIMAL(28,12))) AS double) / count(*) AS msq
          |  FROM normed),
-         |s2 AS (SELECT m, sqrt(msq - m * m) AS sd FROM stats)
+         |s2 AS (SELECT m, sqrt(greatest(msq - m * m, 0.0e0)) AS sd FROM stats)
          |SELECT vec_id, l2_norm,
-         |  (l2_norm - m) / sd AS z_score,
-         |  abs((l2_norm - m) / sd) > 2.0 AS is_outlier
+         |  CASE WHEN sd = 0.0e0 THEN 0.0e0 ELSE (l2_norm - m) / sd END AS z_score,
+         |  abs(CASE WHEN sd = 0.0e0 THEN 0.0e0 ELSE (l2_norm - m) / sd END) > 2.0e0
+         |    AS is_outlier
          |FROM normed CROSS JOIN s2""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id, 'application/octet-stream' AS mime,

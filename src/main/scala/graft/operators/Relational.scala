@@ -638,4 +638,148 @@ object Relational {
       .agg(count(lit(1)).as("n_custs"),
         sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("total_bal"))
   }
+
+  /** The decimal revenue expression every TPC-H-style query shares:
+    * `extendedprice × (1 − discount)` with both factors decimal-cast so
+    * the aggregation is order-independent and engine-exact.
+    */
+  private def revExpr =
+    col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(8,2)")
+
+  /** Q6-style forecasting revenue: one filtered scan, one scalar —
+    * the canonical predicate-pushdown showcase (all three filters reach
+    * the parquet scan; no join, no shuffle beyond the final agg).
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_discount").cast("decimal(8,2)")).cast("double").as("revenue"))
+
+  /** Q7-style bilateral shipping volume: the two-nation trade report.
+    * Nation is the only broadcast dim (joined twice — supplier side and
+    * customer side); the OR-of-two-directions filter is applied on the
+    * joined nation names.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+        (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revExpr).cast("double").as("volume"))
+  }
+
+  /** Q8-style market share: the share of a region's ECONOMY-part order
+    * volume supplied by one nation, per order year. Two decimal sums
+    * (conditional numerator via null-skipping CASE) divided as doubles.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(Tables.part(spark, dir).filter(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),
+        col("n_regionkey"))), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "AFRICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (coalesce(sum(when(col("supp_nation") === "NATION_5", revExpr))
+          .cast("double"), lit(0.0)) /
+          sum(revExpr).cast("double")).as("mkt_share"),
+        sum(revExpr).cast("double").as("total_volume"))
+  }
+
+  /** Q9-style product profit by supplier nation and year, ADAPTED: the
+    * driver's star schema has no partsupp table, so profit is the
+    * revenue side only (`extendedprice × (1 − discount)`, no
+    * `ps_supplycost × quantity` subtrahend) over parts whose name
+    * contains 'bolt'. The plan shape is the genuine Q9 one: a LIKE
+    * filter on part, four fact joins, nation broadcast, year rollup.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_name").contains("bolt")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revExpr).cast("double").as("sum_profit"))
+
+  /** Q13-style customer order-count distribution: LEFT join so
+    * zero-order customers land in the c_count = 0 bucket, then the
+    * distribution of counts — two partial-agg shuffles, no sort.
+    */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"),
+        "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** Q15-style top supplier: quarterly revenue per supplier, keep the
+    * max. The revenue table is MATERIALIZED (it feeds both the scalar
+    * max and the equality filter); the max is a one-row broadcast. Ties
+    * all surface (the TPC-H contract), deterministically.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revExpr).cast("double").as("total_revenue"))
+      .localCheckpoint(eager = false) // feeds the max AND the filter
+    val top = rev.agg(max(col("total_revenue")).as("__max"))
+    Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(top)) // one row
+      .filter(col("total_revenue") === col("__max"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** Q17-style small-quantity revenue: lineitems under 20% of their
+    * part's average quantity, for one brand — the correlated scalar
+    * subquery decorrelated into a per-part aggregate joined back
+    * (exactly what a 100 TB plan wants: one partial-agg'd pass for the
+    * thresholds, one filtered join, no per-row subquery execution).
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * (sum(col("l_quantity").cast("decimal(18,4)"))
+        .cast("double") / count(lit(1)))).as("__threshold"))
+    li.join(Tables.part(spark, dir).filter(col("p_brand") === "Brand#1"),
+        col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("__threshold"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+        lit(7.0)).as("avg_yearly"))
+  }
 }

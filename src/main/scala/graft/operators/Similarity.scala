@@ -571,16 +571,27 @@ object Similarity {
     val normed = emb.select(col(idCol).as("vec_id"),
       sqrt(call_function("graft_dot", col(vecCol),
         col(vecCol).cast("array<double>"))).as("l2_norm"))
+    // Variance clamped at zero and sd = 0 guarded to z = 0: for a
+    // near-constant norm column (unit-normalized embeddings) the true
+    // variance sits BELOW the decimal-12 quantization floor, so the
+    // computed msq − m² is quantization noise of arbitrary sign —
+    // unclamped, DuckDB raises on sqrt(negative) while Spark emits NaN.
+    // (A finer decimal scale would NOT fix this portably: an 18dp grid
+    // is finer than the double ulp at these magnitudes, where the two
+    // engines' double→decimal casts systematically diverge.)
     val stats = normed.agg(
       (sum(col("l2_norm").cast("decimal(28,12)")).cast("double") /
         count(lit(1))).as("__mean"),
       (sum((col("l2_norm") * col("l2_norm")).cast("decimal(28,12)")).cast("double") /
         count(lit(1))).as("__meansq"))
       .select(col("__mean"),
-        sqrt(col("__meansq") - col("__mean") * col("__mean")).as("__std"))
+        sqrt(greatest(col("__meansq") - col("__mean") * col("__mean"),
+          lit(0.0))).as("__std"))
     normed.crossJoin(broadcast(stats))
       .select(col("vec_id"), col("l2_norm"),
-        ((col("l2_norm") - col("__mean")) / col("__std")).as("z_score"))
+        when(col("__std") === 0.0, lit(0.0))
+          .otherwise((col("l2_norm") - col("__mean")) / col("__std"))
+          .as("z_score"))
       .withColumn("is_outlier", abs(col("z_score")) > 2.0)
   }
 
