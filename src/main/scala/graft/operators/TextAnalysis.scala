@@ -401,11 +401,38 @@ object TextAnalysis {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Extend a persisted BM25 index with NEW documents (ids must not
+    * already be indexed — same contract as Dedup.appendToMinhashIndex).
+    * Pure parquet appends: the df and stats tables are stored as
+    * PARTIALS (one batch's counts per row group) and the probe
+    * aggregates them, so a failed append may simply be retried after
+    * cleanup and no existing row is ever rewritten.
+    */
+  def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
+                        path: String): Unit = {
+    val pairs = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("__dl0"),
+        explode(col("__t")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), max(col("__dl0")).as("dl"))
+      .localCheckpoint(eager = false)
+    pairs.withColumn("tkey", tkeyExpr(col("token")))
+      .write.mode("append").partitionBy("tkey").parquet(s"$path/postings")
+    pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .write.mode("append").parquet(s"$path/df")
+    docs.select(size(tokens(col(textCol))).cast("long").as("__l"))
+      .agg(count(lit(1)).as("__n"), sum(col("__l")).as("__tot"))
+      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+  }
+
   /** Probe a persisted BM25 index: reads ONLY the query terms' posting
     * buckets (directory pruning on `tkey`) plus the tiny df/stats
     * tables — per-query cost O(matching postings), never a corpus
-    * scan. Bit-identical to [[bm25Search]] over the indexed corpus
-    * (spec-pinned): the scoring tail is the same code.
+    * scan. The df/stats reads AGGREGATE over batch partials (one per
+    * build/append), so an appended index probes identically to one
+    * built in a single pass. Bit-identical to [[bm25Search]] over the
+    * same corpus (spec-pinned): the scoring tail is the same code.
     */
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                         queries: Seq[(Int, Seq[String])],
@@ -417,7 +444,9 @@ object TextAnalysis {
       .select(col("doc_id"), col("token"), col("tf"), col("dl"))
     val dfreq = spark.read.parquet(s"$path/df")
       .filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
     val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("__n")).as("__n"), sum(col("__tot")).as("__tot"))
     bm25Score(pairs, dfreq, stats, queries, k)
   }
 

@@ -180,10 +180,15 @@ object DocStreams {
     import graft.operators.TextAnalysis
     val spark = docs.sparkSession
     val terms = queries.flatMap(_._2).distinct.sorted
+    // df/stats are stored as per-batch PARTIALS (append-friendly) —
+    // aggregate them exactly like the batch probe does
     val dfMap = spark.read.parquet(s"$indexPath/df")
       .filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val st = spark.read.parquet(s"$indexPath/stats").collect()(0)
+    val st = spark.read.parquet(s"$indexPath/stats")
+      .agg(sum(col("__n")).as("__n"), sum(col("__tot")).as("__tot"))
+      .collect()(0)
     val (n, tot) = (st.getLong(0), st.getLong(1))
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
     val dl = size(col("__t")).cast("long")

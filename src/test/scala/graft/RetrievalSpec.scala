@@ -133,6 +133,42 @@ class RetrievalSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bm25 index built in two appends probes identically to the one-pass build") {
+    val docs = Tables.documents(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("bm25app").toString
+    TextAnalysis.buildBm25Index(docs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", path)
+    TextAnalysis.appendToBm25Index(docs.filter(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", path)
+    val probed = TextAnalysis.bm25SearchIndexed(spark, path,
+      SparkEntry.Bm25Queries, 10)
+    val direct = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      SparkEntry.Bm25Queries, 10)
+    assert(probed.exceptAll(direct).isEmpty && direct.exceptAll(probed).isEmpty)
+  }
+
+  test("round-5 operators degrade cleanly on empty input") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 2), docSchema)
+    assert(TextAnalysis.bm25Search(empty, "doc_id", "text",
+      SparkEntry.Bm25Queries, 10).count() == 0)
+    assert(TextAnalysis.ngramNovelty(empty, "doc_id", "text").count() == 0)
+    assert(TextAnalysis.qualityCalibration(empty, "doc_id", "text",
+      "source").count() == 0)
+    val embSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 2), embSchema)
+    assert(Similarity.semanticDedup(emptyEmb, "vec_id", "embedding")
+      .count() == 0)
+  }
+
   test("quality calibration: full coverage, near-zero z mean per source, flag matches z") {
     val docs = Tables.documents(spark, sf)
     val got = TextAnalysis.qualityCalibration(docs, "doc_id", "text", "source")
