@@ -54,6 +54,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q7 broadcasts only the two nation copies") {
+    noAutoBroadcast {
+      audit(Relational.q7NationVolume(spark, sf), 2, "q7")
+    }
+  }
+
+  test("q8 broadcasts only nation (twice) and region") {
+    noAutoBroadcast {
+      audit(Relational.q8MarketShare(spark, sf), 3, "q8")
+    }
+  }
+
+  test("q15 broadcasts only the one-row max; revenue join is a shuffle join") {
+    noAutoBroadcast {
+      audit(Relational.q15TopSupplier(spark, sf), 1, "q15")
+    }
+  }
+
+  test("q17 has no compile-time broadcasts (thresholds join is a shuffle join)") {
+    noAutoBroadcast {
+      audit(Relational.q17SmallQuantity(spark, sf), 0, "q17")
+    }
+  }
+
   test("q_approx_stats: sketch branch stays a hash aggregate (no Expand demotion)") {
     val plan = Relational.qApproxStats(spark, sf)
       .queryExecution.executedPlan.toString
