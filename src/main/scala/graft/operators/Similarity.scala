@@ -154,6 +154,79 @@ object Similarity {
       nTables = nTables, dims = dims, maxBucket = maxBucket)
   }
 
+  /** Top-`nProbes` nearest k-means cells as an int array — the
+    * map-side multi-probe assignment (codebook folded into literals,
+    * no join; the multi-cell generalization of [[kmeansAssignExpr]]).
+    * array_sort on (score, cid) structs makes ties deterministic.
+    */
+  def kmeansProbeCellsExpr(vecCol: Column, centroids: Array[Array[Double]],
+                           nProbes: Int): Column = {
+    require(centroids.nonEmpty)
+    val structs = centroids.zipWithIndex.map { case (c, j) =>
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct(
+        (lit(cc) - lit(2.0) * call_function("graft_dot", vecCol, typedLit(c.toSeq)))
+          .as("s"),
+        lit(j).as("c"))
+    }
+    transform(
+      slice(array_sort(array(structs.toIndexedSeq: _*)), 1, nProbes),
+      x => x.getField("c"))
+  }
+
+  /** Cosine-near pairs via IVF cells — the CLUSTERED-corpus scale path
+    * for pair mining. Sign-hyperplane LSH splits UNIFORM directional
+    * mass; a clustered corpus concentrates into a few sign patterns,
+    * so its buckets saturate any cap and recall inside dense regions
+    * collapses (soak-measured: tens of billions of candidates at a
+    * 2000 cap). IVF cells are FITTED to the corpus's own density —
+    * every vector lands in its `nProbes` nearest k-means cells,
+    * candidates are same-cell id pairs, and the quadratic term is
+    * bounded by (cell size × probes)², steered by `k` (scale k with
+    * the corpus: cells ≈ n / targetCell, like the paper-standard
+    * SemDeDup setting).
+    *
+    * Same downstream shape as [[embeddingPairs]]: cell table
+    * materialized once, id-only candidate dedup (multi-probe
+    * co-occurrence collapses), one vector copy re-joined per side,
+    * exact-cosine verification — never an all-pairs product, never a
+    * corpus broadcast. `maxCell` is the skew guard (a cell past the
+    * cap is dropped from pairing, like maxBucket).
+    */
+  def embeddingPairsIvf(emb: DataFrame, idCol: String, vecCol: String,
+                        minCosine: Double, k: Int = 64, iters: Int = 2,
+                        nProbes: Int = 2, maxCell: Int = Int.MaxValue,
+                        trainMod: Int = 1): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    // codebook quality needs only a sample (trainMod-strided ids); the
+    // full corpus pays k×dims multiplies per vector ONCE, at assignment
+    val train = if (trainMod == 1) emb else emb.filter(col(idCol) % trainMod === 0)
+    val centroids = kmeansCentroids(train, idCol, vecCol, k, iters)
+    if (centroids.isEmpty)
+      return emb.select(col(idCol).as("vec_a"), col(idCol).as("vec_b"),
+        lit(0.0).as("cosine")).limit(0)
+    val cells0 = emb.select(col(idCol).as("id"),
+        explode(kmeansProbeCellsExpr(col(vecCol), centroids, nProbes))
+          .as("cell"))
+      .localCheckpoint(eager = false) // both sides of the cell self-join
+    val cells = if (maxCell == Int.MaxValue) cells0 else {
+      val ok = cells0.groupBy(col("cell")).agg(count(lit(1)).as("__csz"))
+        .filter(col("__csz") <= maxCell).select(col("cell"))
+      cells0.join(ok, Seq("cell"), "left_semi")
+    }
+    val cand = cells.select(col("id").as("vec_a"), col("cell"))
+      .join(cells.select(col("id").as("vec_b"), col("cell")), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct() // multi-probe co-occurrence collapses to one candidate
+    val va = emb.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val vb = emb.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(VectorFunctions.cosineNative(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
+
   /** Brute-force all-pairs verifier (quadratic, small tables / specs
     * only — C5 ships [[embeddingPairs]]).
     */

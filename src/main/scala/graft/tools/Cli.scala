@@ -43,7 +43,31 @@ object Cli {
     case "status" :: _                               => status()
     case "bench" :: rest                             => graft.Bench.main(rest.toArray)
     case "verify" :: sfDir :: outDir :: _            => graft.Verify.main(Array(sfDir, outDir))
+    case "index" :: kind :: sfDir :: path :: _       => index(kind, sfDir, path)
     case _                                           => usage()
+  }
+
+  /** Build a persisted index from the catalog tables — the production
+    * build-once-probe-cheap entry points (minhash / LSH / CDC / BM25).
+    */
+  private def index(kind: String, sfDir: String, path: String): Unit = {
+    val spark = session()
+    val t0 = System.nanoTime()
+    kind match {
+      case "minhash" => graft.operators.Dedup.buildMinhashIndex(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", path)
+      case "lsh" => graft.operators.Similarity.buildLshIndex(
+        graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding", path)
+      case "cdc" => graft.operators.Dedup.buildCdcIndex(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", path)
+      case "bm25" => graft.operators.TextAnalysis.buildBm25Index(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", path)
+      case other =>
+        System.err.println(s"unknown index kind '$other' (minhash|lsh|cdc|bm25)")
+        sys.exit(1)
+    }
+    println(f"index=$kind path=$path sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    spark.stop()
   }
 
   private def usage(): Unit = {
@@ -57,7 +81,9 @@ object Cli {
         |  sql <statement> [sfDir]                 ad-hoc SQL over the registered tables
         |  status                                  executor / resource snapshot
         |  bench [sfDir]                           the benchmark main
-        |  verify <sfDir> <outDir>                 the correctness-dump main""".stripMargin)
+        |  verify <sfDir> <outDir>                 the correctness-dump main
+        |  index <minhash|lsh|cdc|bm25> <sfDir> <path>
+        |                                          build a persisted index""".stripMargin)
     sys.exit(2)
   }
 

@@ -56,10 +56,10 @@ object SoakBench {
     val baseMb = docs.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
     val n = docs.count()
 
-    // which axes to run: "flood,minhash,vectors" (default all) — lets a
-    // failed axis re-run without regenerating/re-timing the others
+    // which axes to run: "flood,minhash,vectors,ivf" (default all) —
+    // lets a failed axis re-run without regenerating/re-timing the rest
     val axes = args.lift(3).map(_.split(',').toSet)
-      .getOrElse(Set("flood", "minhash", "vectors"))
+      .getOrElse(Set("flood", "minhash", "vectors", "ivf"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench
@@ -149,6 +149,31 @@ object SoakBench {
     val nEdges = pairs.count()
     println(f"""{"metric":"soak_pair_graph","vectors":$nVec,"n_planes":$planes,"cos_threshold":$cosT,"edges":$nEdges}""")
     axis("semantic_clusters_vectors", vecMb) {
+      graft.operators.Graph.connectedComponents(
+        pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    }
+    }
+
+    // ---- axis 4: same corpus, IVF pair mining (the clustered-corpus
+    // structural answer to axis 3's sign-LSH bucket saturation:
+    // k-means cells fit the data's own density, so cell occupancy
+    // tracks cluster structure instead of flooding a cap) -------------
+    if (axes("ivf")) {
+    val bigEmb = spark.read.parquet("target/soak_vectors")
+    val nVec = bigEmb.count()
+    val vecMb = nVec * 64 * 8 / 1e6
+    val cosT = args.lift(2).map(_.toDouble).getOrElse(0.7)
+    // cells ≈ n/512 at 2 probes → ~1k occupants/cell; codebook trained
+    // on a ~10k-vector stride sample (full training would re-scan the
+    // corpus per Lloyd iteration for no codebook-quality gain)
+    val kCells = math.max(8, (nVec / 512).toInt)
+    val trainMod = math.max(1, (nVec / 10000).toInt)
+    def pairs = graft.operators.Similarity.embeddingPairsIvf(
+      bigEmb, "vec_id", "embedding", cosT, k = kCells, nProbes = 2,
+      maxCell = 2000, trainMod = trainMod)
+    val nEdges = pairs.count()
+    println(f"""{"metric":"soak_ivf_pair_graph","vectors":$nVec,"k_cells":$kCells,"cos_threshold":$cosT,"edges":$nEdges}""")
+    axis("semantic_clusters_ivf", vecMb) {
       graft.operators.Graph.connectedComponents(
         pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     }

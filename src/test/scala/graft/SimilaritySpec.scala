@@ -29,6 +29,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.45, f"recall $recall%.3f below floor")
   }
 
+  test("embeddingPairsIvf: precision 1.0, recall vs brute force, cell-join plan") {
+    val emb = Tables.embeddings(spark, sf)
+    val ivf = Similarity.embeddingPairsIvf(emb, "vec_id", "embedding", 0.3,
+      k = 16, nProbes = 2)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs plan leaked into the IVF miner:\n$plan")
+    val got = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Similarity.embeddingPairsBrute(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(want), "IVF produced a pair brute force did not")
+    val recall = got.size.toDouble / want.size
+    info(f"IVF pair recall vs brute force (k=16, 2 probes): $recall%.3f (${got.size}/${want.size})")
+    assert(recall >= 0.30, f"recall $recall%.3f below floor")
+    // more probes never lose pairs: probe sets grow monotonically
+    val more = Similarity.embeddingPairsIvf(emb, "vec_id", "embedding", 0.3,
+      k = 16, nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(more), "raising nProbes dropped a pair")
+    info(f"IVF pair recall at 4 probes: ${more.size.toDouble / want.size}%.3f")
+  }
+
   test("IVF recall-vs-nProbes curve: monotone, with a floor at the default") {
     val emb = Tables.embeddings(spark, sf)
     def hits(nProbes: Int): Set[(Long, Long)] =
