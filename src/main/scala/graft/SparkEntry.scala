@@ -775,6 +775,10 @@ object SparkEntry {
     "quality_calibration" -> ((s, d) =>
       TextAnalysis.qualityCalibration(Tables.documents(s, d), "doc_id",
         "text", "source")),
+    // MOSS winnowing: positional fingerprint overlap with the
+    // shared-run guarantee (≥ n+w−1 tokens ⇒ shared fingerprint)
+    "winnow_overlap" -> ((s, d) =>
+      Dedup.winnowOverlap(Tables.documents(s, d), "doc_id", "text")),
   )
 
   /** Fixed keyword queries for C48 bm25_search — corpus-frequent terms
@@ -1470,6 +1474,30 @@ object SparkEntry {
          |  coalesce(dup_grams, 0)::DOUBLE / greatest(coalesce(n_grams, 0), 1)
          |    AS dup_fraction
          |FROM documents d LEFT JOIN nn_per USING (doc_id)""".stripMargin,
+    // window min with rightmost tiebreak = min over (h, -pos) structs;
+    // full windows only (pos ≤ glen − (w−1)); df-capped before pairing
+    "winnow_overlap" ->
+      s"""WITH wt AS (SELECT doc_id, $tok AS t FROM documents),
+         |wsh AS (SELECT doc_id, ${TextFunctions.shinglesSql("t", 4)} AS sh FROM wt),
+         |wg0 AS (SELECT doc_id, len(sh) AS glen,
+         |    unnest(list_transform(sh, (x, i) -> struct_pack(pos := i,
+         |      h := cast('0x' || substr(md5(x), 1, 12) AS bigint)))) AS g
+         |  FROM wsh),
+         |wg AS (SELECT doc_id, glen, g.pos AS pos, g.h AS h FROM wg0),
+         |wsel AS (SELECT g1.doc_id,
+         |    min(struct_pack(h := g2.h, np := -g2.pos)) AS m
+         |  FROM wg g1 JOIN wg g2 ON g1.doc_id = g2.doc_id
+         |    AND g2.pos BETWEEN g1.pos AND g1.pos + 4
+         |  WHERE g1.pos <= g1.glen - 4
+         |  GROUP BY g1.doc_id, g1.pos),
+         |wf AS (SELECT DISTINCT doc_id, m.h AS h FROM wsel),
+         |wr AS (SELECT h FROM (SELECT h, count(*) AS c FROM wf GROUP BY 1)
+         |       WHERE c <= 1000),
+         |wk AS (SELECT wf.doc_id, wf.h FROM wf JOIN wr USING (h))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS shared_fps
+         |FROM wk a JOIN wk b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // same moment arithmetic as embedding_outliers (decimal-cast sums,
     // sqrt of a zero-clamped variance), per source
     "quality_calibration" ->

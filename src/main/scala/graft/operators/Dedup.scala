@@ -646,4 +646,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), score)
       .filter(col(if (containment) "containment" else "jaccard") >= minScore)
   }
+
+  /** C52: winnowing-fingerprint overlap (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS scheme): in every window of `w` consecutive
+    * n-gram hashes select the MINIMUM (tie → rightmost occurrence);
+    * the distinct selected hashes are the document's fingerprints.
+    * Winnowing guarantees any shared run of ≥ n + w − 1 tokens yields
+    * a shared fingerprint, at a ~2∕(w+1) expected sampling rate — a
+    * POSITIONAL guarantee neither minhash (whole-document signature)
+    * nor CDC chunks (anchor-boundary digests) provide. Pairs sharing
+    * ≥ `minShared` fingerprints are emitted with the shared count.
+    *
+    * Scale shape: grams hash to 48-bit longs in the scan; the window
+    * minimum is a per-document w-row sliding frame (one doc-keyed
+    * sort shuffle — the same class as secondary sort); fingerprints
+    * are distinct (doc, hash) longs MATERIALIZED once for the
+    * df-cap aggregation and the pair join; `maxDf` drops
+    * boilerplate fingerprints before the self-join fan-out (the
+    * ngramOverlap guard). Never all-pairs.
+    */
+  def winnowOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 4, w: Int = 5, minShared: Long = 2,
+                    maxDf: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol).as("doc_id"), shingles(tokens(col(textCol)), n).as("__sh"))
+      .select(col("doc_id"), size(col("__sh")).as("__glen"),
+        posexplode(col("__sh")).as(Seq("__p0", "__s")))
+      .select(col("doc_id"), col("__glen"), (col("__p0") + 1).as("pos"),
+        conv(substring(md5(col("__s")), 1, 12), 16, 10).cast("long").as("h"))
+    val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val fps = materialize(grams
+      .withColumn("__m", min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+      .filter(col("pos") <= col("__glen") - (w - 1)) // full windows only
+      .select(col("doc_id"), col("__m").getField("h").as("h"))
+      .distinct())
+    val rare = fps.groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("h"))
+    val f = materialize(fps.join(rare, Seq("h"), "left_semi"))
+    f.select(col("doc_id").as("doc_a"), col("h"))
+      .join(f.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

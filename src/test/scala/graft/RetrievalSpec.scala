@@ -181,6 +181,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.filter(col("is_low") =!= (col("z_score") < -1.0)).count() == 0)
   }
 
+  test("winnowing: shared run of n+w-1 tokens guarantees a shared fingerprint") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // n=4, w=5 → any shared run of ≥ 8 tokens must produce a shared
+    // fingerprint (the winnowing guarantee); docs 1/2 share 10 tokens
+    val common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two three $common"),
+      (2L, s"$common four five six seven"),
+      (3L, "lambda mu nu xi omicron pi rho sigma tau upsilon")) // disjoint
+      .toDF("doc_id", "text")
+    val got = Dedup.winnowOverlap(docs, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"guaranteed shared fingerprint missed: $got")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      s"disjoint doc matched: $got")
+    // deterministic
+    val again = Dedup.winnowOverlap(docs, "doc_id", "text", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == again)
+  }
+
   test("ngram novelty covers every document exactly once") {
     val docs = Tables.documents(spark, sf)
     val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
