@@ -202,6 +202,52 @@ object GraftText {
   }
 
   /** Word n-gram shingles (tokens joined with single spaces). */
+  /** Winnowing fingerprint selection (Schleimer et al. 2003) over a
+    * token array, ONE flat pass per row: n-gram 48-bit hashes (first
+    * 12 hex chars of md5(gram) as a long — byte-identical to
+    * `conv(substring(md5(s), 1, 12), 16, 10)`; grams joined with
+    * single spaces like [[shingles]]), then each w-window's minimum
+    * with RIGHTMOST tiebreak (≡ the (h, −pos) struct-min of the
+    * window-function formulation), deduplicated. Returns array<long>
+    * — the document's distinct selected fingerprints, with no
+    * explode, no sort, no window exchange.
+    */
+  def winnowFps(toks: ArrayData, n: Int, w: Int): ArrayData = {
+    val m = toks.numElements()
+    val g = m - n + 1
+    if (g < w) return Empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val window = new Array[UTF8String](n)
+    val hs = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var j = 0
+      while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+      md.reset()
+      md.update(UTF8String.concatWs(Space, window.toSeq: _*).getBytes)
+      val d = md.digest()
+      var v = 0L
+      var k = 0
+      while (k < 6) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      hs(i) = v
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    var start = 0
+    while (start <= g - w) {
+      var best = start
+      var j = start + 1
+      while (j < start + w) {
+        if (hs(j) <= hs(best)) best = j // <= keeps the rightmost minimum
+        j += 1
+      }
+      if (seen.add(hs(best))) out += hs(best)
+      start += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()
     if (m < n) return Empty

@@ -49,6 +49,18 @@ object TextFunctions {
       graft.plans.ShinglesExpr(GraftPlanFactory.expression(tokensCol), n))
   }
 
+  /** Winnowing fingerprints over a token array — native codegen'd
+    * expression (graft.plans.WinnowFpsExpr): array<long> of the
+    * distinct per-w-window minimum n-gram hashes (rightmost tiebreak),
+    * computed in ONE map-side pass (no explode, no sort, no window
+    * exchange).
+    */
+  def winnowFps(tokensCol: Column, n: Int, w: Int): Column = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftPlanFactory.column(
+      graft.plans.WinnowFpsExpr(GraftPlanFactory.expression(tokensCol), n, w))
+  }
+
   /** Content-defined chunks over a token array — native codegen'd
     * expression (graft.plans.CdcChunksExpr): array<struct<fp, n>> of
     * chunk md5 + token count, computed in ONE map-side pass (no

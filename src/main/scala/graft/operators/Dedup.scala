@@ -658,17 +658,33 @@ object Dedup {
     * nor CDC chunks (anchor-boundary digests) provide. Pairs sharing
     * ≥ `minShared` fingerprints are emitted with the shared count.
     *
-    * Scale shape: grams hash to 48-bit longs in the scan; the window
-    * minimum is a per-document w-row sliding frame (one doc-keyed
-    * sort shuffle — the same class as secondary sort); fingerprints
-    * are distinct (doc, hash) longs MATERIALIZED once for the
-    * df-cap aggregation and the pair join; `maxDf` drops
-    * boilerplate fingerprints before the self-join fan-out (the
-    * ngramOverlap guard). Never all-pairs.
+    * Scale shape: fingerprint selection runs ENTIRELY in the scan —
+    * the native WinnowFpsExpr kernel hashes grams and selects window
+    * minima in one flat pass per row (no explode, no sort, no window
+    * exchange; the window-function formulation it replaced is kept as
+    * [[winnowOverlapWindow]], spec-pinned bit-identical). The
+    * (doc, hash) long pairs are MATERIALIZED once for the df-cap
+    * aggregation and the pair join; `maxDf` drops boilerplate
+    * fingerprints before the self-join fan-out (the ngramOverlap
+    * guard). Never all-pairs.
     */
   def winnowOverlap(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 4, w: Int = 5, minShared: Long = 2,
                     maxDf: Int = 1000): DataFrame = {
+    val fps = materialize(docs
+      .select(col(idCol).as("doc_id"),
+        explode(winnowFps(tokens(col(textCol)), n, w)).as("h")))
+    // no distinct: the kernel already dedups fingerprints per document
+    pairByFingerprint(fps, minShared, maxDf)
+  }
+
+  /** Window-function formulation of [[winnowOverlap]]'s fingerprint
+    * selection — the parity reference for the native kernel (one
+    * doc-keyed sort shuffle + per-doc w-row frames; NOT the hot path).
+    */
+  def winnowOverlapWindow(docs: DataFrame, idCol: String, textCol: String,
+                          n: Int = 4, w: Int = 5, minShared: Long = 2,
+                          maxDf: Int = 1000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = docs
       .select(col(idCol).as("doc_id"), shingles(tokens(col(textCol)), n).as("__sh"))
@@ -683,6 +699,12 @@ object Dedup {
       .filter(col("pos") <= col("__glen") - (w - 1)) // full windows only
       .select(col("doc_id"), col("__m").getField("h").as("h"))
       .distinct())
+    pairByFingerprint(fps, minShared, maxDf)
+  }
+
+  /** Shared tail: df-cap then shared-fingerprint pair counts. */
+  private def pairByFingerprint(fps: DataFrame, minShared: Long,
+                                maxDf: Int): DataFrame = {
     val rare = fps.groupBy(col("h")).agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select(col("h"))
     val f = materialize(fps.join(rare, Seq("h"), "left_semi"))

@@ -113,6 +113,24 @@ case class CdcChunksExpr(child: Expression, anchorMod: Int) extends UnaryExpress
       s"${ev.value} = graft.functions.GraftText.cdcChunks($c, $anchorMod);")
 }
 
+case class WinnowFpsExpr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  require(n >= 1 && w >= 1)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fps"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.GraftText.winnowFps(input.asInstanceOf[ArrayData], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftText.winnowFps($c, $n, $w);")
+}
+
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -203,6 +203,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == again)
   }
 
+  test("winnow kernel equals the window formulation; no window exchange in the plan") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    val kernel = Dedup.winnowOverlap(docs, "doc_id", "text")
+    val window = Dedup.winnowOverlapWindow(docs, "doc_id", "text")
+    assert(kernel.exceptAll(window).isEmpty && window.exceptAll(kernel).isEmpty)
+    assert(kernel.count() > 0)
+    val plan = kernel.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"winnow kernel form fell back to a window sort:\n$plan")
+  }
+
   test("ngram novelty covers every document exactly once") {
     val docs = Tables.documents(spark, sf)
     val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
