@@ -204,6 +204,7 @@ object SparkEntry {
     "q13_order_distribution" -> (Relational.q13OrderDistribution _),
     "q15_top_supplier"       -> (Relational.q15TopSupplier _),
     "q17_small_quantity"     -> (Relational.q17SmallQuantity _),
+    "q_grouping_sets"        -> (Relational.qGroupingSets _),
   )
 
   private val bOracles: Map[String, String] = Map(
@@ -517,6 +518,13 @@ object SparkEntry {
         |    ]) AS w_start, event_type, value
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  cast(sum(cast(l_quantity AS decimal(18,4))) AS double) AS sum_qty,
+        |  cast(grouping_id(l_returnflag, l_linestatus) AS bigint) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))
         |    * cast(l_discount AS decimal(8,2))) AS double) AS revenue

@@ -764,6 +764,26 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
+  /** B47: GROUPING SETS with grouping_id — the mixed-granularity
+    * report rollup/cube cannot express (exactly the requested sets,
+    * nothing more): (flag, status), (flag), (status). One Expand over
+    * three sets feeding a single partial-agg'd shuffle; grouping_id
+    * disambiguates a real NULL key from an aggregated-away one.
+    * Expressed through the SQL front door — the DataFrame API exposes
+    * only rollup/cube, and the point of the session's ANSI surface is
+    * that it doesn't have to.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  cast(sum(cast(l_quantity AS decimal(18,4))) AS double) AS sum_qty,
+        |  grouping_id(l_returnflag, l_linestatus) AS gid
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
   /** Q17-style small-quantity revenue: lineitems under 20% of their
     * part's average quantity, for one brand — the correlated scalar
     * subquery decorrelated into a per-part aggregate joined back

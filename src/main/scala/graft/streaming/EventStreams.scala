@@ -216,4 +216,40 @@ object EventStreams {
             out.iterator
           }
       }
+
+  /** Per-event-type calibration moments for [[valueAnomalies]] —
+    * decimal-cast sums (order-independent), sd = sqrt of a
+    * zero-clamped variance (the embedding_outliers arithmetic, per
+    * type). Run over a reference window of history; the output is
+    * type-cardinality-sized.
+    */
+  def calibrateValues(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(
+      (sum(col("value").cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("__m"),
+      (sum((col("value") * col("value")).cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("__msq"))
+      .select(col("event_type"), col("__m").as("m"),
+        sqrt(greatest(col("__msq") - col("__m") * col("__m"), lit(0.0)))
+          .as("sd"))
+
+  /** Streaming value-anomaly screen: each arriving event's value is
+    * z-scored against STATIC per-type calibration moments
+    * ([[calibrateValues]] over reference history) and events at
+    * |z| ≥ `minZ` are emitted. STATELESS — the calibration is a
+    * broadcast stream-static join (type-cardinality-sized, a genuine
+    * dim), no state store, no watermark, append mode; scoring an
+    * event against the reference distribution (not the stream-so-far)
+    * is the alerting contract, same as [[DocStreams.bm25Alerts]].
+    * Constant-valued types calibrate to sd = 0 → z = 0, never
+    * flagged.
+    */
+  def valueAnomalies(events: DataFrame, calibration: DataFrame,
+                     minZ: Double = 3.0): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(calibration),
+        Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        when(col("sd") === 0.0, lit(0.0))
+          .otherwise((col("value") - col("m")) / col("sd")).as("z"))
+      .filter(abs(col("z")) >= minZ)
 }

@@ -111,6 +111,41 @@ object ThroughputBench {
     val secQh = (System.nanoTime() - tqh) / 1e9
     println(f"""{"metric":"quality_score_hof_throughput","input_mb":$mb%.1f,"sec":$secQh%.2f,"mb_per_sec":${mb / secQh}%.1f}""")
 
+    // Winnowing fingerprint scan rate A/B — the native WinnowFpsExpr
+    // kernel (hash + window-min + dedup in one pass) vs the
+    // explode → doc-keyed sort → sliding-frame window formulation it
+    // replaced (which pays a corpus-wide exchange for a per-doc-local
+    // computation).
+    import org.apache.spark.sql.expressions.Window
+    def winnowKernel() = docsId.select(col("doc_id"),
+      explode(TextFunctions.winnowFps(
+        TextFunctions.tokens(col("text")), 4, 5)).as("h"))
+    def winnowWindow() = {
+      val grams = docsId
+        .select(col("doc_id"),
+          TextFunctions.shingles(TextFunctions.tokens(col("text")), 4).as("sh"))
+        .select(col("doc_id"), size(col("sh")).as("glen"),
+          posexplode(col("sh")).as(Seq("p0", "s")))
+        .select(col("doc_id"), col("glen"), (col("p0") + 1).as("pos"),
+          conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("h"))
+      val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.currentRow, 4)
+      grams.withColumn("m", min(struct(col("h"), (-col("pos")).as("np"))).over(frame))
+        .filter(col("pos") <= col("glen") - 4)
+        .select(col("doc_id"), col("m").getField("h").as("h"))
+        .distinct()
+    }
+    winnowKernel().write.format("noop").mode("overwrite").save()
+    val tw = System.nanoTime()
+    winnowKernel().write.format("noop").mode("overwrite").save()
+    val secW = (System.nanoTime() - tw) / 1e9
+    println(f"""{"metric":"winnow_kernel_throughput","input_mb":$mb%.1f,"sec":$secW%.2f,"mb_per_sec":${mb / secW}%.1f}""")
+    winnowWindow().write.format("noop").mode("overwrite").save()
+    val twf = System.nanoTime()
+    winnowWindow().write.format("noop").mode("overwrite").save()
+    val secWf = (System.nanoTime() - twf) / 1e9
+    println(f"""{"metric":"winnow_window_throughput","input_mb":$mb%.1f,"sec":$secWf%.2f,"mb_per_sec":${mb / secWf}%.1f}""")
+
     // Combiner on/off A/B — the reference's third benchmark axis
     // (cooler-MapReduce benchmark.py: word count with/without
     // combine_fn). "On" is the normal groupBy().agg() (partial

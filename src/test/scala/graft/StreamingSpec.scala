@@ -50,6 +50,23 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming value anomalies equal the batch screen; stateless plan") {
+    val batch = sources.Tables.events(spark, sf)
+    val calibration = EventStreams.calibrateValues(batch)
+    val minZ = 2.0
+    val expected = EventStreams.valueAnomalies(batch, calibration, minZ)
+    val stream = EventStreams.readEventStream(spark, sf)
+    val q = EventStreams.valueAnomalies(stream, calibration, minZ)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("anomalies")
+    assert(got.count() > 0, "calibration flagged nothing at z >= 2")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // flagged set is a strict subset (the screen filters, never invents)
+    assert(got.count() < batch.count())
+  }
+
   test("streaming funnel completions equal the batch funnel, out of order") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
