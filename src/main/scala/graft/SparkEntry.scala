@@ -205,6 +205,7 @@ object SparkEntry {
     "q15_top_supplier"       -> (Relational.q15TopSupplier _),
     "q17_small_quantity"     -> (Relational.q17SmallQuantity _),
     "q_grouping_sets"        -> (Relational.qGroupingSets _),
+    "q_lead_lag"             -> (Relational.qLeadLag _),
   )
 
   private val bOracles: Map[String, String] = Map(
@@ -518,6 +519,13 @@ object SparkEntry {
         |    ]) AS w_start, event_type, value
         |  FROM events)
         |GROUP BY 1, 2""".stripMargin,
+    "q_lead_lag" ->
+      """SELECT user_id, event_id, event_type, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  value - lag(value, 1) OVER w AS delta_prev,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  cast(sum(cast(l_quantity AS decimal(18,4))) AS double) AS sum_qty,
@@ -606,6 +614,21 @@ object SparkEntry {
   private def revSql: String =
     "cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2))"
 
+  /** Shared by `decontaminate` and `decontaminate_bloom` — the bloom
+    * variant's confirm join makes its result identical to the exact
+    * screen, so one oracle serves both.
+    */
+  private def decontaminateSql: String =
+    s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents),
+       |sh AS (SELECT doc_id, unnest(${TextFunctions.shinglesSql("tokens", 4)}) AS s FROM toks),
+       |ex AS (SELECT DISTINCT doc_id,
+       |    cast('0x' || substr(md5(s), 1, 12) as bigint) AS gk FROM sh),
+       |bench AS (SELECT DISTINCT gk FROM ex
+       |  WHERE doc_id % 10 = 7 AND doc_id < 1000)
+       |SELECT e.doc_id, count(*) AS n_hits
+       |FROM ex e JOIN bench b ON e.gk = b.gk
+       |WHERE NOT (e.doc_id % 10 = 7 AND e.doc_id < 1000) GROUP BY 1""".stripMargin
+
   // ---- §2C: LLM-training-data pipeline ops ---------------------------------
 
   private val cQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -670,6 +693,14 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val isBench = col("doc_id") % 10 === 7 && col("doc_id") < 1000
       Curation.decontaminate(docs.filter(!isBench), docs.filter(isBench),
+        "doc_id", "text")
+    }),
+    // bloom-prescreened decontamination: result identical to the exact
+    // screen (fp's die in the confirm join) -> same oracle SQL
+    "decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val isBench = col("doc_id") % 10 === 7 && col("doc_id") < 1000
+      Curation.decontaminateBloom(docs.filter(!isBench), docs.filter(isBench),
         "doc_id", "text")
     }),
     "corpus_stats" -> ((s, d) =>
@@ -1142,16 +1173,9 @@ object SparkEntry {
          |    i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 8)
          |SELECT doc_id FROM exact_kept
          |WHERE doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin,
-    "decontaminate" ->
-      s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents),
-         |sh AS (SELECT doc_id, unnest(${TextFunctions.shinglesSql("tokens", 4)}) AS s FROM toks),
-         |ex AS (SELECT DISTINCT doc_id,
-         |    cast('0x' || substr(md5(s), 1, 12) as bigint) AS gk FROM sh),
-         |bench AS (SELECT DISTINCT gk FROM ex
-         |  WHERE doc_id % 10 = 7 AND doc_id < 1000)
-         |SELECT e.doc_id, count(*) AS n_hits
-         |FROM ex e JOIN bench b ON e.gk = b.gk
-         |WHERE NOT (e.doc_id % 10 = 7 AND e.doc_id < 1000) GROUP BY 1""".stripMargin,
+    "decontaminate" -> decontaminateSql,
+    // the bloom prescreen is exact after its confirm join — same oracle
+    "decontaminate_bloom" -> decontaminateSql,
     "corpus_stats" ->
       s"""SELECT source, lang,
          |  count(*) AS n_docs,

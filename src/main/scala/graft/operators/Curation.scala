@@ -138,15 +138,59 @@ object Curation {
   def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 4,
                     broadcastBench: Boolean = true): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), explode(TextFunctions.shingles(col("toks"), n)).as("s"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("gk"))
-      .distinct()
-    val benchGrams = grams(benchmark).select(col("gk")).distinct()
-    grams(train)
+    val benchGrams = docGrams(benchmark, idCol, textCol, n).select(col("gk")).distinct()
+    docGrams(train, idCol, textCol, n)
       .join(if (broadcastBench) broadcast(benchGrams) else benchGrams, Seq("gk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  private def docGrams(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = df
+    .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+    .select(col("doc_id"), explode(TextFunctions.shingles(col("toks"), n)).as("s"))
+    .select(col("doc_id"),
+      conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("gk"))
+    .distinct()
+
+  /** [[decontaminate]] for benchmark sets too big to broadcast
+    * EXACTLY: a Bloom filter of the bench gram set still fits
+    * (~1.2 bytes/item at 1% fpp, vs 8+ per exact long), so the screen
+    * runs in two phases — (1) a MAP-SIDE bloom prescreen of corpus
+    * grams against the filter literal (Spark's own
+    * BloomFilterAggregate / BloomFilterMightContain machinery, the
+    * expressions behind its runtime-filter joins), then (2) an exact
+    * shuffle-join confirm of the survivors. False positives die in
+    * phase 2, so the RESULT is identical to the exact form
+    * (spec-pinned; same oracle) — what the bloom buys is the shuffle:
+    * the corpus side carries hits + fp-rate instead of every distinct
+    * gram, and the bench side never needs a compile-time broadcast
+    * hint.
+    */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 4,
+                         expectedItems: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    def xx(c: org.apache.spark.sql.Column) =
+      new XxHash64(Seq(GraftPlanFactory.expression(c)))
+    // materialized: feeds the bloom build AND the exact confirm join
+    val benchGrams = docGrams(benchmark, idCol, textCol, n)
+      .select(col("gk")).distinct().localCheckpoint(eager = false)
+    val bloomAgg = GraftPlanFactory.column(
+      new BloomFilterAggregate(xx(col("gk")), expectedItems)
+        .toAggregateExpression())
+    val bfRow = benchGrams.agg(bloomAgg.as("__bf")).collect()(0)
+    if (bfRow.isNullAt(0)) // empty benchmark → nothing can be contaminated
+      return train.select(col(idCol).as("doc_id"), lit(0L).as("n_hits")).limit(0)
+    val bf = bfRow.getAs[Array[Byte]](0)
+    val might = GraftPlanFactory.column(BloomFilterMightContain(
+      Literal.create(bf, org.apache.spark.sql.types.BinaryType),
+      xx(col("gk"))))
+    docGrams(train, idCol, textCol, n)
+      .filter(might) // map-side prescreen, no shuffle
+      .join(benchGrams, Seq("gk")) // exact confirm — fp's die here
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }

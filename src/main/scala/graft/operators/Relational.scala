@@ -764,6 +764,22 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
+  /** B48: lead/lag event deltas — per-user previous-value delta and
+    * next event type over event time (the session-trajectory feature
+    * window rank/running sums don't cover). Unique (ts, event_id)
+    * tiebreak; the delta is one double subtraction of the same
+    * operands on both engines. Partitioned window — scales with user
+    * cardinality, never a global sort.
+    */
+  def qLeadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+  }
+
   /** B47: GROUPING SETS with grouping_id — the mixed-granularity
     * report rollup/cube cannot express (exactly the requested sets,
     * nothing more): (flag, status), (flag), (status). One Expand over

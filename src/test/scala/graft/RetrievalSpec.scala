@@ -215,6 +215,25 @@ class RetrievalSpec extends AnyFunSuite {
       s"winnow kernel form fell back to a window sort:\n$plan")
   }
 
+  test("bloom-prescreened decontamination equals the exact screen; probe is map-side") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+    val isBench = col("doc_id") % 10 === 7
+    val (train, bench) = (docs.filter(!isBench), docs.filter(isBench))
+    val exact = Curation.decontaminate(train, bench, "doc_id", "text",
+      broadcastBench = false)
+    val bloom = Curation.decontaminateBloom(train, bench, "doc_id", "text")
+    assert(bloom.count() > 0)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    // the prescreen is a literal bloom probe in the plan (map-side
+    // filter), not another join
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom prescreen missing:\n$plan")
+    // empty benchmark degrades to an empty result
+    assert(Curation.decontaminateBloom(train, bench.limit(0),
+      "doc_id", "text").count() == 0)
+  }
+
   test("ngram novelty covers every document exactly once") {
     val docs = Tables.documents(spark, sf)
     val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text")
