@@ -380,21 +380,28 @@ object TextAnalysis {
     *  - `path/df`       — (token, df), the document frequencies;
     *  - `path/stats`    — one row (n docs, total tokens).
     *
-    * One tokenize scan feeds postings AND df (checkpoint cut); the
-    * length-stats scan is count+sum only.
+    * One tokenize scan builds the postings; the df table derives from
+    * the WRITTEN postings artifact (a column-pruned token-only
+    * read-back), NOT from an in-memory cut — a corpus-scale postings
+    * table held in block-manager memory is exactly what kills an
+    * executor pool at index-build scale (soak-measured: 2 GB corpus →
+    * ~130M posting rows → UNABLE_TO_ACQUIRE_MEMORY with a
+    * localCheckpoint; disk-first builds clean). The length-stats scan
+    * is count+sum only.
     */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
                      path: String): Unit = {
-    val pairs = docs
+    val spark = docs.sparkSession
+    docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
       .select(col("doc_id"), size(col("__t")).cast("long").as("__dl0"),
         explode(col("__t")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("__dl0")).as("dl"))
-      .localCheckpoint(eager = false) // feeds postings AND df: tokenize once
-    pairs.withColumn("tkey", tkeyExpr(col("token")))
+      .withColumn("tkey", tkeyExpr(col("token")))
       .write.mode("overwrite").partitionBy("tkey").parquet(s"$path/postings")
-    pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    spark.read.parquet(s"$path/postings") // token column only — pruned scan
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$path/df")
     docs.select(size(tokens(col(textCol))).cast("long").as("__l"))
       .agg(count(lit(1)).as("__n"), sum(col("__l")).as("__tot"))
@@ -410,13 +417,16 @@ object TextAnalysis {
     */
   def appendToBm25Index(docs: DataFrame, idCol: String, textCol: String,
                         path: String): Unit = {
-    val pairs = docs
+    // def, not a cached val: the batch is re-scanned per artifact
+    // rather than held in block-manager memory (the build-scale OOM
+    // mode; see buildBm25Index) — two extra batch scans is the
+    // memory-safe trade at any batch size
+    def pairs = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
       .select(col("doc_id"), size(col("__t")).cast("long").as("__dl0"),
         explode(col("__t")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("__dl0")).as("dl"))
-      .localCheckpoint(eager = false)
     pairs.withColumn("tkey", tkeyExpr(col("token")))
       .write.mode("append").partitionBy("tkey").parquet(s"$path/postings")
     pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))

@@ -56,10 +56,10 @@ object SoakBench {
     val baseMb = docs.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
     val n = docs.count()
 
-    // which axes to run: "flood,minhash,vectors,ivf" (default all) —
-    // lets a failed axis re-run without regenerating/re-timing the rest
+    // which axes to run: "flood,minhash,vectors,ivf,bm25" (default all)
+    // — lets a failed axis re-run without regenerating/re-timing the rest
     val axes = args.lift(3).map(_.split(',').toSet)
-      .getOrElse(Set("flood", "minhash", "vectors", "ivf"))
+      .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench
@@ -152,6 +152,30 @@ object SoakBench {
       graft.operators.Graph.connectedComponents(
         pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     }
+    }
+
+    // ---- axis 5: BM25 index build + probe on the DISTINCT cross-
+    // combined corpus (axis 2's generator — a flood of exact copies
+    // would dedup into the same postings): build scans the corpus
+    // once; the probe must answer from partition-pruned postings at
+    // interactive cost regardless of corpus size -------------------
+    if (axes("bm25")) {
+    val corpus = spark.read.parquet("target/soak_combined")
+    val cMb = corpus.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+    val idxPath = "target/soak_bm25_idx"
+    val tb = System.nanoTime()
+    graft.operators.TextAnalysis.buildBm25Index(corpus, "doc_id", "text", idxPath)
+    val secB = (System.nanoTime() - tb) / 1e9
+    println(f"""{"metric":"soak_bm25_build","input_mb":$cMb%.0f,"sec":$secB%.1f,"mb_per_sec":${cMb / secB}%.1f}""")
+    // warm + timed probe (10 queries, top-10 each)
+    val qs = graft.SparkEntry.Bm25Queries
+    graft.operators.TextAnalysis.bm25SearchIndexed(spark, idxPath, qs, 10)
+      .write.format("noop").mode("overwrite").save()
+    val tp = System.nanoTime()
+    graft.operators.TextAnalysis.bm25SearchIndexed(spark, idxPath, qs, 10)
+      .write.format("noop").mode("overwrite").save()
+    val secP = (System.nanoTime() - tp) / 1e9
+    println(f"""{"metric":"soak_bm25_probe","indexed_mb":$cMb%.0f,"queries":${qs.size},"sec":$secP%.2f}""")
     }
 
     // ---- axis 4: same corpus, IVF pair mining (the clustered-corpus
