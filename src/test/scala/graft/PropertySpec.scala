@@ -66,6 +66,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Independent model of winnowing, written directly from the SQL
+    * convention (md5 12-hex prefix → 48-bit long; per-w-window minimum
+    * with rightmost tiebreak; dedup in selection order) — shares NO
+    * code with graft.functions.GraftText.winnowFps.
+    */
+  private def modelWinnow(toks: Seq[String], n: Int, w: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(b: Array[Byte]) = b.map(x => f"$x%02x").mkString
+    val grams = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+    if (grams.length < w) return Seq.empty
+    val hs = grams.map(g =>
+      java.lang.Long.parseLong(hex(md.digest(g.getBytes("UTF-8"))).substring(0, 12), 16))
+    val sel = (0 to hs.length - w).map { s =>
+      var best = s
+      for (j <- s + 1 until s + w) if (hs(j) <= hs(best)) best = j
+      hs(best)
+    }
+    sel.distinct
+  }
+
+  test("property: winnow kernel matches an independent model on random token streams") {
+    val word = Gen.chooseNum(0, 40).map(i => s"w$i") // small vocab → frequent repeats
+    val doc = Gen.chooseNum(0, 120).flatMap(n => Gen.listOfN(n, word))
+    val docs = samples(doc, 300, seed = 43L)
+    docs.zipWithIndex.foreach { case (toks, i) =>
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t)).toArray[Any])
+      for ((n, w) <- Seq((4, 5), (3, 3), (2, 8))) {
+        val got = graft.functions.GraftText.winnowFps(arr, n, w)
+        val gotSeq = (0 until got.numElements()).map(got.getLong)
+        assert(gotSeq == modelWinnow(toks, n, w),
+          s"doc $i (${toks.length} toks, n=$n w=$w)")
+      }
+    }
+  }
+
   test("property: quantization bounds hold on random vectors") {
     val vec = Gen.listOfN(16, Gen.chooseNum(-8.0f, 8.0f))
     val vecs = samples(vec, 150, seed = 7L)
