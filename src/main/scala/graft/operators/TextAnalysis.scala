@@ -480,19 +480,33 @@ object TextAnalysis {
         col(sourceCol).as("source"),
         qualityStats(col(textCol)).getField("quality_score").as("__q"))
       .localCheckpoint(eager = false) // feeds moments agg AND the join
-    val moments = scored.groupBy(col("source")).agg(
-      (sum(col("__q").cast("decimal(28,12)")).cast("double") /
-        count(lit(1))).as("__m"),
-      (sum((col("__q") * col("__q")).cast("decimal(28,12)")).cast("double") /
-        count(lit(1))).as("__msq"))
-    val spread = moments.select(col("source"), col("__m"),
-      sqrt(greatest(col("__msq") - col("__m") * col("__m"), lit(0.0))).as("__sd"))
-    scored.join(spread, Seq("source"))
+    scored.join(momentsOf(scored, col("__q")), Seq("source"))
       .select(col("doc_id"), col("source"), col("__q").as("quality_score"),
         when(col("__sd") === 0.0, lit(0.0))
           .otherwise((col("__q") - col("__m")) / col("__sd")).as("z_score"))
       .withColumn("is_low", col("z_score") < -1.0)
   }
+
+  /** Per-source quality moments (source, __m, __sd) over a reference
+    * corpus — the calibration table [[qualityCalibration]] uses
+    * internally and DocStreams.qualityAdmission consumes as its static
+    * side (decimal-cast sums, zero-clamped sd).
+    */
+  def qualityMoments(docs: DataFrame, textCol: String,
+                     sourceCol: String): DataFrame =
+    momentsOf(docs.select(col(sourceCol).as("source"),
+      qualityStats(col(textCol)).getField("quality_score").as("__q")),
+      col("__q"))
+
+  private def momentsOf(scored: DataFrame, q: Column): DataFrame =
+    scored.groupBy(col("source")).agg(
+      (sum(q.cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("__m"),
+      (sum((q * q).cast("decimal(28,12)")).cast("double") /
+        count(lit(1))).as("__msq"))
+      .select(col("source"), col("__m"),
+        sqrt(greatest(col("__msq") - col("__m") * col("__m"), lit(0.0)))
+          .as("__sd"))
 
   /** C50: per-document duplicated-n-gram fraction — the share of a
     * doc's DISTINCT n-grams that occur in at least one other document

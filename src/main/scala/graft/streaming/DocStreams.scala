@@ -156,6 +156,36 @@ object DocStreams {
         Seq("w_start"), Seq("__negcnt", "token"), k, descending = false)
       .select(col("w_start"), col("token"), col("cnt"))
 
+  /** Streaming quality admission — the continuous twin of
+    * TextAnalysis.qualityCalibration's gate: each arriving document's
+    * quality score (native kernel, map-side) is z-scored against
+    * STATIC per-source calibration moments
+    * (TextAnalysis.qualityMoments over reference history) and docs at
+    * z < `minZ` are dropped. STATELESS: the moments table is a
+    * broadcast stream-static dim join (source-cardinality-sized), no
+    * state store, no watermark — scoring against the reference
+    * distribution is the admission contract (same shape as
+    * EventStreams.valueAnomalies). Sources absent from the
+    * calibration are ADMITTED with a null z (unknown provenance is a
+    * routing decision, not a quality verdict).
+    */
+  def qualityAdmission(docs: DataFrame, calibration: DataFrame,
+                       idCol: String, textCol: String, sourceCol: String,
+                       minZ: Double = -1.0): DataFrame = {
+    val q = graft.functions.TextFunctions.qualityStats(col(textCol))
+      .getField("quality_score")
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        col(textCol).as("text"), q.as("__q"))
+      .join(org.apache.spark.sql.functions.broadcast(calibration),
+        Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("text"),
+        col("__q").as("quality_score"),
+        when(col("__sd").isNull, lit(null).cast("double"))
+          .otherwise(when(col("__sd") === 0.0, lit(0.0))
+            .otherwise((col("__q") - col("__m")) / col("__sd"))).as("z_score"))
+      .filter(col("z_score").isNull || col("z_score") >= minZ)
+  }
+
   /** Streaming BM25 keyword alerting — the continuous twin of
     * TextAnalysis.bm25Search: every arriving document is scored against
     * the fixed query set and (doc_id, query_id, score) is emitted for

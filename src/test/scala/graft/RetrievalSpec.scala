@@ -169,6 +169,37 @@ class RetrievalSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("streaming quality admission equals the batch gate; unknown sources pass") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Tables.documents(spark, sf)
+    val calibration = TextAnalysis.qualityMoments(docs, "text", "source")
+    val expected = graft.streaming.DocStreams.qualityAdmission(
+      docs, calibration, "doc_id", "text", "source")
+    assert(expected.count() > 0 && expected.count() < docs.count(),
+      "gate admitted everything or nothing — calibration not discriminating")
+    val ms = MemoryStream[(Long, String, String)]
+    val admitted = graft.streaming.DocStreams.qualityAdmission(
+      ms.toDF().toDF("doc_id", "text", "source"), calibration,
+      "doc_id", "text", "source")
+    val q = admitted.writeStream.format("memory").queryName("qadmit")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select(col("doc_id"), col("text"), col("source"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      ms.addData(rows.toSeq)
+      // a doc from a source absent in the calibration is admitted
+      ms.addData(Seq((999999L, "tiny", "never-seen-source")))
+      q.processAllAvailable()
+      val got = spark.table("qadmit")
+      assert(got.filter(col("doc_id") === 999999L).count() == 1)
+      val streamed = got.filter(col("doc_id") =!= 999999L)
+      assert(streamed.exceptAll(expected).isEmpty &&
+        expected.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("quality calibration: full coverage, near-zero z mean per source, flag matches z") {
     val docs = Tables.documents(spark, sf)
     val got = TextAnalysis.qualityCalibration(docs, "doc_id", "text", "source")
