@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
+import graft.Materialize.MaterializeOps
 
 /** Corpus-curation operators a training-data pipeline runs after
   * dedup/quality filtering: deterministic quota sampling per stratum
@@ -105,7 +106,7 @@ object Curation {
       .select(col("source"),
         conv(substring(md5(col("s")), 1, 12), 16, 10).cast("long").as("gk"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .materialized
     val inter = ex.as("x").join(ex.as("y"),
         col("x.gk") === col("y.gk") && col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
@@ -177,7 +178,7 @@ object Curation {
       new XxHash64(Seq(GraftPlanFactory.expression(c)))
     // materialized: feeds the bloom build AND the exact confirm join
     val benchGrams = docGrams(benchmark, idCol, textCol, n)
-      .select(col("gk")).distinct().localCheckpoint(eager = false)
+      .select(col("gk")).distinct().materialized
     val bloomAgg = GraftPlanFactory.column(
       new BloomFilterAggregate(xx(col("gk")), expectedItems)
         .toAggregateExpression())
@@ -236,7 +237,7 @@ object Curation {
     val good = TextAnalysis.quality(docs, idCol, textCol)
       .filter(col("quality_score") >= minQuality)
       .select(col("doc_id").as("__gid"))
-      .localCheckpoint(eager = false)
+      .materialized
     val gdocs = docs.join(good, col(idCol) === col("__gid"), "left_semi")
     val survivors = Dedup.corpusDedup(gdocs, idCol, textCol, minEst)
       .select(col("doc_id").as("__sid"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.Materialize.MaterializeOps
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -31,15 +32,16 @@ object Dedup {
     * to re-running the text scan at any corpus size, and exactly what a
     * production dedup index persists anyway.
     *
-    * Lazy (`eager = false`) so merely explaining/auditing a plan runs
-    * no job; the first real action computes the rows once and both join
-    * sides read the persisted blocks. Caveat: localCheckpoint blocks
-    * are not replicated — losing an executor mid-query fails the job
-    * (Spark resubmits it); a long-lived production index would use
-    * `persist`+reliable checkpoint instead.
+    * Lazy so merely explaining/auditing a plan runs no job; the first
+    * real action computes the rows once and both join sides read the
+    * persisted form. Rides [[graft.Materialize]]: `localCheckpoint`
+    * blocks by default (fastest, but they die with their executor —
+    * fine at local/interactive scale), or a reliable checkpoint under
+    * the `graft.materialize.reliable` directory for cluster runs where
+    * executor churn must not fail a multi-hour job.
     */
   private def materialize(df: DataFrame): DataFrame =
-    df.localCheckpoint(eager = false)
+    df.materialized
 
   /** C1: exact dedup — content fingerprint → survivor (min id) + count. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -359,7 +361,7 @@ object Dedup {
     reference.select(md5(col(textCol).cast("binary")).as("fp")).distinct()
       .write.mode("overwrite").parquet(s"$path/fingerprints")
     val sigs = minhashSignatures(reference, idCol, textCol, k)
-      .localCheckpoint(eager = false) // feeds both writes: sign once
+      .materialized // feeds both writes: sign once
     sigs.write.mode("overwrite").parquet(s"$path/signatures")
     bandRows(sigs, bands, rows).select(col("doc_id"), col("band"), col("bkey"))
       .write.mode("overwrite").parquet(s"$path/bands")
@@ -386,7 +388,7 @@ object Dedup {
     docs.select(md5(col(textCol).cast("binary")).as("fp")).distinct()
       .write.mode("append").parquet(s"$path/fingerprints")
     val sigs = minhashSignatures(docs, idCol, textCol, k)
-      .localCheckpoint(eager = false)
+      .materialized
     sigs.write.mode("append").parquet(s"$path/signatures")
     bandRows(sigs, bands, k / bands).select(col("doc_id"), col("band"), col("bkey"))
       .write.mode("append").parquet(s"$path/bands")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
+import graft.Materialize.MaterializeOps
 
 /** Iterative graph analytics over the near-duplicate graph.
   *
@@ -43,11 +44,13 @@ object Graph {
     * 37k-edge / 200k-vertex connected components). Resetting to default
     * stats each round keeps every estimate a bounded product of
     * per-round terms. Partitioning survives the reset, so co-partitioned
-    * round joins stay co-partitioned.
+    * round joins stay co-partitioned. Rides [[graft.Materialize]], so
+    * `graft.materialize.reliable` flips each round boundary to a
+    * reliable checkpoint (executor loss mid-iteration re-reads files
+    * instead of failing the whole fixed-point run).
     */
   private def checkpointNoStats(df: DataFrame): DataFrame =
-    org.apache.spark.sql.classic.GraftPlanFactory.statsTruncated(
-      df.localCheckpoint())
+    graft.Materialize.eagerNoStats(df)
 
   /** Connected components over an undirected pair list (`doc_a`,
     * `doc_b`; unique, doc_a < doc_b): every vertex ends labeled with
@@ -74,7 +77,7 @@ object Graph {
     // pair pipeline ending in a join+filter (embedding-cosine pairs:
     // the exact-cosine verification) would run twice without the cut.
     val edges = pairs.select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(eager = false)
+      .materialized
     // No distinct needed on the union: pairs are unique with
     // doc_a < doc_b, so the forward branch (a<b) and the reversed one
     // (a>b) are disjoint — a distinct here would be one full extra
@@ -100,7 +103,7 @@ object Graph {
         .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(eager = false)
+        .materialized
       // pointer jump: labels are always doc_ids of the vertex set, so
       // label-of-label is a self-join — one extra hop per round buys
       // exponentially faster convergence on long chains
@@ -154,7 +157,7 @@ object Graph {
     // consume `pairs`, and a non-exchange-rooted pair pipeline would
     // otherwise run twice.
     val edges0 = pairs.select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(eager = false)
+      .materialized
     val bidir = edges0.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = bidir.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))

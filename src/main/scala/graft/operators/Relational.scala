@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.Materialize.MaterializeOps
 
 /** Relational analytics over the star schema — the "query capabilities"
   * a cooler-MapReduce user would hand-write as map/reduce chains,
@@ -755,7 +756,7 @@ object Relational {
         col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(revExpr).cast("double").as("total_revenue"))
-      .localCheckpoint(eager = false) // feeds the max AND the filter
+      .materialized // feeds the max AND the filter
     val top = rev.agg(max(col("total_revenue")).as("__max"))
     Tables.supplier(spark, dir)
       .join(rev, col("s_suppkey") === col("l_suppkey"))

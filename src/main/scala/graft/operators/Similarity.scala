@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 import graft.plans.GraftFunctions
+import graft.Materialize.MaterializeOps
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -61,22 +62,22 @@ object Similarity {
       .select(col("id"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
 
-  /** [[bucketRows]] materialized (localCheckpoint) for the ad-hoc
-    * queries: every consumer self-joins the bucket table, and without a
-    * cut Spark recomputes BOTH sides — nTables × nPlanes dot products
-    * per vector, twice. The materialized rows are three numbers each
-    * per (vector, table) — at any scale vastly cheaper than re-running
-    * the projection scan ([[buildLshIndex]] persists the same rows to
-    * disk instead). Lazy (`eager = false`) so explain-only consumers
-    * (plan audits) run no job; the first action computes the rows once.
-    * Caveat: localCheckpoint blocks are not replicated — an executor
-    * loss mid-query fails the job (Spark resubmits); long-lived indexes
-    * belong on reliable storage via [[buildLshIndex]].
+  /** [[bucketRows]] materialized for the ad-hoc queries: every
+    * consumer self-joins the bucket table, and without a cut Spark
+    * recomputes BOTH sides — nTables × nPlanes dot products per vector,
+    * twice. The materialized rows are three numbers each per (vector,
+    * table) — at any scale vastly cheaper than re-running the
+    * projection scan ([[buildLshIndex]] persists the same rows to disk
+    * instead). Lazy, so explain-only consumers (plan audits) run no
+    * job; the first action computes the rows once. Fault tolerance
+    * follows [[graft.Materialize]]: block-manager blocks by default,
+    * reliable checkpoint files under `graft.materialize.reliable` for
+    * cluster runs; long-lived indexes belong on [[buildLshIndex]].
     */
   private def lshBucketed(emb: DataFrame, idCol: String, vecCol: String,
                           nPlanes: Int, nTables: Int, dims: Int): DataFrame =
     bucketRows(emb, idCol, vecCol, nPlanes, nTables, dims)
-      .localCheckpoint(eager = false)
+      .materialized
 
   /** C5: near-duplicate pairs by cosine ≥ threshold, via multi-table
     * LSH candidate generation + exact cosine verification on candidates
@@ -208,7 +209,7 @@ object Similarity {
     val cells0 = emb.select(col(idCol).as("id"),
         explode(kmeansProbeCellsExpr(col(vecCol), centroids, nProbes))
           .as("cell"))
-      .localCheckpoint(eager = false) // both sides of the cell self-join
+      .materialized // both sides of the cell self-join
     val cells = if (maxCell == Int.MaxValue) cells0 else {
       val ok = cells0.groupBy(col("cell")).agg(count(lit(1)).as("__csz"))
         .filter(col("__csz") <= maxCell).select(col("cell"))
@@ -483,7 +484,7 @@ object Similarity {
       return emb.select(col(idCol).as("vec_id"), lit(0).as("cluster_id")).limit(0)
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
         kmeansAssignExpr(col(vecCol), centroids).as("cluster_id"))
-      .localCheckpoint(eager = false) // both sides of the cell self-join
+      .materialized // both sides of the cell self-join
     val a = base.select(col("cluster_id"), col("vec_id").as("__ida"),
       col("__v").as("__va"))
     val b = base.select(col("cluster_id"), col("vec_id").as("__idb"),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.Materialize.MaterializeOps
 
 /** Text-analysis operators for training-data curation: language ID,
   * quality scoring, token counting, fingerprinting. All pure map-side
@@ -215,7 +216,7 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false)
+      .materialized
     val dfreq = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__n"))
     val scored = pairs.join(dfreq, Seq("token"))
@@ -249,7 +250,7 @@ object TextAnalysis {
       .select(tokens(col(textCol)).as("__t"))
       .select(explode(concat(col("__t"), shingles(col("__t"), 2))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(eager = false)
+      .materialized
     val uni = counts.filter(!col("term").contains(" "))
     val big = counts.filter(col("term").contains(" "))
       .select(split(col("term"), " ").getItem(0).as("w1"),
@@ -299,7 +300,7 @@ object TextAnalysis {
       .filter(col("token").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("__dl0")).as("dl"))
-      .localCheckpoint(eager = false) // feeds df agg AND the scoring join
+      .materialized // feeds df agg AND the scoring join
     val dfreq = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val stats = docs.select(size(tokens(col(textCol))).cast("long").as("__l"))
       .agg(count(lit(1)).as("__n"), sum(col("__l")).as("__tot"))
@@ -479,7 +480,7 @@ object TextAnalysis {
     val scored = docs.select(col(idCol).as("doc_id"),
         col(sourceCol).as("source"),
         qualityStats(col(textCol)).getField("quality_score").as("__q"))
-      .localCheckpoint(eager = false) // feeds moments agg AND the join
+      .materialized // feeds moments agg AND the join
     scored.join(momentsOf(scored, col("__q")), Seq("source"))
       .select(col("doc_id"), col("source"), col("__q").as("quality_score"),
         when(col("__sd") === 0.0, lit(0.0))
@@ -530,7 +531,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         conv(substring(md5(col("__s")), 1, 12), 16, 10).cast("long").as("gh"))
       .distinct()
-      .localCheckpoint(eager = false) // feeds df agg AND the flag join
+      .materialized // feeds df agg AND the flag join
     val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
     val per = grams.join(dfreq, Seq("gh"))
       .groupBy(col("doc_id"))
