@@ -158,37 +158,53 @@ object Curation {
     * EXACTLY: a Bloom filter of the bench gram set still fits
     * (~1.2 bytes/item at 1% fpp, vs 8+ per exact long), so the screen
     * runs in two phases — (1) a MAP-SIDE bloom prescreen of corpus
-    * grams against the filter literal (Spark's own
-    * BloomFilterAggregate / BloomFilterMightContain machinery, the
-    * expressions behind its runtime-filter joins), then (2) an exact
+    * grams against the filter (built with Spark's own
+    * BloomFilterAggregate, probed through
+    * [[graft.plans.BloomMightContainBroadcast]]), then (2) an exact
     * shuffle-join confirm of the survivors. False positives die in
     * phase 2, so the RESULT is identical to the exact form
     * (spec-pinned; same oracle) — what the bloom buys is the shuffle:
     * the corpus side carries hits + fp-rate instead of every distinct
     * gram, and the bench side never needs a compile-time broadcast
     * hint.
+    *
+    * The filter bytes ride a BROADCAST VARIABLE, never a plan literal:
+    * this operator exists precisely for gram sets that outgrow an
+    * exact broadcast (10⁸–10⁹ grams → 120 MB–1.2 GB of filter), and a
+    * literal that size would be serialized into every task binary and
+    * every plan copy. The plan holds a broadcast handle; executors
+    * fetch the filter once. Plan size is O(1) in `expectedItems` —
+    * spec-pinned at 5×10⁷ items (RetrievalSpec).
+    *
+    * The filter is built with the sketch library directly (one filter
+    * per partition of the bench gram set, tree-merged) rather than
+    * `BloomFilterAggregate`, which silently CLAMPS its size to the
+    * runtime-filter confs (`…runtime.bloomFilter.maxNumItems`,
+    * default 4×10⁶) — exactly the regime this operator exists for
+    * would get an undersized filter and a quietly useless prescreen.
     */
   def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int = 4,
-                         expectedItems: Long = 4000000L): DataFrame = {
-    import org.apache.spark.sql.classic.GraftPlanFactory
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    def xx(c: org.apache.spark.sql.Column) =
-      new XxHash64(Seq(GraftPlanFactory.expression(c)))
+                         expectedItems: Long = 4000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.util.sketch.BloomFilter
     // materialized: feeds the bloom build AND the exact confirm join
     val benchGrams = docGrams(benchmark, idCol, textCol, n)
       .select(col("gk")).distinct().materialized
-    val bloomAgg = GraftPlanFactory.column(
-      new BloomFilterAggregate(xx(col("gk")), expectedItems)
-        .toAggregateExpression())
-    val bfRow = benchGrams.agg(bloomAgg.as("__bf")).collect()(0)
-    if (bfRow.isNullAt(0)) // empty benchmark → nothing can be contaminated
+    if (benchGrams.isEmpty) // empty benchmark → nothing can be contaminated
       return train.select(col(idCol).as("doc_id"), lit(0L).as("n_hits")).limit(0)
-    val bf = bfRow.getAs[Array[Byte]](0)
-    val might = GraftPlanFactory.column(BloomFilterMightContain(
-      Literal.create(bf, org.apache.spark.sql.types.BinaryType),
-      xx(col("gk"))))
+    val bf = benchGrams.select(col("gk")).rdd
+      .mapPartitions { it =>
+        // created executor-side: no multi-MB zero value ships per task
+        val f = BloomFilter.create(expectedItems, fpp)
+        it.foreach(r => f.putLong(r.getLong(0)))
+        Iterator.single(f)
+      }
+      .treeReduce((a, b) => { a.mergeInPlace(b); a }, depth = 2)
+    val bcast = train.sparkSession.sparkContext.broadcast(bf)
+    val might = org.apache.spark.sql.classic.GraftPlanFactory.column(
+      graft.plans.BloomMightContainBroadcast(bcast,
+        org.apache.spark.sql.classic.GraftPlanFactory.expression(col("gk"))))
     docGrams(train, idCol, textCol, n)
       .filter(might) // map-side prescreen, no shuffle
       .join(benchGrams, Seq("gk")) // exact confirm — fp's die here

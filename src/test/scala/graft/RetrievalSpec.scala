@@ -256,13 +256,46 @@ class RetrievalSpec extends AnyFunSuite {
     val bloom = Curation.decontaminateBloom(train, bench, "doc_id", "text")
     assert(bloom.count() > 0)
     assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
-    // the prescreen is a literal bloom probe in the plan (map-side
+    // the prescreen is a broadcast bloom probe in the plan (map-side
     // filter), not another join
     val plan = bloom.queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), s"bloom prescreen missing:\n$plan")
     // empty benchmark degrades to an empty result
     assert(Curation.decontaminateBloom(train, bench.limit(0),
       "doc_id", "text").count() == 0)
+  }
+
+  test("bloom decontamination at 50M expected items: plan stays O(1)") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+    val isBench = col("doc_id") % 10 === 7
+    val (train, bench) = (docs.filter(!isBench), docs.filter(isBench))
+    // 5×10⁷ items at 1% fpp → a ~57 MB filter: the regime the operator
+    // exists for. It must ride a broadcast — the plan may not carry a
+    // binary literal bigger than a hash seed, and the explain string
+    // (where a literal would be hex-dumped) stays bounded.
+    val big = Curation.decontaminateBloom(train, bench, "doc_id", "text",
+      expectedItems = 50000000L)
+    val maxBinaryLit = big.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.dataType == org.apache.spark.sql.types.BinaryType =>
+          l.value match {
+            case b: Array[Byte] => b.length
+            case _ => 0
+          }
+      })
+    }.flatten.maxOption.getOrElse(0)
+    assert(maxBinaryLit < 1024,
+      s"a $maxBinaryLit-byte binary literal is riding the plan tree")
+    val explain = big.queryExecution.executedPlan.toString
+    assert(explain.length < 200000,
+      s"explain string is ${explain.length} chars — filter bytes leaked into the plan")
+    // and the screen's RESULT is still the exact one
+    val exact = Curation.decontaminate(train, bench, "doc_id", "text",
+      broadcastBench = false)
+    assert(big.count() > 0)
+    assert(big.exceptAll(exact).isEmpty && exact.exceptAll(big).isEmpty)
   }
 
   test("ngram novelty covers every document exactly once") {
