@@ -248,6 +248,24 @@ object GraftText {
     new GenericArrayData(out.toArray)
   }
 
+  /** Positionwise agreement count of two equal-length long-array
+    * minhash signatures — the candidate-pair filter kernel. One flat
+    * primitive loop per pair; the `aggregate(zip_with(...))` HOF form
+    * it replaces allocates a zipped struct array and dispatches two
+    * interpreted lambdas per element, on EVERY candidate pair the LSH
+    * bucket join emits.
+    */
+  def sigAgree(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   def shingles(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()
     if (m < n) return Empty

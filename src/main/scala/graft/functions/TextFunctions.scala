@@ -72,6 +72,16 @@ object TextFunctions {
       graft.plans.CdcChunksExpr(GraftPlanFactory.expression(tokensCol), anchorMod))
   }
 
+  /** Positionwise agreement count of two minhash signatures
+    * (array<long>) — native codegen'd expression
+    * (graft.plans.SigAgreeExpr), the candidate-pair filter kernel.
+    */
+  def sigAgree(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftPlanFactory.column(graft.plans.SigAgreeExpr(
+      GraftPlanFactory.expression(a), GraftPlanFactory.expression(b)))
+  }
+
   /** One-pass quality-stats struct over raw text — native codegen'd
     * expression (graft.plans.QualityStatsExpr): tokenize + token-length
     * sum + stopword count + punct count fused into one kernel call per

@@ -132,8 +132,10 @@ object Dedup {
     a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+        // codegen'd agreement kernel — this runs on EVERY candidate
+        // pair the bucket join emits (the hot loop on heavy-candidate
+        // corpora; the interpreted HOF form is the parity spec twin)
+        (sigAgree(col("sig_a"), col("sig_b"))
           / lit(k.toDouble)).as("est_jaccard"))
       .distinct()
   }
@@ -326,9 +328,7 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("doc_id"),
         col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .filter(aggregate(zip_with(col("sig_a"), col("sig_b"),
-        (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-        >= lit(minAgree))
+      .filter(sigAgree(col("sig_a"), col("sig_b")) >= lit(minAgree))
       .select(col("doc_id")) // anti-join below tolerates duplicates
     exactKept.select(col(idCol).as("doc_id"))
       .join(nearDrops, Seq("doc_id"), "left_anti")
@@ -428,9 +428,7 @@ object Dedup {
     val nearDrops = candIds
       .join(bSigs.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
       .join(rSigs, Seq("ref_id"))
-      .filter(aggregate(zip_with(col("sig_a"), col("sig_b"),
-        (p, q) => when(p === q, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
-        >= lit(minAgree))
+      .filter(sigAgree(col("sig_a"), col("sig_b")) >= lit(minAgree))
       .select(col("doc_id")) // anti-join below tolerates duplicates
     exactKept.select(col(idCol).as("doc_id"))
       .join(nearDrops, Seq("doc_id"), "left_anti")

@@ -131,6 +131,30 @@ case class WinnowFpsExpr(child: Expression, n: Int, w: Int)
       s"${ev.value} = graft.functions.GraftText.winnowFps($c, $n, $w);")
 }
 
+/** Positionwise minhash-signature agreement count (two array<long>
+  * children → int) — the codegen'd candidate-pair filter. Runs on
+  * every pair the LSH band-bucket join emits, which on a
+  * heavy-candidate corpus is the join's hot inner loop; the
+  * `aggregate(zip_with(...))` HOF form evaluates interpreted.
+  */
+case class SigAgreeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sig_agree"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.GraftText.sigAgree(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftText.sigAgree($a, $b);")
+}
+
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

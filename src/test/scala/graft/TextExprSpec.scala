@@ -109,6 +109,29 @@ class TextExprSpec extends AnyFunSuite {
     }
   }
 
+  test("native sigAgree equals the aggregate(zip_with) HOF bit-for-bit") {
+    // real minhash signatures off the corpus, self-paired every which
+    // way so agreement counts span 0..k
+    val sigs = graft.operators.Dedup.minhashSignatures(
+      Tables.documents(spark, sf), "doc_id", "text")
+    val pairs = sigs.select(col("doc_id").as("ida"), col("sig").as("sig_a"))
+      .crossJoin(sigs.select(col("doc_id").as("idb"), col("sig").as("sig_b")))
+      .filter(col("ida") % 7 === col("idb") % 5) // thin the product
+    val hof = aggregate(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+    val mismatch = pairs
+      .select(col("ida"), col("idb"),
+        TextFunctions.sigAgree(col("sig_a"), col("sig_b")).as("kernel"),
+        hof.as("reference"))
+      .filter(col("kernel") =!= col("reference"))
+    assert(mismatch.count() == 0)
+    // and the kernel must actually exercise the full agreement range
+    val agrees = pairs
+      .select(TextFunctions.sigAgree(col("sig_a"), col("sig_b")).as("a"))
+      .agg(min(col("a")), max(col("a"))).collect()(0)
+    assert(agrees.getInt(1) == 16, "no identical pair in the sample")
+  }
+
   test("quality scan path stays in whole-stage codegen with no HOF lambdas") {
     import graft.operators.TextAnalysis
     val plan = TextAnalysis.quality(Tables.documents(spark, sf), "doc_id", "text")
