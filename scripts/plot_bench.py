@@ -11,6 +11,41 @@ Truncated artifacts (tail-captured stdout) are skipped with a note.
 import glob, json, os, re, sys
 
 
+def parse_artifact(d):
+    """Extract (wall_sec, {query: sec}) from a BENCH artifact.
+
+    target/bench_out.json is the bench main's own full JSON
+    ({value, queries, ...}). The driver's BENCH_r*.json artifacts
+    instead wrap the run as {n, rc, cpus, sf, tail} where `tail` is
+    the LAST 2000 chars of captured stdout — usually truncated at the
+    head, so the {"metric": ... prefix (and often "value") is gone but
+    the queries map at the end survives. Recover what's there.
+    """
+    if "value" in d or "queries" in d:
+        return d.get("value"), d.get("queries", {})
+    tail = d.get("tail", "")
+    # intact JSON line inside the tail?
+    m = re.search(r'\{"metric".*?"sf":[^}]*\}', tail)
+    if m:
+        try:
+            j = json.loads(m.group(0))
+            return j.get("value"), j.get("queries", {})
+        except json.JSONDecodeError:
+            pass
+    # head-truncated: the "name":sec pairs up to the closing brace of
+    # the queries map are still the only float pairs in the tail
+    qsec = tail.split('"queries":{')[-1]
+    qsec = re.split(r'}\s*,\s*"(?:failed|sf)"', qsec)[0]
+    queries = {k: float(v) for k, v in
+               re.findall(r'"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)', qsec)}
+    wall = queries.pop("value", None)
+    if wall is None:
+        # fall back to sbt's own total (includes JVM startup — coarse)
+        t = re.search(r"Total time: (\d+) s", tail)
+        wall = float(t.group(1)) if t else None
+    return wall, queries
+
+
 def load_rounds():
     rounds = []
     for path in sorted(glob.glob("BENCH_r*.json")) + ["target/bench_out.json"]:
@@ -19,11 +54,15 @@ def load_rounds():
         try:
             with open(path) as f:
                 d = json.load(f)
+            wall, queries = parse_artifact(d)
+            if wall is None and not queries:
+                print(f"  [skip] {path}: truncated/unparseable", file=sys.stderr)
+                continue
             label = re.search(r"r(\d+)", path)
             rounds.append({
                 "label": f"r{int(label.group(1))}" if label else "now",
-                "wall": d.get("value"),
-                "queries": d.get("queries", {}),
+                "wall": wall,
+                "queries": queries,
             })
         except (json.JSONDecodeError, ValueError):
             print(f"  [skip] {path}: truncated/unparseable", file=sys.stderr)

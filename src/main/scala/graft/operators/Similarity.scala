@@ -468,8 +468,9 @@ object Similarity {
     * cells instead of the corpus.)
     *
     * Scale shape: assignment is the map-side broadcast-codebook argmin
-    * (no join); the (id, vector, cluster) table is MATERIALIZED once
-    * and self-joined on the cluster key — an equi-join, never an
+    * (no join); the (id, cluster) table — ids only, vectors re-read
+    * from the pruned source scan per join side — is MATERIALIZED once
+    * and self-joined on the cluster key: an equi-join, never an
     * all-pairs product. The within-cell product is (cell size)², so
     * `k` must scale with the corpus to hold cells at a target size
     * (the paper runs k ≈ N/100; the default k = 8 fits the driver
@@ -482,18 +483,25 @@ object Similarity {
     val centroids = kmeansCentroids(emb, idCol, vecCol, k, iters)
     if (centroids.isEmpty)
       return emb.select(col(idCol).as("vec_id"), lit(0).as("cluster_id")).limit(0)
-    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
+    // materialize (id, cluster) ONLY — never the vectors: checkpointed
+    // full-embedding blocks are the at-scale OOM mode the BM25 index
+    // build measured (UNABLE_TO_ACQUIRE_MEMORY at corpus scale).
+    // Assignment (the broadcast-codebook argmin) is computed once
+    // here; each join side re-reads its vectors from the pruned source
+    // scan, the embeddingPairs shape.
+    val assigned = emb.select(col(idCol).as("vec_id"),
         kmeansAssignExpr(col(vecCol), centroids).as("cluster_id"))
-      .materialized // both sides of the cell self-join
-    val a = base.select(col("cluster_id"), col("vec_id").as("__ida"),
-      col("__v").as("__va"))
-    val b = base.select(col("cluster_id"), col("vec_id").as("__idb"),
-      col("__v").as("__vb"))
+      .materialized // both self-join sides + the survivor projection
+    val vecs = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+    val a = assigned.join(vecs, Seq("vec_id"))
+      .select(col("cluster_id"), col("vec_id").as("__ida"), col("__v").as("__va"))
+    val b = assigned.join(vecs, Seq("vec_id"))
+      .select(col("cluster_id"), col("vec_id").as("__idb"), col("__v").as("__vb"))
     val drops = a.join(b, Seq("cluster_id"))
       .filter(col("__ida") < col("__idb") &&
         round(VectorFunctions.cosineNative(col("__va"), col("__vb")), 6) >= minCos)
       .select(col("__idb").as("__drop")).distinct()
-    base.join(drops, col("vec_id") === col("__drop"), "left_anti")
+    assigned.join(drops, col("vec_id") === col("__drop"), "left_anti")
       .select(col("vec_id"), col("cluster_id"))
   }
 

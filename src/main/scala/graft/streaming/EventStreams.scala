@@ -237,19 +237,27 @@ object EventStreams {
     * z-scored against STATIC per-type calibration moments
     * ([[calibrateValues]] over reference history) and events at
     * |z| ≥ `minZ` are emitted. STATELESS — the calibration is a
-    * broadcast stream-static join (type-cardinality-sized, a genuine
-    * dim), no state store, no watermark, append mode; scoring an
-    * event against the reference distribution (not the stream-so-far)
-    * is the alerting contract, same as [[DocStreams.bm25Alerts]].
-    * Constant-valued types calibrate to sd = 0 → z = 0, never
-    * flagged.
+    * broadcast stream-static LEFT join (type-cardinality-sized, a
+    * genuine dim), no state store, no watermark, append mode; scoring
+    * an event against the reference distribution (not the
+    * stream-so-far) is the alerting contract, same as
+    * [[DocStreams.bm25Alerts]]. Constant-valued types calibrate to
+    * sd = 0 → z = 0, never flagged.
+    *
+    * An event whose type is ABSENT from the calibration — arguably the
+    * most anomalous input of all — is EMITTED with `z = null`
+    * (admit-unknown-and-mark, the [[DocStreams.qualityAdmission]]
+    * contract): the routing decision belongs downstream, and an inner
+    * join would silently guarantee a genuinely novel event type can
+    * never alert.
     */
   def valueAnomalies(events: DataFrame, calibration: DataFrame,
                      minZ: Double = 3.0): DataFrame =
     events.join(org.apache.spark.sql.functions.broadcast(calibration),
-        Seq("event_type"))
+        Seq("event_type"), "left")
       .select(col("event_id"), col("event_type"), col("value"),
-        when(col("sd") === 0.0, lit(0.0))
+        when(col("m").isNull, lit(null).cast("double"))
+          .when(col("sd") === 0.0, lit(0.0))
           .otherwise((col("value") - col("m")) / col("sd")).as("z"))
-      .filter(abs(col("z")) >= minZ)
+      .filter(col("z").isNull || abs(col("z")) >= minZ)
 }

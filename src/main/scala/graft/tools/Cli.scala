@@ -113,18 +113,24 @@ object Cli {
         val spark = session()
         val t0 = System.nanoTime()
         val result = new java.util.concurrent.atomic.AtomicReference[Option[Long]](None)
-        val runner = new Thread(() => Monitoring.inGroup(spark, name) {
-          val df: DataFrame = Monitoring.tag(fn(spark, sfDir), name)
-          outDir match {
-            case Some(dir) =>
-              df.write.mode("overwrite").parquet(dir)
-              result.set(Some(spark.read.parquet(dir).count()))
-            case None =>
-              val rows = df.limit(20).collect()
-              result.set(Some(df.count()))
-              rows.foreach(r => println(r.mkString("\t")))
-          }
-        })
+        val failure = new java.util.concurrent.atomic.AtomicReference[Option[Throwable]](None)
+        val runner = new Thread(() =>
+          try Monitoring.inGroup(spark, name) {
+            val df: DataFrame = Monitoring.tag(fn(spark, sfDir), name)
+            outDir match {
+              case Some(dir) =>
+                df.write.mode("overwrite").parquet(dir)
+                result.set(Some(spark.read.parquet(dir).count()))
+              case None =>
+                // one execution: cache, count, print the first 20 from
+                // the cached blocks (no second run of the query)
+                df.persist()
+                try {
+                  result.set(Some(df.count()))
+                  df.limit(20).collect().foreach(r => println(r.mkString("\t")))
+                } finally df.unpersist()
+            }
+          } catch { case t: Throwable => failure.set(Some(t)) })
         runner.start()
         // the reference client's watch mode: poll the coordinator for
         // task counts and redraw a progress bar — here the
@@ -138,9 +144,18 @@ object Cli {
         }
         if (watch) System.err.println()
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"query=$name rows=${result.get().getOrElse(-1L)} sec=$sec%.2f" +
-          outDir.map(d => s" output=$d").getOrElse(""))
-        spark.stop()
+        failure.get() match {
+          case Some(t) =>
+            // a failed query must read as one: print the cause, exit 1
+            System.err.println(f"query=$name FAILED after $sec%.2f s")
+            t.printStackTrace()
+            spark.stop()
+            sys.exit(1)
+          case None =>
+            println(f"query=$name rows=${result.get().getOrElse(-1L)} sec=$sec%.2f" +
+              outDir.map(d => s" output=$d").getOrElse(""))
+            spark.stop()
+        }
     }
   }
 

@@ -208,10 +208,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus_dedup_best: expected 1 parquet scan, got $parquetScans:\n$plan")
   }
 
-  test("semantic_dedup: assignment+vector table materialized, no source rescans") {
-    // the (id, vector, cluster) checkpoint feeds both pair-join sides
-    // AND the survivor anti-join; kmeans assignment must never recompute
-    auditMaterializedSelfJoin("semantic_dedup", 3)
+  test("semantic_dedup: ids-only assignment materialized, vectors from pruned scans") {
+    // the materialized cut is (id, cluster) ONLY — checkpointing full
+    // embedding vectors is the at-scale OOM mode the BM25 index build
+    // measured — and it feeds both pair-join sides AND the survivor
+    // anti-join (kmeans assignment never recomputes); each join side
+    // re-reads its vectors from a column-pruned source scan instead
+    // (the embeddingPairs shape), so exactly two parquet scans appear
+    val plan = SparkEntry.queries("semantic_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val rddScans = "Scan ExistingRDD".r.findAllMatchIn(plan).length
+    assert(rddScans >= 3,
+      s"semantic_dedup: assignment checkpoint not reused, got $rddScans:\n$plan")
+    val parquetScans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(parquetScans == 2,
+      s"semantic_dedup: expected 2 vector re-read scans, got $parquetScans:\n$plan")
   }
 
   test("bm25_search: postings checkpointed once, one stats scan, TopKPerKey cut") {

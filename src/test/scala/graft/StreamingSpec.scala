@@ -67,6 +67,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() < batch.count())
   }
 
+  test("value anomalies: an uncalibrated event type is emitted with null z") {
+    import org.apache.spark.sql.functions._
+    val batch = sources.Tables.events(spark, sf)
+    // calibrate WITHOUT 'view' — a genuinely novel type at screen time
+    val calibration = EventStreams.calibrateValues(
+      batch.filter(col("event_type") =!= "view"))
+    val got = EventStreams.valueAnomalies(batch, calibration, 3.0)
+    val unknown = got.filter(col("event_type") === "view")
+    // admit-unknown-and-mark: every novel-type event passes, z = null
+    assert(unknown.count() ==
+      batch.filter(col("event_type") === "view").count())
+    assert(unknown.filter(col("z").isNotNull).count() == 0)
+    // calibrated types still screen on |z| with a concrete score
+    assert(got.filter(col("event_type") =!= "view" && col("z").isNull).count() == 0)
+  }
+
   test("streaming funnel completions equal the batch funnel, out of order") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
