@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: images/audio/video ride through the
   * engine as opaque `binary` payloads with a typed metadata struct.
   *
-  * The actual codecs (JPEG decode, resampling, frame sampling) are NOT
-  * available in this environment, so the decode kernel is a
-  * deterministic fake — but everything Spark-side is real: schema,
-  * binary column handling, batched per-partition processing shape
-  * (the Scala analog of `mapInPandas` batches), and partitioning.
-  * Swapping `fakeDecode` for a real codec is a one-function change.
+  * IMAGE decode is REAL: [[ImageIoCodec]], [[decodeImageMeta]] and
+  * [[resizeImages]] run `javax.imageio` (PNG/JPEG/GIF/BMP ship in the
+  * JDK — no external dependency) through the same batched
+  * per-partition shape. Audio/video codecs are NOT available in this
+  * environment, so [[FakeCodec]] remains the deterministic stand-in
+  * for those modalities; everything Spark-side — schema, binary
+  * column handling, batching, partitioning — is shared with the real
+  * image path.
   */
 object Multimodal {
 
@@ -74,10 +76,10 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** STUB codec: a real implementation would decode `payload` (JPEG →
-    * HxWx3, PCM → samples). This deterministic fake derives "features"
-    * from the payload bytes so the distributed plumbing is testable in
-    * an environment with no image/audio libraries.
+  /** STUB codec for the modalities with no JDK decoder (audio PCM,
+    * video): derives deterministic "features" from the raw payload
+    * bytes so the distributed plumbing stays testable. For images use
+    * [[ImageIoCodec]], which decodes for real.
     */
   object FakeCodec extends FeatureCodec {
     override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -89,6 +91,147 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** REAL image codec over `javax.imageio` (JDK-shipped: PNG, JPEG,
+    * GIF, BMP). Features are a luminance grid: the image is cut into
+    * ~√dim × ~√dim cells and each feature is that cell's mean Rec.601
+    * luma in [0,1] — a deterministic, resolution-independent thumbnail
+    * signature (the classic pre-embedding near-dup/quality signal for
+    * image corpora; cosine over it survives resizing, which the
+    * byte-level [[FakeCodec]] cannot claim).
+    *
+    * Stateless (safe as an `object`): `ImageIO.read` allocates a fresh
+    * reader per call. `open()` just disables ImageIO's JVM-global
+    * disk-backed stream cache — payloads are already in memory, and a
+    * per-decode temp file is pure /tmp churn across executor threads.
+    *
+    * A payload that doesn't decode (truncated file, non-image bytes)
+    * throws with the payload size in the message — feature extraction
+    * has no honest null; screen with [[decodeImageMeta]] (which MARKS
+    * undecodables instead) when the corpus isn't known-clean.
+    */
+  object ImageIoCodec extends FeatureCodec {
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null,
+        s"payload is not a decodable image (${payload.length} bytes; " +
+          "screen undecodables with decodeImageMeta first)")
+      lumaGrid(img, dim)
+    }
+  }
+
+  /** One pass over the pixels, binned into a rows×cols grid (rows =
+    * ⌊√dim⌋, cols = ⌈dim/rows⌉; trailing cells past `dim` are dropped,
+    * cells narrower than a pixel read 0). Row-at-a-time `getRGB` keeps
+    * the per-pixel cost at integer math regardless of the underlying
+    * raster layout.
+    */
+  private[graft] def lumaGrid(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val rows = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val cols = (dim + rows - 1) / rows
+    val sum = new Array[Double](rows * cols)
+    val cnt = new Array[Long](rows * cols)
+    val line = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, line, 0, w)
+      val r0 = math.min(rows - 1, y * rows / h)
+      var x = 0
+      while (x < w) {
+        val p = line(x)
+        val luma = (0.299 * ((p >> 16) & 0xff) +
+          0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)) / 255.0
+        val cell = r0 * cols + math.min(cols - 1, x * cols / w)
+        sum(cell) += luma
+        cnt(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Float](dim)
+    var f = 0
+    while (f < dim) {
+      out(f) = if (cnt(f) == 0) 0f else (sum(f) / cnt(f)).toFloat
+      f += 1
+    }
+    out
+  }
+
+  /** Decode-and-mark metadata scan: (doc_id, width, height, mean_luma)
+    * per payload, with UNDECODABLE payloads emitted as null-width rows
+    * rather than dropped or thrown — the admit-unknown-and-mark
+    * contract ([[graft.streaming.DocStreams.qualityAdmission]]): the
+    * screening decision belongs downstream, and this is the screen
+    * that makes the throwing [[ImageIoCodec]] safe to run after it.
+    * Same per-partition batch shape as [[extractFeatures]].
+    */
+  def decodeImageMeta(ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("mean_luma", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ingested.select(col("doc_id"), col("payload")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        if (img == null) Row(r.getLong(0), null, null, null)
+        else {
+          // dim=1 luma grid = whole-image mean in one pixel pass
+          val m = lumaGrid(img, 1)(0).toDouble
+          Row(r.getLong(0), img.getWidth, img.getHeight, m)
+        }
+      }
+    }(enc)
+  }
+
+  /** Decode → bilinear resize to exactly `w`×`h` → re-encode
+    * (`format`: "png" lossless by default; "jpg" also JDK-shipped).
+    * Undecodable payloads pass through as NULL payloads with their
+    * doc_id (mark, don't throw — a resize sweep over a 100 TB crawl
+    * must not die on one truncated file). Output schema matches
+    * [[ingest]]: (doc_id, payload, meta), with meta recomputed for the
+    * new bytes.
+    */
+  def resizeImages(ingested: DataFrame, w: Int, h: Int,
+                   format: String = "png"): DataFrame = {
+    require(w > 0 && h > 0, s"target dims must be positive: ${w}x$h")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val resized = ingested.select(col("doc_id"), col("payload")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        if (img == null) Row(r.getLong(0), null)
+        else {
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, format, bos)
+          Row(r.getLong(0), bos.toByteArray)
+        }
+      }
+    }(enc)
+    resized.select(col("doc_id"), col("payload"),
+      struct(
+        lit(s"image/$format").as("mime"),
+        coalesce(length(col("payload")), lit(0)).as("n_bytes"),
+        coalesce(md5(col("payload")), lit("")).as("content_md5")).as("meta"))
   }
 
   /** Batched feature extraction over payloads — the `mapPartitions`
