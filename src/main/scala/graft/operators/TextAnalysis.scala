@@ -348,25 +348,39 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"), col("score"))
   }
 
-  /** Token partition count for the persisted BM25 index — postings land
-    * in `Bm25Buckets` directories keyed by a 48-bit md5 token hash, so
-    * a probe's scan prunes to the query terms' buckets.
+  /** DEFAULT token partition count for the persisted BM25 index —
+    * postings land in bucket directories keyed by a 48-bit md5 token
+    * hash, so a probe's scan prunes to the query terms' buckets. The
+    * count is a BUILD-TIME parameter persisted in the index's meta
+    * table (probes and appends read it back — never hard-code it on
+    * the read side): dir-level pruning discards `1 − |terms|/buckets`
+    * of the postings, so a natural-vocabulary corpus wants buckets ≫
+    * query-term count (soak runs use 1024: a 30-term probe touches
+    * ≤ 3% of dirs), while tiny test corpora keep the 64 default to
+    * bound file counts.
     */
   val Bm25Buckets = 64
 
-  private def tkeyExpr(token: Column): Column =
+  private def tkeyExpr(token: Column, buckets: Int): Column =
     (conv(substring(md5(token), 1, 12), 16, 10).cast("long")
-      % Bm25Buckets).cast("int")
+      % buckets).cast("int")
 
   /** Scala twin of [[tkeyExpr]] for probe-time partition-filter
     * literals (same md5, same 48-bit prefix, same modulus).
     */
-  private[graft] def tkeyOf(token: String): Int = {
+  private[graft] def tkeyOf(token: String, buckets: Int): Int = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(token.getBytes("UTF-8"))
     val hex = d.take(6).map(b => f"$b%02x").mkString // first 12 hex chars
-    (java.lang.Long.parseLong(hex, 16) % Bm25Buckets).toInt
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
   }
+
+  /** Bucket count recorded at build time (`path/meta`); indexes from
+    * before the meta table existed default to [[Bm25Buckets]].
+    */
+  private def bucketsOf(spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    try spark.read.parquet(s"$path/meta").collect()(0).getInt(0)
+    catch { case _: org.apache.spark.sql.AnalysisException => Bm25Buckets }
 
   /** Build the persisted BM25 index — the production form of
     * [[bm25Search]]'s per-query corpus scan (same convention as
@@ -389,17 +403,31 @@ object TextAnalysis {
     * ~130M posting rows → UNABLE_TO_ACQUIRE_MEMORY with a
     * localCheckpoint; disk-first builds clean). The length-stats scan
     * is count+sum only.
+    *
+    * Layout: postings are shuffled onto their bucket and SORTED BY
+    * TOKEN within each file, so a probe prunes twice — directories by
+    * `tkey`, then row groups by the parquet token min/max stats (an
+    * unsorted file's row groups all span the whole bucket vocabulary
+    * and nothing inside a touched dir can be skipped). `buckets`
+    * scales with the corpus vocabulary and is persisted in
+    * `path/meta`; probes/appends read it back.
     */
   def buildBm25Index(docs: DataFrame, idCol: String, textCol: String,
-                     path: String): Unit = {
+                     path: String, buckets: Int = Bm25Buckets): Unit = {
+    require(buckets >= 1, s"buckets must be positive: $buckets")
     val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(buckets).toDF("buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
       .select(col("doc_id"), size(col("__t")).cast("long").as("__dl0"),
         explode(col("__t")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("__dl0")).as("dl"))
-      .withColumn("tkey", tkeyExpr(col("token")))
+      .withColumn("tkey", tkeyExpr(col("token"), buckets))
+      .repartition(col("tkey"))
+      .sortWithinPartitions(col("tkey"), col("token"))
       .write.mode("overwrite").partitionBy("tkey").parquet(s"$path/postings")
     spark.read.parquet(s"$path/postings") // token column only — pruned scan
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -428,7 +456,10 @@ object TextAnalysis {
         explode(col("__t")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), max(col("__dl0")).as("dl"))
-    pairs.withColumn("tkey", tkeyExpr(col("token")))
+    val buckets = bucketsOf(docs.sparkSession, path)
+    pairs.withColumn("tkey", tkeyExpr(col("token"), buckets))
+      .repartition(col("tkey"))
+      .sortWithinPartitions(col("tkey"), col("token"))
       .write.mode("append").partitionBy("tkey").parquet(s"$path/postings")
     pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .write.mode("append").parquet(s"$path/df")
@@ -449,7 +480,8 @@ object TextAnalysis {
                         queries: Seq[(Int, Seq[String])],
                         k: Int = 10): DataFrame = {
     val terms = queries.flatMap(_._2).distinct.sorted
-    val tkeys = terms.map(tkeyOf).distinct
+    val buckets = bucketsOf(spark, path)
+    val tkeys = terms.map(tkeyOf(_, buckets)).distinct
     val pairs = spark.read.parquet(s"$path/postings")
       .filter(col("tkey").isin(tkeys: _*) && col("token").isin(terms: _*))
       .select(col("doc_id"), col("token"), col("tf"), col("dl"))

@@ -44,6 +44,26 @@ object SoakBench {
     def reset(): Unit = { total.set(0); peak.set(0) }
   }
 
+  /** Bytes actually READ from files — post dir-pruning, post
+    * row-group skip: the honest measure of how much of an index a
+    * probe touches.
+    */
+  final class InputMeter extends SparkListener {
+    val bytes = new AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      bytes.addAndGet(sc.stageInfo.taskMetrics.inputMetrics.bytesRead)
+    def reset(): Unit = bytes.set(0)
+  }
+
+  private def dirBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) return 0L
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(java.nio.file.Files.isRegularFile(_))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val targetMb = args.headOption.map(_.toInt).getOrElse(2000)
     val vecMult = args.lift(1).map(_.toInt).getOrElse(100)
@@ -56,10 +76,11 @@ object SoakBench {
     val baseMb = docs.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
     val n = docs.count()
 
-    // which axes to run: "flood,minhash,vectors,ivf,bm25" (default all)
-    // — lets a failed axis re-run without regenerating/re-timing the rest
+    // which axes to run: "flood,minhash,vectors,ivf,bm25,bm25zipf"
+    // (default all) — lets a failed axis re-run without
+    // regenerating/re-timing the rest
     val axes = args.lift(3).map(_.split(',').toSet)
-      .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25"))
+      .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25", "bm25zipf"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench
@@ -176,6 +197,60 @@ object SoakBench {
       .write.format("noop").mode("overwrite").save()
     val secP = (System.nanoTime() - tp) / 1e9
     println(f"""{"metric":"soak_bm25_probe","indexed_mb":$cMb%.0f,"queries":${qs.size},"sec":$secP%.2f}""")
+    }
+
+    // ---- axis 6: BM25 on a NATURAL (zipfian) vocabulary ------------
+    // axis 5's cross-combined corpus has a ~40-token vocabulary, so
+    // probes hit ~30% of ALL postings — the worst case for
+    // token-bucket pruning, and it under-sells the index. The
+    // realistic shape is a zipf(1) ~100k-term vocabulary (rank =
+    // ⌊V^u⌋ for uniform u inverts the zipf CDF): build at 1024
+    // buckets (buckets ≫ probe terms — see buildBm25Index), probe
+    // with mid-frequency terms, and report the fraction of postings
+    // BYTES the probe actually reads (dir pruning × in-file
+    // row-group pruning on the sorted token column).
+    if (axes("bm25zipf")) {
+    val vocab = 100000
+    val docLen = 200
+    // head-heavy ranks average ~3 digits → ~5.5 bytes per "t<rank> "
+    val nDocs = (targetMb * 1e6 / (docLen * 5.5)).toLong
+    val zPath = "target/soak_zipf"
+    spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(1), lit(docLen)), p =>
+          concat(lit("t"), floor(pow(lit(vocab.toDouble),
+            pmod(xxhash64(col("id"), p), lit(1000000)).cast("double")
+              / lit(1000000.0))).cast("long"))), " ").as("text"))
+      .repartition(32).write.mode("overwrite").parquet(zPath)
+    val zdocs = spark.read.parquet(zPath)
+    val zMb = zdocs.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+    val zIdx = "target/soak_zipf_idx"
+    val zBuckets = 1024
+    val tzb = System.nanoTime()
+    graft.operators.TextAnalysis.buildBm25Index(zdocs, "doc_id", "text",
+      zIdx, buckets = zBuckets)
+    val secZb = (System.nanoTime() - tzb) / 1e9
+    val nVocab = spark.read.parquet(s"$zIdx/df").count()
+    println(f"""{"metric":"soak_bm25_zipf_build","input_mb":$zMb%.0f,"vocab":$nVocab,"buckets":$zBuckets,"sec":$secZb%.1f,"mb_per_sec":${zMb / secZb}%.1f}""")
+    // 10 queries × 3 mid-frequency terms (zipf ranks ~10²..10⁴ — the
+    // discriminative band real queries live in)
+    val zQs = (1 to 10).map(q =>
+      (q, Seq(s"t${100 + q}", s"t${1000 + q * 7}", s"t${10000 + q * 97}")))
+    val inMeter = new InputMeter
+    spark.sparkContext.addSparkListener(inMeter)
+    def zProbe() = graft.operators.TextAnalysis
+      .bm25SearchIndexed(spark, zIdx, zQs, 10)
+      .write.format("noop").mode("overwrite").save()
+    zProbe() // warm
+    inMeter.reset()
+    val tzp = System.nanoTime()
+    zProbe()
+    val secZp = (System.nanoTime() - tzp) / 1e9
+    Thread.sleep(2000) // listener events drain asynchronously
+    val postingsMb = dirBytes(s"$zIdx/postings") / 1e6
+    val readMb = inMeter.bytes.get / 1e6
+    val dirsTouched = zQs.flatMap(_._2).distinct
+      .map(t => graft.operators.TextAnalysis.tkeyOf(t, zBuckets)).distinct.size
+    println(f"""{"metric":"soak_bm25_zipf_probe","indexed_mb":$zMb%.0f,"queries":${zQs.size},"sec":$secZp%.2f,"postings_mb":$postingsMb%.1f,"read_mb":$readMb%.1f,"read_fraction":${readMb / math.max(postingsMb, 1e-9)}%.4f,"dirs_touched":$dirsTouched,"dirs_total":$zBuckets}""")
     }
 
     // ---- axis 4: same corpus, IVF pair mining (the clustered-corpus
