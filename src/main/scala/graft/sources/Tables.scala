@@ -30,19 +30,38 @@ object Tables {
     */
   val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and truncate to microseconds
-    * (session TZ is UTC, matching the file's naive-UTC semantics).
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations: TIMESTAMP(NANOS) (reads as BIGINT under `nanosAsLong`)
+    * and timestamp[us] (reads as TIMESTAMP_NTZ, or TIMESTAMP for
+    * tz-adjusted files). A 100 TB lake holds mixed-encoding files as a
+    * matter of course, so the loader branches on the *observed* schema
+    * instead of assuming one generation:
+    *   - LongType        → nanos: truncate to micros (session TZ is UTC,
+    *                       matching the file's naive-UTC semantics)
+    *   - Timestamp(NTZ)  → cast to session-local timestamp (UTC session,
+    *                       so the naive values are preserved verbatim)
+    * Either way consumers see one stable `ts: timestamp` column.
     * The conf set here is a no-op guard for foreign sessions — every
     * graft-built session already pins it at build time (value is
     * constant, so concurrent loaders can't race to different states).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     if (!s.conf.getOption(NanosAsLong).contains("true"))
       s.conf.set(NanosAsLong, "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType =>
+        raw
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported parquet type $other (expected INT64 nanos, timestamp, or timestamp_ntz)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -15,25 +15,47 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Raw schema of the events parquet when read as a stream
-    * (`ts` arrives as nanos-since-epoch long; see Tables.events).
+  /** Raw schema of the events parquet when read as a stream, modulo
+    * the `ts` encoding — the testdata has shipped both TIMESTAMP(NANOS)
+    * (nanos-as-long) and timestamp[us] files, so the declared stream
+    * schema must carry whichever type the files actually hold (a
+    * file-source stream trusts the user schema; declaring LongType over
+    * a µs file silently mis-reads). See Tables.events for the batch
+    * twin of this branching.
     */
-  val RawSchema: StructType = StructType(Seq(
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over an sf directory's events parquet. */
+  /** File-source stream over an sf directory's events parquet. The `ts`
+    * encoding is probed from the existing files with a schema-only batch
+    * read (footer metadata, no data scan), then normalized to TIMESTAMP
+    * exactly like Tables.events, so every downstream watermark/window
+    * sees one stable type regardless of testdata generation.
+    */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(RawSchema)
+    val observedTs = spark.read.parquet(s"$sfDir/events.parquet")
+      .schema("ts").dataType
+    val raw = spark.readStream
+      .schema(rawSchema(observedTs))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    observedTs match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType =>
+        raw
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported parquet type $other (expected INT64 nanos, timestamp, or timestamp_ntz)")
+    }
   }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark —
