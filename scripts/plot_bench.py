@@ -77,18 +77,29 @@ def svg(rounds, out):
              f'<text x="{PAD}" y="24" font-size="16">graft bench — suite wall per round '
              f'(top), slowest queries latest round (bottom)</text>']
     # ---- panel 1: wall seconds + query count per round ----
+    # Driver-host contention can inflate a round's wall uniformly (r6:
+    # 334 s vs a 25-35 s envelope with zero code changes). A contended
+    # round is an artifact, not a regression — flag any wall > 3x the
+    # cross-round median, plot it hatched at the clipped height, and
+    # scale the axis to the in-envelope rounds so one polluted run
+    # doesn't flatten the real history.
     p1h = 200
     walls = [(r["label"], r["wall"], len(r["queries"])) for r in rounds if r["wall"]]
     if walls:
-        wmax = max(w for _, w, _ in walls)
+        med = sorted(w for _, w, _ in walls)[len(walls) // 2]
+        ok = [w for _, w, _ in walls if w <= 3 * med]
+        wmax = max(ok) if ok else max(w for _, w, _ in walls)
         bw = min(80, (W - 2 * PAD) // max(len(walls), 1))
         for i, (lab, w, nq) in enumerate(walls):
+            contended = w > 3 * med
             x = PAD + i * (bw + 14)
-            h = int((w / wmax) * (p1h - 30))
+            h = int((min(w, wmax) / wmax) * (p1h - 30))
             y = 40 + (p1h - 30) - h
-            parts.append(f'<rect x="{x}" y="{y}" width="{bw}" height="{h}" fill="#4878a8"/>')
+            fill = "#c8c8c8" if contended else "#4878a8"
+            parts.append(f'<rect x="{x}" y="{y}" width="{bw}" height="{h}" fill="{fill}"/>')
+            note = f'{w:.1f}s' + (' (contended)' if contended else '')
             parts.append(f'<text x="{x + bw // 2}" y="{y - 4}" text-anchor="middle">'
-                         f'{w:.1f}s</text>')
+                         f'{note}</text>')
             parts.append(f'<text x="{x + bw // 2}" y="{40 + p1h - 12}" text-anchor="middle">'
                          f'{lab} ({nq}q)</text>')
     # ---- panel 2: slowest queries, latest complete round ----

@@ -44,7 +44,92 @@ object Cli {
     case "bench" :: rest                             => graft.Bench.main(rest.toArray)
     case "verify" :: sfDir :: outDir :: _            => graft.Verify.main(Array(sfDir, outDir))
     case "index" :: kind :: sfDir :: path :: _       => index(kind, sfDir, path)
+    case "imagedemo" :: rest                         => imageDemo(rest.headOption.map(_.toLong).getOrElse(500L))
     case _                                           => usage()
+  }
+
+  /** End-to-end demo of the REAL image path over generated PNGs — the
+    * driver schema carries no image payloads, so this is the documented
+    * runnable surface for [[graft.operators.Multimodal.decodeImageMeta]]
+    * / `resizeImages` / `extractFeatures(ImageIoCodec)`:
+    *
+    *  1. synthesize `n` PNGs EXECUTOR-SIDE (patterns keyed by doc_id at
+    *     mixed resolutions; every 10th payload is deliberately corrupt),
+    *  2. decodeImageMeta → query-shaped screen stats (decoded vs marked
+    *     undecodable, dims, luma) — the admit-unknown-and-mark gate,
+    *  3. resizeImages(32×32) on the SCREENED set → re-decode, assert
+    *     uniform dims,
+    *  4. extractFeatures(ImageIoCodec) on original vs resized → per-doc
+    *     cosine: the resolution-independence claim as a measured number
+    *     (min cosine printed; bilinear resampling keeps it ≈ 1).
+    */
+  private def imageDemo(n: Long): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val spark = session()
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true))))
+    val imgs = spark.range(n).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { idL =>
+        val id = idL.longValue()
+        if (id % 10 == 9) // truncated/garbage payload: must be MARKED, not thrown
+          Row(id, Array.tabulate[Byte](128)(i => ((id + i) % 251).toByte))
+        else {
+          val w = 32 + (id % 4).toInt * 32 // 32..128 px, mixed resolutions
+          val img = new java.awt.image.BufferedImage(w, w,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < w) {
+            var x = 0
+            while (x < w) {
+              // pattern family keyed by id: gradient / checker / rings
+              val v = (id % 3) match {
+                case 0 => (x * 255 / w + id.toInt % 37) % 256
+                case 1 => if ((x * 4 / w + y * 4 / w) % 2 == 0) 0 else 255
+                case _ => (math.hypot(x - w / 2.0, y - w / 2.0) * 8).toInt % 256
+              }
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Row(id, bos.toByteArray)
+        }
+      }
+    }(enc)
+
+    val meta = graft.operators.Multimodal.decodeImageMeta(imgs)
+    val screen = meta.groupBy(col("width").isNotNull.as("decodable"))
+      .agg(count(lit(1)).as("n"), min(col("width")).as("min_w"),
+        max(col("width")).as("max_w"),
+        round(avg(col("mean_luma")), 4).as("avg_luma"))
+      .orderBy(col("decodable"))
+    screen.show(truncate = false)
+
+    val ok = imgs.join(meta.filter(col("width").isNotNull).select("doc_id"), "doc_id")
+    val resized = graft.operators.Multimodal.resizeImages(ok, 32, 32)
+    val dims = graft.operators.Multimodal.decodeImageMeta(resized)
+      .agg(count(lit(1)).as("n"), min("width").as("w"), max("width").as("w2"),
+        min("height").as("h"), max("height").as("h2")).collect()(0)
+    println(s"resized: n=${dims.getLong(0)} dims=${dims.getInt(1)}x${dims.getInt(3)} " +
+      s"(uniform=${dims.getInt(1) == dims.getInt(2) && dims.getInt(3) == dims.getInt(4)})")
+
+    val codec = graft.operators.Multimodal.ImageIoCodec
+    val fa = graft.operators.Multimodal.extractFeatures(ok, 16, codec)
+      .withColumnRenamed("features", "fa")
+    val fb = graft.operators.Multimodal.extractFeatures(resized, 16, codec)
+      .withColumnRenamed("features", "fb")
+    val cos = fa.join(fb, "doc_id").select(
+        graft.functions.VectorFunctions.cosine(col("fa"), col("fb")).as("cos"))
+      .agg(round(min("cos"), 4).as("min_cos"), round(avg("cos"), 4).as("avg_cos"))
+      .collect()(0)
+    println(s"""{"metric":"imagedemo","n":$n,"min_cos_orig_vs_resized":${cos.get(0)},"avg_cos":${cos.get(1)}}""")
+    spark.stop()
   }
 
   /** Build a persisted index from the catalog tables — the production
@@ -83,7 +168,10 @@ object Cli {
         |  bench [sfDir]                           the benchmark main
         |  verify <sfDir> <outDir>                 the correctness-dump main
         |  index <minhash|lsh|cdc|bm25> <sfDir> <path>
-        |                                          build a persisted index""".stripMargin)
+        |                                          build a persisted index
+        |  imagedemo [n]                           real-image-path demo over n
+        |                                          generated PNGs (decode screen,
+        |                                          resize, feature cosine)""".stripMargin)
     sys.exit(2)
   }
 

@@ -44,9 +44,13 @@ object MiniCluster {
 
   /** Start master + two workers, run `body` against the master URL,
     * always tear the child JVMs down. `workerMemory` must cover the
-    * executor memory the body's session requests.
+    * executor memory the body's session requests. The fault demos keep
+    * the default single-core workers (one task slot per "machine");
+    * the soak measurements widen `workerCores` so the cluster has
+    * enough parallelism for the timing to mean anything.
     */
-  def withCluster[A](tag: String, workerMemory: String = "1g")
+  def withCluster[A](tag: String, workerMemory: String = "1g",
+                     workerCores: Int = 1)
                     (body: String => A): A = {
     val port = freePort()
     val masterUrl = s"spark://127.0.0.1:$port"
@@ -56,7 +60,7 @@ object MiniCluster {
     val workers = Seq("127.0.0.2", "127.0.0.3").map { h =>
       spawn(h, "org.apache.spark.deploy.worker.Worker",
         Seq("--host", h, "--port", "0", "--webui-port", "0",
-          "--cores", "1", "--memory", workerMemory,
+          "--cores", workerCores.toString, "--memory", workerMemory,
           "--work-dir", s"/tmp/graft-$tag-work-$h", masterUrl))
     }
     try body(masterUrl)

@@ -76,11 +76,12 @@ object SoakBench {
     val baseMb = docs.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
     val n = docs.count()
 
-    // which axes to run: "flood,minhash,vectors,ivf,bm25,bm25zipf"
-    // (default all) — lets a failed axis re-run without
+    // which axes to run: "flood,minhash,vectors,ivf,bm25,bm25zipf,
+    // winnow,cdc" (default all) — lets a failed axis re-run without
     // regenerating/re-timing the rest
     val axes = args.lift(3).map(_.split(',').toSet)
-      .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25", "bm25zipf"))
+      .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25",
+        "bm25zipf", "winnow", "cdc", "sigagree"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench
@@ -251,6 +252,100 @@ object SoakBench {
     val dirsTouched = zQs.flatMap(_._2).distinct
       .map(t => graft.operators.TextAnalysis.tkeyOf(t, zBuckets)).distinct.size
     println(f"""{"metric":"soak_bm25_zipf_probe","indexed_mb":$zMb%.0f,"queries":${zQs.size},"sec":$secZp%.2f,"postings_mb":$postingsMb%.1f,"read_mb":$readMb%.1f,"read_fraction":${readMb / math.max(postingsMb, 1e-9)}%.4f,"dirs_touched":$dirsTouched,"dirs_total":$zBuckets}""")
+    }
+
+    // ---- axis 7: winnow_overlap at GB scale --------------------------
+    // The pair-join side is where the df-cap either holds or doesn't,
+    // so the generator plants all three fingerprint populations a real
+    // plagiarism corpus has:
+    //   - FILLER: unique token soup (64-bit hash space → df ≈ 1) — the
+    //     bulk fingerprint mass that must flow through the materialize +
+    //     df-cap aggregation without ever reaching the pair join;
+    //   - PLANTED pairs: docs (2m, 2m+1) share a 30-token run unique to
+    //     the pair (≥ n+w−1 = 8 tokens ⇒ winnowing GUARANTEES a shared
+    //     fingerprint; df = 2 survives the cap) — the recall side;
+    //   - BOILERPLATE: one fixed 30-token header on half the corpus —
+    //     its fingerprints have df ≈ nDocs/2; WITHOUT the cap they emit
+    //     (nDocs/2)² /2 pairs (~10¹¹ at 2 GB: the quadratic
+    //     catastrophe); the cap must drop them pre-join.
+    // Reported edges ≈ planted-pair count ⇒ cap held AND recall held.
+    if (axes("winnow")) {
+    val wDocLen = 200
+    val wBytes = wDocLen * 12.0 // "w<19-digit-hash> " ≈ 12 B/token head-weighted
+    val wDocs = (targetMb * 1e6 / wBytes).toLong
+    val nPlanted = 20000L
+    val wPath = "target/soak_winnow"
+    val soup = array_join(transform(sequence(lit(1), lit(wDocLen)), p =>
+      concat(lit("w"), abs(xxhash64(col("id"), p)))), " ")
+    val header = lit((1 to 30).map(i => s"hdr$i").mkString(" "))
+    val planted = array_join(transform(sequence(lit(1), lit(30)), p =>
+      concat(lit("r"), floor(col("id") / 2), lit("_"), p)), " ")
+    spark.range(wDocs).select(col("id").as("doc_id"),
+        concat_ws(" ",
+          when(col("id") % 2 === 0, header).otherwise(lit("")),
+          when(col("id") < nPlanted * 2, planted).otherwise(lit("")),
+          soup).as("text"))
+      .repartition(32).write.mode("overwrite").parquet(wPath)
+    val wCorpus = spark.read.parquet(wPath)
+    val wMb = wCorpus.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+    axis("winnow_overlap_planted", wMb) {
+      graft.operators.Dedup.winnowOverlap(wCorpus, "doc_id", "text")
+    }
+    val wEdges = graft.operators.Dedup.winnowOverlap(wCorpus, "doc_id", "text").count()
+    println(f"""{"metric":"soak_winnow_recall","docs":$wDocs,"planted_pairs":$nPlanted,"emitted_pairs":$wEdges}""")
+    }
+
+    // ---- axis 8: cdc_containment at GB scale -------------------------
+    // Reference = the sf0.1 corpus (chunked once, digests only); batch =
+    // the 2 GB cross-combined corpus from axis 2 (every batch doc is a
+    // concat of two reference docs, so matched_frac ≈ 1 minus the
+    // junction chunk). The heavy side is batch chunking — one scan
+    // through the native kernel — and the digest-only left_semi join;
+    // shuffle volume must stay at digest scale (16 B × chunks), not
+    // text scale, or the screen can't front a 100 TB ingest.
+    if (axes("cdc")) {
+    val batch = spark.read.parquet("target/soak_combined")
+    val bMb = batch.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+    axis("cdc_containment_combined", bMb) {
+      graft.operators.Dedup.cdcContainment(batch, docs, "doc_id", "text")
+    }
+    }
+
+    // ---- axis 9: SigAgreeExpr vs interpreted-HOF A/B ----------------
+    // The round-6 kernel claim, isolated: candidate signatures off the
+    // cross-combined corpus are paired (each doc × its next 4 ids) and
+    // PERSISTED, so both variants time ONLY the per-pair agreement
+    // computation over the same parquet — the exact hot loop the
+    // bucket join feeds in dedup_minhash (the HOF twin is the parity
+    // spec's aggregate(zip_with) form).
+    if (axes("sigagree")) {
+    val combined = spark.read.parquet("target/soak_combined")
+    val sigs = graft.operators.Dedup.minhashSignatures(combined, "doc_id", "text")
+    val pairPath = "target/soak_sigpairs"
+    sigs.select(col("doc_id").as("ida"), col("sig").as("sig_a"),
+        explode(sequence(lit(1), lit(4))).as("j"))
+      .withColumn("idb", col("ida") + col("j"))
+      .join(sigs.select(col("doc_id").as("idb"), col("sig").as("sig_b")), "idb")
+      .select(col("sig_a"), col("sig_b"))
+      .repartition(32).write.mode("overwrite").parquet(pairPath)
+    val pairs = spark.read.parquet(pairPath)
+    val nPairs = pairs.count()
+    val hof = aggregate(zip_with(col("sig_a"), col("sig_b"),
+      (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+    val kCol = graft.functions.TextFunctions.sigAgree(col("sig_a"), col("sig_b"))
+    def runAgree(agree: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      pairs.filter(agree >= 8).agg(count(lit(1))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // interleaved ABAB with a warm pass each, so JIT/page-cache warmup
+    // can't masquerade as a variant difference
+    runAgree(kCol); runAgree(hof)
+    val reps = (1 to 3).map(_ => (runAgree(kCol), runAgree(hof)))
+    val kSec = reps.map(_._1).min
+    val hSec = reps.map(_._2).min
+    val all = reps.map { case (k, h) => f"[$k%.2f,$h%.2f]" }.mkString(",")
+    println(f"""{"metric":"soak_sigagree_ab","pairs":$nPairs,"kernel_sec":$kSec%.2f,"hof_sec":$hSec%.2f,"speedup":${hSec / kSec}%.2f,"reps_kernel_hof":[$all]}""")
     }
 
     // ---- axis 4: same corpus, IVF pair mining (the clustered-corpus
