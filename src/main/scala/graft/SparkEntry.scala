@@ -213,8 +213,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |  cast(sum(cast(l_quantity AS decimal(18,4))) AS double) AS sum_qty,
         |  cast(sum(cast(l_extendedprice AS decimal(18,4))) AS double) AS sum_base_price,
-        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2))) AS double) AS sum_disc_price,
-        |  cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2)) * cast(1 + l_tax AS decimal(8,2))) AS double) AS sum_charge,
+        |  cast(cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2))) AS varchar) AS double) AS sum_disc_price,
+        |  cast(cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2)) * cast(1 + l_tax AS decimal(8,2))) AS varchar) AS double) AS sum_charge,
         |  cast(sum(cast(l_quantity AS decimal(18,4))) AS double) / count(*) AS avg_qty,
         |  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / count(*) AS avg_price,
         |  cast(sum(cast(l_discount AS decimal(8,4))) AS double) / count(*) AS avg_disc,
@@ -1038,8 +1038,8 @@ object SparkEntry {
          |    ${VectorFunctions.normSql("list_transform(embedding, x -> x::DOUBLE)")} AS l2_norm
          |  FROM embeddings),
          |stats AS (SELECT
-         |    cast(sum(cast(l2_norm AS DECIMAL(28,12))) AS double) / count(*) AS m,
-         |    cast(sum(cast(l2_norm * l2_norm AS DECIMAL(28,12))) AS double) / count(*) AS msq
+         |    cast(sum(cast(l2_norm AS DECIMAL(28,9))) AS double) / count(*) AS m,
+         |    cast(sum(cast(l2_norm * l2_norm AS DECIMAL(28,9))) AS double) / count(*) AS msq
          |  FROM normed),
          |s2 AS (SELECT m, sqrt(greatest(msq - m * m, 0.0e0)) AS sd FROM stats)
          |SELECT vec_id, l2_norm,

@@ -19,6 +19,15 @@ import graft.Materialize.MaterializeOps
   */
 object Relational {
   /** Exact decimal sum of a double column, returned as double. */
+  /** Decimal-exact sum emitted as double. Portability bound: the
+    * engines agree bit-for-bit only while sum × 10^s < 2^53 — above
+    * that, DuckDB's int128→double conversion double-rounds where the
+    * JVM's BigDecimal path rounds once (1-ulp divergence, first seen
+    * at sf1 on q1's scale-6 sum_charge: 2.8e10 × 10^6 > 2^53). Scale 4
+    * keeps monetary sums portable to ~9e11 (≈ sf300); OUTPUT scales
+    * coarser than the inputs' native precision should re-round the
+    * final sum (see q1's decimal(38,2) output casts), not widen it.
+    */
   private def dsum(c: org.apache.spark.sql.Column, p: Int = 18, s: Int = 4) =
     sum(c.cast(s"decimal($p,$s)")).cast("double")
 
@@ -33,6 +42,15 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
+        // exact decimal sums, one correctly-rounded double conversion
+        // (Spark's Decimal.toDouble = BigDecimal.doubleValue). The
+        // ORACLE must convert through a varchar hop for the same
+        // single-rounding guarantee — see the oracle SQL note: DuckDB's
+        // direct int128→double double-rounds once the scaled sum
+        // crosses 2^53, which scale-6 monetary sums do at sf1. (A
+        // coarser re-round instead would hit half-cent TIES, where the
+        // engines' rounding modes differ — measured both ways at
+        // sf0.01/sf1.)
         sum(price * disc).cast("double").as("sum_disc_price"),
         sum(price * disc * chrg).cast("double").as("sum_charge"),
         (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("avg_qty"),

@@ -655,16 +655,24 @@ object Similarity {
         col(vecCol).cast("array<double>"))).as("l2_norm"))
     // Variance clamped at zero and sd = 0 guarded to z = 0: for a
     // near-constant norm column (unit-normalized embeddings) the true
-    // variance sits BELOW the decimal-12 quantization floor, so the
+    // variance sits BELOW the decimal quantization floor, so the
     // computed msq − m² is quantization noise of arbitrary sign —
     // unclamped, DuckDB raises on sqrt(negative) while Spark emits NaN.
-    // (A finer decimal scale would NOT fix this portably: an 18dp grid
-    // is finer than the double ulp at these magnitudes, where the two
-    // engines' double→decimal casts systematically diverge.)
+    // Scale 9 (not finer): the engines' double→decimal casts disagree
+    // on a value with probability ≈ ulp/grid (shortest-repr vs
+    // exact-binary rounding at the grid line), and msq − m²'s
+    // catastrophic cancellation amplifies ONE divergent cast in the
+    // sum into a visible z divergence — measured at sf1: scale 12 put
+    // ~4 divergent casts among 20k norms (2.2e-4 each) and z drifted
+    // 5e-10 between engines. At scale 9 the probability is 2.2e-7 per
+    // cast (portable past 1M vectors) and the scaled sum stays under
+    // 2^53 (DuckDB's int128→double double-rounds above it — the dsum
+    // bound); z keeps ~5 exact digits, identical on both engines, so
+    // the |z| > 2 flag can't split either.
     val stats = normed.agg(
-      (sum(col("l2_norm").cast("decimal(28,12)")).cast("double") /
+      (sum(col("l2_norm").cast("decimal(28,9)")).cast("double") /
         count(lit(1))).as("__mean"),
-      (sum((col("l2_norm") * col("l2_norm")).cast("decimal(28,12)")).cast("double") /
+      (sum((col("l2_norm") * col("l2_norm")).cast("decimal(28,9)")).cast("double") /
         count(lit(1))).as("__meansq"))
       .select(col("__mean"),
         sqrt(greatest(col("__meansq") - col("__mean") * col("__mean"),
