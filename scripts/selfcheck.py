@@ -21,6 +21,17 @@ def norm(v):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Bound the oracle's memory and give it a spill dir: the heavy
+    # dedup/clustering oracles (recursive CTEs, fingerprint pair
+    # self-joins) exceeded 129 GB RSS on sf1's duplicate-heavy corpus
+    # and were OOM-killed after hours. The cap makes governed
+    # operators spill instead — measured caveat: DuckDB's list-heavy
+    # aggregations are NOT fully governed (the capped winnow oracle
+    # still climbed past 113 GB), so at sf >= 1 the three heaviest
+    # oracles remain single-node-infeasible; verify those structurally
+    # (see SURVEY section 7f round 7).
+    con.execute("SET memory_limit = '64GB'")
+    con.execute("SET temp_directory = '/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
