@@ -642,6 +642,12 @@ object SparkEntry {
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text")),
     "ngram_containment" -> ((s, d) =>
       Dedup.ngramContainment(Tables.documents(s, d), "doc_id", "text")),
+    // ExactSubstr family (Lee et al. 2022): corpus-wide duplicated
+    // token spans via a positional k-gram index — linear, never pairwise
+    "exact_substr_spans" -> ((s, d) =>
+      Dedup.exactSubstrSpans(Tables.documents(s, d), "doc_id", "text")),
+    "exact_substr_dedup" -> ((s, d) =>
+      Dedup.exactSubstrStats(Tables.documents(s, d), "doc_id", "text")),
     "dedup_embedding" -> ((s, d) =>
       Similarity.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.3)),
     "knn_bruteforce" -> ((s, d) =>
@@ -841,6 +847,31 @@ object SparkEntry {
       .mkString(", ")
   private def cosSql(a: String, b: String): String = VectorFunctions.cosineSql(a, b)
 
+  /** Shared ExactSubstr CTE chain: positional 8-gram hashes → grams
+    * occurring ≥ 2 times corpus-wide → per-doc gaps-and-islands merge →
+    * maximal spans (`esp`). Positions are 0-based (DuckDB's
+    * list_transform index is 1-based, hence the `i - 1`); islands break
+    * when the next duplicated gram starts > 8 tokens after the previous
+    * one — past overlap-or-abutment of its 8-token cover — mirroring
+    * Dedup.exactSubstrSpans exactly.
+    */
+  private def exactSubstrSpansCte: String =
+    s"""est AS (SELECT doc_id, $tok AS t FROM documents),
+       |esh AS (SELECT doc_id, ${TextFunctions.shinglesSql("t", 8)} AS sh FROM est),
+       |eg0 AS (SELECT doc_id, unnest(list_transform(sh, (x, i) -> struct_pack(
+       |    pos := i - 1, gh := cast('0x' || substr(md5(x), 1, 12) AS bigint)))) AS g
+       |  FROM esh),
+       |eg AS (SELECT doc_id, g.pos AS pos, g.gh AS gh FROM eg0),
+       |edup AS (SELECT gh FROM eg GROUP BY gh HAVING count(*) >= 2),
+       |ehit AS (SELECT doc_id, pos FROM eg JOIN edup USING (gh)),
+       |eisl AS (SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM (SELECT doc_id, pos,
+       |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM ehit)),
+       |esp AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+       |  FROM eisl GROUP BY doc_id, isl)""".stripMargin
+
   /** DuckDB CTE fragment reproducing the deterministic LSH bucketing of
     * graft.operators.Similarity (same md5-derived planes as SQL literals
     * — Double.toString round-trips exactly — same sign-bit bucket sums;
@@ -927,6 +958,23 @@ object SparkEntry {
          |  cast(inter AS double) / least(sa.n_sh, sb.n_sh) AS containment
          |FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE cast(inter AS double) / least(sa.n_sh, sb.n_sh) >= 0.5""".stripMargin,
+    // ExactSubstr: positional 8-gram index → grams occurring ≥2 times
+    // anywhere (incl. within one doc) → gaps-and-islands span merge
+    // (islands break when the next gram no longer overlaps/abuts the
+    // previous gram's 8-token cover); 0-based positions on both engines
+    "exact_substr_spans" ->
+      s"""WITH $exactSubstrSpansCte
+         |SELECT doc_id, span_start, span_end, span_end - span_start + 1 AS span_tokens
+         |FROM esp WHERE span_end - span_start + 1 >= 12""".stripMargin,
+    "exact_substr_dedup" ->
+      s"""WITH $exactSubstrSpansCte,
+         |eper AS (SELECT doc_id, sum(span_end - span_start + 1) AS dup
+         |  FROM esp WHERE span_end - span_start + 1 >= 12 GROUP BY 1)
+         |SELECT d.doc_id, cast(len($tok) AS bigint) AS n_tokens,
+         |  cast(coalesce(dup, 0) AS bigint) AS dup_tokens,
+         |  cast(coalesce(dup, 0) AS double)
+         |    / cast(greatest(len($tok), 1) AS double) AS dup_fraction
+         |FROM documents d LEFT JOIN eper USING (doc_id)""".stripMargin,
     "dedup_embedding" ->
       s"""WITH ${lshBucketsCte(nTables = 16)},
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

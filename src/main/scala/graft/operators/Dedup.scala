@@ -702,6 +702,93 @@ object Dedup {
     pairByFingerprint(fps, minShared, maxDf)
   }
 
+  /** C13: corpus-wide duplicated-substring spans — the ExactSubstr
+    * family ("Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022) re-expressed Spark-first. The paper
+    * builds one monolithic suffix array and scans it for repeated
+    * substrings ≥ L tokens; a suffix array is a single-node data
+    * structure, so instead the same duplicated-span set falls out of a
+    * positional k-gram index: a token span is duplicated iff every
+    * k-gram inside it occurs ≥ 2 times corpus-wide, so
+    *   (1) hash every k-gram occurrence WITH its position (one
+    *       codegen'd scan: tokenize → shingle → md5),
+    *   (2) keep gram hashes occurring ≥ 2 times anywhere — including
+    *       twice in the SAME document, matching suffix-array semantics
+    *       for internal repetition (partial-agg'd groupBy, tiny rows),
+    *   (3) left-semi the occurrences back against the duplicated set,
+    *   (4) merge surviving positions into maximal spans per document
+    *       (gaps-and-islands window keyed on the document: a new island
+    *       starts when the next duplicated gram no longer overlaps or
+    *       abuts the previous gram's k-token cover).
+    * Every stage is LINEAR in corpus size: unlike pair mining there is
+    * no candidate blowup to df-cap — each gram occurrence crosses the
+    * shuffle once, never pairwise, so a gram shared by a million
+    * documents costs a million rows, not 10^12. The windows partition
+    * by document (bounded by document length), so the 100 TB plan is
+    * two key shuffles + one per-doc sort, all spill-safe.
+    *
+    * Positions are 0-based token offsets; a span [span_start, span_end]
+    * covers span_tokens = span_end − span_start + 1 tokens, and only
+    * spans ≥ `minSpan` tokens are reported (the paper's L; default 12
+    * against k = 8 — any reported span is witnessed by ≥ 5 overlapping
+    * duplicated grams).
+    */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, minSpan: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupGramHits(docs, idCol, textCol, k)
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("__s"), (max(col("pos")) + lit(k - 1)).as("__e"))
+      .select(col("doc_id"),
+        col("__s").cast("long").as("span_start"),
+        col("__e").cast("long").as("span_end"),
+        (col("__e") - col("__s") + lit(1)).cast("long").as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+  }
+
+  /** C14: per-document ExactSubstr summary — total tokens, tokens
+    * covered by duplicated spans (≥ `minSpan`, merged so nothing is
+    * double-counted), and the duplicated fraction; every input document
+    * appears (zero-span docs report 0). This is the removal ledger of
+    * the ExactSubstr pass: `dup_tokens` is exactly what the paper's
+    * dedup would cut from each document.
+    */
+  def exactSubstrStats(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 8, minSpan: Int = 12): DataFrame = {
+    val per = exactSubstrSpans(docs, idCol, textCol, k, minSpan)
+      .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("__dup"))
+    docs.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("__dup"), lit(0L)).as("dup_tokens"),
+        (coalesce(col("__dup"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)).cast("double")).as("dup_fraction"))
+  }
+
+  /** Positions of k-gram occurrences whose hash repeats corpus-wide —
+    * the shared front half of the ExactSubstr family. Materialized
+    * because the gram table feeds both the duplicate census and the
+    * semi-join probe (the standard self-join cut, a few longs per
+    * gram occurrence).
+    */
+  private def dupGramHits(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    val grams = materialize(docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), posexplode(shingles(col("__t"), k)).as(Seq("pos", "__g")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("__g")), 1, 12), 16, 10).cast("long").as("gh")))
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2).select(col("gh"))
+    grams.join(dup, Seq("gh"), "left_semi").select(col("doc_id"), col("pos"))
+  }
+
   /** Shared tail: df-cap then shared-fingerprint pair counts. */
   private def pairByFingerprint(fps: DataFrame, minShared: Long,
                                 maxDf: Int): DataFrame = {
