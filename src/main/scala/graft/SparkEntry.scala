@@ -656,6 +656,12 @@ object SparkEntry {
       Similarity.knnLsh(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     "knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
+    // PQ family (Jégou et al. 2011): corpus → m-byte codes (C55), ADC
+    // top-k over the code table with a broadcast distance table (C56)
+    "embedding_pq" -> ((s, d) =>
+      Similarity.pqEncode(Tables.embeddings(s, d), "vec_id", "embedding")),
+    "knn_pq" -> ((s, d) =>
+      Similarity.knnPq(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     "lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
     "text_quality" -> ((s, d) =>
@@ -1417,6 +1423,8 @@ object SparkEntry {
   private val cOracles2: Map[String, String] = Map(
     "embedding_project" -> Similarity.randomProjectOracleSql(),
     "embedding_quantize" -> Similarity.quantizeInt8OracleSql(),
+    "embedding_pq" -> Similarity.pqEncodeOracleSql(),
+    "knn_pq" -> Similarity.knnPqOracleSql(),
     "dedup_pagerank" -> operators.Graph.pagerankOracleSql(),
     "semantic_clusters" ->
       s"""WITH RECURSIVE ${lshBucketsCte(nTables = 16)},

@@ -740,6 +740,211 @@ object Similarity {
        |    / greatest(len(v), 1), 9) AS recon_mse
        |FROM qd""".stripMargin
 
+  // ---- Product quantization (PQ) -------------------------------------------
+
+  /** PQ codebooks `[subspace][code][component]`: the embedding space is
+    * split into `m` contiguous `dims/m`-dim subspaces and each gets a
+    * `ksub`-entry codebook (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search" — the standard billion-scale ANN
+    * compression; reference workloads are all exact, so this is part
+    * of the beyond-reference pipeline surface). Codebook entries are
+    * the subspace slices of the `ksub` hash-ordered seed vectors — the
+    * same deterministic seed rule as [[kmeansCentroids]] init and the
+    * same sampled-codebook trade [[knnIvf]] makes (a production build
+    * would refine each with the per-subspace Lloyd this file already
+    * ships; the sampled form keeps the DuckDB twin tractable).
+    * Driver-side state is m×ksub×dsub doubles — broadcast-sized at any
+    * corpus size.
+    */
+  private[graft] def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                                 m: Int = 16, ksub: Int = 32): Array[Array[Array[Double]]] = {
+    val seeds = emb
+      .select(col(idCol).as("sid"), col(vecCol).as("sv"),
+        graft.functions.PortableHash.portableHash(col(idCol)).as("__h"))
+      .orderBy(col("__h"), col("sid")).limit(ksub) // TakeOrderedAndProject
+      .collect()
+    val vecs = seeds.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val dims = vecs.headOption.map(_.length).getOrElse(0)
+    require(vecs.nonEmpty && dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    Array.tabulate(m)(mi => vecs.map(v => v.slice(mi * dsub, (mi + 1) * dsub)))
+  }
+
+  /** Nearest codebook entry for one subspace slice as a (score, code)
+    * struct — `least()` over (‖c‖² − 2·v_m·c, j) structs, the exact
+    * [[kmeansAssignExpr]] argmin shape (score omits the constant
+    * ‖v_m‖²; ties break on the lower code).
+    */
+  private def pqMinStruct(vm: Column, codebook: Array[Array[Double]]): Column = {
+    val structs = codebook.zipWithIndex.map { case (c, j) =>
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as dotSql
+      struct(
+        (lit(cc) - lit(2.0) * call_function("graft_dot", vm, typedLit(c.toSeq))).as("s"),
+        lit(j).as("c"))
+    }
+    if (structs.length == 1) structs.head else least(structs.toIndexedSeq: _*)
+  }
+
+  /** C55: PQ encoding of the corpus — every vector compressed to `m`
+    * small codes (m bytes at ksub ≤ 256 vs dims×4 float bytes: 32× for
+    * 64-dim/m=8) plus the per-vector reconstruction error the
+    * compression costs, measured where it happens (the int8-quantize
+    * convention). Pure map-side: argmin against m×ksub codebook
+    * literals inside whole-stage codegen, no shuffle — at 100 TB this
+    * is the scan that turns a float vector lake into an ADC-searchable
+    * code table. Reconstruction error ‖v − c(v)‖² = Σ_m (score_m +
+    * ‖v_m‖²), each subspace term 6dp-rounded and decimal-summed
+    * (order-independent, engine-portable).
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               m: Int = 16, ksub: Int = 32): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
+    val dsub = cbs.head.head.length
+    val staged = emb.select(col(idCol).as("vec_id") +: (0 until m).map { mi =>
+      slice(col(vecCol), mi * dsub + 1, dsub).as(s"__v$mi")
+    }: _*)
+    val encoded = staged.select(col("vec_id") +:
+      ((0 until m).map(mi => col(s"__v$mi")) ++
+        (0 until m).map(mi => pqMinStruct(col(s"__v$mi"), cbs(mi)).as(s"__st$mi"))): _*)
+      .select(col("vec_id") +: (0 until m).flatMap { mi =>
+        // graft_dot is float-left × double-right (embeddingOutliers
+        // precedent) — the self-dot needs the explicit double cast
+        Seq(col(s"__st$mi").getField("c").as(s"__c$mi"),
+          round(col(s"__st$mi").getField("s") +
+            call_function("graft_dot", col(s"__v$mi"),
+              col(s"__v$mi").cast("array<double>")), 6)
+            .cast("decimal(18,6)").as(s"__e$mi"))
+      }: _*)
+    encoded.select(col("vec_id"),
+      array((0 until m).map(mi => col(s"__c$mi")): _*).as("codes"),
+      (0 until m).map(mi => col(s"__e$mi").cast("decimal(28,6)"))
+        .reduce(_ + _).cast("decimal(28,6)").as("recon_err"))
+  }
+
+  /** C56: PQ asymmetric-distance (ADC) top-k search — the query side
+    * stays exact while the corpus is scanned as codes. Expressed
+    * relationally so the same plan runs at any scale: the per-query
+    * distance table (query × m × ksub rows of ‖q_m − c_j‖², 6dp
+    * decimal) is BROADCAST like a dimension, corpus codes unnest to
+    * (vector, subspace, code) and equi-join it, and the approximate
+    * distance is a partial-agg'd decimal sum — the shuffle carries
+    * (query, vector, decimal) rows, never a float payload. Final
+    * per-query cut is a rank window over query×corpus candidate rows.
+    * At 100 TB the code table is 32× smaller than the vectors it
+    * replaces and composes with the IVF cell assignment this file
+    * ships (probe cells first, ADC within) — documented composition,
+    * measured here in its exhaustive form against [[knnBruteForce]].
+    */
+  def knnPq(emb: DataFrame, idCol: String, vecCol: String,
+            nQueries: Int = 10, k: Int = 5,
+            m: Int = 16, ksub: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(emb.sparkSession)
+    val cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
+    val dsub = cbs.head.head.length
+    // Materialized: the encode scan is 16 argmin trees of ksub structs
+    // each — under the ADC join + rank window the COMPOSITE plan is
+    // what the optimizer re-copies per rule, measured OOMing an 8 GB
+    // driver at m=16/ksub=32. The cut caps plan size AND is the
+    // production shape: encode once, search the code table many times
+    // ([[pqEncode]]'s output is what a store would persist).
+    val codes = pqEncode(emb, idCol, vecCol, m, ksub).materialized
+      .select(col("vec_id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+    val entries = for (mi <- 0 until m; j <- 0 until ksub) yield {
+      val c = cbs(mi)(j)
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as dotSql
+      val vm = col(s"__q$mi")
+      struct(lit(mi).as("m"), lit(j).as("code"),
+        round((lit(cc) - lit(2.0) * call_function("graft_dot", vm, typedLit(c.toSeq)))
+          + call_function("graft_dot", vm, vm.cast("array<double>")), 6)
+          .cast("decimal(18,6)").as("d2"))
+    }
+    val dtab = emb.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id") +: (0 until m).map { mi =>
+        slice(col(vecCol), mi * dsub + 1, dsub).as(s"__q$mi")
+      }: _*)
+      .select(col("query_id"), explode(array(entries: _*)).as("e"))
+      .select(col("query_id"), col("e.m").as("m"),
+        col("e.code").as("code"), col("e.d2").as("d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    codes.join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).cast("decimal(28,6)").as("adist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Shared WITH-chain for the PQ DuckDB twins: hash-ordered seeds →
+    * per-subspace codebook slices (`cb`) → per-vector subspace slices
+    * (`sub`) → argmin codes (`enc`). Every dot is [[VectorFunctions.dotSql]]
+    * (the Spark-fold replica) and the argmin is the min-struct pattern
+    * the kmeans oracle proved engine-exact.
+    */
+  private def pqCtePrefix(m: Int = 16, ksub: Int = 32, dims: Int = 64): String = {
+    val dsub = dims / m
+    val ph = graft.functions.PortableHash.duckdb("cast(vec_id AS varchar)")
+    def dot(a: String, b: String) = VectorFunctions.dotSql(a, b)
+    s"""seeds AS (
+       |  SELECT vec_id, embedding,
+       |    row_number() OVER (ORDER BY $ph, vec_id) AS rn
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT t.m, cast(s.rn - 1 AS integer) AS code,
+       |    list_transform(s.embedding[t.m*$dsub+1 : t.m*$dsub+$dsub], x -> x::DOUBLE) AS cv
+       |  FROM seeds s CROSS JOIN range(0, $m) t(m) WHERE s.rn <= $ksub),
+       |sub AS (
+       |  SELECT e.vec_id, t.m,
+       |    list_transform(e.embedding[t.m*$dsub+1 : t.m*$dsub+$dsub], x -> x::DOUBLE) AS vm
+       |  FROM embeddings e CROSS JOIN range(0, $m) t(m)),
+       |enc AS (
+       |  SELECT s.vec_id, s.m,
+       |    min(struct_pack(s := ${dot("c.cv", "c.cv")} - (2.0 * ${dot("s.vm", "c.cv")}),
+       |                    c := c.code)) AS st
+       |  FROM sub s JOIN cb c ON c.m = s.m
+       |  GROUP BY s.vec_id, s.m)""".stripMargin
+  }
+
+  /** DuckDB twin of [[pqEncode]]. */
+  def pqEncodeOracleSql(m: Int = 16, ksub: Int = 32, dims: Int = 64): String = {
+    def dot(a: String, b: String) = VectorFunctions.dotSql(a, b)
+    s"""WITH ${pqCtePrefix(m, ksub, dims)},
+       |per AS (
+       |  SELECT e.vec_id, e.m, e.st.c AS code,
+       |    cast(round(e.st.s + ${dot("s.vm", "s.vm")}, 6) AS decimal(18,6)) AS err
+       |  FROM enc e JOIN sub s ON s.vec_id = e.vec_id AND s.m = e.m)
+       |SELECT vec_id, list(code ORDER BY m) AS codes,
+       |  cast(sum(err) AS decimal(28,6)) AS recon_err
+       |FROM per GROUP BY vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[knnPq]]. */
+  def knnPqOracleSql(nQueries: Int = 10, k: Int = 5,
+                     m: Int = 16, ksub: Int = 32, dims: Int = 64): String = {
+    def dot(a: String, b: String) = VectorFunctions.dotSql(a, b)
+    s"""WITH ${pqCtePrefix(m, ksub, dims)},
+       |q AS (SELECT vec_id AS query_id, m, vm FROM sub WHERE vec_id < $nQueries),
+       |dtab AS (
+       |  SELECT q.query_id, q.m, c.code,
+       |    cast(round((${dot("c.cv", "c.cv")} - (2.0 * ${dot("q.vm", "c.cv")}))
+       |      + ${dot("q.vm", "q.vm")}, 6) AS decimal(18,6)) AS d2
+       |  FROM q JOIN cb c ON c.m = q.m),
+       |scored AS (
+       |  SELECT d.query_id, e.vec_id AS neighbor_id,
+       |    cast(sum(d.d2) AS decimal(28,6)) AS adist
+       |  FROM enc e JOIN dtab d ON d.m = e.m AND d.code = e.st.c
+       |  WHERE d.query_id <> e.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adist, rnk FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, neighbor_id) AS integer) AS rnk
+       |  FROM scored) WHERE rnk <= $k""".stripMargin
+  }
+
   // ---- Persisted ANN index -------------------------------------------------
 
   /** Build and persist the LSH index for `emb` at `path` — the
