@@ -683,6 +683,12 @@ object SparkEntry {
       TextAnalysis.redact(Tables.documents(s, d), "doc_id", "text")),
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")),
+    // Gopher quality rule bundle + repetition char-mass signals
+    // (Rae et al. 2021, appendix A1.1)
+    "gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")),
+    "gopher_repetition" -> ((s, d) =>
+      TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")),
     "corpus_dedup" -> ((s, d) =>
       Dedup.corpusDedup(Tables.documents(s, d), "doc_id", "text")),
     "dedup_clusters" -> ((s, d) =>
@@ -1315,6 +1321,76 @@ object SparkEntry {
          |    ELSE cast(0.0 AS double) END AS repetition_ratio
          |FROM (SELECT doc_id, ${TextFunctions.shinglesSql("tokens", 2)} AS g
          |      FROM (SELECT doc_id, $tok AS tokens FROM documents))""".stripMargin,
+    // every ratio is an IEEE division of exact integers — bit-portable
+    "gopher_rules" ->
+      s"""WITH base AS (SELECT doc_id, text, $tok AS t,
+         |    string_split(text, chr(10)) AS ls FROM documents),
+         |m AS (SELECT doc_id,
+         |  cast(len(t) AS integer) AS n_words,
+         |  length(array_to_string(t, '')) AS wchars,
+         |  length(text) - length(replace(text, '#', '')) AS n_hash,
+         |  len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ell3,
+         |  length(text) - length(replace(text, '…', '')) AS n_ellu,
+         |  len(ls) AS n_lines,
+         |  len(list_filter(ls, l -> starts_with(ltrim(l), '- ')
+         |    OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS n_bullet,
+         |  len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+         |    OR ends_with(rtrim(l), '…'))) AS n_ellline,
+         |  len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         |  cast(${TextAnalysis.GopherRequiredWords.map(w =>
+                s"(CASE WHEN list_contains(t, '$w') THEN 1 ELSE 0 END)").mkString(" + ")}
+         |    AS integer) AS stop_hits
+         |  FROM base)
+         |SELECT doc_id, n_words,
+         |  wchars::DOUBLE / greatest(n_words, 1) AS mean_word_len,
+         |  (n_hash + n_ell3 + n_ellu)::DOUBLE / greatest(n_words, 1) AS symbol_ratio,
+         |  n_bullet::DOUBLE / greatest(n_lines, 1) AS bullet_frac,
+         |  n_ellline::DOUBLE / greatest(n_lines, 1) AS ellipsis_frac,
+         |  n_alpha::DOUBLE / greatest(n_words, 1) AS alpha_frac,
+         |  stop_hits,
+         |  (n_words BETWEEN 50 AND 100000)
+         |    AND (wchars::DOUBLE / greatest(n_words, 1) BETWEEN 3.0 AND 10.0)
+         |    AND ((n_hash + n_ell3 + n_ellu)::DOUBLE / greatest(n_words, 1) <= 0.1)
+         |    AND (n_bullet::DOUBLE / greatest(n_lines, 1) <= 0.9)
+         |    AND (n_ellline::DOUBLE / greatest(n_lines, 1) <= 0.3)
+         |    AND (n_alpha::DOUBLE / greatest(n_words, 1) >= 0.8)
+         |    AND (stop_hits >= 2) AS keep
+         |FROM m""".stripMargin,
+    "gopher_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS t FROM documents),
+         |grams AS (SELECT doc_id,
+         |    unnest(${TextFunctions.shinglesSql("t", 2)}
+         |      || ${TextFunctions.shinglesSql("t", 3)}
+         |      || ${TextFunctions.shinglesSql("t", 5)}) AS gram
+         |  FROM toks),
+         |counts AS (SELECT doc_id,
+         |    cast(length(gram) - length(replace(gram, ' ', '')) + 1 AS integer) AS n,
+         |    gram, count(*) AS c
+         |  FROM grams GROUP BY 1, 2, 3),
+         |top AS (SELECT doc_id, n, gram, c FROM (
+         |    SELECT doc_id, n, gram, c,
+         |      row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS rn
+         |    FROM counts WHERE n IN (2, 3)) WHERE rn = 1),
+         |tops AS (SELECT doc_id,
+         |    max(CASE WHEN n = 2 THEN gram END) AS top2g,
+         |    max(CASE WHEN n = 2 THEN c END) AS c2,
+         |    max(CASE WHEN n = 3 THEN gram END) AS top3g,
+         |    max(CASE WHEN n = 3 THEN c END) AS c3
+         |  FROM top GROUP BY 1),
+         |dup5 AS (SELECT doc_id, sum(c * length(gram)) AS dup5
+         |  FROM counts WHERE n = 5 AND c >= 2 GROUP BY 1)
+         |SELECT d.doc_id, cast(length(d.text) AS integer) AS n_chars,
+         |  coalesce(top2g, '') AS top2_gram,
+         |  cast(coalesce(c2, 0) AS bigint) AS top2_count,
+         |  (coalesce(c2, 0) * length(coalesce(top2g, '')))::DOUBLE
+         |    / greatest(length(d.text), 1) AS top2_share,
+         |  coalesce(top3g, '') AS top3_gram,
+         |  cast(coalesce(c3, 0) AS bigint) AS top3_count,
+         |  (coalesce(c3, 0) * length(coalesce(top3g, '')))::DOUBLE
+         |    / greatest(length(d.text), 1) AS top3_share,
+         |  coalesce(dup5, 0)::DOUBLE / greatest(length(d.text), 1) AS dup5_char_mass
+         |FROM documents d
+         |LEFT JOIN tops USING (doc_id) LEFT JOIN dup5 USING (doc_id)""".stripMargin,
     "corpus_dedup" ->
       s"""WITH fp AS (SELECT md5(text) AS f, min(doc_id) AS sid FROM documents GROUP BY 1),
          |kept AS (SELECT d.doc_id, d.text FROM documents d JOIN fp ON d.doc_id = fp.sid),

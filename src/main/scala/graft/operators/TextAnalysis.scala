@@ -576,4 +576,138 @@ object TextAnalysis {
         (coalesce(col("__dg"), lit(0L)).cast("double") /
           greatest(coalesce(col("__ng"), lit(0L)), lit(1L))).as("dup_fraction"))
   }
+
+  /** The Gopher "must contain ≥ 2 of these" required-word list
+    * (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+    * appendix A1.1 quality filters — public paper, list verbatim).
+    */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** C57: the Gopher document-quality rule bundle (Rae et al. 2021,
+    * appendix A1.1) — the rule set production web-corpus curation
+    * actually applies, reported per document as the raw metrics, so a
+    * pipeline can re-threshold without re-scanning:
+    *
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio (`#`, `...`, `…`) ≤ 0.1
+    *   - ≤ 90% of lines start with a bullet (`- `, `* `, `• `)
+    *   - ≤ 30% of lines end with an ellipsis
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *   - ≥ 2 distinct hits from [[GopherRequiredWords]]
+    *
+    * `keep` is the conjunction. Pure map-side column arithmetic (one
+    * scan, zero shuffle — scan speed at 100 TB); every ratio is an
+    * IEEE division of exact integers, so the DuckDB twin is
+    * bit-identical (no rounding, no transcendentals). Line rules use
+    * raw newline-split lines (space-trimmed per side, like Gopher's
+    * formatting rules); documents with no newlines are one line.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col("__t")
+    val toks = col("__toks")
+    val lines = col("__lines")
+    val nWords = size(toks)
+    val nLines = size(lines)
+    // total token chars without an aggregate lambda: concat then length
+    val wordChars = length(concat_ws("", toks))
+    val nHash = length(t) - length(replace(t, lit("#"), lit("")))
+    val nEll3 = size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))
+    val nEllU = length(t) - length(replace(t, lit("…"), lit("")))
+    val nBullet = size(filter(lines, l =>
+      startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("* ")) ||
+        startswith(ltrim(l), lit("• "))))
+    val nEllLine = size(filter(lines, l =>
+      endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+    val nAlpha = size(filter(toks, tk => tk.rlike("[a-z]")))
+    val stopHits = GopherRequiredWords
+      .map(w => when(array_contains(toks, w), 1).otherwise(0))
+      .reduce(_ + _)
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        tokens(col(textCol)).as("__toks"),
+        split(col(textCol), "\n", -1).as("__lines"))
+      .select(col("doc_id"),
+        nWords.as("n_words"),
+        (wordChars.cast("double") / greatest(nWords, lit(1))).as("mean_word_len"),
+        ((nHash + nEll3 + nEllU).cast("double") / greatest(nWords, lit(1)))
+          .as("symbol_ratio"),
+        (nBullet.cast("double") / greatest(nLines, lit(1))).as("bullet_frac"),
+        (nEllLine.cast("double") / greatest(nLines, lit(1))).as("ellipsis_frac"),
+        (nAlpha.cast("double") / greatest(nWords, lit(1))).as("alpha_frac"),
+        stopHits.as("stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 2)
+  }
+
+  /** C58: the Gopher repetition signals (Rae et al. 2021, appendix
+    * A1.1 "repetitious documents") [[repetition]] and [[ngramNovelty]]
+    * don't cover — character-mass concentration in repeated n-grams:
+    *
+    *   - `top2_share` / `top3_share`: fraction of the document's
+    *     characters attributable to its MOST FREQUENT word 2-/3-gram
+    *     (`count × gram length ∕ doc chars`) — boilerplate headers and
+    *     chorus-like text concentrate mass in one gram;
+    *   - `dup5_char_mass`: fraction of characters attributable to
+    *     5-grams occurring ≥ 2 times WITHIN the document — long-range
+    *     internal repetition single-bigram ratios miss. Overlapping
+    *     occurrences attribute their chars independently (the paper's
+    *     convention; a cheap upper bound, flagging is the use).
+    *
+    * Scale shape: ONE corpus scan explodes the 2/3/5-gram shingle
+    * arrays together (gram width recovered from its space count — no
+    * re-tokenize, no second scan), one (doc, n, gram) partial-agg'd
+    * count shuffle bounded by total gram occurrences, then the top-1
+    * cut rides the custom TopKPerKey operator (final shuffle O(docs),
+    * never the gram table) and the dup-5 sum partial-aggregates. Ties
+    * for the top gram break on the lexicographically smaller gram
+    * (`__neg` + ascending struct order, the tfIdfTopTerms pattern).
+    * Every share is an IEEE division of exact integers — bit-portable.
+    */
+  def gopherRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        explode(concat(shingles(col("__toks"), 2), shingles(col("__toks"), 3),
+          shingles(col("__toks"), 5))).as("gram"))
+      .withColumn("n",
+        (length(col("gram")) - length(replace(col("gram"), lit(" "), lit(""))) + 1)
+          .cast("int"))
+      .groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .materialized // feeds the top-1 cut AND the dup-5 aggregation
+    val top = graft.plans.TopK.perKey(
+        counts.filter(col("n").isin(2, 3)).withColumn("__neg", -col("c")),
+        Seq("doc_id", "n"), Seq("__neg", "gram"), 1, descending = false)
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, col("gram"))).as("top2_gram"),
+        max(when(col("n") === 2, col("c"))).as("__c2"),
+        max(when(col("n") === 3, col("gram"))).as("top3_gram"),
+        max(when(col("n") === 3, col("c"))).as("__c3"))
+    val dup5 = counts.filter(col("n") === 5 && col("c") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * length(col("gram"))).as("__dup5"))
+    docs.select(col(idCol).as("doc_id"), length(col(textCol)).as("n_chars"))
+      .join(top, Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("top2_gram"), lit("")).as("top2_gram"),
+        coalesce(col("__c2"), lit(0L)).as("top2_count"),
+        ((coalesce(col("__c2"), lit(0L)) * length(coalesce(col("top2_gram"), lit(""))))
+          .cast("double") / greatest(col("n_chars"), lit(1))).as("top2_share"),
+        coalesce(col("top3_gram"), lit("")).as("top3_gram"),
+        coalesce(col("__c3"), lit(0L)).as("top3_count"),
+        ((coalesce(col("__c3"), lit(0L)) * length(coalesce(col("top3_gram"), lit(""))))
+          .cast("double") / greatest(col("n_chars"), lit(1))).as("top3_share"),
+        (coalesce(col("__dup5"), lit(0L)).cast("double") /
+          greatest(col("n_chars"), lit(1))).as("dup5_char_mass"))
+  }
 }

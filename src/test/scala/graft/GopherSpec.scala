@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** Gopher quality-rule bundle (C57) and repetition char-mass signals
+  * (C58) on planted fixtures — the synthetic corpus has no newlines or
+  * symbols, so the line/symbol rules are pinned here where the DuckDB
+  * oracle only proves them trivially zero.
+  */
+class GopherSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def rules(rows: (Long, String)*) =
+    TextAnalysis.gopherRules(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("gopher_rules: word-count, mean-length, stopword and alpha rules") {
+    val good = (Seq.fill(10)("the quick brown fox jumps over") :+ "with lazy dogs")
+      .mkString(" ") // 63 words, all alphabetic, mean len in [3,10], has the+with
+    val short = "the cat sat on that mat with food" // 8 words — under 50
+    val m = rules(1L -> good, 2L -> short)
+    assert(m(1L).getAs[Boolean]("keep"))
+    assert(m(1L).getAs[Int]("n_words") == 63)
+    assert(m(1L).getAs[Double]("alpha_frac") == 1.0)
+    assert(m(1L).getAs[Int]("stop_hits") >= 2)
+    assert(!m(2L).getAs[Boolean]("keep")) // word count rule
+    assert(m(2L).getAs[Int]("stop_hits") >= 2) // other rules pass
+  }
+
+  test("gopher_rules: bullet and ellipsis line fractions") {
+    val bullets = (1 to 9).map(i => s"- item $i").mkString("\n") + "\nprose line"
+    val ells = "first line...\nsecond line...\nthird stays\nfourth stays"
+    val m = rules(1L -> bullets, 2L -> ells)
+    assert(m(1L).getAs[Double]("bullet_frac") == 0.9)
+    assert(m(2L).getAs[Double]("ellipsis_frac") == 0.5)
+    // 0.5 > 0.3 → the ellipsis rule alone must kill doc 2's keep
+    assert(!m(2L).getAs[Boolean]("keep"))
+  }
+
+  test("gopher_rules: symbol ratio counts #, ... and … per word") {
+    val m = rules(1L -> "alpha # beta ... gamma … delta")
+    // 3 symbols / 6 words (the symbols tokenize away but still count)
+    assert(m(1L).getAs[Double]("symbol_ratio") == 0.5)
+  }
+
+  test("gopher_rules is one map-side scan — no exchange in the plan") {
+    val df = TextAnalysis.gopherRules(
+      Seq((1L, "the fox")).toDF("doc_id", "text"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("gopher_repetition: top-gram shares and dup-5-gram char fraction") {
+    // "ab cd" ×4: top 2-gram "ab cd" count 4; every 5-gram repeats
+    val rep = "ab cd ab cd ab cd ab cd" // 23 chars
+    val uniq = "one two three four five six"
+    val got = TextAnalysis.gopherRepetition(
+        Seq((1L, rep), (2L, uniq)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[String]("top2_gram") == "ab cd")
+    assert(got(1L).getAs[Long]("top2_count") == 4L)
+    assert(got(1L).getAs[Double]("top2_share") == 4.0 * 5 / 23)
+    // 5-grams of the 8-token doc: 4 total, "ab cd ab cd ab" ×2 and
+    // "cd ab cd ab cd" ×2 — all duplicated, 14 chars each
+    assert(got(1L).getAs[Double]("dup5_char_mass") == 4.0 * 14 / 23)
+    // a no-repeat doc: top counts 1, zero dup mass
+    assert(got(2L).getAs[Long]("top2_count") == 1L)
+    assert(got(2L).getAs[Double]("dup5_char_mass") == 0.0)
+    // ties break on the lexicographically smaller gram
+    assert(got(2L).getAs[String]("top2_gram") == "five six")
+  }
+
+  test("gopher_repetition: docs too short for a gram keep a zero row") {
+    val got = TextAnalysis.gopherRepetition(
+        Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("top2_gram") == "")
+    assert(got(0).getAs[Long]("top2_count") == 0L)
+    assert(got(0).getAs[Double]("dup5_char_mass") == 0.0)
+  }
+
+  test("gopher_repetition cuts the top gram through TopKPerKey, not a window") {
+    val df = TextAnalysis.gopherRepetition(
+      Seq((1L, "a b c a b")).toDF("doc_id", "text"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+}
