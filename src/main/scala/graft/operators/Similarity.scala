@@ -789,10 +789,11 @@ object Similarity {
     * small codes (m bytes at ksub ≤ 256 vs dims×4 float bytes: 32× for
     * 64-dim/m=8) plus the per-vector reconstruction error the
     * compression costs, measured where it happens (the int8-quantize
-    * convention). Pure map-side: argmin against m×ksub codebook
-    * literals inside whole-stage codegen, no shuffle — at 100 TB this
-    * is the scan that turns a float vector lake into an ADC-searchable
-    * code table. Reconstruction error ‖v − c(v)‖² = Σ_m (score_m +
+    * convention). Pure map-side: one native codegen'd kernel call per
+    * row (graft.plans.PqEncodeExpr — codebook rides as a reference
+    * object), no shuffle — at 100 TB this is the scan that turns a
+    * float vector lake into an ADC-searchable code table.
+    * Reconstruction error ‖v − c(v)‖² = Σ_m (score_m +
     * ‖v_m‖²), each subspace term 6dp-rounded and decimal-summed
     * (order-independent, engine-portable).
     */
@@ -800,6 +801,37 @@ object Similarity {
                m: Int = 16, ksub: Int = 32): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
+    pqEncodeWith(emb, idCol, vecCol, cbs)
+  }
+
+  /** [[pqEncode]] against an ALREADY-BUILT codebook — the shape both
+    * the direct query and the persisted-index probe share. One native
+    * kernel call per row (graft.plans.PqEncodeExpr → GraftPq.encode):
+    * the composed form's 16 `least()` trees of 32 dot-product structs
+    * inline past janino's 64 KB method limit, so the whole ENCODE
+    * STAGE fell out of whole-stage codegen into interpreted eval —
+    * measured and replaced; [[pqEncodeExprForm]] keeps the composed
+    * form as the bit-parity reference (SimilaritySpec pins equality).
+    */
+  private[graft] def pqEncodeWith(emb: DataFrame, idCol: String, vecCol: String,
+                                  cbs: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    val enc = GraftPlanFactory.column(
+      graft.plans.PqEncodeExpr(GraftPlanFactory.expression(col(vecCol)), cbs))
+    emb.select(col(idCol).as("vec_id"), enc.as("__e"))
+      .select(col("vec_id"),
+        col("__e").getField("codes").as("codes"),
+        col("__e").getField("recon_err").as("recon_err"))
+  }
+
+  /** Expression-composed reference form of [[pqEncode]] — parity spec
+    * only (it compiles to >64 KB of generated Java and runs
+    * interpreted; NOT for hot paths).
+    */
+  private[graft] def pqEncodeExprForm(emb: DataFrame, idCol: String, vecCol: String,
+                                      cbs: Array[Array[Array[Double]]]): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val m = cbs.length
     val dsub = cbs.head.head.length
     val staged = emb.select(col(idCol).as("vec_id") +: (0 until m).map { mi =>
       slice(col(vecCol), mi * dsub + 1, dsub).as(s"__v$mi")
@@ -842,16 +874,53 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(emb.sparkSession)
     val cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
-    val dsub = cbs.head.head.length
-    // Materialized: the encode scan is 16 argmin trees of ksub structs
-    // each — under the ADC join + rank window the COMPOSITE plan is
-    // what the optimizer re-copies per rule, measured OOMing an 8 GB
-    // driver at m=16/ksub=32. The cut caps plan size AND is the
-    // production shape: encode once, search the code table many times
-    // ([[pqEncode]]'s output is what a store would persist).
-    val codes = pqEncode(emb, idCol, vecCol, m, ksub).materialized
+    // Materialized: under the ADC join + rank window the composite
+    // plan is what the optimizer re-copies per rule (the pre-kernel
+    // least()-tree form measured OOMing an 8 GB driver at m=16/
+    // ksub=32). The cut caps plan size AND is the production shape:
+    // encode once, search the code table many times ([[pqEncode]]'s
+    // output is what a store would persist).
+    val codes = pqEncodeWith(emb, idCol, vecCol, cbs).materialized
       .select(col("vec_id").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("m", "code")))
+    val dtab = pqDistTable(emb.filter(col(idCol) < nQueries), idCol, vecCol, cbs)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    codes.join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).cast("decimal(28,6)").as("adist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** The per-query ADC distance table (query_id, m, code, d2) — one
+    * native kernel call per query row (graft.plans.PqDistTableExpr),
+    * exploded to the broadcastable dimension [[knnPq]] joins against.
+    * [[pqDistTableExprForm]] is the composed-expression parity
+    * reference (512 literal structs — also past the 64 KB codegen
+    * limit, harmless at query-batch cardinality but kept off the API).
+    */
+  private[graft] def pqDistTable(queries: DataFrame, idCol: String, vecCol: String,
+                                 cbs: Array[Array[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    val dt = GraftPlanFactory.column(
+      graft.plans.PqDistTableExpr(GraftPlanFactory.expression(col(vecCol)), cbs))
+    queries.select(col(idCol).as("query_id"), dt.as("__dt"))
+      .select(col("query_id"), explode(col("__dt")).as("e"))
+      .select(col("query_id"), col("e.m").as("m"),
+        col("e.code").as("code"), col("e.d2").as("d2"))
+  }
+
+  /** Expression-composed reference form of [[pqDistTable]] — parity
+    * spec only.
+    */
+  private[graft] def pqDistTableExprForm(queries: DataFrame, idCol: String, vecCol: String,
+                                         cbs: Array[Array[Array[Double]]]): DataFrame = {
+    GraftFunctions.register(queries.sparkSession)
+    val m = cbs.length
+    val ksub = cbs.head.length
+    val dsub = cbs.head.head.length
     val entries = for (mi <- 0 until m; j <- 0 until ksub) yield {
       val c = cbs(mi)(j)
       val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as dotSql
@@ -861,21 +930,13 @@ object Similarity {
           + call_function("graft_dot", vm, vm.cast("array<double>")), 6)
           .cast("decimal(18,6)").as("d2"))
     }
-    val dtab = emb.filter(col(idCol) < nQueries)
+    queries
       .select(col(idCol).as("query_id") +: (0 until m).map { mi =>
         slice(col(vecCol), mi * dsub + 1, dsub).as(s"__q$mi")
       }: _*)
       .select(col("query_id"), explode(array(entries: _*)).as("e"))
       .select(col("query_id"), col("e.m").as("m"),
         col("e.code").as("code"), col("e.d2").as("d2"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id"))
-    codes.join(broadcast(dtab), Seq("m", "code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d2")).cast("decimal(28,6)").as("adist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
   }
 
   /** Shared WITH-chain for the PQ DuckDB twins: hash-ordered seeds →
@@ -1007,6 +1068,88 @@ object Similarity {
     * self-matches. Same answer as [[knnLsh]] on identical parameters
     * (spec-pinned).
     */
+  /** Build and persist the PQ index for `emb` at `path` — the
+    * production form of the encode-once/search-many contract
+    * [[knnPq]]'s scaladoc promises: the code table (32× smaller than
+    * the vectors it replaces) lands under `path/codes`, the codebook
+    * under `path/codebook` (m×ksub rows of double slices — bit-exact
+    * parquet round trip), and the parameters under `path/params` so a
+    * probe can never run against mismatched codebooks. The build costs
+    * the one kernel-encode scan every ad-hoc ADC query pays anyway;
+    * after it, probes never touch a float vector again.
+    */
+  def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
+                   m: Int = 16, ksub: Int = 32): Unit = {
+    val spark = emb.sparkSession
+    val cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
+    pqEncodeWith(emb, idCol, vecCol, cbs)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cbm, mi) =>
+      cbm.zipWithIndex.map { case (cv, j) => (mi, j, cv.toSeq) }
+    }.toSeq.toDF("m", "code", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((m, ksub, cbs.head.head.length)).toDF("m", "ksub", "dsub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** The persisted codebook, reassembled in (m, code) order — exactly
+    * the array [[buildPqIndex]] wrote (doubles round-trip parquet
+    * bit-exactly, so probe arithmetic is identical to build-time).
+    */
+  private def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Array[Array[Array[Double]]] = {
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    val (m, ksub) = (p.getInt(0), p.getInt(1))
+    val rows = spark.read.parquet(s"$path/codebook")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    Array.tabulate(m)(mi => Array.tabulate(ksub)(j => rows((mi, j))))
+  }
+
+  /** Append a new batch of vectors to a persisted PQ index — the
+    * continuous-ingestion path: the batch is encoded with the INDEX's
+    * stored codebook (never a re-sampled one), and its code rows are
+    * appended. No existing row is touched, so appends are cheap at any
+    * index size. Same crash semantics as [[appendToLshIndex]]: a
+    * replayed partial append duplicates code rows (repeated neighbors
+    * in top-k) — rebuild or re-id after a mid-append failure, don't
+    * blind-retry.
+    */
+  def appendToPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                      path: String): Unit = {
+    val cbs = readPqCodebook(emb.sparkSession, path)
+    pqEncodeWith(emb, idCol, vecCol, cbs)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** ADC top-k for a PROBE batch against a persisted PQ index: the
+    * per-query distance table is computed map-side from the STORED
+    * codebook (a scan of the probe batch only) and broadcast; the
+    * stored code table unnests and equi-joins it — the corpus vectors
+    * are never read (they need not even exist anymore). `queries` is
+    * any (id, vector) DataFrame; identical ids on both sides are
+    * excluded as self-matches. Same answer as [[knnPq]] on identical
+    * parameters (spec-pinned).
+    */
+  def knnPqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                 queries: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cbs = readPqCodebook(spark, path)
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+    val dtab = pqDistTable(queries, idCol, vecCol, cbs)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    codes.join(broadcast(dtab), Seq("m", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).cast("decimal(28,6)").as("adist"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   def knnLshProbe(spark: org.apache.spark.sql.SparkSession, path: String,
                   queries: DataFrame, idCol: String, vecCol: String,
                   k: Int): DataFrame = {

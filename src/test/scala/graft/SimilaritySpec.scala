@@ -110,6 +110,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.size == truth.size, "ADC must return a full top-k per query")
   }
 
+  test("PQ kernels are bit-identical to the composed expression forms") {
+    // the >64KB least()-tree forms run interpreted (janino rejects the
+    // stage); the kernels replace them on the hot path — parity here is
+    // the license (codes, 6dp decimals, tie-breaks, all exact)
+    val emb = Tables.embeddings(spark, sf)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding")
+    val kEnc = Similarity.pqEncodeWith(emb, "vec_id", "embedding", cbs)
+    val eEnc = Similarity.pqEncodeExprForm(emb, "vec_id", "embedding", cbs)
+    assert(kEnc.exceptAll(eEnc).isEmpty && eEnc.exceptAll(kEnc).isEmpty,
+      "pqEncode kernel diverged from the expression form")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val kDt = Similarity.pqDistTable(q, "vec_id", "embedding", cbs)
+    val eDt = Similarity.pqDistTableExprForm(q, "vec_id", "embedding", cbs)
+    assert(kDt.exceptAll(eDt).isEmpty && eDt.exceptAll(kDt).isEmpty,
+      "pqDistTable kernel diverged from the expression form")
+  }
+
   test("embeddingPairsScaled: small corpus resolves to the 5-plane default; cap preserves pairs") {
     val emb = Tables.embeddings(spark, sf)
     val fixed = Similarity.embeddingPairs(emb, "vec_id", "embedding", 0.4)
@@ -169,6 +186,49 @@ class SimilaritySpec extends AnyFunSuite {
     val b = Similarity.knnLshProbe(spark, whole, queries, "vec_id", "embedding", k = 5)
     assert(a.count() == b.count())
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("persisted PQ index: probe equals the ad-hoc knnPq answer, vectors never read") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", dir)
+    // probe batch as in-memory rows — so the plan below proves the
+    // CORPUS vectors are never read (probes need not be index members)
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toSeq.toDF("vec_id", "embedding")
+    val got = Similarity.knnPqProbe(spark, dir, queries, "vec_id", "embedding", k = 5)
+    val want = Similarity.knnPq(emb, "vec_id", "embedding", nQueries = 10, k = 5)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the probe reads the persisted CODE table; the corpus parquet
+    // appears nowhere in the plan (codes are 32× smaller)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("codes"), s"probe should scan the persisted code table:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"probe re-read the corpus vectors:\n$plan")
+  }
+
+  test("PQ index append encodes with the STORED codebook, not a re-sampled one") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx_a").toString
+    Similarity.buildPqIndex(first, "vec_id", "embedding", dir)
+    Similarity.appendToPqIndex(batch, "vec_id", "embedding", dir)
+    // the grown index must answer exactly like the union encoded under
+    // the FIRST half's codebook (PQ codebooks are data-dependent, so
+    // "rebuild on the union" would sample different seeds — the append
+    // contract is codebook stability)
+    val cbs = Similarity.pqCodebooks(first, "vec_id", "embedding")
+    val wantCodes = Similarity.pqEncodeWith(emb, "vec_id", "embedding", cbs)
+      .orderBy("vec_id").collect().toSeq
+    val gotCodes = spark.read.parquet(s"$dir/codes")
+      .orderBy("vec_id").collect().toSeq
+    assert(gotCodes == wantCodes)
   }
 
   test("knnLsh candidates carry no vector payload through the dedup shuffle") {
