@@ -662,6 +662,9 @@ object SparkEntry {
       Similarity.pqEncode(Tables.embeddings(s, d), "vec_id", "embedding")),
     "knn_pq" -> ((s, d) =>
       Similarity.knnPq(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
+    // IVF cells restrict the candidates, PQ codes score them (C59)
+    "knn_ivfpq" -> ((s, d) =>
+      Similarity.knnIvfPq(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     "lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
     "text_quality" -> ((s, d) =>
@@ -1501,6 +1504,7 @@ object SparkEntry {
     "embedding_quantize" -> Similarity.quantizeInt8OracleSql(),
     "embedding_pq" -> Similarity.pqEncodeOracleSql(),
     "knn_pq" -> Similarity.knnPqOracleSql(),
+    "knn_ivfpq" -> Similarity.knnIvfPqOracleSql(),
     "dedup_pagerank" -> operators.Graph.pagerankOracleSql(),
     "semantic_clusters" ->
       s"""WITH RECURSIVE ${lshBucketsCte(nTables = 16)},

@@ -95,6 +95,27 @@ object GraftPq {
       new GenericArrayData(codes), Decimal(totalUnscaled, 28, 6)))
   }
 
+  /** ADC distance of one code row against one query's distance table:
+    * Σ_m dt[m·ksub + codes[m]].d2 as decimal(28,6). The decimals are
+    * 6dp-exact, so summing their unscaled longs IS decimal addition —
+    * bit-equal to the unnest-join-groupBy-sum formulation it replaces
+    * (which shuffled Q×N partial-sum rows; this shape shuffles nothing
+    * before the top-k cut).
+    */
+  def adcSum(codes: ArrayData, dt: ArrayData): Decimal = {
+    val m = codes.numElements()
+    if (m == 0) return Decimal(0L, 28, 6)
+    val ksub = dt.numElements() / m
+    var total = 0L
+    var mi = 0
+    while (mi < m) {
+      val row = dt.getStruct(mi * ksub + codes.getInt(mi), 3)
+      total += row.getDecimal(2, 18, 6).toUnscaledLong
+      mi += 1
+    }
+    Decimal(total, 28, 6)
+  }
+
   /** The per-query ADC distance table: array of (m, code, d2) rows,
     * d2 = round(‖q_m − c_j‖², 6) as decimal(18,6) — the broadcastable
     * dimension [[graft.operators.Similarity.knnPq]] joins the code

@@ -855,31 +855,76 @@ object Similarity {
   }
 
   /** C56: PQ asymmetric-distance (ADC) top-k search — the query side
-    * stays exact while the corpus is scanned as codes. Expressed
-    * relationally so the same plan runs at any scale: the per-query
-    * distance table (query × m × ksub rows of ‖q_m − c_j‖², 6dp
-    * decimal) is BROADCAST like a dimension, corpus codes unnest to
-    * (vector, subspace, code) and equi-join it, and the approximate
-    * distance is a partial-agg'd decimal sum — the shuffle carries
-    * (query, vector, decimal) rows, never a float payload. Final
-    * per-query cut is a rank window over query×corpus candidate rows.
-    * At 100 TB the code table is 32× smaller than the vectors it
-    * replaces and composes with the IVF cell assignment this file
-    * ships (probe cells first, ADC within) — documented composition,
-    * measured here in its exhaustive form against [[knnBruteForce]].
+    * stays exact while the corpus is scanned as codes. The per-query
+    * distance table (m × ksub entries of ‖q_m − c_j‖², 6dp decimal) is
+    * computed map-side over the query batch and BROADCAST like a
+    * dimension; each code row then evaluates its approximate distance
+    * in one kernel lookup-sum ([[adcTopK]] — no unnest, no join
+    * fan-out, no shuffle before the TopKPerKey cut). At 100 TB the
+    * code table is 32× smaller than the vectors it replaces and
+    * composes with the IVF cell assignment this file ships (probe
+    * cells first, ADC within) — documented composition, measured here
+    * in its exhaustive form against [[knnBruteForce]].
     */
   def knnPq(emb: DataFrame, idCol: String, vecCol: String,
             nQueries: Int = 10, k: Int = 5,
             m: Int = 16, ksub: Int = 32): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(emb.sparkSession)
     val cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
-    // Materialized: under the ADC join + rank window the composite
-    // plan is what the optimizer re-copies per rule (the pre-kernel
+    // Materialized: under the ADC scan + top-k cut the composite plan
+    // is what the optimizer re-copies per rule (the pre-kernel
     // least()-tree form measured OOMing an 8 GB driver at m=16/
     // ksub=32). The cut caps plan size AND is the production shape:
     // encode once, search the code table many times ([[pqEncode]]'s
     // output is what a store would persist).
+    val codes = pqEncodeWith(emb, idCol, vecCol, cbs).materialized
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    adcTopK(codes, emb.filter(col(idCol) < nQueries), idCol, vecCol, cbs, k)
+  }
+
+  /** The ADC scan: each code row × each (broadcast) query evaluates
+    * Σ_m dt[m][codes[m]] in ONE kernel call (graft.plans.AdcSumExpr) —
+    * no unnest, no join fan-out, NO shuffle before the per-query top-k
+    * cut through TopKPerKey (final exchange O(queries × k × partitions)
+    * rows). The previous shape — posexplode to (vector, m, code) rows,
+    * equi-join the exploded distance table, partial-agg a Q×N-row
+    * decimal sum shuffle — measured 35.7 s for 10 queries over 2M
+    * codes; this scan shape answers the identical result from the same
+    * inputs with the shuffle gone (values bit-equal: the kernel sums
+    * the same 6dp decimals as unscaled longs). The rank window runs
+    * AFTER the cut, over queries × k rows.
+    */
+  private def adcTopK(codes: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String,
+                      cbs: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    import org.apache.spark.sql.expressions.Window
+    val qdt = queries.select(col(idCol).as("query_id"),
+      GraftPlanFactory.column(graft.plans.PqDistTableExpr(
+        GraftPlanFactory.expression(col(vecCol)), cbs)).as("__dt"))
+    val adist = GraftPlanFactory.column(graft.plans.AdcSumExpr(
+      GraftPlanFactory.expression(col("codes")),
+      GraftPlanFactory.expression(col("__dt"))))
+    val scored = codes.crossJoin(broadcast(qdt))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq("adist", "neighbor_id"), k, descending = false)
+      .withColumn("rnk", row_number().over(w))
+  }
+
+  /** The unnest-join-groupBy formulation of the ADC search — parity
+    * reference only (shuffles Q×N partial-sum rows; the scan shape
+    * above replaces it).
+    */
+  private[graft] def knnPqJoinForm(emb: DataFrame, idCol: String, vecCol: String,
+                                   nQueries: Int = 10, k: Int = 5,
+                                   m: Int = 16, ksub: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(emb.sparkSession)
+    val cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
     val codes = pqEncodeWith(emb, idCol, vecCol, cbs).materialized
       .select(col("vec_id").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("m", "code")))
@@ -937,6 +982,110 @@ object Similarity {
       .select(col("query_id"), explode(array(entries: _*)).as("e"))
       .select(col("query_id"), col("e.m").as("m"),
         col("e.code").as("code"), col("e.d2").as("d2"))
+  }
+
+  /** C59: the IVF × PQ composition (the FAISS IVFADC shape, minus
+    * residual re-encoding): the inverted-file cell assignment restricts
+    * candidates to each query's `nProbes` cells, and scoring inside
+    * them is the kernel ADC sum over the code table — the composition
+    * [[knnIvf]] and [[knnPq]] each document toward, materialized as one
+    * operator. Corpus side is ONE scan emitting (id, cell, codes) —
+    * cell via the same broadcast-centroid rank [[knnIvf]] uses, codes
+    * via PqEncodeExpr — materialized once; queries fan out to their
+    * probe cells and ride the broadcast WITH their kernel distance
+    * tables, so after the corpus scan no float vector is ever read
+    * again (a residual-codebook refinement would cut ADC error further
+    * and slots in at the codebook layer unchanged). Shuffle budget:
+    * the TopKPerKey cut's O(queries × k × partitions) — candidate
+    * scoring itself is shuffle-free.
+    */
+  def knnIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+               nQueries: Int = 10, k: Int = 5, centroidMod: Int = 50,
+               nProbes: Int = 4, m: Int = 16, ksub: Int = 32): DataFrame = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(emb.sparkSession)
+    val cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
+    val centroids = emb.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
+      val wa = Window.partitionBy(col(id))
+        .orderBy(col("csim").desc, col("centroid_id"))
+      df.join(broadcast(centroids))
+        .select(col(id), col(vec), col("centroid_id"),
+          VectorFunctions.cosineNative(col(vec), col("cv")).as("csim"))
+        .withColumn("crnk", row_number().over(wa))
+        .filter(col("crnk") <= probes)
+        .select(col(id), col(vec), col("centroid_id"))
+    }
+    val encCol = GraftPlanFactory.column(graft.plans.PqEncodeExpr(
+      GraftPlanFactory.expression(col("nv")), cbs))
+    val corpus = assign(
+        emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+        "neighbor_id", "nv", probes = 1)
+      .select(col("neighbor_id"), col("centroid_id"),
+        encCol.getField("codes").as("codes"))
+      .materialized
+    val qdtCol = GraftPlanFactory.column(graft.plans.PqDistTableExpr(
+      GraftPlanFactory.expression(col("qv")), cbs))
+    val queries = assign(
+        emb.filter(col(idCol) < nQueries)
+          .select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        "query_id", "qv", probes = nProbes)
+      .select(col("query_id"), col("centroid_id"), qdtCol.as("__dt"))
+    val adist = GraftPlanFactory.column(graft.plans.AdcSumExpr(
+      GraftPlanFactory.expression(col("codes")),
+      GraftPlanFactory.expression(col("__dt"))))
+    // corpus rows live in exactly one list, so (query, neighbor) pairs
+    // are already unique — no dedup stage
+    val scored = corpus.join(broadcast(queries), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq("adist", "neighbor_id"), k, descending = false)
+      .withColumn("rnk", row_number().over(w))
+  }
+
+  /** DuckDB twin of [[knnIvfPq]] — the [[knnIvf]] oracle's cell CTEs
+    * spliced onto the [[knnPqOracleSql]] ADC chain.
+    */
+  def knnIvfPqOracleSql(nQueries: Int = 10, k: Int = 5, centroidMod: Int = 50,
+                        nProbes: Int = 4, m: Int = 16, ksub: Int = 32,
+                        dims: Int = 64): String = {
+    def dot(a: String, b: String) = VectorFunctions.dotSql(a, b)
+    def cos(a: String, b: String) = VectorFunctions.cosineSql(a, b)
+    s"""WITH ${pqCtePrefix(m, ksub, dims)},
+       |centroids AS (SELECT vec_id AS centroid_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id % $centroidMod = 0),
+       |cranked AS (SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.centroid_id) AS crnk
+       |  FROM embeddings e CROSS JOIN centroids c),
+       |assigned AS (SELECT vec_id, centroid_id FROM cranked WHERE crnk = 1),
+       |probed AS (SELECT vec_id, centroid_id FROM cranked
+       |  WHERE crnk <= $nProbes AND vec_id < $nQueries),
+       |q AS (SELECT vec_id AS query_id, m, vm FROM sub WHERE vec_id < $nQueries),
+       |dtab AS (
+       |  SELECT q.query_id, q.m, c.code,
+       |    cast(round((${dot("c.cv", "c.cv")} - (2.0 * ${dot("q.vm", "c.cv")}))
+       |      + ${dot("q.vm", "q.vm")}, 6) AS decimal(18,6)) AS d2
+       |  FROM q JOIN cb c ON c.m = q.m),
+       |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+       |  FROM probed p JOIN assigned a ON p.centroid_id = a.centroid_id
+       |  WHERE p.vec_id <> a.vec_id),
+       |scored AS (
+       |  SELECT d.query_id, e.vec_id AS neighbor_id,
+       |    cast(sum(d.d2) AS decimal(28,6)) AS adist
+       |  FROM enc e JOIN dtab d ON d.m = e.m AND d.code = e.st.c
+       |  JOIN cand ON cand.query_id = d.query_id AND cand.neighbor_id = e.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adist, rnk FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, neighbor_id) AS integer) AS rnk
+       |  FROM scored) WHERE rnk <= $k""".stripMargin
   }
 
   /** Shared WITH-chain for the PQ DuckDB twins: hash-ordered seeds →
@@ -1134,20 +1283,10 @@ object Similarity {
   def knnPqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
                  queries: DataFrame, idCol: String, vecCol: String,
                  k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cbs = readPqCodebook(spark, path)
     val codes = spark.read.parquet(s"$path/codes")
-      .select(col("vec_id").as("neighbor_id"),
-        posexplode(col("codes")).as(Seq("m", "code")))
-    val dtab = pqDistTable(queries, idCol, vecCol, cbs)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id"))
-    codes.join(broadcast(dtab), Seq("m", "code"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("d2")).cast("decimal(28,6)").as("adist"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    adcTopK(codes, queries, idCol, vecCol, cbs, k)
   }
 
   def knnLshProbe(spark: org.apache.spark.sql.SparkSession, path: String,

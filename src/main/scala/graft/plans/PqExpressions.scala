@@ -39,6 +39,29 @@ case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Double]]])
   }
 }
 
+/** ADC distance of a code row against a query's (m, code, d2)
+  * distance-table array: Σ_m dt[m·ksub + codes[m]].d2 as
+  * decimal(28,6) — the per-pair kernel of the scan-shaped PQ search
+  * (see GraftPq.adcSum for the exactness argument).
+  */
+case class AdcSumExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DecimalType(28, 6)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_adc_sum"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.GraftPq.adcSum(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, d) =>
+      s"${ev.value} = graft.functions.GraftPq.adcSum($c, $d);")
+}
+
 /** Per-query ADC distance table: array<struct<m int, code int,
   * d2 decimal(18,6)>> — exploded and broadcast as the join dimension
   * of the PQ search.

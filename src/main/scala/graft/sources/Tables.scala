@@ -64,7 +64,30 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `embeddings.embedding` has shipped as `list<float>` in every
+    * driver generation so far, but the same vector lake could ship
+    * `list<double>` (numpy's float64 default) after a regeneration —
+    * the events-ts lesson applied BEFORE it burns: every graft vector
+    * kernel reads float slots (`ArrayData.getFloat`), which silently
+    * misreads a double-backed array rather than failing. Branch on the
+    * observed element type and normalize to `array<float>`; anything
+    * else is rejected with a clear error.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val raw = load(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"embeddings.embedding: unsupported parquet type $other " +
+            "(expected array<float> or array<double>)")
+    }
+  }
 
   /** Register all tables as temp views for `spark.sql` users
     * (events goes through its nanosecond-timestamp wrapper).

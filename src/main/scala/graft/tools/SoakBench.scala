@@ -81,7 +81,7 @@ object SoakBench {
     // regenerating/re-timing the rest
     val axes = args.lift(3).map(_.split(',').toSet)
       .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25",
-        "bm25zipf", "winnow", "cdc", "sigagree"))
+        "bm25zipf", "winnow", "cdc", "sigagree", "pq"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench
@@ -371,6 +371,72 @@ object SoakBench {
       graft.operators.Graph.connectedComponents(
         pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
     }
+    }
+
+    // ---- axis 10: PQ encode + ADC search at vector scale -------------
+    // First the encode-kernel claim isolated: PqEncodeExpr vs the
+    // composed least()-tree form (janino-rejected >64 KB of generated
+    // Java → interpreted eval) over the SAME persisted vectors,
+    // interleaved ABAB min-of-3 like the sigagree axis. Then the
+    // persisted-index contract: build once (codes 32× smaller than the
+    // float payload), probe from codes alone — read bytes must track
+    // the code table, never the vector corpus.
+    if (axes("pq")) {
+    // own corpus at 10× the clusters-axis mult (~2M vectors at the
+    // default): encode is a pure scan, so the axis affords the width
+    // the iterative CC soak cannot
+    val pqEmbSrc = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val pqNv = pqEmbSrc.count()
+    val pqMult = vecMult * 10
+    val pqPath = "target/soak_pq_vectors"
+    val pa = pqEmbSrc.select(col("vec_id").as("a_id"), col("embedding").as("av"),
+        explode(sequence(lit(1), lit(pqMult))).as("k"))
+      .withColumn("b_id", (col("a_id") + col("k")) % pqNv)
+    val pb = pqEmbSrc.select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+    pa.join(pb, "b_id")
+      .select((col("a_id") * pqMult + col("k")).as("vec_id"),
+        zip_with(col("av"), col("bv"), (x, y) => x + y).as("embedding"))
+      .repartition(32).write.mode("overwrite").parquet(pqPath)
+    val bigEmb = spark.read.parquet(pqPath)
+    val nVec = bigEmb.count()
+    val vecMb = nVec * 64 * 4 / 1e6 // float payload the codes replace
+    val cbs = graft.operators.Similarity.pqCodebooks(bigEmb, "vec_id", "embedding")
+    def encNoop(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def encK() = graft.operators.Similarity.pqEncodeWith(bigEmb, "vec_id", "embedding", cbs)
+    def encE() = graft.operators.Similarity.pqEncodeExprForm(bigEmb, "vec_id", "embedding", cbs)
+    encNoop(encK()); encNoop(encE()) // warm
+    val encReps = (1 to 3).map(_ => (encNoop(encK()), encNoop(encE())))
+    val ek = encReps.map(_._1).min
+    val ee = encReps.map(_._2).min
+    val encAll = encReps.map { case (k, e) => f"[$k%.2f,$e%.2f]" }.mkString(",")
+    println(f"""{"metric":"soak_pq_encode_ab","vectors":$nVec,"input_mb":$vecMb%.0f,"kernel_sec":$ek%.2f,"expr_sec":$ee%.2f,"speedup":${ee / ek}%.2f,"kernel_mb_per_sec":${vecMb / ek}%.1f,"reps_kernel_expr":[$encAll]}""")
+    val pqIdx = "target/soak_pq_idx"
+    val tpb = System.nanoTime()
+    graft.operators.Similarity.buildPqIndex(bigEmb, "vec_id", "embedding", pqIdx)
+    val secPb = (System.nanoTime() - tpb) / 1e9
+    val codesMb = dirBytes(s"$pqIdx/codes") / 1e6
+    println(f"""{"metric":"soak_pq_build","vectors":$nVec,"input_mb":$vecMb%.0f,"sec":$secPb%.1f,"codes_mb":$codesMb%.1f,"compression":${vecMb / codesMb}%.1f}""")
+    import spark.implicits._
+    val probeQ = bigEmb.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    val pqMeter = new InputMeter
+    spark.sparkContext.addSparkListener(pqMeter)
+    def pqProbe(): Unit = graft.operators.Similarity
+      .knnPqProbe(spark, pqIdx, probeQ, "vec_id", "embedding", 10)
+      .write.format("noop").mode("overwrite").save()
+    pqProbe() // warm
+    pqMeter.reset()
+    val tpp = System.nanoTime()
+    pqProbe()
+    val secPp = (System.nanoTime() - tpp) / 1e9
+    Thread.sleep(2000) // listener events drain asynchronously
+    val pqReadMb = pqMeter.bytes.get / 1e6
+    println(f"""{"metric":"soak_pq_probe","vectors":$nVec,"sec":$secPp%.2f,"codes_mb":$codesMb%.1f,"read_mb":$pqReadMb%.1f,"vectors_mb":$vecMb%.0f}""")
     }
 
     spark.stop()

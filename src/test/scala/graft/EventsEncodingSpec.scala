@@ -77,4 +77,44 @@ class EventsEncodingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("events.ts"))
   }
+
+  // ---- embeddings: the same lesson applied BEFORE it burns ----------
+
+  test("float and double embedding encodings load identically as array<float>") {
+    val base = Files.createTempDirectory("emb_enc").toString
+    import spark.implicits._
+    val vecs = Seq((0L, Seq(1.5f, -2.25f, 0.125f)), (1L, Seq(0.0f, 3.5f, -1.75f)))
+    vecs.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/f32/embeddings.parquet")
+    // numpy-float64 shape: same values, double elements
+    vecs.map { case (id, v) => (id, v.map(_.toDouble)) }.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/f64/embeddings.parquet")
+    val loaded = Seq(s"$base/f32", s"$base/f64").map { dir =>
+      val df = graft.sources.Tables.embeddings(spark, dir)
+      assert(df.schema("embedding").dataType ==
+        ArrayType(FloatType, containsNull = true) ||
+        df.schema("embedding").dataType == ArrayType(FloatType, containsNull = false),
+        s"$dir: loader must normalize to array<float>, got ${df.schema("embedding").dataType}")
+      df.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    }
+    assert(loaded(0) == loaded(1), "float vs double embedding rows differ")
+    // and the value path the kernels take (getFloat slots) is intact:
+    // a dot product over the normalized load matches the literal fold
+    graft.plans.GraftFunctions.register(spark)
+    val d = graft.functions.VectorFunctions.cosineNative(col("embedding"), col("embedding"))
+    val ones = graft.sources.Tables.embeddings(spark, s"$base/f64")
+      .select(d.as("c")).collect().map(_.getDouble(0))
+    assert(ones.forall(c => math.abs(c - 1.0) < 1e-12))
+  }
+
+  test("unsupported embedding element type is rejected with a clear error") {
+    val base = Files.createTempDirectory("emb_bad").toString
+    import spark.implicits._
+    Seq((1L, Seq("a", "b"))).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.embeddings(spark, base)
+    }
+    assert(e.getMessage.contains("embeddings.embedding"))
+  }
 }

@@ -96,8 +96,12 @@ class SimilaritySpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     val pq = Similarity.knnPq(emb, "vec_id", "embedding", 10, 5)
     val plan = pq.queryExecution.executedPlan.toString
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"all-pairs plan leaked into ADC:\n$plan")
+    // the ADC scan is DELIBERATELY codes × broadcast-query-batch (it
+    // is exhaustive by design); what must never appear is a
+    // non-broadcast product, and the cut must ride TopKPerKey
+    assert(!plan.contains("CartesianProduct"),
+      s"non-broadcast product leaked into ADC:\n$plan")
+    assert(plan.contains("TopKPerKey"), s"ADC cut fell off TopKPerKey:\n$plan")
     val got = pq.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = Similarity.knnBruteForce(emb, "vec_id", "embedding", 10, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -125,6 +129,12 @@ class SimilaritySpec extends AnyFunSuite {
     val eDt = Similarity.pqDistTableExprForm(q, "vec_id", "embedding", cbs)
     assert(kDt.exceptAll(eDt).isEmpty && eDt.exceptAll(kDt).isEmpty,
       "pqDistTable kernel diverged from the expression form")
+    // and the ADC scan shape (kernel lookup-sum, no shuffle) answers
+    // exactly like the unnest-join-groupBy formulation it replaced
+    val scan = Similarity.knnPq(emb, "vec_id", "embedding", 10, 5)
+    val join = Similarity.knnPqJoinForm(emb, "vec_id", "embedding", 10, 5)
+    assert(scan.exceptAll(join).isEmpty && join.exceptAll(scan).isEmpty,
+      "ADC scan shape diverged from the join formulation")
   }
 
   test("embeddingPairsScaled: small corpus resolves to the 5-plane default; cap preserves pairs") {
@@ -186,6 +196,24 @@ class SimilaritySpec extends AnyFunSuite {
     val b = Similarity.knnLshProbe(spark, whole, queries, "vec_id", "embedding", k = 5)
     assert(a.count() == b.count())
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("knnIvfPq: cell-restricted ADC agrees with exhaustive ADC on shared pairs") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val ivfpq = Similarity.knnIvfPq(emb, "vec_id", "embedding", 10, 5)
+    val plan = ivfpq.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TopKPerKey"), s"IVFPQ cut fell off TopKPerKey:\n$plan")
+    val rows = ivfpq.collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(0)).distinct.length == 10)
+    // same codes + same distance tables ⇒ any (query, neighbor) pair
+    // both searches emit must carry the IDENTICAL approximate distance
+    val full = Similarity.knnPq(emb, "vec_id", "embedding", 10, 5)
+      .select(col("query_id"), col("neighbor_id"), col("adist").as("adist_full"))
+    val joined = ivfpq.join(full, Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("adist") =!= col("adist_full")).count() == 0,
+      "cell-restricted ADC distance diverged from exhaustive ADC")
   }
 
   test("persisted PQ index: probe equals the ad-hoc knnPq answer, vectors never read") {
