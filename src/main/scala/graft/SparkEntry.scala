@@ -690,6 +690,9 @@ object SparkEntry {
     // (Rae et al. 2021, appendix A1.1)
     "gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text")),
+    // NFC + control-strip + whitespace-collapse canonicalization (C60)
+    "text_normalize" -> ((s, d) =>
+      TextAnalysis.textNormalize(Tables.documents(s, d), "doc_id", "text")),
     "gopher_repetition" -> ((s, d) =>
       TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")),
     "corpus_dedup" -> ((s, d) =>
@@ -1324,6 +1327,16 @@ object SparkEntry {
          |    ELSE cast(0.0 AS double) END AS repetition_ratio
          |FROM (SELECT doc_id, ${TextFunctions.shinglesSql("tokens", 2)} AS g
          |      FROM (SELECT doc_id, $tok AS tokens FROM documents))""".stripMargin,
+    "text_normalize" ->
+      s"""SELECT doc_id,
+         |  norm AS normalized,
+         |  norm <> text AS changed,
+         |  cast(length(text) AS integer) AS n_chars_before,
+         |  cast(length(norm) AS integer) AS n_chars_after
+         |FROM (SELECT doc_id, text,
+         |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+         |      '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'), '[ \\t]+', ' ', 'g')) AS norm
+         |  FROM documents)""".stripMargin,
     // every ratio is an IEEE division of exact integers — bit-portable
     "gopher_rules" ->
       s"""WITH base AS (SELECT doc_id, text, $tok AS t,

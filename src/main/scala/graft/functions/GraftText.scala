@@ -280,4 +280,18 @@ object GraftText {
     }
     new GenericArrayData(out)
   }
+
+  /** Unicode NFC normalization (java.text.Normalizer — the JDK's
+    * conformant implementation; DuckDB's `nfc_normalize` implements
+    * the same Unicode algorithm, so the twins agree byte-for-byte).
+    * Already-normalized text (the common case — `isNormalized` is a
+    * cheap quick-check scan) returns the input UTF8String unchanged,
+    * no allocation.
+    */
+  def nfc(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }

@@ -577,6 +577,35 @@ object TextAnalysis {
           greatest(coalesce(col("__ng"), lit(0L)), lit(1L))).as("dup_fraction"))
   }
 
+  /** C60: text normalization — the canonicalization pass that fronts
+    * every fingerprint/dedup stage in a real crawl pipeline (two
+    * byte-different encodings of the same text must dedup together):
+    *
+    *   1. Unicode NFC (native codegen'd kernel `NfcExpr` — the JDK
+    *      Normalizer, byte-identical to DuckDB's `nfc_normalize`);
+    *   2. strip control characters except `\n` and `\t` (CR dies here,
+    *      so CRLF collapses to LF);
+    *   3. collapse space/tab runs to a single space and trim.
+    *
+    * Emits the normalized text plus a `changed` flag and before/after
+    * char counts, so a pipeline can measure how dirty a source is.
+    * Pure map-side (one scan, zero shuffle); already-NFC text passes
+    * through the kernel without allocation.
+    */
+  def textNormalize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    val nfcCol = GraftPlanFactory.column(
+      graft.plans.NfcExpr(GraftPlanFactory.expression(col(textCol))))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"), nfcCol.as("__n"))
+      .select(col("doc_id"), col("__t"),
+        trim(regexp_replace(regexp_replace(col("__n"),
+          "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""), "[ \\t]+", " ")).as("normalized"))
+      .select(col("doc_id"), col("normalized"),
+        (col("normalized") =!= col("__t")).as("changed"),
+        length(col("__t")).as("n_chars_before"),
+        length(col("normalized")).as("n_chars_after"))
+  }
+
   /** The Gopher "must contain ≥ 2 of these" required-word list
     * (Rae et al. 2021, "Scaling Language Models: ... Gopher",
     * appendix A1.1 quality filters — public paper, list verbatim).

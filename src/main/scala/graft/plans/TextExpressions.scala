@@ -170,3 +170,24 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.GraftText.shingles($c, $n);")
 }
+
+/** Unicode NFC normalization of a string column (GraftText.nfc — the
+  * JDK Normalizer; DuckDB's `nfc_normalize` twin agrees
+  * byte-for-byte). Codegen'd so the cleanup scan stays inside the
+  * surrounding whole-stage; already-NFC text passes through without
+  * allocation.
+  */
+case class NfcExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.GraftText.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftText.nfc($c);")
+}

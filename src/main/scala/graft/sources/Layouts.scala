@@ -67,4 +67,45 @@ object Layouts {
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  private def parquetBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(path)
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .mapToLong(java.nio.file.Files.size(_)).sum()
+    finally s.close()
+  }
+
+  private def parquetFileCount(path: String): Int = {
+    val root = java.nio.file.Paths.get(path)
+    val s = java.nio.file.Files.walk(root)
+    try s.filter(p => java.nio.file.Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).count().toInt
+    finally s.close()
+  }
+
+  /** Small-file compaction — the lakehouse OPTIMIZE pass. Streaming
+    * sinks and incremental appends leave thousands of KB-scale files;
+    * at 100 TB the scan's task-scheduling and footer-read overhead is
+    * then dominated by FILE COUNT, not bytes. Rewrites `src` into
+    * `dest` as ceil(bytes ∕ targetMb) files via `coalesce` (no
+    * shuffle — partitions are merged, never redistributed; use
+    * [[writeZOrdered]] when re-clustering is the goal). Returns
+    * (filesBefore, filesAfter). `dest` must differ from `src`: the
+    * rewrite is a fresh atomic-ish directory write, never an in-place
+    * mutation of files a concurrent reader may hold open — callers
+    * swap the path at their metadata layer, the same contract a real
+    * table format's OPTIMIZE commits through its log.
+    */
+  def compact(spark: SparkSession, src: String, dest: String,
+              targetMb: Int = 128): (Int, Int) = {
+    require(src != dest, "compact() rewrites into a NEW directory")
+    val before = parquetFileCount(src)
+    val bytes = parquetBytes(src)
+    val nFiles = math.max(1, math.ceil(bytes / (targetMb * 1e6)).toInt)
+    spark.read.parquet(src).coalesce(nFiles)
+      .write.mode("overwrite").parquet(dest)
+    (before, parquetFileCount(dest))
+  }
 }

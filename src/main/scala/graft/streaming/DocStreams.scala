@@ -145,6 +145,18 @@ object DocStreams {
                        defaultRate: Double = 1.0): DataFrame =
     graft.operators.Curation.mixtureSample(docs, idCol, stratumCol, rates, defaultRate)
 
+  /** Streaming Gopher admission — the continuous twin of C57's rule
+    * gate. Every Gopher rule is a pure function of the document, so
+    * the batch operator IS the streaming operator (STATELESS map-side
+    * select: no state store, no watermark, no shuffle) and replaying a
+    * corpus through the stream reproduces the batch keep-set exactly
+    * (spec-pinned, the [[mixtureAdmission]] pattern). Emits only
+    * admitted documents, rule metrics attached for audit.
+    */
+  def gopherAdmission(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.operators.TextAnalysis.gopherRules(docs, idCol, textCol)
+      .filter(col("keep"))
+
   /** Top-`k` trending terms per closed window, deterministic tiebreak
     * (count desc, token asc) — planned through TopKPerKey: each input
     * partition is reduced to ≤ k rows per window BEFORE the shuffle.

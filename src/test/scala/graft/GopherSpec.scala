@@ -90,4 +90,59 @@ class GopherSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("text_normalize: NFC combine, control strip, whitespace collapse") {
+    val rows = Seq(
+      (1L, "cafe\u0301  du\tmonde"), // decomposed acute + space run + tab
+      (2L, "line1\r\nline2"),  // CRLF → LF
+      (3L, "already clean"))
+    val got = TextAnalysis.textNormalize(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[String]("normalized") == "caf\u00e9 du monde")
+    assert(got(1L).getAs[Boolean]("changed"))
+    assert(got(1L).getAs[Int]("n_chars_before") == 15)
+    assert(got(1L).getAs[Int]("n_chars_after") == 13)
+    assert(got(2L).getAs[String]("normalized") == "line1\nline2")
+    assert(got(3L).getAs[String]("normalized") == "already clean")
+    assert(!got(3L).getAs[Boolean]("changed"))
+    // map-side: no exchange anywhere
+    val plan = TextAnalysis.textNormalize(
+        rows.toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("streaming gopher admission equals the batch keep-set exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the synthetic corpus admits nobody (no doc carries ≥ 2 Gopher
+    // required words), so plant passing docs among the real ones to
+    // prove the gate admits AND rejects on the same stream
+    val keeper = (Seq.fill(10)("the quick brown fox jumps over") :+ "with lazy dogs")
+      .mkString(" ")
+    val planted = (1 to 5).map(i => (100000L + i, keeper)).toDF("doc_id", "text")
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+      .unionAll(planted)
+    val batchIds = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds.nonEmpty && batchIds.size < 505,
+      "gate must admit the planted docs and reject some of the corpus")
+    val ms = MemoryStream[(Long, String)]
+    val out = graft.streaming.DocStreams
+      .gopherAdmission(ms.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("gopher_adm")
+      .outputMode("append").start()
+    try {
+      // two micro-batches — the decision must not depend on batching
+      val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      ms.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("gopher_adm").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == batchIds)
+    } finally q.stop()
+  }
 }

@@ -93,4 +93,27 @@ class LayoutsSpec extends AnyFunSuite {
       assert(joined.count() == li.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compact merges a small-file flood into target-size files, rows intact") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val src = s"$base/src"
+    val dest = s"$base/dest"
+    val docs = Tables.documents(spark, sf)
+    // a streaming-sink-shaped flood: one tiny file per partition
+    docs.repartition(64).write.mode("overwrite").parquet(src)
+    val (before, after) = Layouts.compact(spark, src, dest, targetMb = 128)
+    assert(before >= 64, s"flood setup produced only $before files")
+    assert(after == 1, s"500 tiny docs should compact to one file, got $after")
+    // content identical (same rows, nothing dropped or duplicated)
+    val a = spark.read.parquet(src)
+    val b = spark.read.parquet(dest)
+    assert(b.count() == a.count())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and it never rewrites in place
+    intercept[IllegalArgumentException] {
+      Layouts.compact(spark, src, src)
+    }
+    assert(spark.read.parquet(src).count() == docs.count())
+  }
 }
