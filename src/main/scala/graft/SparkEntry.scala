@@ -665,6 +665,14 @@ object SparkEntry {
     // IVF cells restrict the candidates, PQ codes score them (C59)
     "knn_ivfpq" -> ((s, d) =>
       Similarity.knnIvfPq(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
+    // embedding-space eval decontamination (C61) — benchmark fixture is
+    // fixed-cardinality at any SF, the broadcast contract
+    "decontaminate_semantic" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val isEval = col("vec_id") % 50 === 7
+      Similarity.decontaminateSemantic(emb.filter(!isEval), emb.filter(isEval),
+        "vec_id", "embedding")
+    }),
     "lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")),
     "text_quality" -> ((s, d) =>
@@ -1518,6 +1526,20 @@ object SparkEntry {
     "embedding_pq" -> Similarity.pqEncodeOracleSql(),
     "knn_pq" -> Similarity.knnPqOracleSql(),
     "knn_ivfpq" -> Similarity.knnIvfPqOracleSql(),
+    "decontaminate_semantic" ->
+      s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS e
+         |  FROM embeddings WHERE vec_id % 50 = 7),
+         |tr AS (SELECT vec_id, embedding AS t
+         |  FROM embeddings WHERE vec_id % 50 <> 7),
+         |scored AS (SELECT tr.vec_id, ev.eval_id,
+         |    round(${cosSql("tr.t", "ev.e")}, 6) AS c
+         |  FROM tr CROSS JOIN ev),
+         |m AS (SELECT vec_id,
+         |    max(struct_pack(c := c, nid := -eval_id)) AS m
+         |  FROM scored GROUP BY 1)
+         |SELECT vec_id, m.c AS max_eval_cos, -m.nid AS nearest_eval_id,
+         |  m.c >= 0.9 AS contaminated
+         |FROM m""".stripMargin,
     "dedup_pagerank" -> operators.Graph.pagerankOracleSql(),
     "semantic_clusters" ->
       s"""WITH RECURSIVE ${lshBucketsCte(nTables = 16)},

@@ -281,6 +281,71 @@ object GraftText {
     new GenericArrayData(out)
   }
 
+  /** Per-document n-gram repetition stats in ONE map-side pass (the
+    * graft.plans.GramStatsExpr kernel): the most frequent 2- and
+    * 3-gram with counts (ties → lexicographically smaller gram) and
+    * the duplicated-5-gram character mass (Σ count × gram chars over
+    * grams occurring ≥ 2×). Per-document stats need no cross-document
+    * state, so the (doc, n, gram) count shuffle the window/groupBy
+    * formulation pays is pure waste — this sorts each doc's gram array
+    * and walks the runs, like tokenDiversityStats. Gram comparison is
+    * binary UTF-8 (UTF8String.compareTo ≡ Spark string order ≡
+    * DuckDB's binary collation), so tie-breaks match the oracle.
+    */
+  def gramStats(toks: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val EmptyStr = UTF8String.fromString("")
+    def grams(n: Int): Array[UTF8String] = {
+      val m = toks.numElements()
+      if (m < n) return Array.empty
+      val out = new Array[UTF8String](m - n + 1)
+      val window = new Array[UTF8String](n)
+      var i = 0
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(Space, window: _*)
+        i += 1
+      }
+      out
+    }
+    // top gram by (count desc, gram asc): sorted ascending, a strict >
+    // keeps the first (smallest) gram among equal-count runs
+    def top(n: Int): (UTF8String, Long) = {
+      val g = grams(n)
+      if (g.isEmpty) return (EmptyStr, 0L)
+      java.util.Arrays.sort(g.asInstanceOf[Array[AnyRef]])
+      var bestG = g(0); var bestC = 0L
+      var runG = g(0); var runC = 0L
+      var i = 0
+      while (i < g.length) {
+        if (g(i).equals(runG)) runC += 1
+        else { if (runC > bestC) { bestC = runC; bestG = runG }; runG = g(i); runC = 1L }
+        i += 1
+      }
+      if (runC > bestC) { bestC = runC; bestG = runG }
+      (bestG, bestC)
+    }
+    def dupChars(n: Int): Long = {
+      val g = grams(n)
+      if (g.isEmpty) return 0L
+      java.util.Arrays.sort(g.asInstanceOf[Array[AnyRef]])
+      var total = 0L
+      var runG = g(0); var runC = 0L
+      var i = 0
+      while (i < g.length) {
+        if (g(i).equals(runG)) runC += 1
+        else { if (runC >= 2) total += runC * runG.numChars(); runG = g(i); runC = 1L }
+        i += 1
+      }
+      if (runC >= 2) total += runC * runG.numChars()
+      total
+    }
+    val (g2, c2) = top(2)
+    val (g3, c3) = top(3)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](g2, c2, g3, c3, dupChars(5)))
+  }
+
   /** Unicode NFC normalization (java.text.Normalizer — the JDK's
     * conformant implementation; DuckDB's `nfc_normalize` implements
     * the same Unicode algorithm, so the twins agree byte-for-byte).

@@ -105,6 +105,17 @@ object TextFunctions {
       graft.plans.TokenDiversityExpr(GraftPlanFactory.expression(c)))
   }
 
+  /** Per-document gram repetition stats over a token array — native
+    * codegen'd expression (graft.plans.GramStatsExpr): struct of
+    * (top2_gram, top2_count, top3_gram, top3_count, dup5_chars) from
+    * one sorted-run walk per row, no explode, no count shuffle.
+    */
+  def gramStats(tokensCol: Column): Column = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftPlanFactory.column(
+      graft.plans.GramStatsExpr(GraftPlanFactory.expression(tokensCol)))
+  }
+
   /** Reference implementation of [[shingles]] from built-in HOFs — for
     * the parity spec only.
     */

@@ -646,6 +646,37 @@ object Similarity {
     * two passes, no wide shuffle, O(1) driver state at any corpus
     * size.
     */
+  /** C61: semantic decontamination — the embedding-space twin of the
+    * n-gram screen (Curation.decontaminate): a training document whose
+    * EMBEDDING sits above `minCos` of any eval-benchmark embedding is
+    * contaminated even when no 4-gram survives paraphrase. The eval
+    * set is benchmark-sized (fixed cardinality at any corpus scale —
+    * the same contract decontaminate's broadcast rides), so it crosses
+    * as ONE broadcast and the corpus pays a map-side scan + a
+    * partial-agg'd max per vector: no corpus shuffle, no pairing
+    * stage, linear at 100 TB. Emits every train vector with its
+    * nearest-eval cosine, the offending eval id (ties → lower id) and
+    * the flag — re-thresholdable without a re-scan.
+    */
+  def decontaminateSemantic(train: DataFrame, eval: DataFrame,
+                            idCol: String, vecCol: String,
+                            minCos: Double = 0.9): DataFrame = {
+    GraftFunctions.register(train.sparkSession)
+    val ev = eval.select(col(idCol).as("eval_id"), col(vecCol).as("ev"))
+    val scored = train.select(col(idCol).as("vec_id"), col(vecCol).as("tv"))
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"), col("eval_id"),
+        round(VectorFunctions.cosineNative(col("tv"), col("ev")), 6).as("cos"))
+    // max struct((cos, -eval_id)) picks the highest cosine and, on
+    // exact ties, the LOWER eval id — deterministic on both engines
+    scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), (-col("eval_id")).as("nid"))).as("__m"))
+      .select(col("vec_id"),
+        col("__m").getField("cos").as("max_eval_cos"),
+        (-col("__m").getField("nid")).as("nearest_eval_id"),
+        (col("__m").getField("cos") >= minCos).as("contaminated"))
+  }
+
   def embeddingOutliers(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     // graft_dot is float-left × double-right; both sides hold the same

@@ -690,17 +690,39 @@ object TextAnalysis {
     *     occurrences attribute their chars independently (the paper's
     *     convention; a cheap upper bound, flagging is the use).
     *
-    * Scale shape: ONE corpus scan explodes the 2/3/5-gram shingle
-    * arrays together (gram width recovered from its space count — no
-    * re-tokenize, no second scan), one (doc, n, gram) partial-agg'd
-    * count shuffle bounded by total gram occurrences, then the top-1
-    * cut rides the custom TopKPerKey operator (final shuffle O(docs),
-    * never the gram table) and the dup-5 sum partial-aggregates. Ties
+    * Scale shape: ZERO shuffle — per-document gram stats need no
+    * cross-document state, so one native kernel call per row
+    * (graft.plans.GramStatsExpr — shingle + sort + run-walk in the
+    * scan) replaces the explode → (doc, n, gram) count shuffle →
+    * TopKPerKey formulation, which is kept as the spec-pinned parity
+    * reference ([[gopherRepetitionShuffle]]; it was the #2 tail of the
+    * sf0.1 bench at 7.6 s — the kernel form runs at scan speed). Ties
     * for the top gram break on the lexicographically smaller gram
-    * (`__neg` + ascending struct order, the tfIdfTopTerms pattern).
-    * Every share is an IEEE division of exact integers — bit-portable.
+    * (binary UTF-8 order on both engines). Every share is an IEEE
+    * division of exact integers — bit-portable.
     */
   def gopherRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val s = col("__s")
+    val share = (cnt: Column, gram: Column) =>
+      (cnt * length(gram)).cast("double") / greatest(col("n_chars"), lit(1))
+    docs.select(col(idCol).as("doc_id"), length(col(textCol)).as("n_chars"),
+        gramStats(tokens(col(textCol))).as("__s"))
+      .select(col("doc_id"), col("n_chars"),
+        s.getField("top2_gram").as("top2_gram"),
+        s.getField("top2_count").as("top2_count"),
+        share(s.getField("top2_count"), s.getField("top2_gram")).as("top2_share"),
+        s.getField("top3_gram").as("top3_gram"),
+        s.getField("top3_count").as("top3_count"),
+        share(s.getField("top3_count"), s.getField("top3_gram")).as("top3_share"),
+        (s.getField("dup5_chars").cast("double") /
+          greatest(col("n_chars"), lit(1))).as("dup5_char_mass"))
+  }
+
+  /** Shuffle formulation of [[gopherRepetition]] — parity reference
+    * only (explode + count shuffle + TopKPerKey; the kernel computes
+    * the same values map-side).
+    */
+  def gopherRepetitionShuffle(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"),

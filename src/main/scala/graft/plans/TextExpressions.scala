@@ -191,3 +191,32 @@ case class NfcExpr(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.GraftText.nfc($c);")
 }
+
+/** Per-document n-gram repetition stats struct (GraftText.gramStats):
+  * (top2_gram, top2_count, top3_gram, top3_count, dup5_chars) from one
+  * sorted-run walk per row — the map-side form of the (doc, n, gram)
+  * count-shuffle formulation (kept in TextAnalysis as the parity
+  * reference).
+  */
+case class GramStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("top2_gram", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("top2_count",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("top3_gram", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("top3_count",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dup5_chars",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_gram_stats"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.GraftText.gramStats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftText.gramStats($c);")
+}

@@ -83,12 +83,23 @@ class GopherSpec extends AnyFunSuite {
     assert(got(0).getAs[Double]("dup5_char_mass") == 0.0)
   }
 
-  test("gopher_repetition cuts the top gram through TopKPerKey, not a window") {
-    val df = TextAnalysis.gopherRepetition(
-      Seq((1L, "a b c a b")).toDF("doc_id", "text"), "doc_id", "text")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerKey"), plan)
-    assert(!plan.contains("Window"), plan)
+  test("gopher_repetition kernel is map-side and equals the shuffle formulation") {
+    // the kernel form must not shuffle at all...
+    val plan = TextAnalysis.gopherRepetition(
+        Seq((1L, "a b c a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // ...and the shuffle reference must cut through TopKPerKey
+    val refPlan = TextAnalysis.gopherRepetitionShuffle(
+        Seq((1L, "a b c a b")).toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(refPlan.contains("TopKPerKey") && !refPlan.contains("Window"), refPlan)
+    // bit-parity on the real corpus (counts, tie-breaks, shares)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val k = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+    val s = TextAnalysis.gopherRepetitionShuffle(docs, "doc_id", "text")
+    assert(k.exceptAll(s).isEmpty && s.exceptAll(k).isEmpty,
+      "gram-stats kernel diverged from the shuffle formulation")
   }
 
   test("text_normalize: NFC combine, control strip, whitespace collapse") {

@@ -259,6 +259,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(gotCodes == wantCodes)
   }
 
+  test("decontaminateSemantic: planted eval twin is flagged, scan is broadcast-shaped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val isEval = col("vec_id") % 50 === 7
+    val eval = emb.filter(isEval)
+    // plant a train vector IDENTICAL to eval vector 7 — paraphrase-proof
+    // contamination the n-gram screen can't see
+    val twin = eval.filter(col("vec_id") === 7)
+      .collect().map(r => (999999L, r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    val train = emb.filter(!isEval).select("vec_id", "embedding").unionAll(twin)
+    val out = Similarity.decontaminateSemantic(train, eval, "vec_id", "embedding")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"eval side must broadcast, not shuffle-join:\n$plan")
+    val rows = out.collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == train.count())
+    val p = rows(999999L)
+    assert(p.getAs[Double]("max_eval_cos") == 1.0)
+    assert(p.getAs[Long]("nearest_eval_id") == 7L)
+    assert(p.getAs[Boolean]("contaminated"))
+    // sanity: every score is a cosine
+    assert(rows.values.forall(r => math.abs(r.getAs[Double]("max_eval_cos")) <= 1.0))
+  }
+
   test("knnLsh candidates carry no vector payload through the dedup shuffle") {
     val emb = Tables.embeddings(spark, sf)
     val plan = Similarity.knnLsh(emb, "vec_id", "embedding", 10, 5)
