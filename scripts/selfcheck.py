@@ -4,7 +4,13 @@ dumped by graft.Verify, run the matching oracleSql in DuckDB over the
 same sf parquet tables and compare row count, schema width, and exact
 values (rows sorted, columns sorted by name — like the driver).
 
-Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [skipCsv]
+
+skipCsv: comma-separated query names whose DuckDB twins are
+single-node-infeasible at the given scale (the sf>=1 sweep skips
+semantic_clusters,semantic_dedup,winnow_overlap — their recursive-CTE/
+pair-self-join oracles exceeded 129 GB RSS; those are verified
+structurally instead, SURVEY section 7f round 7).
 """
 import sys, json, math, glob, os
 import duckdb
@@ -19,7 +25,7 @@ def norm(v):
         return repr(v)  # full precision
     return repr(v)
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     # Bound the oracle's memory and give it a spill dir: the heavy
     # dedup/clustering oracles (recursive CTEs, fingerprint pair
@@ -39,6 +45,9 @@ def main(sf_dir, out_dir):
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
+            continue
+        if name in skip:
+            print(f"  SKIP {name}: oracle infeasible at this scale (structural check instead)")
             continue
         files = glob.glob(f"{d}/*.parquet")
         got_cols = [r[0] for r in con.execute(
@@ -77,4 +86,5 @@ def main(sf_dir, out_dir):
     return n_fail
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    skip = tuple(sys.argv[3].split(",")) if len(sys.argv) > 3 else ()
+    sys.exit(1 if main(sys.argv[1], sys.argv[2], skip) else 0)

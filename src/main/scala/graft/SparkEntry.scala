@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, MapReduceOps, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, MapReduceOps, Multimodal, Relational, Scoring, Similarity, TextAnalysis}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.sources.Tables
 
@@ -703,6 +703,19 @@ object SparkEntry {
       TextAnalysis.textNormalize(Tables.documents(s, d), "doc_id", "text")),
     "gopher_repetition" -> ((s, d) =>
       TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")),
+    // CCNet-style bigram-LM perplexity screen: per-doc cross-entropy
+    // under a corpus-trained LM, head/middle/tail terciles (C62)
+    "ngram_lm_perplexity" -> ((s, d) =>
+      Scoring.ngramLmPerplexity(Tables.documents(s, d), "doc_id", "text")),
+    // DSIR hashed-n-gram importance weights against the 'en' slice (C63)
+    "dsir_weights" -> ((s, d) =>
+      Scoring.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en")),
+    // Naive-Bayes bag-of-tokens quality classifier — the deterministic
+    // "fasttext-like classifier" analog (C64)
+    "quality_classifier_nb" -> ((s, d) =>
+      Scoring.nbQualityClassifier(Tables.documents(s, d), "doc_id", "text",
+        col("lang") === "en")),
     "corpus_dedup" -> ((s, d) =>
       Dedup.corpusDedup(Tables.documents(s, d), "doc_id", "text")),
     "dedup_clusters" -> ((s, d) =>
@@ -1540,6 +1553,86 @@ object SparkEntry {
          |SELECT vec_id, m.c AS max_eval_cos, -m.nid AS nearest_eval_id,
          |  m.c >= 0.9 AS contaminated
          |FROM m""".stripMargin,
+    // log-based scores: every ln is rounded to 6 decimals and cast to
+    // DECIMAL before summing (the 1-ulp JVM/DuckDB ln divergence is
+    // absorbed by the round; decimal sums are exact and
+    // order-independent — see operators/Scoring.scala)
+    "ngram_lm_perplexity" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS t FROM documents),
+         |dg AS (SELECT doc_id, gram, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(${TextFunctions.shinglesSql("t", 2)}) AS gram
+         |        FROM toks)
+         |  GROUP BY 1, 2),
+         |gc AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS c2 FROM dg GROUP BY 1),
+         |pc AS (SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+         |  FROM gc GROUP BY 1),
+         |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |    round(CAST(sum(CAST(tf AS DECIMAL(10,0)) *
+         |        CAST(round(ln(CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE)), 6)
+         |          AS DECIMAL(18,6))) AS DOUBLE)
+         |      / CAST(sum(tf) AS BIGINT), 6) AS cross_entropy
+         |  FROM dg JOIN gc USING (gram)
+         |    JOIN pc ON pc.w1 = split_part(gram, ' ', 1)
+         |  GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM sc)
+         |SELECT doc_id, n_bigrams, cross_entropy,
+         |  CASE WHEN (rn - 1) * 3 < n_docs THEN 'head'
+         |       WHEN (rn - 1) * 3 < 2 * n_docs THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM (SELECT doc_id, n_bigrams, cross_entropy,
+         |    row_number() OVER (ORDER BY cross_entropy, doc_id) AS rn FROM sc)
+         |CROSS JOIN n""".stripMargin,
+    "dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, lang = 'en' AS tgt, $tok AS t FROM documents),
+         |feats AS (SELECT doc_id, tgt,
+         |    ${graft.functions.PortableHash.duckdb("'dsir|' || feat")} % 4096 AS bucket,
+         |    count(*) AS cnt
+         |  FROM (SELECT doc_id, tgt,
+         |        unnest(list_concat(t, ${TextFunctions.shinglesSql("t", 2)})) AS feat
+         |        FROM toks)
+         |  GROUP BY 1, 2, 3),
+         |counts AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr,
+         |    CAST(sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS ct
+         |  FROM feats GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+         |    CAST(sum(ct) AS BIGINT) AS nt FROM counts),
+         |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         |    round(CAST(sum(CAST(cnt AS DECIMAL(10,0)) * CAST(round(ln(
+         |      (CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE)) /
+         |      (CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE))), 6)
+         |      AS DECIMAL(18,6))) AS DOUBLE), 6) AS log_weight
+         |  FROM feats JOIN counts USING (bucket) CROSS JOIN tot
+         |  GROUP BY 1),
+         |m AS (SELECT count(*) AS m FROM documents WHERE lang = 'en')
+         |SELECT doc_id, n_feats, log_weight,
+         |  row_number() OVER (ORDER BY log_weight DESC, doc_id) <= m AS keep
+         |FROM sc CROSS JOIN m""".stripMargin,
+    "quality_classifier_nb" ->
+      s"""WITH dt AS (SELECT doc_id, pos, token, count(*) AS cnt
+         |  FROM (SELECT doc_id, lang = 'en' AS pos, unnest($tok) AS token
+         |        FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |counts AS (SELECT token,
+         |    CAST(sum(CASE WHEN pos THEN cnt ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(sum(CASE WHEN pos THEN 0 ELSE cnt END) AS BIGINT) AS cn
+         |  FROM dt GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np,
+         |    CAST(sum(cn) AS BIGINT) AS nn, count(*) AS v FROM counts),
+         |dprior AS (SELECT
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS dn
+         |  FROM documents),
+         |sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |    round(CAST(max(CAST(round(ln(CAST(dp AS DOUBLE) / CAST(dn AS DOUBLE)), 6)
+         |        AS DECIMAL(18,6))) AS DOUBLE)
+         |      + CAST(sum(CAST(cnt AS DECIMAL(10,0)) * CAST(round(ln(
+         |        (CAST(cp + 1 AS DOUBLE) / CAST(np + v AS DOUBLE)) /
+         |        (CAST(cn + 1 AS DOUBLE) / CAST(nn + v AS DOUBLE))), 6)
+         |        AS DECIMAL(18,6))) AS DOUBLE), 6) AS log_odds
+         |  FROM dt JOIN counts USING (token) CROSS JOIN tot CROSS JOIN dprior
+         |  GROUP BY 1)
+         |SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS predicted
+         |FROM sc""".stripMargin,
     "dedup_pagerank" -> operators.Graph.pagerankOracleSql(),
     "semantic_clusters" ->
       s"""WITH RECURSIVE ${lshBucketsCte(nTables = 16)},

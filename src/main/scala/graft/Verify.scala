@@ -4,7 +4,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query names — dump only
+    // those (incremental re-verification after adding queries; the
+    // driver's two-arg form still dumps everything)
+    val only = args.lift(2).map(_.split(',').toSet)
+    def included(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // same tuned session the library ships (GraftSession) — verify the
     // configuration users actually run
@@ -17,7 +22,8 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val futures = SparkEntry.queries.toSeq.filter(q => included(q._1))
+      .map { case (name, fn) =>
       scala.concurrent.Future {
         try Monitoring.tag(fn(spark, sfDir), name).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

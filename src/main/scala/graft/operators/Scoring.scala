@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.Materialize.MaterializeOps
+
+/** Model-based corpus scoring: the three published statistical-model
+  * filters a training-data pipeline runs between heuristic quality
+  * rules and expensive neural scoring —
+  *
+  *  - an n-gram LM perplexity screen (CCNet, Wenzek et al. 2020:
+  *    score every document with a language model trained on the
+  *    corpus, bucket into head/middle/tail by perplexity),
+  *  - DSIR importance weights (Xie et al. 2023, "Data Selection for
+  *    Language Models via Importance Resampling": hashed-n-gram
+  *    bag-of-words importance weights of a raw corpus against a
+  *    target distribution), and
+  *  - a Naive-Bayes quality classifier (the deterministic analog of
+  *    the "fasttext-like linear classifier" used to select
+  *    WebText-like documents in the GPT-3 / LLaMA data pipelines).
+  *
+  * All three share one shape, linear at any corpus size: ONE
+  * tokenize+explode scan partial-aggregated to (doc, feature, count)
+  * rows, a feature-keyed aggregation to a model table (vocabulary- /
+  * bucket-bounded, orders of magnitude smaller than the corpus), a
+  * feature-keyed join back (each (doc, feature) row crosses the
+  * shuffle once — never pairwise), and a per-doc partial-agg'd sum.
+  * No candidate blowup, no df-cap needed, no driver-side state: the
+  * "model" is a DataFrame. The (doc, feature, count) table feeds both
+  * the model aggregation and the scoring join, so it is materialized
+  * once ([[graft.Materialize]]).
+  *
+  * Cross-engine float portability (the repo-wide contract that every
+  * query hash-match a DuckDB oracle bit-for-bit): these are the
+  * first log-based scores in the inventory, and `ln` is the one
+  * non-portable primitive — measured on 200k integer ratios, JVM
+  * `Math.log` (Spark's `log`) and DuckDB `ln` disagree by exactly
+  * 1 ulp on ~0.1% of values. The established round-to-6-decimals
+  * discipline absorbs it: a 1-ulp pre-round split changes the rounded
+  * value only when the true value sits within 1 ulp of a 5e-7
+  * boundary — probability ~1e-10 per term. Each per-feature term is
+  * rounded to 6 decimals and cast to DECIMAL before summing, so
+  * per-doc sums are exact integers-in-disguise (order-independent,
+  * identical on both engines); the final per-doc score is one
+  * correctly-rounded decimal→double cast + round. Every double
+  * expression BEFORE the `ln` is written as the identical IEEE tree
+  * on both engines (explicit casts, same parenthesization), where
+  * both engines are bit-exact by construction.
+  *
+  * Reference correspondence: the reference ships word-count /
+  * grep-style corpus jobs (`shared/samples/word_count.py`) — these
+  * are the model-scoring members of that text-pipeline family.
+  */
+object Scoring {
+
+  /** round-6 natural log of a double column, as an exact decimal term.
+    * DECIMAL(18,6) keeps the count × term product within both engines'
+    * 38-digit decimal ceiling (DuckDB raises on precision overflow
+    * where Spark silently caps — the narrower type sidesteps both).
+    */
+  private def lnTerm(x: Column): Column =
+    round(log(x), 6).cast("decimal(18,6)")
+
+  /** count × term as an exact decimal (10+18+1 = 29 digits — in range). */
+  private def cntTerm(cnt: Column, term: Column): Column =
+    cnt.cast("decimal(10,0)") * term
+
+  // ------------------------------------------------------------------
+  // CCNet-style bigram-LM perplexity screen
+  // ------------------------------------------------------------------
+
+  /** Per-document cross-entropy under a bigram LM trained on the
+    * corpus itself, with head/middle/tail terciles — CCNet's
+    * perplexity bucketing (Wenzek et al. 2020 §4.3; CCNet scores with
+    * a KenLM 5-gram model trained on Wikipedia and keeps the
+    * low-perplexity "head"; here the LM is a bigram MLE trained on
+    * the corpus being scored, so every observed bigram has positive
+    * probability and no smoothing constant is needed).
+    *
+    * Per-token surprisal: −ln p(w2|w1) = ln(c(w1·)/c(w1w2)) with
+    * c(w1·) derived from the bigram table itself (sum over
+    * continuations — the prefix-count table is one small aggregation
+    * over the model, not a second corpus scan). Per-doc
+    * cross-entropy = Σ tf·surprisal ∕ Σ tf (nats/token); perplexity
+    * is exp of it — monotone, so the buckets are computed on
+    * cross-entropy directly and the non-portable `exp` is never
+    * evaluated.
+    *
+    * Tercile positions come from [[MapReduceOps.distributedSort]]'s
+    * range-partitioned sort — a global `row_number()` window would
+    * funnel every scored doc into one partition at 100 TB.
+    *
+    * Output: (doc_id, n_bigrams, cross_entropy, bucket) for every doc
+    * with ≥ 2 tokens.
+    */
+  def ngramLmPerplexity(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    // (doc, bigram, tf) — one scan, partial-agg'd; feeds the model agg
+    // AND the scoring join → materialized once
+    val docGrams = docs
+      .select(col(idCol), explode(
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), 2))
+        .as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("tf"))
+      .materialized
+
+    // model: bigram counts + prefix counts (vocabulary-bounded)
+    val gramCounts = docGrams.groupBy(col("gram"))
+      .agg(sum(col("tf")).as("c2"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val prefixCounts = gramCounts.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val model = gramCounts.join(prefixCounts, "w1")
+      .select(col("gram"), col("c1"), col("c2"))
+
+    // score: tf-weighted surprisal mass, exact decimal sum per doc
+    val scored = docGrams.join(model, "gram")
+      .withColumn("term", cntTerm(col("tf"),
+        lnTerm(col("c1").cast("double") / col("c2").cast("double"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        round(sum(col("term")).cast("double") / sum(col("tf")), 6)
+          .as("cross_entropy"))
+      .materialized
+
+    val nDocs = broadcast(scored.agg(count(lit(1)).as("__n")))
+    MapReduceOps.distributedSort(scored,
+        Seq(col("cross_entropy"), col(idCol)),
+        Seq(col(idCol), col("n_bigrams"), col("cross_entropy")))
+      .crossJoin(nDocs)
+      .withColumn("bucket",
+        when((col("pos") - 1) * 3 < col("__n"), lit("head"))
+          .when((col("pos") - 1) * 3 < col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col("n_bigrams"), col("cross_entropy"), col("bucket"))
+  }
+
+  // ------------------------------------------------------------------
+  // DSIR hashed-n-gram importance weights
+  // ------------------------------------------------------------------
+
+  /** DSIR importance weights (Xie et al. 2023): represent every doc as
+    * a bag of hashed unigram+bigram features (buckets of a fixed
+    * `nBuckets` hash space — the paper uses 10k), fit add-one-smoothed
+    * categorical distributions to the TARGET subset (`targetPred`,
+    * e.g. the curated/wanted slice) and to the full RAW corpus, and
+    * weight each doc by its log likelihood ratio
+    * Σ_f cnt_f · ln(p_target(f)∕p_raw(f)). High-weight docs look like
+    * the target; the resample step keeps the top-m (the deterministic
+    * analog of the paper's Gumbel-top-k draw), m = the target-subset
+    * size, tiebroken by id.
+    *
+    * The hash is the engine-portable md5-derived 60-bit integer
+    * ([[graft.functions.PortableHash]]) mod `nBuckets`, so Spark and
+    * the DuckDB oracle bucket identically. The model table is
+    * `nBuckets` rows — broadcast-sized by construction at ANY corpus
+    * scale, but left to AQE rather than hinted: correctness does not
+    * depend on the join strategy.
+    *
+    * Output: (doc_id, n_feats, log_weight, keep) for every doc with
+    * ≥ 1 token.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, nBuckets: Int = 4096): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val feats = docs
+      .select(col(idCol), targetPred.as("__tgt"),
+        explode(concat(toks, TextFunctions.shingles(toks, 2))).as("feat"))
+      .select(col(idCol), col("__tgt"),
+        (graft.functions.PortableHash.portableHash(
+          concat(lit("dsir|"), col("feat"))) % nBuckets).as("bucket"))
+      .groupBy(col(idCol), col("__tgt"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .materialized
+
+    val counts = feats.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("cr"),
+        sum(when(col("__tgt"), col("cnt")).otherwise(lit(0L))).as("ct"))
+    val totals = broadcast(counts.agg(
+      sum(col("cr")).as("nr"), sum(col("ct")).as("nt")))
+
+    val b = lit(nBuckets.toLong)
+    val scored = feats.join(counts, "bucket").crossJoin(totals)
+      .withColumn("term", cntTerm(col("cnt"), lnTerm(
+        ((col("ct") + 1).cast("double") / (col("nt") + b).cast("double")) /
+          ((col("cr") + 1).cast("double") / (col("nr") + b).cast("double")))))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_feats"),
+        round(sum(col("term")).cast("double"), 6).as("log_weight"))
+      .materialized
+
+    // m = target-subset size; docs carry __tgt per row in feats — any
+    // row of a doc has it, but the doc-level flag lives in `docs`
+    val nTarget = broadcast(
+      docs.filter(targetPred).agg(count(lit(1)).as("__m")))
+    MapReduceOps.distributedSort(scored,
+        Seq(col("log_weight").desc, col(idCol)),
+        Seq(col(idCol), col("n_feats"), col("log_weight")))
+      .crossJoin(nTarget)
+      .withColumn("keep", col("pos") <= col("__m"))
+      .select(col(idCol), col("n_feats"), col("log_weight"), col("keep"))
+  }
+
+  // ------------------------------------------------------------------
+  // Naive-Bayes quality classifier
+  // ------------------------------------------------------------------
+
+  /** Multinomial Naive-Bayes log-odds scoring against a labeled
+    * positive class — the deterministic stand-in for the linear
+    * bag-of-ngrams ("fasttext-like") quality classifiers of the
+    * GPT-3/LLaMA pipelines ("documents classified as similar to a
+    * high-quality reference corpus are kept"). Train: per-class
+    * Laplace-smoothed unigram distributions + a doc-count prior, all
+    * from one aggregation of the (doc, token, count) table. Score:
+    * log_odds(doc) = ln(P(pos)∕P(neg)) +
+    * Σ_t cnt_t · ln(p(t|pos)∕p(t|neg)); `predicted` = log_odds > 0.
+    *
+    * The classifier is trained and applied on the same corpus (the
+    * production pattern fits on a labeled sample and scores the lake;
+    * the plan is identical — only `posPred`'s provenance changes), so
+    * every scored token is in-vocabulary and smoothing only
+    * regularizes the per-class zero counts.
+    *
+    * Output: (doc_id, n_tokens, log_odds, predicted) for every doc
+    * with ≥ 1 token.
+    */
+  def nbQualityClassifier(docs: DataFrame, idCol: String, textCol: String,
+                          posPred: Column): DataFrame = {
+    val docToks = docs
+      .select(col(idCol), posPred.as("__pos"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("__pos"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .materialized
+
+    val counts = docToks.groupBy(col("token"))
+      .agg(sum(when(col("__pos"), col("cnt")).otherwise(lit(0L))).as("cp"),
+        sum(when(!col("__pos"), col("cnt")).otherwise(lit(0L))).as("cn"))
+    // scalars: class token totals, vocabulary size, doc-count prior
+    val totals = broadcast(counts
+      .agg(sum(col("cp")).as("np"), sum(col("cn")).as("nn"),
+        count(lit(1)).as("v"))
+      .crossJoin(broadcast(docs.agg(
+        sum(when(posPred, 1L).otherwise(0L)).as("dp"),
+        sum(when(posPred, 0L).otherwise(1L)).as("dn")))))
+
+    docToks.join(counts, "token").crossJoin(totals)
+      .withColumn("term", cntTerm(col("cnt"), lnTerm(
+        ((col("cp") + 1).cast("double") / (col("np") + col("v")).cast("double")) /
+          ((col("cn") + 1).cast("double") / (col("nn") + col("v")).cast("double")))))
+      .withColumn("prior",
+        lnTerm(col("dp").cast("double") / col("dn").cast("double")))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        // both addends exact decimals → two correctly-rounded casts +
+        // one double add: identical on both engines (a decimal ADD
+        // would cross DuckDB's 38-digit ceiling where Spark caps)
+        round(max(col("prior")).cast("double") + sum(col("term")).cast("double"),
+          6).as("log_odds"))
+      .withColumn("predicted", col("log_odds") > 0d)
+  }
+}

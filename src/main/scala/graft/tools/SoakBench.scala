@@ -81,7 +81,8 @@ object SoakBench {
     // regenerating/re-timing the rest
     val axes = args.lift(3).map(_.split(',').toSet)
       .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25",
-        "bm25zipf", "winnow", "cdc", "sigagree", "pq"))
+        "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
+        "lmscore"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench
@@ -370,6 +371,49 @@ object SoakBench {
     axis("semantic_clusters_ivf", vecMb) {
       graft.operators.Graph.connectedComponents(
         pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    }
+    }
+
+    // ---- axis 11: gram-stats kernel vs count-shuffle A/B -------------
+    // The C58 reshape measured at GB scale: per-doc gram repetition
+    // stats via the GramStatsExpr sorted-run kernel (zero shuffle)
+    // against the explode → (doc, n, gram) count-shuffle → TopKPerKey
+    // parity form, both over the same persisted cross-combined corpus.
+    if (axes("gramstats")) {
+    val corpus = spark.read.parquet("target/soak_combined")
+    val gMb = corpus.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+    def gNoop(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def gk() = graft.operators.TextAnalysis.gopherRepetition(corpus, "doc_id", "text")
+    def gs() = graft.operators.TextAnalysis.gopherRepetitionShuffle(corpus, "doc_id", "text")
+    gNoop(gk()); gNoop(gs()) // warm
+    // gc between reps: the shuffle form writes ~15× its input as
+    // (doc, n, gram) shuffle files which only the ContextCleaner's
+    // weak refs release — without the nudge, 8 back-to-back multi-GB
+    // runs exhaust the disk (first soak attempt died exactly so)
+    val gReps = (1 to 3).map { _ =>
+      System.gc(); (gNoop(gk()), gNoop(gs()))
+    }
+    val gkSec = gReps.map(_._1).min
+    val gsSec = gReps.map(_._2).min
+    val gAll = gReps.map { case (k, s) => f"[$k%.1f,$s%.1f]" }.mkString(",")
+    println(f"""{"metric":"soak_gramstats_ab","input_mb":$gMb%.0f,"kernel_sec":$gkSec%.1f,"shuffle_sec":$gsSec%.1f,"speedup":${gsSec / gkSec}%.2f,"kernel_mb_per_sec":${gMb / gkSec}%.1f,"reps_kernel_shuffle":[$gAll]}""")
+    }
+
+    // ---- axis 12: bigram-LM train + score at corpus scale ------------
+    // ngram_lm_perplexity end-to-end over the cross-combined corpus:
+    // the scale shape is the gram-keyed model join (each (doc, gram, tf)
+    // row crosses the shuffle once — the shuffle-volume line is the
+    // claim to check: bounded by a small multiple of the tokenized
+    // input, never quadratic).
+    if (axes("lmscore")) {
+    val corpus = spark.read.parquet("target/soak_combined")
+    val lmMb = corpus.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+    axis("ngram_lm", lmMb) {
+      graft.operators.Scoring.ngramLmPerplexity(corpus, "doc_id", "text")
     }
     }
 

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Scoring
+
+/** Hand-computed fixtures + semantic invariants for the model-based
+  * scoring family (bigram-LM perplexity, DSIR importance weights,
+  * Naive-Bayes classifier). The bit-exact value check against DuckDB
+  * is the driver's oracle; these specs pin the MATH on inputs small
+  * enough to verify by hand, and the behavioral contracts (repetition
+  * scores low, target-like docs weigh high, the classifier separates
+  * its training classes) on planted corpora.
+  */
+class ScoringSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---- bigram LM perplexity ----------------------------------------
+
+  test("ngramLmPerplexity: hand-computed cross-entropy on a 2-doc corpus") {
+    // d1 = "x x x": bigram (x x) twice.  d2 = "x y": bigram (x y) once.
+    // model: c(x x)=2, c(x y)=1, prefix c(x·)=3.
+    // CE(d1) = (2·ln(3/2))/2 = ln 1.5 ≈ 0.405465
+    // CE(d2) = ln(3/1)       ≈ 1.098612
+    val docs = Seq((1L, "x x x"), (2L, "x y")).toDF("doc_id", "text")
+    val got = Scoring.ngramLmPerplexity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.length == 2)
+    val d1 = got(0); val d2 = got(1)
+    assert(d1.getAs[Long]("n_bigrams") == 2)
+    assert(d2.getAs[Long]("n_bigrams") == 1)
+    assert(math.abs(d1.getAs[Double]("cross_entropy") - 0.405465) < 1e-6)
+    assert(math.abs(d2.getAs[Double]("cross_entropy") - 1.098612) < 1e-6)
+    // terciles over 2 docs: positions 1, 2 → head, middle
+    assert(d1.getAs[String]("bucket") == "head")
+    assert(d2.getAs[String]("bucket") == "middle")
+  }
+
+  test("ngramLmPerplexity: predictable docs score below novel docs") {
+    // predictable docs reuse the corpus's dominant continuation of
+    // "the"; novel docs each continue "the" with a unique word — the
+    // LM assigns them 1/c("the"·) and their cross-entropy must sit
+    // strictly above every predictable doc's
+    val rep = (1L to 20L).map(i => (i, "the cat the cat the cat"))
+    val novel = (21L to 40L).map(i => (i, s"the w$i the v$i"))
+    val docs = (rep ++ novel).toDF("doc_id", "text")
+    val out = Scoring.ngramLmPerplexity(docs, "doc_id", "text").collect()
+    val ce = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert((1L to 20L).map(ce).max < (21L to 40L).map(ce).min)
+    // tercile sizes over 40 scored docs: 14/13/13 (head gets the
+    // boundary rows: (pos-1)*3 < 40 holds through pos 14)
+    val buckets = out.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(buckets == Map("head" -> 14, "middle" -> 13, "tail" -> 13))
+  }
+
+  test("ngramLmPerplexity: single-token and empty docs are excluded") {
+    val docs = Seq((1L, "a b c"), (2L, "lonely"), (3L, "")).toDF("doc_id", "text")
+    val ids = Scoring.ngramLmPerplexity(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+  }
+
+  // ---- DSIR importance weights -------------------------------------
+
+  test("dsirWeights: target-like docs outweigh off-target docs; m = target size") {
+    val target = (1L to 10L).map(i => (i, "wiki science article text", true))
+    val likeTgt = (11L to 15L).map(i => (i, "wiki science article text", false))
+    val offTgt = (16L to 25L).map(i => (i, "casino pills viagra spam", false))
+    val docs = (target ++ likeTgt ++ offTgt).toDF("doc_id", "text", "is_tgt")
+    val out = Scoring.dsirWeights(docs, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    val w = out.map(r => r._1 -> r._2).toMap
+    val keep = out.filter(_._3).map(_._1).toSet
+    // target-vocabulary docs weigh strictly above off-target docs
+    val minLike = (1L to 15L).map(w).min
+    val maxOff = (16L to 25L).map(w).max
+    assert(minLike > maxOff, s"minLike=$minLike maxOff=$maxOff")
+    // keep-count = target-subset size, filled by the highest weights
+    assert(keep.size == 10)
+    assert(keep.forall(id => w(id) >= minLike || (1L to 15L).contains(id)))
+  }
+
+  // ---- Naive-Bayes classifier --------------------------------------
+
+  test("nbQualityClassifier: separates its training classes; prior cancels at 50/50") {
+    val pos = (1L to 10L).map(i => (i, "good clean prose writing here"))
+    val neg = (11L to 20L).map(i => (i, "junk spam garbage noise filler"))
+    val docs = (pos ++ neg).toDF("doc_id", "text")
+    val out = Scoring.nbQualityClassifier(docs, "doc_id", "text",
+        col("doc_id") <= 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    val byId = out.map(r => r._1 -> r._2).toMap
+    assert((1L to 10L).forall(byId(_) > 0), "positive docs must score > 0")
+    assert((11L to 20L).forall(byId(_) < 0), "negative docs must score < 0")
+    assert(out.forall { case (id, odds, pred) => pred == (odds > 0) })
+    // symmetric classes → symmetric scores (prior term is ln(1)=0)
+    assert(math.abs(byId(1L) + byId(11L)) < 1e-9)
+  }
+
+  test("nbQualityClassifier: prior shifts scores when classes are imbalanced") {
+    // shared vocabulary, 3:1 positive prior → neutral docs lean positive
+    val pos = (1L to 9L).map(i => (i, "common words shared by all"))
+    val neg = Seq((10L, "common words shared by all"))
+    val docs = (pos ++ neg).toDF("doc_id", "text")
+    val out = Scoring.nbQualityClassifier(docs, "doc_id", "text",
+        col("doc_id") <= 9)
+      .collect()
+    // identical text ⇒ identical token terms; prior ln(9/1) > 0 decides
+    assert(out.forall(_.getBoolean(3)), "prior must push neutral docs positive")
+  }
+
+  // ---- plan-shape audits -------------------------------------------
+
+  test("scoring plans: no cartesian products beyond one-row scalar attaches") {
+    val docs = sources.Tables.documents(spark, sf)
+    for ((name, df) <- Seq(
+      "lm" -> Scoring.ngramLmPerplexity(docs, "doc_id", "text"),
+      "dsir" -> Scoring.dsirWeights(docs, "doc_id", "text", col("lang") === "en"),
+      "nb" -> Scoring.nbQualityClassifier(docs, "doc_id", "text",
+        col("lang") === "en"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: data-sized cartesian in plan:\n$plan")
+    }
+  }
+}
