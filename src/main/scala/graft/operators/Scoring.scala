@@ -228,13 +228,34 @@ object Scoring {
     */
   def nbQualityClassifier(docs: DataFrame, idCol: String, textCol: String,
                           posPred: Column): DataFrame = {
-    val docToks = docs
-      .select(col(idCol), posPred.as("__pos"),
+    val docToks = docTokenCounts(docs, idCol, textCol, Some(posPred))
+    val (terms, meta) = nbModelTables(docToks, docs, posPred)
+    nbScore(docToks, terms, meta, idCol)
+  }
+
+  /** (doc, token, cnt) table — one tokenize+explode scan, partial-
+    * agg'd, materialized (it feeds the model agg AND the scoring
+    * join). `posPred` rides along as `__pos` when training.
+    */
+  private def docTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                             posPred: Option[Column]): DataFrame = {
+    val base = posPred match {
+      case Some(p) => docs.select(col(idCol), p.as("__pos"),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("__pos"), col("token"))
+      case None => docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+    }
+    base.groupBy(base.columns.map(col).toIndexedSeq: _*)
       .agg(count(lit(1)).as("cnt"))
       .materialized
+  }
 
+  /** The trained model as two DataFrames: (token, term) — the per-
+    * token round-6-decimal log likelihood ratio — and a one-row meta
+    * (prior, np, nn, v, dp, dn).
+    */
+  private def nbModelTables(docToks: DataFrame, docs: DataFrame,
+                            posPred: Column): (DataFrame, DataFrame) = {
     val counts = docToks.groupBy(col("token"))
       .agg(sum(when(col("__pos"), col("cnt")).otherwise(lit(0L))).as("cp"),
         sum(when(!col("__pos"), col("cnt")).otherwise(lit(0L))).as("cn"))
@@ -245,20 +266,56 @@ object Scoring {
       .crossJoin(broadcast(docs.agg(
         sum(when(posPred, 1L).otherwise(0L)).as("dp"),
         sum(when(posPred, 0L).otherwise(1L)).as("dn")))))
-
-    docToks.join(counts, "token").crossJoin(totals)
-      .withColumn("term", cntTerm(col("cnt"), lnTerm(
+    val terms = counts.crossJoin(totals)
+      .select(col("token"), lnTerm(
         ((col("cp") + 1).cast("double") / (col("np") + col("v")).cast("double")) /
-          ((col("cn") + 1).cast("double") / (col("nn") + col("v")).cast("double")))))
-      .withColumn("prior",
-        lnTerm(col("dp").cast("double") / col("dn").cast("double")))
+          ((col("cn") + 1).cast("double") / (col("nn") + col("v")).cast("double")))
+        .as("term"))
+    val meta = totals.select(
+      lnTerm(col("dp").cast("double") / col("dn").cast("double")).as("prior"),
+      col("np"), col("nn"), col("v"), col("dp"), col("dn"))
+    (terms, meta)
+  }
+
+  /** Score a (doc, token, cnt) table against a model: token-keyed join
+    * + per-doc exact decimal sums. Both addends of the final log-odds
+    * are exact decimals → two correctly-rounded casts + one double
+    * add: identical on both engines (a decimal ADD would cross
+    * DuckDB's 38-digit ceiling where Spark caps).
+    */
+  private def nbScore(docToks: DataFrame, terms: DataFrame, meta: DataFrame,
+                      idCol: String): DataFrame =
+    docToks.join(terms, "token")
+      .crossJoin(broadcast(meta.select(col("prior"))))
+      .withColumn("__t", cntTerm(col("cnt"), col("term")))
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_tokens"),
-        // both addends exact decimals → two correctly-rounded casts +
-        // one double add: identical on both engines (a decimal ADD
-        // would cross DuckDB's 38-digit ceiling where Spark caps)
-        round(max(col("prior")).cast("double") + sum(col("term")).cast("double"),
+        round(max(col("prior")).cast("double") + sum(col("__t")).cast("double"),
           6).as("log_odds"))
       .withColumn("predicted", col("log_odds") > 0d)
+
+  /** Persist the trained NB model — the train-once/score-many contract
+    * (same convention as the BM25/LSH/CDC/PQ indexes): `terms` parquet
+    * (token, term) + one-row `meta` (prior + training totals for
+    * audit). Scoring never re-reads the training corpus.
+    */
+  def buildNbModel(docs: DataFrame, idCol: String, textCol: String,
+                   posPred: Column, path: String): Unit = {
+    val docToks = docTokenCounts(docs, idCol, textCol, Some(posPred))
+    val (terms, meta) = nbModelTables(docToks, docs, posPred)
+    terms.write.mode("overwrite").parquet(s"$path/terms")
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score a corpus against a persisted model ([[buildNbModel]]) —
+    * bit-identical to [[nbQualityClassifier]] on the training corpus
+    * (DECIMAL(18,6) terms round-trip parquet exactly; spec-pinned).
+    */
+  def nbScoreIndexed(docs: DataFrame, idCol: String, textCol: String,
+                     path: String): DataFrame = {
+    val spark = docs.sparkSession
+    nbScore(docTokenCounts(docs, idCol, textCol, None),
+      spark.read.parquet(s"$path/terms"),
+      spark.read.parquet(s"$path/meta"), idCol)
   }
 }

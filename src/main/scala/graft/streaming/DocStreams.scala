@@ -198,6 +198,50 @@ object DocStreams {
       .filter(col("z_score").isNull || col("z_score") >= minZ)
   }
 
+  /** Streaming Naive-Bayes admission — the continuous twin of
+    * Scoring.nbQualityClassifier's gate: every arriving document is
+    * scored against a PERSISTED model (Scoring.buildNbModel) and docs
+    * with log-odds below `minOdds` are dropped.
+    *
+    * STATELESS map-side select, no state store, no watermark, no
+    * per-batch join: at stream setup the driver reads the model's
+    * top-`topK` terms by |log-ratio| (the pruned-classifier contract —
+    * production linear classifiers cap their vocabulary the same way;
+    * topK ≥ vocab keeps every term) and BROADCASTS them as a
+    * fixed-point hash map probed by the codegen'd
+    * [[graft.plans.NbScoreBroadcast]] kernel — O(1) plan size at any
+    * vocabulary (the map never rides the plan as a literal), one hash
+    * lookup per token, exact integer sums. Works identically on a
+    * batch DataFrame (the batch operator IS the streaming operator);
+    * replaying a corpus through the stream reproduces the batch
+    * output exactly (spec-pinned). Docs with null text are dropped
+    * (no tokens — nothing to admit on).
+    */
+  def nbAdmission(docs: DataFrame, idCol: String, textCol: String,
+                  modelPath: String, topK: Int = 65536,
+                  minOdds: Double = 0.0): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = docs.sparkSession
+    // DECIMAL(18,6) × 10⁶ is exact → fixed-point longs
+    val capped = spark.read.parquet(s"$modelPath/terms")
+      .select(col("token"), (col("term") * 1000000L).cast("long").as("micros"))
+      .orderBy(abs(col("micros")).desc, col("token")).limit(topK)
+      .collect()
+    val map = new java.util.HashMap[UTF8String, java.lang.Long](capped.length * 2)
+    capped.foreach(r => map.put(UTF8String.fromString(r.getString(0)),
+      java.lang.Long.valueOf(r.getLong(1))))
+    val bc = spark.sparkContext.broadcast(map)
+    val priorMicros = spark.read.parquet(s"$modelPath/meta")
+      .select((col("prior") * 1000000L).cast("long")).collect()(0).getLong(0)
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    val acc = GraftPlanFactory.column(graft.plans.NbScoreBroadcast(bc,
+      GraftPlanFactory.expression(
+        graft.functions.TextFunctions.tokens(col(textCol)))))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        ((acc + lit(priorMicros)) / lit(1000000L)).as("log_odds"))
+      .filter(col("log_odds") >= minOdds)
+  }
+
   /** Streaming BM25 keyword alerting — the continuous twin of
     * TextAnalysis.bm25Search: every arriving document is scored against
     * the fixed query set and (doc_id, query_id, score) is emitted for

@@ -110,6 +110,72 @@ class ScoringSpec extends AnyFunSuite {
     assert(out.forall(_.getBoolean(3)), "prior must push neutral docs positive")
   }
 
+  // ---- persisted model + streaming admission -----------------------
+
+  test("nbScoreIndexed against a persisted model equals the direct classifier") {
+    val docs = sources.Tables.documents(spark, sf)
+    val path = "target/test_nb_model"
+    Scoring.buildNbModel(docs, "doc_id", "text", col("lang") === "en", path)
+    val direct = Scoring.nbQualityClassifier(docs, "doc_id", "text",
+      col("lang") === "en")
+    val probed = Scoring.nbScoreIndexed(docs, "doc_id", "text", path)
+    assert(direct.exceptAll(probed).isEmpty && probed.exceptAll(direct).isEmpty)
+  }
+
+  test("nbAdmission: stream replay equals the batch gate; scores match the model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = sources.Tables.documents(spark, sf)
+    val path = "target/test_nb_model"
+    Scoring.buildNbModel(docs, "doc_id", "text", col("lang") === "en", path)
+    val batch = streaming.DocStreams.nbAdmission(docs, "doc_id", "text", path)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect()
+    ms.addData(rows.toIndexedSeq)
+    val q = streaming.DocStreams.nbAdmission(
+        ms.toDF.toDF("doc_id", "text"), "doc_id", "text", path)
+      .writeStream.format("memory").queryName("nbadm").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("nbadm")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+
+    // full-vocab fixed-point scores ≈ the indexed decimal scores
+    val idx = Scoring.nbScoreIndexed(docs, "doc_id", "text", path)
+      .select("doc_id", "log_odds").as[(Long, Double)].collect().toMap
+    val adm = batch.select("doc_id", "log_odds").as[(Long, Double)].collect()
+    assert(adm.nonEmpty)
+    adm.foreach { case (id, odds) =>
+      assert(math.abs(odds - idx(id)) < 1e-6, s"doc $id: $odds vs ${idx(id)}")
+    }
+    // the gate admits exactly the docs the classifier scores ≥ 0
+    // (modulo the two formulations' sub-1e-6 rounding split at the
+    // boundary — no sf0.001 doc sits that close to zero)
+    val disagree = adm.map(_._1).toSet.diff(idx.filter(_._2 >= 0).keySet) ++
+      idx.filter(_._2 >= 0).keySet.diff(adm.map(_._1).toSet)
+    assert(disagree.forall(id => math.abs(idx(id)) < 1e-5), s"$disagree")
+  }
+
+  test("nbAdmission: vocabulary cap prunes weak terms, keeps the gate running") {
+    val docs = Seq((1L, "strongpos filler"), (2L, "filler filler"))
+      .toDF("doc_id", "text")
+    val train = Seq((10L, "strongpos strongpos strongpos", true),
+        (11L, "filler filler weakneg", false))
+      .toDF("doc_id", "text", "is_pos")
+    val path = "target/test_nb_model_capped"
+    Scoring.buildNbModel(train, "doc_id", "text", col("is_pos"), path)
+    // topK = 1 keeps only the strongest |term| — docs without it score
+    // prior-only
+    val out = streaming.DocStreams.nbAdmission(docs, "doc_id", "text", path,
+        topK = 1, minOdds = -1e9)
+      .select("doc_id", "log_odds").as[(Long, Double)].collect().toMap
+    assert(out.size == 2)
+    assert(out(1L) != out(2L), "capped model must still separate")
+    assert(out(2L) == 0.0, "doc of pruned-only tokens scores the 50/50 prior")
+  }
+
   // ---- plan-shape audits -------------------------------------------
 
   test("scoring plans: no cartesian products beyond one-row scalar attaches") {
