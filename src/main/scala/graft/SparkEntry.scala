@@ -716,6 +716,9 @@ object SparkEntry {
     "quality_classifier_nb" -> ((s, d) =>
       Scoring.nbQualityClassifier(Tables.documents(s, d), "doc_id", "text",
         col("lang") === "en")),
+    // Good-Turing frequency spectrum + Zipf mass audit (C65)
+    "token_spectrum" -> ((s, d) =>
+      TextAnalysis.tokenSpectrum(Tables.documents(s, d), "text")),
     "corpus_dedup" -> ((s, d) =>
       Dedup.corpusDedup(Tables.documents(s, d), "doc_id", "text")),
     "dedup_clusters" -> ((s, d) =>
@@ -1633,6 +1636,15 @@ object SparkEntry {
          |  GROUP BY 1)
          |SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS predicted
          |FROM sc""".stripMargin,
+    "token_spectrum" ->
+      s"""WITH counts AS (SELECT token, count(*) AS freq
+         |  FROM (SELECT unnest($tok) AS token FROM documents) GROUP BY 1),
+         |spec AS (SELECT freq, count(*) AS n_types, freq * count(*) AS mass
+         |  FROM counts GROUP BY 1)
+         |SELECT freq, n_types, mass,
+         |  sum(n_types) OVER (ORDER BY freq DESC) AS cum_types,
+         |  sum(mass) OVER (ORDER BY freq DESC) AS cum_mass
+         |FROM spec""".stripMargin,
     "dedup_pagerank" -> operators.Graph.pagerankOracleSql(),
     "semantic_clusters" ->
       s"""WITH RECURSIVE ${lshBucketsCte(nTables = 16)},

@@ -94,26 +94,63 @@ object Scoring {
     * Output: (doc_id, n_bigrams, cross_entropy, bucket) for every doc
     * with ≥ 2 tokens.
     */
-  def ngramLmPerplexity(docs: DataFrame, idCol: String, textCol: String)
-      : DataFrame = {
-    // (doc, bigram, tf) — one scan, partial-agg'd; feeds the model agg
-    // AND the scoring join → materialized once
-    val docGrams = docs
+  /** (doc, bigram, tf) — one scan, partial-agg'd; feeds the model agg
+    * AND the scoring join → materialized once. With `hashGrams` the
+    * gram AND its prefix ride as xxhash64 longs from the scan on —
+    * see [[ngramLmPerplexity]].
+    */
+  private def lmDocGrams(docs: DataFrame, idCol: String, textCol: String,
+                         hashGrams: Boolean = false): DataFrame = {
+    val exploded = docs
       .select(col(idCol), explode(
         TextFunctions.shingles(TextFunctions.tokens(col(textCol)), 2))
         .as("gram"))
-      .groupBy(col(idCol), col("gram"))
+    val keyed =
+      if (hashGrams) exploded.select(col(idCol),
+        xxhash64(col("gram")).as("gram"),
+        xxhash64(substring_index(col("gram"), " ", 1)).as("__w1"))
+      else exploded
+    keyed.groupBy(keyed.columns.filter(_ != idCol).map(col).toIndexedSeq :+
+        col(idCol): _*)
       .agg(count(lit(1)).as("tf"))
       .materialized
+  }
 
-    // model: bigram counts + prefix counts (vocabulary-bounded)
-    val gramCounts = docGrams.groupBy(col("gram"))
-      .agg(sum(col("tf")).as("c2"))
-      .withColumn("w1", substring_index(col("gram"), " ", 1))
+  /** Bigram model (gram, c1, c2): bigram counts + prefix counts, the
+    * latter derived FROM the bigram table (vocabulary-bounded — no
+    * second corpus scan).
+    */
+  private def lmModel(docGrams: DataFrame): DataFrame = {
+    val hashed = docGrams.columns.contains("__w1")
+    val gramCounts =
+      (if (hashed)
+        docGrams.groupBy(col("gram")).agg(sum(col("tf")).as("c2"),
+          max(col("__w1")).as("w1"))
+      else
+        docGrams.groupBy(col("gram")).agg(sum(col("tf")).as("c2"))
+          .withColumn("w1", substring_index(col("gram"), " ", 1)))
     val prefixCounts = gramCounts.groupBy(col("w1"))
       .agg(sum(col("c2")).as("c1"))
-    val model = gramCounts.join(prefixCounts, "w1")
+    gramCounts.join(prefixCounts, "w1")
       .select(col("gram"), col("c1"), col("c2"))
+  }
+
+  /** `hashGrams = false` (default): gram strings are the join/agg keys
+    * — required for the DuckDB-oracle bit-exactness contract.
+    * `hashGrams = true` is the production scale knob: every shuffle
+    * (doc-gram agg, model agg, scoring join) carries fixed-width
+    * xxhash64 longs instead of variable-length bigram strings — the
+    * string payload dominates the soak's 6× input shuffle volume. A
+    * 64-bit collision merges two bigrams' counts (expected collisions
+    * ≈ n²∕2⁶⁵ — ~3 in 10¹⁰ grams): statistically irrelevant to an LM
+    * score, but NOT bit-identical to the string form at adversarial
+    * vocabulary sizes, hence opt-in (spec pins hash ≡ string on
+    * collision-free corpora).
+    */
+  def ngramLmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                        hashGrams: Boolean = false): DataFrame = {
+    val docGrams = lmDocGrams(docs, idCol, textCol, hashGrams)
+    val model = lmModel(docGrams)
 
     // score: tf-weighted surprisal mass, exact decimal sum per doc
     val scored = docGrams.join(model, "gram")
@@ -135,6 +172,28 @@ object Scoring {
           .when((col("pos") - 1) * 3 < col("__n") * 2, lit("middle"))
           .otherwise(lit("tail")))
       .select(col(idCol), col("n_bigrams"), col("cross_entropy"), col("bucket"))
+  }
+
+  /** Persist the trained bigram LM — per-gram surprisal terms
+    * (round-6 decimal −ln p(w2|w1), plus the gram's corpus count for
+    * frequency-ordered pruning) and a one-row meta with the OOV
+    * penalty: the surprisal of the probability floor 1∕N (N = total
+    * bigram occurrences — an unseen bigram is "rarer than anything
+    * observed"). Same train-once/score-many convention as the other
+    * persisted indexes; scoring never re-reads the training corpus.
+    */
+  def buildLmModel(docs: DataFrame, idCol: String, textCol: String,
+                   path: String): Unit = {
+    // two consumers (terms write + meta agg) → cut once
+    val model = lmModel(lmDocGrams(docs, idCol, textCol)).materialized
+    model.select(col("gram"),
+        lnTerm(col("c1").cast("double") / col("c2").cast("double")).as("term"),
+        col("c2"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+    model.agg(sum(col("c2")).as("n_total"))
+      .select(lnTerm(col("n_total").cast("double")).as("oov_penalty"),
+        col("n_total"))
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   // ------------------------------------------------------------------

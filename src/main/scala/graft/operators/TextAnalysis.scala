@@ -761,4 +761,33 @@ object TextAnalysis {
         (coalesce(col("__dup5"), lit(0L)).cast("double") /
           greatest(col("n_chars"), lit(1))).as("dup5_char_mass"))
   }
+
+  /** Corpus token-frequency spectrum — the Good-Turing "frequency of
+    * frequencies" + Zipf-mass audit of corpus health: for every
+    * observed token frequency `freq`, the number of distinct types at
+    * that frequency, the token mass they carry, and running totals
+    * from the most frequent class down (hapax ratio, head-mass share,
+    * vocabulary growth all read straight off the result).
+    *
+    * Exact integers end to end — no logs, bit-portable by
+    * construction. The corpus-scale work is the two partial-agg'd
+    * groupBys; the running-total window runs on the SPECTRUM, whose
+    * cardinality is the number of distinct frequencies —
+    * ≤ O(√total-tokens) rows (distinct counts 1..k sum to ≥ k(k+1)/2
+    * occurrences), i.e. a few thousand rows for a 100 TB corpus — so
+    * the unpartitioned window is safe at any scale.
+    */
+  def tokenSpectrum(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val spec = counts.groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+      .withColumn("mass", col("freq") * col("n_types"))
+    val w = Window.orderBy(col("freq").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spec
+      .withColumn("cum_types", sum(col("n_types")).over(w))
+      .withColumn("cum_mass", sum(col("mass")).over(w))
+  }
 }

@@ -23,12 +23,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Terms are fixed-point LONGS (the model's DECIMAL(18,6) terms ×10⁶)
   * so the per-row sum is exact integer arithmetic — order-independent
   * and overflow-safe for any real document (2⁶³ ∕ 10⁶ ≈ 9.2e12 worth
-  * of summed log-ratio). Tokens absent from the map contribute 0
-  * (out-of-cap vocabulary, the pruned-classifier contract). Returns
-  * the micro-scaled sum; callers divide by 10⁶ into a double.
+  * of summed log-ratio). Tokens absent from the map contribute
+  * `missing` — 0 for the pruned-classifier contract (out-of-cap
+  * features are neutral), an OOV surprisal penalty for LM scoring
+  * (out-of-model n-grams are maximally surprising). Returns the
+  * micro-scaled sum; callers divide by 10⁶ into a double.
   */
 case class NbScoreBroadcast(model: Broadcast[java.util.HashMap[UTF8String, java.lang.Long]],
-                            child: Expression)
+                            child: Expression, missing: Long = 0L)
     extends UnaryExpression {
   override def prettyName: String = "graft_nb_score"
   override def dataType: DataType = LongType
@@ -54,7 +56,7 @@ case class NbScoreBroadcast(model: Broadcast[java.util.HashMap[UTF8String, java.
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val t = m.get(arr.getUTF8String(i))
-        if (t != null) acc += t.longValue()
+        acc += (if (t != null) t.longValue() else missing)
       }
       i += 1
     }
@@ -79,7 +81,8 @@ case class NbScoreBroadcast(model: Broadcast[java.util.HashMap[UTF8String, java.
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$c.isNullAt($i)) {
          |    Object $t = $mTerm.get($c.getUTF8String($i));
-         |    if ($t != null) ${ev.value}Acc += ((java.lang.Long) $t).longValue();
+         |    ${ev.value}Acc += ($t != null)
+         |      ? ((java.lang.Long) $t).longValue() : ${missing}L;
          |  }
          |}
          |${ev.value} = ${ev.value}Acc;

@@ -242,6 +242,55 @@ object DocStreams {
       .filter(col("log_odds") >= minOdds)
   }
 
+  /** Streaming perplexity admission — the continuous twin of
+    * Scoring.ngramLmPerplexity's gate and CCNet's production use
+    * (score every incoming document against a REFERENCE language
+    * model, keep the low-perplexity head): per-doc cross-entropy
+    * against a persisted bigram LM (Scoring.buildLmModel), docs above
+    * `maxCe` nats/token dropped.
+    *
+    * Same stateless broadcast-kernel design as [[nbAdmission]], with
+    * two LM-specific twists: the vocabulary cap keeps the top-`topK`
+    * grams by CORPUS FREQUENCY (standard LM pruning — the head of the
+    * distribution carries the probability mass; gram asc tiebreak),
+    * and grams missing from the map score the model's OOV penalty
+    * (surprisal of the 1∕N probability floor) instead of 0 — an
+    * unseen bigram is evidence AGAINST the document, not neutral.
+    * Docs with fewer than one bigram are dropped (nothing to score).
+    * Batch DF and stream replay produce identical output
+    * (spec-pinned); full-vocabulary scores match the batch
+    * cross-entropy to float tolerance.
+    */
+  def lmAdmission(docs: DataFrame, idCol: String, textCol: String,
+                  modelPath: String, topK: Int = 1 << 20,
+                  maxCe: Double = 10.0): DataFrame = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val spark = docs.sparkSession
+    val capped = spark.read.parquet(s"$modelPath/terms")
+      .select(col("gram"), (col("term") * 1000000L).cast("long").as("micros"),
+        col("c2"))
+      .orderBy(col("c2").desc, col("gram")).limit(topK)
+      .collect()
+    val map = new java.util.HashMap[UTF8String, java.lang.Long](capped.length * 2)
+    capped.foreach(r => map.put(UTF8String.fromString(r.getString(0)),
+      java.lang.Long.valueOf(r.getLong(1))))
+    val bc = spark.sparkContext.broadcast(map)
+    val oovMicros = spark.read.parquet(s"$modelPath/meta")
+      .select((col("oov_penalty") * 1000000L).cast("long")).collect()(0).getLong(0)
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    val grams = graft.functions.TextFunctions.shingles(
+      graft.functions.TextFunctions.tokens(col(textCol)), 2)
+    val acc = GraftPlanFactory.column(graft.plans.NbScoreBroadcast(bc,
+      GraftPlanFactory.expression(grams), missing = oovMicros))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        acc.as("__acc"), size(grams).cast("long").as("n_bigrams"))
+      .filter(col("n_bigrams") >= 1L)
+      .select(col("doc_id"), col("text"), col("n_bigrams"),
+        (col("__acc").cast("double") / (col("n_bigrams") * 1000000L))
+          .as("cross_entropy"))
+      .filter(col("cross_entropy") <= maxCe)
+  }
+
   /** Streaming BM25 keyword alerting — the continuous twin of
     * TextAnalysis.bm25Search: every arriving document is scored against
     * the fixed query set and (doc_id, query_id, score) is emitted for

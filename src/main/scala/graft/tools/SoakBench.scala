@@ -403,7 +403,7 @@ object SoakBench {
     def gs(c: DataFrame) = graft.operators.TextAnalysis.gopherRepetitionShuffle(c, "doc_id", "text")
     gNoop(gk(corpus)) // warm
     val gkFull = (1 to 3).map(_ => gNoop(gk(corpus))).min
-    val quarter = corpus.filter(col("doc_id") % 4 === 0)
+    val quarter = corpus.filter(col("doc_id") % 8 === 0)
     val qMb = quarter.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
     gNoop(gk(quarter)); gNoop(gs(quarter)); System.gc() // warm
     val gReps = (1 to 3).map { _ =>
@@ -431,6 +431,14 @@ object SoakBench {
     val lmMb = corpus.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
     axis("ngram_lm", lmMb) {
       graft.operators.Scoring.ngramLmPerplexity(corpus, "doc_id", "text")
+    }
+    // the production scale knob A/B: same plan with xxhash64 gram keys
+    // — every shuffle carries fixed-width longs instead of bigram
+    // strings (documented approximation; spec pins ≡ string form on
+    // collision-free corpora)
+    axis("ngram_lm_hashed", lmMb) {
+      graft.operators.Scoring.ngramLmPerplexity(corpus, "doc_id", "text",
+        hashGrams = true)
     }
     }
 

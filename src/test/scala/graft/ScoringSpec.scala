@@ -54,6 +54,14 @@ class ScoringSpec extends AnyFunSuite {
     assert(buckets == Map("head" -> 14, "middle" -> 13, "tail" -> 13))
   }
 
+  test("ngramLmPerplexity: hashGrams scale knob is bit-identical on a collision-free corpus") {
+    val docs = sources.Tables.documents(spark, sf)
+    val str = Scoring.ngramLmPerplexity(docs, "doc_id", "text")
+    val hashed = Scoring.ngramLmPerplexity(docs, "doc_id", "text",
+      hashGrams = true)
+    assert(str.exceptAll(hashed).isEmpty && hashed.exceptAll(str).isEmpty)
+  }
+
   test("ngramLmPerplexity: single-token and empty docs are excluded") {
     val docs = Seq((1L, "a b c"), (2L, "lonely"), (3L, "")).toDF("doc_id", "text")
     val ids = Scoring.ngramLmPerplexity(docs, "doc_id", "text")
@@ -174,6 +182,78 @@ class ScoringSpec extends AnyFunSuite {
     assert(out.size == 2)
     assert(out(1L) != out(2L), "capped model must still separate")
     assert(out(2L) == 0.0, "doc of pruned-only tokens scores the 50/50 prior")
+  }
+
+  test("lmAdmission: stream replay equals batch; full-vocab CE matches the batch scorer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = sources.Tables.documents(spark, sf)
+    val path = "target/test_lm_model"
+    Scoring.buildLmModel(docs, "doc_id", "text", path)
+    val batch = streaming.DocStreams.lmAdmission(docs, "doc_id", "text", path,
+      maxCe = 1e9)
+    val direct = Scoring.ngramLmPerplexity(docs, "doc_id", "text")
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    val scored = batch.select("doc_id", "cross_entropy")
+      .as[(Long, Double)].collect()
+    assert(scored.length == direct.size)
+    scored.foreach { case (id, ce) =>
+      assert(math.abs(ce - direct(id)) < 1e-6, s"doc $id: $ce vs ${direct(id)}")
+    }
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    ms.addData(docs.select("doc_id", "text").as[(Long, String)].collect().toIndexedSeq)
+    val q = streaming.DocStreams.lmAdmission(
+        ms.toDF.toDF("doc_id", "text"), "doc_id", "text", path, maxCe = 1e9)
+      .writeStream.format("memory").queryName("lmadm").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("lmadm")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("lmAdmission: OOV bigrams score the 1/N-floor penalty; the cap prunes to OOV") {
+    // train: "a b"×3, "b a"×2, "c d"×2, "d c"×1 → N = 8
+    val train = Seq((1L, "a b a b a b"), (2L, "c d c d")).toDF("doc_id", "text")
+    val path = "target/test_lm_model_oov"
+    Scoring.buildLmModel(train, "doc_id", "text", path)
+    val probe = Seq((10L, "x y"), (11L, "a b"), (12L, "c d"))
+      .toDF("doc_id", "text")
+    val full = streaming.DocStreams.lmAdmission(probe, "doc_id", "text", path,
+        maxCe = 1e9)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    // unseen bigram → penalty ln(8); "a b" is its prefix's only gram → 0
+    assert(math.abs(full(10L) - 2.079442) < 1e-6)
+    assert(full(11L) == 0.0)
+    // topK = 1 keeps only "a b" (count 3): "c d" becomes OOV
+    val capped = streaming.DocStreams.lmAdmission(probe, "doc_id", "text", path,
+        topK = 1, maxCe = 1e9)
+      .select("doc_id", "cross_entropy").as[(Long, Double)].collect().toMap
+    assert(capped(11L) == 0.0)
+    assert(math.abs(capped(12L) - 2.079442) < 1e-6)
+    // the gate itself: maxCe = 1.0 admits only the predictable docs
+    val gated = streaming.DocStreams.lmAdmission(probe, "doc_id", "text", path,
+        maxCe = 1.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated == Set(11L, 12L))
+  }
+
+  // ---- token spectrum ----------------------------------------------
+
+  test("tokenSpectrum: hand-computed frequency-of-frequencies") {
+    // corpus: a×4, b×2, c×2, d×1, e×1, f×1
+    val docs = Seq((1L, "a a b c d"), (2L, "a a b c e f")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.tokenSpectrum(docs, "text")
+      .orderBy(col("freq").desc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (4L, 1L, 4L, 1L, 4L),   // a
+      (2L, 2L, 4L, 3L, 8L),   // b, c
+      (1L, 3L, 3L, 6L, 11L))) // d, e, f
+    // total mass = corpus token count, total types = vocabulary
+    assert(got.last._4 == 6L && got.last._5 == 11L)
   }
 
   // ---- plan-shape audits -------------------------------------------
