@@ -147,8 +147,16 @@ object Cli {
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", path)
       case "bm25" => graft.operators.TextAnalysis.buildBm25Index(
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", path)
+      case "pq" => graft.operators.Similarity.buildPqIndex(
+        graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding", path)
+      case "nbmodel" => graft.operators.Scoring.buildNbModel(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang") === "en", path)
+      case "lmmodel" => graft.operators.Scoring.buildLmModel(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", path)
       case other =>
-        System.err.println(s"unknown index kind '$other' (minhash|lsh|cdc|bm25)")
+        System.err.println(
+          s"unknown index kind '$other' (minhash|lsh|cdc|bm25|pq|nbmodel|lmmodel)")
         sys.exit(1)
     }
     println(f"index=$kind path=$path sec=${(System.nanoTime() - t0) / 1e9}%.2f")
@@ -167,8 +175,8 @@ object Cli {
         |  status                                  executor / resource snapshot
         |  bench [sfDir]                           the benchmark main
         |  verify <sfDir> <outDir>                 the correctness-dump main
-        |  index <minhash|lsh|cdc|bm25> <sfDir> <path>
-        |                                          build a persisted index
+        |  index <minhash|lsh|cdc|bm25|pq|nbmodel|lmmodel> <sfDir> <path>
+        |                                          build a persisted index/model
         |  imagedemo [n]                           real-image-path demo over n
         |                                          generated PNGs (decode screen,
         |                                          resize, feature cosine)""".stripMargin)
