@@ -330,8 +330,16 @@ object Scoring {
         ((col("cp") + 1).cast("double") / (col("np") + col("v")).cast("double")) /
           ((col("cn") + 1).cast("double") / (col("nn") + col("v")).cast("double")))
         .as("term"))
+    // one-class training (dp or dn = 0) has no defined prior — emit a
+    // null prior (→ null log-odds downstream: admit-unknown, don't
+    // invent) instead of letting ANSI mode kill the job with
+    // DIVIDE_BY_ZERO; the guard's branch is unevaluated when matched,
+    // so the oracle (which always trains on two populated classes)
+    // sees identical values
     val meta = totals.select(
-      lnTerm(col("dp").cast("double") / col("dn").cast("double")).as("prior"),
+      when(col("dp") > 0 && col("dn") > 0,
+        lnTerm(col("dp").cast("double") / col("dn").cast("double")))
+        .otherwise(lit(null).cast("decimal(18,6)")).as("prior"),
       col("np"), col("nn"), col("v"), col("dp"), col("dn"))
     (terms, meta)
   }

@@ -231,8 +231,11 @@ object DocStreams {
     capped.foreach(r => map.put(UTF8String.fromString(r.getString(0)),
       java.lang.Long.valueOf(r.getLong(1))))
     val bc = spark.sparkContext.broadcast(map)
-    val priorMicros = spark.read.parquet(s"$modelPath/meta")
-      .select((col("prior") * 1000000L).cast("long")).collect()(0).getLong(0)
+    val metaRow = spark.read.parquet(s"$modelPath/meta")
+      .select((col("prior") * 1000000L).cast("long")).collect()(0)
+    require(!metaRow.isNullAt(0),
+      "NB model has no defined prior (trained on a single class) — refusing to gate on it")
+    val priorMicros = metaRow.getLong(0)
     import org.apache.spark.sql.classic.GraftPlanFactory
     val acc = GraftPlanFactory.column(graft.plans.NbScoreBroadcast(bc,
       GraftPlanFactory.expression(

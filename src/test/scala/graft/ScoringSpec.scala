@@ -256,6 +256,34 @@ class ScoringSpec extends AnyFunSuite {
     assert(got.last._4 == 6L && got.last._5 == 11L)
   }
 
+  // ---- degenerate inputs -------------------------------------------
+
+  test("scoring family degrades cleanly on empty and degenerate corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Scoring.ngramLmPerplexity(empty, "doc_id", "text").count() == 0)
+    assert(Scoring.dsirWeights(empty, "doc_id", "text",
+      col("doc_id") < 0).count() == 0)
+    assert(Scoring.nbQualityClassifier(empty, "doc_id", "text",
+      col("doc_id") < 0).count() == 0)
+    assert(operators.TextAnalysis.tokenSpectrum(empty, "text").count() == 0)
+
+    // DSIR with ZERO target docs: weights still defined (smoothing
+    // keeps every ratio finite), keep-set empty (m = 0)
+    val docs = Seq((1L, "some words here"), (2L, "other words there"))
+      .toDF("doc_id", "text")
+    val noTgt = Scoring.dsirWeights(docs, "doc_id", "text", col("doc_id") < 0)
+      .collect()
+    assert(noTgt.length == 2 && noTgt.forall(!_.getBoolean(3)))
+    assert(noTgt.forall(r => !r.isNullAt(2)))
+
+    // NB with a single class: the prior's ln(dp/0) is undefined → the
+    // scores come back null rather than crashing (a one-class
+    // classifier is meaningless; admit-unknown, don't invent)
+    val oneClass = Scoring.nbQualityClassifier(docs, "doc_id", "text",
+      lit(true)).collect()
+    assert(oneClass.length == 2 && oneClass.forall(_.isNullAt(2)))
+  }
+
   // ---- plan-shape audits -------------------------------------------
 
   test("scoring plans: no cartesian products beyond one-row scalar attaches") {
