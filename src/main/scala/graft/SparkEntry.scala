@@ -719,6 +719,11 @@ object SparkEntry {
     // Good-Turing frequency spectrum + Zipf mass audit (C65)
     "token_spectrum" -> ((s, d) =>
       TextAnalysis.tokenSpectrum(Tables.documents(s, d), "text")),
+    // BPE round-one candidate merges from the word-count dictionary
+    // (C66; the full merge LOOP is Bpe.bpeLearn — spec-driven, its
+    // per-round argmax is this query's shape)
+    "bpe_pair_freqs" -> ((s, d) =>
+      operators.Bpe.pairFreqs(Tables.documents(s, d), "text", 100)),
     "corpus_dedup" -> ((s, d) =>
       Dedup.corpusDedup(Tables.documents(s, d), "doc_id", "text")),
     "dedup_clusters" -> ((s, d) =>
@@ -1636,6 +1641,18 @@ object SparkEntry {
          |  GROUP BY 1)
          |SELECT doc_id, n_tokens, log_odds, log_odds > 0 AS predicted
          |FROM sc""".stripMargin,
+    "bpe_pair_freqs" ->
+      s"""WITH words AS (SELECT word, count(*) AS wcount
+         |  FROM (SELECT unnest($tok) AS word FROM documents) GROUP BY 1),
+         |syms AS (SELECT list_append(string_split(word, ''), '</w>') AS s, wcount
+         |  FROM words),
+         |pairs AS (SELECT unnest(list_transform(range(1, len(s)),
+         |    i -> {'l': s[i], 'r': s[i + 1]})) AS p, wcount FROM syms),
+         |agg AS (SELECT p.l AS "left", p.r AS "right",
+         |    CAST(sum(wcount) AS BIGINT) AS freq
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT "left", "right", freq FROM agg
+         |ORDER BY freq DESC, "left", "right" LIMIT 100""".stripMargin,
     "token_spectrum" ->
       s"""WITH counts AS (SELECT token, count(*) AS freq
          |  FROM (SELECT unnest($tok) AS token FROM documents) GROUP BY 1),

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Bpe
+
+/** BPE tokenizer training + encode, pinned on the classic fixture
+  * from Sennrich et al. 2016 (low/lower/newest/widest) — every merge
+  * and encode below is hand-computed.
+  */
+class BpeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // word counts: low×5, lower×2, newest×6, widest×3 (one doc per
+  // occurrence keeps the word-count dictionary explicit)
+  private def fixture = {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+  }
+
+  test("bpeLearn reproduces the textbook merge sequence") {
+    val merges = Bpe.bpeLearn(fixture, "text", nMerges = 5)
+    val got = merges.map(m => (m.rank, m.left, m.right, m.freq))
+    // es:9 (newest 6 + widest 3), est:9, est</w>:9, lo:7, low:7 —
+    // ties at 9 break (left, right) ascending: (e,s) < (es,t)… etc.
+    assert(got == Seq(
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L),
+      (5, "lo", "w", 7L)))
+  }
+
+  test("bpeLearn stops early when support falls under minFreq") {
+    val merges = Bpe.bpeLearn(fixture, "text", nMerges = 100, minFreq = 7L)
+    assert(merges.length == 5) // nothing after low reaches 7
+    assert(merges.last.merged == "low")
+  }
+
+  test("bpeEncode applies merges by rank (lowest first, leftmost on ties)") {
+    val merges = Bpe.bpeLearn(fixture, "text", nMerges = 5)
+    val docs = Seq((1L, "newest"), (2L, "low"), (3L, "lowest"), (4L, "xy"))
+      .toDF("doc_id", "text")
+    val enc = docs.select(col("doc_id"),
+      Bpe.bpeEncode(spark, graft.functions.TextFunctions.tokens(col("text")),
+        merges).as("sub"))
+    val got = enc.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // newest: e+s → es+t → est+</w>; no rank for n/e/w pairs
+    assert(got(1L) == Seq("n", "e", "w", "est</w>"))
+    // low: l+o (rank 4) → lo+w (rank 5); "</w>" unattached (no merge)
+    assert(got(2L) == Seq("low", "</w>"))
+    // lowest (unseen word): low + est</w> via the shared subwords
+    assert(got(3L) == Seq("low", "est</w>"))
+    // fully OOV word falls back to characters
+    assert(got(4L) == Seq("x", "y", "</w>"))
+  }
+
+  test("bpeEncode flattens multi-token docs in order; empty text encodes empty") {
+    val merges = Bpe.bpeLearn(fixture, "text", nMerges = 5)
+    val docs = Seq((1L, "low newest"), (2L, "")).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        Bpe.bpeEncode(spark, graft.functions.TextFunctions.tokens(col("text")),
+          merges).as("sub"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("low", "</w>", "n", "e", "w", "est</w>"))
+    assert(got(2L) == Seq.empty)
+  }
+
+  test("pairFreqs matches the loop's first-round argmax") {
+    val top = Bpe.pairFreqs(fixture, "text", 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(top.head == ("e", "s", 9L))
+    assert(top.toSeq == Seq(("e", "s", 9L), ("s", "t", 9L), ("t", "</w>", 9L)))
+  }
+}
