@@ -78,7 +78,11 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var continue = true
     while (continue && merges.length < nMerges) {
-      val best = vocab
+      // words fully merged to ONE symbol have no pairs — and must be
+      // filtered BEFORE the pair transform: Spark's sequence(1, 0) is
+      // a DESCENDING [1, 0], so an unguarded element_at(s, i + 1)
+      // walks off the array and ANSI mode kills the job
+      val best = vocab.filter(size(col("s")) >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(s) - 1), " +
             "i -> struct(element_at(s, i) AS l, element_at(s, i + 1) AS r))"))

@@ -82,7 +82,7 @@ object SoakBench {
     val axes = args.lift(3).map(_.split(',').toSet)
       .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25",
         "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
-        "lmscore"))
+        "lmscore", "bpe"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -216,18 +216,24 @@ object SoakBench {
     // with mid-frequency terms, and report the fraction of postings
     // BYTES the probe actually reads (dir pruning × in-file
     // row-group pruning on the sorted token column).
+    // zipf(1) corpus generator: ~100k-token vocabulary, head-heavy —
+    // shared by the bm25zipf and bpe axes
+    def genZipf(path: String, mb: Int): Unit = {
+      val vocab = 100000
+      val docLen = 200
+      // head-heavy ranks average ~3 digits → ~5.5 bytes per "t<rank> "
+      val nDocs = (mb * 1e6 / (docLen * 5.5)).toLong
+      spark.range(nDocs).select(col("id").as("doc_id"),
+          array_join(transform(sequence(lit(1), lit(docLen)), p =>
+            concat(lit("t"), floor(pow(lit(vocab.toDouble),
+              pmod(xxhash64(col("id"), p), lit(1000000)).cast("double")
+                / lit(1000000.0))).cast("long"))), " ").as("text"))
+        .repartition(32).write.mode("overwrite").parquet(path)
+    }
+
     if (axes("bm25zipf")) {
-    val vocab = 100000
-    val docLen = 200
-    // head-heavy ranks average ~3 digits → ~5.5 bytes per "t<rank> "
-    val nDocs = (targetMb * 1e6 / (docLen * 5.5)).toLong
     val zPath = "target/soak_zipf"
-    spark.range(nDocs).select(col("id").as("doc_id"),
-        array_join(transform(sequence(lit(1), lit(docLen)), p =>
-          concat(lit("t"), floor(pow(lit(vocab.toDouble),
-            pmod(xxhash64(col("id"), p), lit(1000000)).cast("double")
-              / lit(1000000.0))).cast("long"))), " ").as("text"))
-      .repartition(32).write.mode("overwrite").parquet(zPath)
+    genZipf(zPath, targetMb)
     val zdocs = spark.read.parquet(zPath)
     val zMb = zdocs.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
     val zIdx = "target/soak_zipf_idx"
@@ -413,6 +419,28 @@ object SoakBench {
     val gsSec = gReps.map(_._2).min
     val gAll = gReps.map { case (k, s) => f"[$k%.1f,$s%.1f]" }.mkString(",")
     println(f"""{"metric":"soak_gramstats_ab","input_mb":$gMb%.0f,"kernel_full_sec":$gkFull%.1f,"kernel_full_mb_per_sec":${gMb / gkFull}%.1f,"ab_input_mb":$qMb%.0f,"kernel_sec":$gkSec%.1f,"shuffle_sec":$gsSec%.1f,"speedup":${gsSec / gkSec}%.2f,"reps_kernel_shuffle":[$gAll]}""")
+    }
+
+    // ---- axis 13: BPE merge learning on the zipfian vocabulary -------
+    // The cost-shape claim to verify: the corpus pays ONE scan to the
+    // word dictionary; every merge round is a VOCABULARY-sized job
+    // (pair agg + scalar argmax + map-side fold), so sec/merge is flat
+    // and independent of corpus size beyond the first scan.
+    if (axes("bpe")) {
+    val bPath = "target/soak_zipf_bpe"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(bPath)))
+      genZipf(bPath, targetMb / 4)
+    val bdocs = spark.read.parquet(bPath)
+    val bMb = bdocs.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+    val nWords = graft.operators.Bpe.wordVocab(bdocs, "text").count()
+    val tb0 = System.nanoTime()
+    val dict = graft.operators.Bpe.wordVocab(bdocs, "text").count() // scan cost probe
+    val scanSec = (System.nanoTime() - tb0) / 1e9
+    val tb1 = System.nanoTime()
+    val bMerges = graft.operators.Bpe.bpeLearn(bdocs, "text", nMerges = 30)
+    val bSec = (System.nanoTime() - tb1) / 1e9
+    println(f"""{"metric":"soak_bpe_learn","input_mb":$bMb%.0f,"word_vocab":$nWords,"n_merges":${bMerges.length},"sec":$bSec%.1f,"dict_scan_sec":$scanSec%.1f,"sec_per_merge":${(bSec - scanSec) / math.max(bMerges.length, 1)}%.2f,"top_merge":"${bMerges.head.merged}","top_freq":${bMerges.head.freq}}""")
+    require(dict == nWords)
     }
 
     // ---- axis 12: bigram-LM train + score at corpus scale ------------

@@ -69,6 +69,15 @@ class BpeSpec extends AnyFunSuite {
     assert(got(2L) == Seq.empty)
   }
 
+  test("words that merge down to a single symbol don't break later rounds") {
+    // "ab" collapses fully: (a,b) then (ab,</w>) → one symbol; the
+    // next round must find no pairs and stop cleanly (sequence(1, 0)
+    // is DESCENDING in Spark — unguarded it walks off the array)
+    val docs = (1L to 10L).map((_, "ab")).toDF("doc_id", "text")
+    val merges = Bpe.bpeLearn(docs, "text", nMerges = 10)
+    assert(merges.map(_.merged) == Seq("ab", "ab</w>"))
+  }
+
   test("pairFreqs matches the loop's first-round argmax") {
     val top = Bpe.pairFreqs(fixture, "text", 3).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
