@@ -78,6 +78,29 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.map(_.merged) == Seq("ab", "ab</w>"))
   }
 
+  test("bpeEncode is stream-safe: replay equals the batch encode") {
+    // pure map-side kernel → usable directly in Structured Streaming
+    // with no wrapper, no state, no watermark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val merges = Bpe.bpeLearn(fixture, "text", nMerges = 5)
+    def encoded(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        Bpe.bpeEncode(spark, graft.functions.TextFunctions.tokens(col("text")),
+          merges).as("sub"))
+    val docs = Seq((1L, "lowest newest"), (2L, "low wide")).toDF("doc_id", "text")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((1L, "lowest newest"), (2L, "low wide"))
+    val q = encoded(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bpeenc").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bpeenc")
+    val batch = encoded(docs)
+    assert(streamed.count() == 2)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("pairFreqs matches the loop's first-round argmax") {
     val top = Bpe.pairFreqs(fixture, "text", 3).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
