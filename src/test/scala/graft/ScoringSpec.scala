@@ -286,6 +286,14 @@ class ScoringSpec extends AnyFunSuite {
 
   // ---- plan-shape audits -------------------------------------------
 
+  test("bpe pairFreqs top-k plans as TakeOrdered, not a global sort shuffle") {
+    val docs = sources.Tables.documents(spark, sf)
+    val plan = operators.Bpe.pairFreqs(docs, "text", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for orderBy+limit:\n$plan")
+  }
+
   test("scoring plans: no cartesian products beyond one-row scalar attaches") {
     val docs = sources.Tables.documents(spark, sf)
     for ((name, df) <- Seq(
