@@ -1511,7 +1511,7 @@ object SparkEntry {
          |dfreq AS (SELECT token, count(*) AS df FROM pairs GROUP BY 1),
          |n AS (SELECT count(*) AS n_docs FROM documents),
          |scored AS (SELECT doc_id, token, tf, df,
-         |    round(cast(tf * n_docs AS double) / df, 6) AS score
+         |    cast(tf * n_docs AS double) / df AS score
          |  FROM pairs JOIN dfreq USING (token) CROSS JOIN n)
          |SELECT doc_id, token, tf, df, score FROM (
          |  SELECT doc_id, token, tf, df, score,
@@ -1526,8 +1526,8 @@ object SparkEntry {
          |    cnt AS n_pair FROM counts WHERE contains(term, ' ')),
          |t AS (SELECT cast(sum(cnt) AS bigint) AS total FROM uni)
          |SELECT w1, w2, n_pair, u1.cnt AS n_w1, u2.cnt AS n_w2,
-         |  round((cast(n_pair AS double) * cast(total AS double))
-         |    / (cast(u1.cnt AS double) * cast(u2.cnt AS double)), 6) AS score
+         |  (cast(n_pair AS double) * cast(total AS double))
+         |    / (cast(u1.cnt AS double) * cast(u2.cnt AS double)) AS score
          |FROM big JOIN uni u1 ON w1 = u1.term JOIN uni u2 ON w2 = u2.term CROSS JOIN t
          |WHERE n_pair >= 5
          |ORDER BY score DESC, w1, w2 LIMIT 50""".stripMargin,

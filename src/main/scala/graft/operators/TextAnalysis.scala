@@ -222,7 +222,12 @@ object TextAnalysis {
     val scored = pairs.join(dfreq, Seq("token"))
       .crossJoin(broadcast(nDocs)) // one row — the N scalar
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        round((col("tf") * col("__n")).cast("double") / col("df"), 6).as("score"))
+        // UNROUNDED: an int∕int quotient is one correctly-rounded IEEE
+        // division — bit-identical on both engines — while round()ing
+        // it can land on non-dyadic x.5e-6 ties (df ≡ 0 mod 128 with
+        // odd alignment) where the engines' rounding paths diverge
+        // (the ngram_lm_backoff lesson applied before it bites here)
+        ((col("tf") * col("__n")).cast("double") / col("df")).as("score"))
     // TopKPerKey sorts one direction, so descending score rides a
     // negated copy with the ascending token tie-break beside it
     graft.plans.TopK.perKey(scored.withColumn("__neg", -col("score")),
@@ -263,8 +268,12 @@ object TextAnalysis {
       .join(uni.select(col("term").as("w2"), col("cnt").as("n_w2")), Seq("w2"))
       .crossJoin(broadcast(total)) // one row — the T scalar
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
-        round((col("n_pair").cast("double") * col("__t").cast("double"))
-          / (col("n_w1").cast("double") * col("n_w2").cast("double")), 6).as("score"))
+        // UNROUNDED int∕int lift: bit-identical IEEE ops on both
+        // engines; a round() could land on non-dyadic x.5e-6 ties
+        // where the engines' rounding paths diverge (the
+        // ngram_lm_backoff lesson)
+        ((col("n_pair").cast("double") * col("__t").cast("double"))
+          / (col("n_w1").cast("double") * col("n_w2").cast("double"))).as("score"))
       .orderBy(col("score").desc, col("w1"), col("w2"))
       .limit(topN)
   }

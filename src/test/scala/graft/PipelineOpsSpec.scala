@@ -190,7 +190,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
     val want = pairs.join(dfreq, "token")
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
-        round((col("tf") * lit(n)).cast("double") / col("df"), 6).as("score"))
+        ((col("tf") * lit(n)).cast("double") / col("df")).as("score"))
       .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         r.getLong(3), r.getDouble(4))).toSet
