@@ -803,3 +803,61 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 }
+
+/** MinHash-LSH parameter advisor — the deployment-tuning math for
+  * [[Dedup.minhashLsh]] and the persisted minhash index: given a
+  * signature budget `k`, enumerate every (bands b, rows r) split
+  * (b·r = k) with its S-curve characteristics, and pick the split
+  * whose detection threshold best matches the target Jaccard.
+  *
+  * Pure driver-side arithmetic (Leskovec/Rajaraman/Ullman, "Mining of
+  * Massive Datasets" ch. 3): a pair with Jaccard s collides in ≥ 1 of
+  * b bands with probability `1 − (1 − sʳ)ᵇ`; the curve's inflection
+  * sits near `(1∕b)^(1∕r)`. `falsePositiveMass`/`falseNegativeAt`
+  * integrate the curve below/above the target so the operator's
+  * candidate-volume/recall trade-off is a printed number, not
+  * folklore. No DataFrames involved — this is the knob-setting step
+  * BEFORE the corpus-scale job runs.
+  */
+object LshPlan {
+  /** One candidate parameterization of a k-hash signature. */
+  final case class Plan(bands: Int, rows: Int, threshold: Double,
+                        pAtTarget: Double, fnAtTarget: Double,
+                        fpMassBelow: Double)
+
+  /** Collision probability of a pair with Jaccard `s` under (b, r). */
+  def collisionP(s: Double, bands: Int, rows: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rows), bands)
+
+  /** All (b, r) factorizations of `k`, with the S-curve numbers at
+    * `targetJaccard`: detection probability, false-negative rate at
+    * the target, and the mean collision probability over s <
+    * target (the candidate-volume proxy — what the df-cap and
+    * verify stage must absorb), integrated by midpoint rule.
+    */
+  def plans(k: Int, targetJaccard: Double): Seq[Plan] = {
+    require(k >= 1 && targetJaccard > 0 && targetJaccard < 1)
+    (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      val p = collisionP(targetJaccard, b, r)
+      val steps = 1000
+      val fp = (0 until steps).map { i =>
+        val s = targetJaccard * (i + 0.5) / steps
+        collisionP(s, b, r)
+      }.sum / steps
+      Plan(b, r, math.pow(1.0 / b, 1.0 / r), p, 1.0 - p, fp)
+    }
+  }
+
+  /** The split whose inflection threshold is nearest the target with
+    * detection probability ≥ `minRecall` — ties to fewer bands (fewer
+    * buckets ⇒ less shuffle).
+    */
+  def recommend(k: Int, targetJaccard: Double,
+                minRecall: Double = 0.9): Plan = {
+    val all = plans(k, targetJaccard)
+    val viable = all.filter(_.pAtTarget >= minRecall)
+    val pool = if (viable.nonEmpty) viable else all
+    pool.minBy(p => (math.abs(p.threshold - targetJaccard), p.bands))
+  }
+}

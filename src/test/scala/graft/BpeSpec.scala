@@ -101,6 +101,29 @@ class BpeSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("LshPlan: S-curve math, factorization sweep, recommendation") {
+    import graft.operators.LshPlan
+    // hand values: P(collide | s=.5, b=8, r=2) = 1 − (1 − .25)^8
+    assert(math.abs(LshPlan.collisionP(0.5, 8, 2)
+      - (1.0 - math.pow(0.75, 8))) < 1e-12)
+    val ps = LshPlan.plans(16, 0.5)
+    assert(ps.map(p => (p.bands, p.rows)).toSet ==
+      Set((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)))
+    // more bands → lower threshold, more false-positive mass
+    val byB = ps.sortBy(_.bands)
+    assert(byB.map(_.threshold) == byB.map(_.threshold).sorted.reverse)
+    assert(byB.map(_.fpMassBelow) == byB.map(_.fpMassBelow).sorted)
+    // the repo default (8, 2) is the right k=16 split at jaccard .5
+    // once the recall floor admits its 0.8999 detection probability —
+    // and the advisor honestly reports k=16 cannot reach 0.9 recall
+    // with any tight-threshold split (only (16,1) clears 0.9)
+    val rec = LshPlan.recommend(16, 0.5, minRecall = 0.85)
+    assert((rec.bands, rec.rows) == (8, 2))
+    assert(math.abs(rec.pAtTarget - 0.899887) < 1e-4)
+    val strict = LshPlan.recommend(16, 0.5, minRecall = 0.9)
+    assert((strict.bands, strict.rows) == (16, 1))
+  }
+
   test("pairFreqs matches the loop's first-round argmax") {
     val top = Bpe.pairFreqs(fixture, "text", 3).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
