@@ -177,6 +177,7 @@ object SparkEntry {
       operators.Skew.saltedValueStats(Tables.events(s, d), "event_type", "value", 8)),
     "q_pivot"            -> (Relational.qPivot _),
     "q_asof_join"        -> (Relational.qAsofJoin _),
+    "q_interval_join"    -> (Relational.qIntervalJoin _),
     "q_groupwise_max"    -> (Relational.qGroupwiseMax _),
     "q_approx_stats"     -> (Relational.qApproxStats _),
     "q_portable_quantiles" -> (Relational.qPortableQuantiles _),
@@ -349,6 +350,18 @@ object SparkEntry {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
         |  FROM events)
         |WHERE event_type = 'purchase'""".stripMargin,
+    "q_interval_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |  count(v.v_us) AS n_views_1h,
+        |  epoch_us(p.ts) - max(v.v_us) AS last_view_gap_us
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, epoch_us(ts) AS v_us FROM events
+        |           WHERE event_type = 'view') v
+        |  ON v.user_id = p.user_id
+        |  AND v.v_us >= epoch_us(p.ts) - 3600000000
+        |  AND v.v_us <= epoch_us(p.ts)
+        |GROUP BY 1, 2, epoch_us(p.ts)""".stripMargin,
     "q_groupwise_max" ->
       """SELECT p_brand, p_partkey, p_retailprice FROM part p
         |WHERE p_retailprice = (

@@ -293,6 +293,59 @@ object Relational {
       .select(col("user_id"), col("event_id").as("purchase_id"), col("click_id"))
   }
 
+  /** Interval (attribution-window) join: every purchase with the
+    * count of the SAME user's views in the preceding hour and the gap
+    * to the most recent one — the classic equi+range join, expressed
+    * Spark-first as a RANGE-frame window over the per-user event
+    * timeline instead of a join: the naive
+    * `views v JOIN purchases p ON user AND v.ts BETWEEN p.ts−1h AND
+    * p.ts` pays a per-user cross product inside each window (hot
+    * users go quadratic), while the range frame is one sort per user
+    * partition with a sliding frame — O(n log n), no candidate
+    * blowup. [[qIntervalJoinViaJoin]] is the join-form parity
+    * reference the spec pins equality against; the frame runs on
+    * exact epoch MICROS (second-cast would silently widen the
+    * window's edge by sub-second truncation).
+    */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("__us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        us.as("__us"))
+      .withColumn("n_views_1h",
+        count(when(col("event_type") === "view", lit(1))).over(w))
+      .withColumn("__last_view_us",
+        max(when(col("event_type") === "view", col("__us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("n_views_1h"),
+        (col("__us") - col("__last_view_us")).as("last_view_gap_us"))
+  }
+
+  /** Join-form reference for [[qIntervalJoin]] — spec-only. */
+  def qIntervalJoinViaJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("__us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("__us").as("p_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("__us").as("v_us"))
+    p.as("p").join(v.as("v"),
+        col("p.user_id") === col("v.user_id") &&
+          col("v.v_us") >= col("p.p_us") - 3600000000L &&
+          col("v.v_us") <= col("p.p_us"), "left")
+      .groupBy(col("p.user_id").as("user_id"), col("purchase_id"),
+        col("p_us"))
+      .agg(count(col("v_us")).as("n_views_1h"),
+        max(col("v_us")).as("__last"))
+      .select(col("user_id"), col("purchase_id"), col("n_views_1h"),
+        (col("p_us") - col("__last")).as("last_view_gap_us"))
+  }
+
   /** Group-wise max: parts at their brand's top retail price. */
   def qGroupwiseMax(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir)

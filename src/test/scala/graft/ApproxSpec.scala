@@ -66,6 +66,22 @@ class ApproxSpec extends AnyFunSuite {
     assert(asof.collect().forall(r => r.isNullAt(2) || clicks.contains(r.getLong(2))))
   }
 
+  test("interval join: range-frame window equals the join formulation") {
+    import org.apache.spark.sql.functions._
+    val win = operators.Relational.qIntervalJoin(spark, sf)
+    val join = operators.Relational.qIntervalJoinViaJoin(spark, sf)
+    assert(win.count() ==
+      sources.Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase").count())
+    assert(win.exceptAll(join).isEmpty && join.exceptAll(win).isEmpty)
+    // windows with no view → null gap, zero count; with views → gap in
+    // [0, 1h] micros
+    val rows = win.collect()
+    assert(rows.forall(r =>
+      if (r.getLong(2) == 0) r.isNullAt(3)
+      else r.getLong(3) >= 0 && r.getLong(3) <= 3600000000L))
+  }
+
   test("pivot row sums equal per-user event counts") {
     import org.apache.spark.sql.functions._
     val p = SparkEntry.queries("q_pivot")(spark, sf)
