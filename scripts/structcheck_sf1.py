@@ -17,15 +17,20 @@ each query has EXACT invariants of the generator that need no oracle:
     one vector (a small boundary tolerance is correct SemDeDup
     semantics when copies straddle a cell's cosine pruning edge).
 
-Usage: python3 scripts/structcheck_sf1.py <sf1Dir> <verifyOutDir> [mult]
-Exits nonzero on any violated invariant.
+Usage: python3 scripts/structcheck_sf1.py <baseDir> <verifyOutDir> [mult]
+
+baseDir is the SOURCE corpus the sf sweep replicated (the generator's
+input, normally /root/testdata/sf0.1) — the id-modulus invariants are
+derived from ITS cardinalities, so passing the wrong base computes the
+wrong "copies of one source" grouping. Exits nonzero on any violated
+invariant.
 """
 import sys
 import duckdb
 
-def main(sf1_dir, out_dir, mult=10):
+def main(base_dir, out_dir, mult=10):
     con = duckdb.connect()
-    src = "/root/testdata/sf0.1"
+    src = base_dir
     kd = con.execute(f"SELECT max(doc_id)+1 FROM read_parquet('{src}/documents.parquet')").fetchone()[0]
     kv = con.execute(f"SELECT max(vec_id)+1 FROM read_parquet('{src}/embeddings.parquet')").fetchone()[0]
     npairs = mult * (mult - 1) // 2

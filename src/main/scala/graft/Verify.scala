@@ -7,8 +7,15 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated query names — dump only
     // those (incremental re-verification after adding queries; the
-    // driver's two-arg form still dumps everything)
+    // driver's two-arg form still dumps everything). Unknown names
+    // are a hard error: a typo would otherwise dump nothing, and the
+    // downstream selfcheck skips missing dirs — a silently vacuous
+    // PASS for a query that was never re-verified.
     val only = args.lift(2).map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
+    }
     def included(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // same tuned session the library ships (GraftSession) — verify the

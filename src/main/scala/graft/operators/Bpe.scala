@@ -28,8 +28,13 @@ import graft.Materialize
   */
 object Bpe {
   /** Word-end marker (classic `</w>` — distinguishes "est " from
-    * "est" mid-word; cannot collide with tokens, which never contain
-    * `<` after the tokenizer's punctuation trim).
+    * "est" mid-word). Tokens CAN in principle contain angle brackets
+    * (the tokenizer trims punctuation from edges only), so a literal
+    * `</w>` token would conflate with the marker — the same
+    * theoretical collision every printable-marker BPE implementation
+    * (subword-nmt's `</w>`, HuggingFace's `##`/`Ġ`) accepts; the
+    * hard guarantee used by the pair keys is only that symbols never
+    * contain a SPACE (tokens are whitespace-split).
     */
   val EndMark = "</w>"
 

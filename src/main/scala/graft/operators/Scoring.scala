@@ -391,8 +391,14 @@ object Scoring {
     */
   def nbQualityClassifier(docs: DataFrame, idCol: String, textCol: String,
                           posPred: Column): DataFrame = {
-    val docToks = docTokenCounts(docs, idCol, textCol, Some(posPred))
-    val (terms, meta) = nbModelTables(docToks, docs, posPred)
+    // a NULL label (e.g. lang IS NULL under lang === "en") must mean
+    // NEGATIVE consistently: when(!pred) sends null to otherwise —
+    // without the coalesce, null-class docs would vanish from the
+    // token counts while still counting in the doc prior (and the
+    // SQL oracle's CASE ELSE branch counts them negative)
+    val pos = coalesce(posPred, lit(false))
+    val docToks = docTokenCounts(docs, idCol, textCol, Some(pos))
+    val (terms, meta) = nbModelTables(docToks, docs, pos)
     nbScore(docToks, terms, meta, idCol)
   }
 
@@ -472,8 +478,9 @@ object Scoring {
     */
   def buildNbModel(docs: DataFrame, idCol: String, textCol: String,
                    posPred: Column, path: String): Unit = {
-    val docToks = docTokenCounts(docs, idCol, textCol, Some(posPred))
-    val (terms, meta) = nbModelTables(docToks, docs, posPred)
+    val pos = coalesce(posPred, lit(false)) // null label = negative
+    val docToks = docTokenCounts(docs, idCol, textCol, Some(pos))
+    val (terms, meta) = nbModelTables(docToks, docs, pos)
     terms.write.mode("overwrite").parquet(s"$path/terms")
     meta.write.mode("overwrite").parquet(s"$path/meta")
   }

@@ -278,8 +278,11 @@ object DocStreams {
     capped.foreach(r => map.put(UTF8String.fromString(r.getString(0)),
       java.lang.Long.valueOf(r.getLong(1))))
     val bc = spark.sparkContext.broadcast(map)
-    val oovMicros = spark.read.parquet(s"$modelPath/meta")
-      .select((col("oov_penalty") * 1000000L).cast("long")).collect()(0).getLong(0)
+    val oovRow = spark.read.parquet(s"$modelPath/meta")
+      .select((col("oov_penalty") * 1000000L).cast("long")).collect()(0)
+    require(!oovRow.isNullAt(0),
+      "LM model has no OOV penalty (trained on a corpus with no 2-token doc) — refusing to gate on it")
+    val oovMicros = oovRow.getLong(0)
     import org.apache.spark.sql.classic.GraftPlanFactory
     val grams = graft.functions.TextFunctions.shingles(
       graft.functions.TextFunctions.tokens(col(textCol)), 2)

@@ -399,8 +399,8 @@ object SoakBench {
       (System.nanoTime() - t0) / 1e9
     }
     // the KERNEL runs at the full corpus (zero shuffle — disk cost is
-    // the scan only); the A/B against the shuffle form runs on a
-    // quarter subset: the shuffle form's (doc, n, gram) counts
+    // the scan only); the A/B against the shuffle form runs on an
+    // EIGHTH subset: the shuffle form's (doc, n, gram) counts
     // materialization + shuffle is ~45× its input on disk, which at
     // the full 2 GB exceeds this host (two soak attempts died on
     // ENOSPC exactly there — itself the measurement: the kernel
@@ -409,11 +409,11 @@ object SoakBench {
     def gs(c: DataFrame) = graft.operators.TextAnalysis.gopherRepetitionShuffle(c, "doc_id", "text")
     gNoop(gk(corpus)) // warm
     val gkFull = (1 to 3).map(_ => gNoop(gk(corpus))).min
-    val quarter = corpus.filter(col("doc_id") % 8 === 0)
-    val qMb = quarter.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
-    gNoop(gk(quarter)); gNoop(gs(quarter)); System.gc() // warm
+    val eighth = corpus.filter(col("doc_id") % 8 === 0)
+    val qMb = eighth.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+    gNoop(gk(eighth)); gNoop(gs(eighth)); System.gc() // warm
     val gReps = (1 to 3).map { _ =>
-      System.gc(); (gNoop(gk(quarter)), gNoop(gs(quarter)))
+      System.gc(); (gNoop(gk(eighth)), gNoop(gs(eighth)))
     }
     val gkSec = gReps.map(_._1).min
     val gsSec = gReps.map(_._2).min
