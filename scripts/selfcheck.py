@@ -25,6 +25,51 @@ def norm(v):
         return repr(v)  # full precision
     return repr(v)
 
+def pandas_dtype_check(name, files, con, oracle_sql):
+    """Mimic the driver's readers: Spark side via pandas.read_parquet,
+    oracle side via DuckDB .df(); compare dtypes and verify the
+    sort_values the driver applies doesn't throw (list columns do).
+    Returns an error string or None."""
+    import pandas as pd
+    spark = pd.concat([pd.read_parquet(f) for f in files])
+    ora = con.execute(oracle_sql).df()
+    if sorted(spark.columns) != sorted(ora.columns):
+        return None  # schema mismatch reported by the value phase
+    spark = spark[sorted(spark.columns)]
+    ora = ora[sorted(ora.columns)]
+    def kind(s):
+        # integer widths hash identically (values widen to uint64) and
+        # datetime units/date-objects stringify identically on the
+        # driver (q_monthly_orders et al. pass with object(date) vs
+        # datetime64[us]); float32 vs float64 / int vs float /
+        # Decimal-object vs float do NOT — those are what bit the
+        # PQ + token_spectrum family in round 7.
+        d = s.dtype
+        if d.kind in "iu":
+            return "int"
+        if d.kind == "M":
+            return "datetime"
+        if d.kind == "f":
+            return str(d)  # float32 != float64
+        if d.kind == "O":
+            nn = s.dropna()
+            if len(nn) == 0:
+                return "object(empty)"
+            t = type(nn.iloc[0]).__name__
+            return "datetime" if t in ("date", "datetime", "Timestamp") else f"object({t})"
+        return str(d)
+    bad = [f"{c}: spark={kind(spark[c])} oracle={kind(ora[c])}"
+           for c in spark.columns if kind(spark[c]) != kind(ora[c])]
+    if bad:
+        return "pandas dtype mismatch (driver would hash-mismatch): " + "; ".join(bad)
+    try:
+        spark.sort_values(list(spark.columns))
+        ora.sort_values(list(ora.columns))
+    except Exception as e:
+        return f"driver sort_values would fail: {type(e).__name__}: {e}"
+    return None
+
+
 def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     # Bound the oracle's memory and give it a spill dir: the heavy
@@ -60,6 +105,17 @@ def main(sf_dir, out_dir, skip=()):
         res = con.execute(oracle[name])
         exp_cols = [c[0] for c in res.description]
         exp = res.fetchall()
+        # driver-faithful dtype phase: the driver reads the Spark
+        # parquet via pandas/pyarrow (DECIMAL -> object(Decimal),
+        # list -> ndarray: unsortable) and the oracle via DuckDB .df()
+        # (DECIMAL/HUGEINT -> float64). Equal VALUES with unequal
+        # pandas dtypes still hash-mismatch on the driver — catch that
+        # here, where the repr-based compare below is blind to it.
+        dtype_err = pandas_dtype_check(name, files, con, oracle[name])
+        if dtype_err:
+            n_fail += 1
+            print(f"  FAIL {name}: {dtype_err}")
+            continue
         # sort columns by name, then rows
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
         eidx = [exp_cols.index(c) for c in sorted(exp_cols)]

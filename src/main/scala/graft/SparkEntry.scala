@@ -671,8 +671,14 @@ object SparkEntry {
       Similarity.knnIvf(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     // PQ family (Jégou et al. 2011): corpus → m-byte codes (C55), ADC
     // top-k over the code table with a broadcast distance table (C56)
+    // portable projection: codes array → CSV string, decimal → double
+    // (driver compare is pandas-based — list/DECIMAL output columns
+    // hash-mismatch or fail to sort; library API keeps the array form)
     "embedding_pq" -> ((s, d) =>
-      Similarity.pqEncode(Tables.embeddings(s, d), "vec_id", "embedding")),
+      Similarity.pqEncode(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"),
+          concat_ws(",", col("codes").cast("array<string>")).as("codes"),
+          col("recon_err").cast("double").as("recon_err"))),
     "knn_pq" -> ((s, d) =>
       Similarity.knnPq(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     // IVF cells restrict the candidates, PQ codes score them (C59)
@@ -1725,8 +1731,8 @@ object SparkEntry {
          |spec AS (SELECT freq, count(*) AS n_types, freq * count(*) AS mass
          |  FROM counts GROUP BY 1)
          |SELECT freq, n_types, mass,
-         |  sum(n_types) OVER (ORDER BY freq DESC) AS cum_types,
-         |  sum(mass) OVER (ORDER BY freq DESC) AS cum_mass
+         |  CAST(sum(n_types) OVER (ORDER BY freq DESC) AS BIGINT) AS cum_types,
+         |  CAST(sum(mass) OVER (ORDER BY freq DESC) AS BIGINT) AS cum_mass
          |FROM spec""".stripMargin,
     "dedup_pagerank" -> operators.Graph.pagerankOracleSql(),
     "semantic_clusters" ->

@@ -459,10 +459,21 @@ object Scoring {
     * are exact decimals → two correctly-rounded casts + one double
     * add: identical on both engines (a decimal ADD would cross
     * DuckDB's 38-digit ceiling where Spark caps).
+    *
+    * Out-of-vocabulary tokens score NEUTRAL (term = 0, left join):
+    * when a persisted model scores a corpus other than its training
+    * sample, unseen tokens contribute no evidence but still count in
+    * n_tokens, and an all-OOV doc survives with log_odds = prior —
+    * the same contract as the streaming gate (DocStreams.nbAdmission),
+    * so the batch and stream gates agree on OOV-heavy documents. On
+    * the training corpus every token is in-vocabulary and the left
+    * join degenerates to the inner one (oracle unchanged).
     */
   private def nbScore(docToks: DataFrame, terms: DataFrame, meta: DataFrame,
                       idCol: String): DataFrame =
-    docToks.join(terms, "token")
+    docToks.join(terms, Seq("token"), "left")
+      .withColumn("term",
+        coalesce(col("term"), lit(0).cast("decimal(18,6)")))
       .crossJoin(broadcast(meta.select(col("prior"))))
       .withColumn("__t", cntTerm(col("cnt"), col("term")))
       .groupBy(col(idCol))

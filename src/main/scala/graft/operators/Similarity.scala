@@ -657,11 +657,21 @@ object Similarity {
     * stage, linear at 100 TB. Emits every train vector with its
     * nearest-eval cosine, the offending eval id (ties → lower id) and
     * the flag — re-thresholdable without a re-scan.
+    *
+    * `idCol` must be numeric (the tie-break negates it). An EMPTY eval
+    * set fails fast: the cross join would otherwise emit zero rows —
+    * an empty contamination report a caller reads as "nothing
+    * contaminated" (or, anti-joining to keep clean docs, as
+    * "everything contaminated"). An empty eval set is a wiring bug
+    * (wrong path/filter), never a meaningful screen.
     */
   def decontaminateSemantic(train: DataFrame, eval: DataFrame,
                             idCol: String, vecCol: String,
                             minCos: Double = 0.9): DataFrame = {
     GraftFunctions.register(train.sparkSession)
+    require(!eval.isEmpty,
+      "decontaminateSemantic: eval set is empty — every train row would " +
+        "silently drop from the report; check the eval source/filter")
     val ev = eval.select(col(idCol).as("eval_id"), col(vecCol).as("ev"))
     val scored = train.select(col(idCol).as("vec_id"), col(vecCol).as("tv"))
       .crossJoin(broadcast(ev))
@@ -941,9 +951,16 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id"))
+    // cut and rank on the exact decimal; EMIT double — final query
+    // outputs must be pandas-portable types (the driver reads Spark
+    // parquet via pyarrow, which keeps DECIMAL as object(Decimal),
+    // while DuckDB's .df() converts DECIMAL to float64 — equal values,
+    // unequal hashes). decimal(28,6)→double is correctly rounded and
+    // identical on both engines.
     graft.plans.TopK.perKey(scored, Seq("query_id"),
         Seq("adist", "neighbor_id"), k, descending = false)
       .withColumn("rnk", row_number().over(w))
+      .withColumn("adist", col("adist").cast("double"))
   }
 
   /** The unnest-join-groupBy formulation of the ADC search — parity
@@ -968,6 +985,7 @@ object Similarity {
       .agg(sum(col("d2")).cast("decimal(28,6)").as("adist"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
+      .withColumn("adist", col("adist").cast("double"))
   }
 
   /** The per-query ADC distance table (query_id, m, code, d2) — one
@@ -1074,9 +1092,11 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id"))
+    // rank on the exact decimal, emit double (see [[adcTopK]] note)
     graft.plans.TopK.perKey(scored, Seq("query_id"),
         Seq("adist", "neighbor_id"), k, descending = false)
       .withColumn("rnk", row_number().over(w))
+      .withColumn("adist", col("adist").cast("double"))
   }
 
   /** DuckDB twin of [[knnIvfPq]] — the [[knnIvf]] oracle's cell CTEs
@@ -1112,7 +1132,7 @@ object Similarity {
        |  FROM enc e JOIN dtab d ON d.m = e.m AND d.code = e.st.c
        |  JOIN cand ON cand.query_id = d.query_id AND cand.neighbor_id = e.vec_id
        |  GROUP BY 1, 2)
-       |SELECT query_id, neighbor_id, adist, rnk FROM (
+       |SELECT query_id, neighbor_id, cast(adist AS double) AS adist, rnk FROM (
        |  SELECT query_id, neighbor_id, adist,
        |    cast(row_number() OVER (PARTITION BY query_id
        |      ORDER BY adist ASC, neighbor_id) AS integer) AS rnk
@@ -1149,7 +1169,11 @@ object Similarity {
        |  GROUP BY s.vec_id, s.m)""".stripMargin
   }
 
-  /** DuckDB twin of [[pqEncode]]. */
+  /** DuckDB twin of the portable [[pqEncode]] projection (codes
+    * serialized to a CSV string, recon_err as double — final query
+    * outputs must be pandas-portable: no DECIMAL, no list columns; a
+    * list column is unsortable/unhashable in the driver's compare).
+    */
   def pqEncodeOracleSql(m: Int = 16, ksub: Int = 32, dims: Int = 64): String = {
     def dot(a: String, b: String) = VectorFunctions.dotSql(a, b)
     s"""WITH ${pqCtePrefix(m, ksub, dims)},
@@ -1157,8 +1181,8 @@ object Similarity {
        |  SELECT e.vec_id, e.m, e.st.c AS code,
        |    cast(round(e.st.s + ${dot("s.vm", "s.vm")}, 6) AS decimal(18,6)) AS err
        |  FROM enc e JOIN sub s ON s.vec_id = e.vec_id AND s.m = e.m)
-       |SELECT vec_id, list(code ORDER BY m) AS codes,
-       |  cast(sum(err) AS decimal(28,6)) AS recon_err
+       |SELECT vec_id, array_to_string(list(code ORDER BY m), ',') AS codes,
+       |  cast(cast(sum(err) AS decimal(28,6)) AS double) AS recon_err
        |FROM per GROUP BY vec_id""".stripMargin
   }
 
@@ -1179,7 +1203,7 @@ object Similarity {
        |  FROM enc e JOIN dtab d ON d.m = e.m AND d.code = e.st.c
        |  WHERE d.query_id <> e.vec_id
        |  GROUP BY 1, 2)
-       |SELECT query_id, neighbor_id, adist, rnk FROM (
+       |SELECT query_id, neighbor_id, cast(adist AS double) AS adist, rnk FROM (
        |  SELECT query_id, neighbor_id, adist,
        |    cast(row_number() OVER (PARTITION BY query_id
        |      ORDER BY adist ASC, neighbor_id) AS integer) AS rnk

@@ -635,6 +635,15 @@ object TextAnalysis {
     *   - ≥ 80% of words contain at least one alphabetic character
     *   - ≥ 2 distinct hits from [[GopherRequiredWords]]
     *
+    * SCOPE: the whole rule bundle is ASCII-English, deliberately — the
+    * house tokenizer ([[TokenRegex]]) segments on `[a-z]`/`[0-9]`
+    * classes, so accented/non-Latin words are already split before any
+    * rule sees them, and the alpha rule's `[a-z]` matches that scope
+    * (a `\p{L}` class here would not make the bundle Unicode-faithful
+    * while the tokenizer is ASCII; Gopher itself is an English-corpus
+    * filter). Run [[langId]] first and gate non-English text through
+    * language-appropriate rules instead of this bundle.
+    *
     * `keep` is the conjunction. Pure map-side column arithmetic (one
     * scan, zero shuffle — scan speed at 100 TB); every ratio is an
     * IEEE division of exact integers, so the DuckDB twin is

@@ -427,7 +427,9 @@ object SoakBench {
     // (pair agg + scalar argmax + map-side fold), so sec/merge is flat
     // and independent of corpus size beyond the first scan.
     if (axes("bpe")) {
-    val bPath = "target/soak_zipf_bpe"
+    // size rides in the path: a cached corpus from a previous run at a
+    // DIFFERENT targetMb must not be silently re-benchmarked
+    val bPath = s"target/soak_zipf_bpe_${targetMb / 4}mb"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(bPath)))
       genZipf(bPath, targetMb / 4)
     val bdocs = spark.read.parquet(bPath)
@@ -439,7 +441,11 @@ object SoakBench {
     val tb1 = System.nanoTime()
     val bMerges = graft.operators.Bpe.bpeLearn(bdocs, "text", nMerges = 30)
     val bSec = (System.nanoTime() - tb1) / 1e9
-    println(f"""{"metric":"soak_bpe_learn","input_mb":$bMb%.0f,"word_vocab":$nWords,"n_merges":${bMerges.length},"sec":$bSec%.1f,"dict_scan_sec":$scanSec%.1f,"sec_per_merge":${(bSec - scanSec) / math.max(bMerges.length, 1)}%.2f,"top_merge":"${bMerges.head.merged}","top_freq":${bMerges.head.freq}}""")
+    // bpeLearn can legitimately return zero merges (every pair below
+    // minFreq) — don't let the report line throw on .head
+    val (topMerge, topFreq) = bMerges.headOption
+      .map(m => (m.merged, m.freq)).getOrElse(("", 0L))
+    println(f"""{"metric":"soak_bpe_learn","input_mb":$bMb%.0f,"word_vocab":$nWords,"n_merges":${bMerges.length},"sec":$bSec%.1f,"dict_scan_sec":$scanSec%.1f,"sec_per_merge":${(bSec - scanSec) / math.max(bMerges.length, 1)}%.2f,"top_merge":"$topMerge","top_freq":$topFreq}""")
     require(dict == nWords)
     }
 

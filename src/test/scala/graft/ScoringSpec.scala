@@ -130,6 +130,29 @@ class ScoringSpec extends AnyFunSuite {
     assert(direct.exceptAll(probed).isEmpty && probed.exceptAll(direct).isEmpty)
   }
 
+  test("nbScoreIndexed: OOV tokens score neutral, all-OOV docs survive with prior-only odds") {
+    // score-the-lake contract: the model never saw "zzz" — those
+    // tokens contribute zero evidence but still count in n_tokens,
+    // and a fully-OOV doc is KEPT (log_odds = prior), matching the
+    // streaming gate instead of silently vanishing from the report
+    val train = Seq((10L, "good good signal", true),
+        (11L, "bad bad noise", false))
+      .toDF("doc_id", "text", "is_pos")
+    val path = "target/test_nb_model_oov"
+    Scoring.buildNbModel(train, "doc_id", "text", col("is_pos"), path)
+    val lake = Seq((1L, "good zzz"), (2L, "zzz zzz zzz"))
+      .toDF("doc_id", "text")
+    val out = Scoring.nbScoreIndexed(lake, "doc_id", "text", path)
+      .select("doc_id", "n_tokens", "log_odds")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 2, "all-OOV doc must not be dropped")
+    assert(out(1L)._1 == 2L, "n_tokens counts OOV tokens too")
+    assert(out(2L)._1 == 3L)
+    // balanced classes → prior = ln(1/1) = 0; all-OOV doc scores it
+    assert(out(2L)._2 == 0.0, "all-OOV doc scores the prior alone")
+    assert(out(1L)._2 > 0.0, "in-vocab positive evidence still counts")
+  }
+
   test("nbAdmission: stream replay equals the batch gate; scores match the model") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val docs = sources.Tables.documents(spark, sf)

@@ -285,6 +285,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.values.forall(r => math.abs(r.getAs[Double]("max_eval_cos")) <= 1.0))
   }
 
+  test("decontaminateSemantic: empty eval set fails fast, never an empty report") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    // an empty eval set (wrong path/filter) would cross-join to ZERO
+    // rows — a report a caller misreads as "nothing contaminated"
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.decontaminateSemantic(emb, emb.filter(lit(false)),
+        "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("eval set is empty"))
+  }
+
   test("knnLsh candidates carry no vector payload through the dedup shuffle") {
     val emb = Tables.embeddings(spark, sf)
     val plan = Similarity.knnLsh(emb, "vec_id", "embedding", 10, 5)
