@@ -743,6 +743,10 @@ object SparkEntry {
     // Good-Turing frequency spectrum + Zipf mass audit (C65)
     "token_spectrum" -> ((s, d) =>
       TextAnalysis.tokenSpectrum(Tables.documents(s, d), "text")),
+    // per-source unigram KL vs the corpus blend — the mixture-design
+    // distribution-shift audit (C68)
+    "source_divergence" -> ((s, d) =>
+      Scoring.sourceDivergence(Tables.documents(s, d), "text", "source")),
     // BPE round-one candidate merges from the word-count dictionary
     // (C66; the full merge LOOP is Bpe.bpeLearn — spec-driven, its
     // per-round argmax is this query's shape)
@@ -754,6 +758,10 @@ object SparkEntry {
       Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text")),
     "corpus_quota_sample" -> ((s, d) =>
       Curation.quotaSample(Tables.documents(s, d), "doc_id", "source", 10)),
+    // XLM-style α=0.5 temperature mixture draw over source char mass (C70)
+    "temperature_sample" -> ((s, d) =>
+      Curation.temperatureSample(Tables.documents(s, d), "doc_id", "source",
+        "n_chars", 100)),
     "pack_sequences" -> ((s, d) =>
       Curation.packSequences(Tables.documents(s, d), "doc_id", "text", "source", 512)),
     "pack_aligned" -> ((s, d) =>
@@ -788,6 +796,10 @@ object SparkEntry {
       Curation.splitAssign(Tables.documents(s, d), "doc_id")),
     "embedding_kmeans" -> ((s, d) =>
       Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding")),
+    // prototypicality (cos to own k-means centroid) + in-cluster rank
+    // — the Sorscher et al. data-pruning metric (C69)
+    "prototype_scores" -> ((s, d) =>
+      Similarity.prototypeScores(Tables.embeddings(s, d), "vec_id", "embedding")),
     // cluster-balanced sampling: semantic diversity via k-means strata
     // + the deterministic md5-order quota draw (TopKPerKey-planned) —
     // the composition that keeps a subsample from collapsing onto the
@@ -1204,6 +1216,27 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY ${ph("concat(source, '|', doc_id)")}, doc_id) AS rnk
          |  FROM documents) WHERE rnk <= 10""".stripMargin,
+    // √mass weights on the round-6 decimal grid (exact total), quota
+    // arithmetic as the identical double tree — α fixed at 0.5 because
+    // sqrt is correctly rounded where pow is not
+    "temperature_sample" ->
+      s"""WITH sz AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS s
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source,
+         |    CAST(round(sqrt(CAST(s AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w
+         |  FROM sz),
+         |tw AS (SELECT CAST(sum(CAST(w AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS tw
+         |  FROM w),
+         |q AS (SELECT source,
+         |    CAST(floor(CAST(100 AS DOUBLE) *
+         |      (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) AS INTEGER) AS quota
+         |  FROM w CROSS JOIN tw),
+         |r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${ph("concat(source, '|', doc_id)")}, doc_id) AS rnk
+         |  FROM documents)
+         |SELECT doc_id, source FROM r JOIN q USING (source)
+         |WHERE rnk <= quota""".stripMargin,
     "heavy_hitters" ->
       s"""WITH toksr AS (SELECT unnest($tok) AS token FROM documents),
          |cells AS (
@@ -1245,6 +1278,7 @@ object SparkEntry {
          |        FROM documents))
          |WHERE tokens_before < 500""".stripMargin,
     "embedding_kmeans" -> Similarity.kmeansOracleSql(),
+    "prototype_scores" -> Similarity.prototypeScoresOracleSql(),
     "cluster_sample" ->
       s"""${Similarity.kmeansCtePrefix()},
          |ranked AS (
@@ -1662,6 +1696,24 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN c3 IS NULL AND c2s IS NULL AND c1w3 IS NULL
          |    THEN tf ELSE 0 END) AS BIGINT) AS n_oov
          |FROM j GROUP BY 1""".stripMargin,
+    // same weight factorization as the Spark side: integer counts ×
+    // round-6-decimal ln terms, ONE unrounded decimal→double quotient
+    "source_divergence" ->
+      s"""WITH st AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($tok) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |tt AS (SELECT token, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY 1),
+         |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns,
+         |    CAST(count(*) AS BIGINT) AS n_types FROM st GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st)
+         |SELECT s.source, max(st2.ns) AS n_tokens, max(st2.n_types) AS n_types,
+         |  CAST(sum(CAST(s.c AS DECIMAL(10,0)) * CAST(round(ln(
+         |    (CAST(s.c AS DOUBLE) * CAST(tot.n AS DOUBLE)) /
+         |    (CAST(st2.ns AS DOUBLE) * CAST(t.ct AS DOUBLE))), 6)
+         |    AS DECIMAL(18,6))) AS DOUBLE) / CAST(max(st2.ns) AS DOUBLE) AS kl_nats
+         |FROM st s JOIN tt t USING (token) JOIN stot st2 USING (source)
+         |CROSS JOIN tot
+         |GROUP BY 1""".stripMargin,
     "dsir_weights" ->
       s"""WITH toks AS (SELECT doc_id, lang = 'en' AS tgt, $tok AS t FROM documents),
          |feats AS (SELECT doc_id, tgt,

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** Static kernel behind graft.plans.MaxCosineBroadcast — the max-cos
+  * scan of one vector against the broadcast eval set.
+  *
+  * Bit-compatibility contract (pinned by StreamingSpec's parity test
+  * against the batch decontaminateSemantic):
+  *   - each cosine is the CosineSimilarity fused pass verbatim (one
+  *     left-to-right loop accumulating dot + both norms in double);
+  *   - rounding to 6 decimals happens BEFORE the max, with the same
+  *     HALF_UP BigDecimal path Spark's `round(col, 6)` takes on a
+  *     double — so two evals tied at 6dp resolve to the LOWER id,
+  *     matching the batch `max(struct(cos, -eval_id))` tie rule.
+  */
+object VectorGate {
+  def maxCos(v: ArrayData, ids: Array[Long], vecs: Array[Array[Float]]): InternalRow = {
+    var bestCos = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    var j = 0
+    while (j < vecs.length) {
+      val y = vecs(j)
+      val n = math.min(v.numElements(), y.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = v.getFloat(i).toDouble
+        val yi = y(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val raw = dot / (math.sqrt(na) * math.sqrt(nb))
+      val c = java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (c > bestCos || (c == bestCos && ids(j) < bestId)) {
+        bestCos = c; bestId = ids(j)
+      }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](bestCos, bestId))
+  }
+}

@@ -52,6 +52,53 @@ object Curation {
       .select(col(idCol), col(strataCol))
   }
 
+  /** C70: temperature-scaled mixture sampling (Lample & Conneau 2019,
+    * XLM §3.1 — multilingual LM training samples language ℓ with
+    * probability q_ℓ ∝ p_ℓ^α; α = 0.5 flattens the mixture toward
+    * low-resource sources without drowning the head). Per-source mass
+    * (Σ `sizeCol` — pass a precomputed char/token count so no text is
+    * read) → q_s ∝ √p_s → per-source doc quota ⌊budget·q_s⌋ → the
+    * deterministic md5-order draw [[quotaSample]] uses.
+    *
+    * α is FIXED at 0.5: `sqrt` is IEEE-correctly-rounded on both
+    * engines where a general `pow(x, α)` is not (1-ulp divergence →
+    * a quota flipping at a floor boundary). The √mass weights are
+    * round-6 decimals so their total is an exact order-independent
+    * sum; quota arithmetic is then identical double trees both sides.
+    *
+    * Scale shape: the mass agg is a partial-agg'd sources-row table;
+    * quotas come back to the driver as ONE sources-row collect (the
+    * codebook-scalar convention — k-means/PQ do the same); the draw is
+    * TopKPerKey at the max quota (shuffle O(sources × maxQuota), never
+    * the corpus) + a broadcast quota join to trim per-source ranks.
+    */
+  def temperatureSample(docs: DataFrame, idCol: String, strataCol: String,
+                        sizeCol: String, budget: Int): DataFrame = {
+    val quotas = docs.groupBy(col(strataCol))
+      .agg(sum(col(sizeCol)).as("__s"))
+      .select(col(strataCol),
+        round(sqrt(col("__s").cast("double")), 6).cast("decimal(18,6)").as("__w"))
+      .select(col(strataCol), col("__w"),
+        sum(col("__w").cast("decimal(28,6)"))
+          .over(Window.partitionBy()).cast("decimal(28,6)").as("__tw"))
+      .select(col(strataCol),
+        floor(lit(budget).cast("double") *
+          (col("__w").cast("double") / col("__tw").cast("double")))
+          .cast("int").as("quota"))
+    // sources-row scalar collect (quota codebook), like kmeans/PQ params
+    val qmax = Option(quotas.agg(max(col("quota"))).head.get(0))
+      .fold(0)(_.asInstanceOf[Int])
+    val hashed = docs.select(col(idCol), col(strataCol),
+      phash(concat(col(strataCol), lit("|"), col(idCol).cast("string"))).as("__h"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__h"), col(idCol))
+    graft.plans.TopK.perKey(hashed, Seq(strataCol), Seq("__h", idCol),
+        math.max(qmax, 1), descending = false)
+      .withColumn("__rank", row_number().over(w))
+      .join(broadcast(quotas), strataCol)
+      .filter(col("__rank") <= col("quota"))
+      .select(col(idCol), col(strataCol))
+  }
+
   /** Deterministic global corpus shuffle: every doc gets a stable
     * position in a reproducible pseudo-random order (md5 of the id) —
     * the "shuffle the training data once, identically on every rerun"

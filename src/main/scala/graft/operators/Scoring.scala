@@ -507,4 +507,56 @@ object Scoring {
       spark.read.parquet(s"$path/terms"),
       spark.read.parquet(s"$path/meta"), idCol)
   }
+
+  /** C68: per-source unigram KL divergence against the whole corpus —
+    * the distribution-shift audit behind mixture construction (the
+    * quantity DSIR-style importance weighting and temperature-scaled
+    * mixture sampling both act on; Xie et al. 2023 frame selection as
+    * exactly this KL between source and target distributions):
+    *
+    *   KL(P_s ‖ P_corpus) = Σ_t p_s(t) · ln(p_s(t) ∕ p_c(t))
+    *                      = (1/n_s) · Σ_t c_st · ln(c_st·n ∕ (n_s·c_t))
+    *
+    * No smoothing is needed: the corpus includes every source, so
+    * p_c(t) > 0 wherever p_s(t) > 0. A high-KL source is
+    * distributionally far from the blend (jargon, spam, another
+    * register) — the first thing a mixture designer looks at before
+    * setting weights.
+    *
+    * Scale shape: ONE tokenize scan to the (source, token, cnt) table
+    * (materialized — it feeds the token totals, the source totals, the
+    * corpus total, and the term join); token totals re-aggregate that
+    * table, never the corpus. The term join is token-keyed; source
+    * totals and the corpus scalar broadcast. Output is one row per
+    * source. Portability: the second factorization above keeps the
+    * weights INTEGER — each term is cnt × round-6-decimal-ln (exact
+    * decimal, order-independent sum) and the final score is ONE
+    * unrounded decimal→double quotient (the round-7 midpoint lesson:
+    * never round a decimal-sum ∕ integer quotient).
+    */
+  def sourceDivergence(docs: DataFrame, textCol: String,
+                       srcCol: String): DataFrame = {
+    val st = docs
+      .select(col(srcCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .materialized
+    val tokTot = st.groupBy(col("token")).agg(sum(col("c")).as("ct"))
+    val srcTot = st.groupBy(col("source"))
+      .agg(sum(col("c")).as("ns"), count(lit(1)).as("n_types"))
+    val tot = st.agg(sum(col("c")).as("n"))
+    // identical IEEE tree on both engines: every operand cast long →
+    // double explicitly, same parenthesization
+    val ratio = (col("c").cast("double") * col("n").cast("double")) /
+      (col("ns").cast("double") * col("ct").cast("double"))
+    st.join(tokTot, "token")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("__t", cntTerm(col("c"), lnTerm(ratio)))
+      .groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"), max(col("n_types")).as("n_types"),
+        (sum(col("__t")).cast("double") / max(col("ns")).cast("double"))
+          .as("kl_nats"))
+  }
 }

@@ -459,6 +459,71 @@ object Similarity {
        |${assign(s"c$iters", "afinal")}""".stripMargin
   }
 
+  /** C69: prototypicality scores for data pruning (Sorscher et al.
+    * 2022, "Beyond neural scaling laws" — their self-supervised metric
+    * ranks examples by cosine to their k-means centroid; SemDeDup's
+    * sibling policy): every vector gets its cluster, its cosine to its
+    * OWN centroid (high = prototypical/redundant, low = hard/outlier),
+    * and its within-cluster rank. A pruning run keeps the bottom-X%
+    * (hard examples) on abundant data or the top-X% on scarce data —
+    * both read straight off this output.
+    *
+    * Scale shape: assignment AND the own-centroid cosine come out of
+    * ONE `least()` tree per row — the argmin struct carries the cosine
+    * as a trailing field (never compared: (score, cid) is already a
+    * total order), so the scan stays map-side broadcast-codebook, no
+    * join. The within-cluster row_number is the driver-SF audit form;
+    * at 100 TB prune by a `proto_cos` THRESHOLD (emitted,
+    * re-thresholdable without re-scan) or a TopKPerKey cut — ranking
+    * every vector of a cluster is a per-cluster sort a lake-scale run
+    * doesn't need. Portability: cosine is the dotSql fold replica
+    * (centroid norm folded driver-side, same left-to-right order),
+    * round-6 like every cosine in this file.
+    */
+  def prototypeScores(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 8, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(emb.sparkSession)
+    val centroids = kmeansCentroids(emb, idCol, vecCol, k, iters)
+    if (centroids.isEmpty)
+      return emb.select(col(idCol).as("vec_id"), lit(0).as("cluster_id"),
+        lit(0d).as("proto_cos"), lit(0).as("rnk")).limit(0)
+    val structs = centroids.zipWithIndex.map { case (c, j) =>
+      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as dotSql
+      struct(
+        (lit(cc) - lit(2.0) * call_function("graft_dot", col(vecCol),
+          typedLit(c.toSeq))).as("s"),
+        lit(j).as("c"),
+        round(call_function("graft_dot", col(vecCol), typedLit(c.toSeq)) /
+          (sqrt(call_function("graft_dot", col(vecCol),
+            col(vecCol).cast("array<double>"))) * lit(math.sqrt(cc))), 6)
+          .as("cos"))
+    }
+    val m = if (structs.length == 1) structs.head
+            else least(structs.toIndexedSeq: _*)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("proto_cos").desc, col("vec_id"))
+    emb.select(col(idCol).as("vec_id"), m.as("__m"))
+      .select(col("vec_id"), col("__m").getField("c").as("cluster_id"),
+        col("__m").getField("cos").as("proto_cos"))
+      .withColumn("rnk", row_number().over(w))
+  }
+
+  /** DuckDB twin of [[prototypeScores]] — the kmeans CTE chain's final
+    * centroids re-joined for the own-centroid cosine.
+    */
+  def prototypeScoresOracleSql(k: Int = 8, iters: Int = 2): String =
+    s"""${kmeansCtePrefix(k, iters)},
+       |pr AS (
+       |  SELECT e.vec_id, a.cid,
+       |    round(${VectorFunctions.cosineSql("e.embedding", "c.cv")}, 6) AS proto_cos
+       |  FROM embeddings e JOIN afinal a USING (vec_id)
+       |  JOIN c$iters c ON c.cid = a.cid)
+       |SELECT vec_id, cid AS cluster_id, proto_cos,
+       |  cast(row_number() OVER (PARTITION BY cid
+       |    ORDER BY proto_cos DESC, vec_id) AS integer) AS rnk
+       |FROM pr""".stripMargin
+
   /** C49: SemDeDup-style semantic dedup — k-means partitions the
     * corpus into semantic clusters, pairwise cosine runs WITHIN each
     * cluster only, and for every pair at or above `minCos` the

@@ -105,6 +105,52 @@ case class DotProductF64(left: Expression, right: Expression)
     })
 }
 
+/** Max cosine of an `array<float>` vector column against a BROADCAST
+  * eval-vector set, as a (cos, id) struct — the per-row kernel of the
+  * STREAMING semantic-decontamination gate
+  * (graft.streaming.DocStreams.semanticAdmission). Bit-replicates the
+  * batch [[graft.operators.Similarity.decontaminateSemantic]] fold:
+  * each cosine is the [[CosineSimilarity]] fused pass, rounded to 6
+  * decimals BEFORE the max (so 6dp ties break on the LOWER eval id,
+  * exactly like the batch `max(struct(cos, -id))`).
+  *
+  * Same plan-size discipline as [[NbScoreBroadcast]]: a benchmark
+  * eval set is 10³–10⁶ vectors — as expression literals it would ride
+  * every task binary; as a torrent broadcast executors fetch it once,
+  * and the generated code resolves `.value()` once per task.
+  */
+case class MaxCosineBroadcast(
+    evals: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])],
+    child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("cos", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+  override def prettyName: String = "graft_max_cosine"
+  override def nullable: Boolean = child.nullable
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.VectorGate.maxCos(
+      v.asInstanceOf[ArrayData], evals.value._1, evals.value._2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcastCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val tupCls = "scala.Tuple2"
+    val bRef = ctx.addReferenceObj("graftEvalBcast", evals, bcastCls)
+    // resolve the broadcast ONCE per generated-class instance (per task)
+    val idsTerm = ctx.addMutableState("long[]", "graftEvalIds",
+      v => s"$v = (long[]) (($tupCls) $bRef.value())._1();")
+    val vecsTerm = ctx.addMutableState("float[][]", "graftEvalVecs",
+      v => s"$v = (float[][]) (($tupCls) $bRef.value())._2();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorGate.maxCos($c, $idsTerm, $vecsTerm);")
+  }
+}
+
 /** Registry for graft's native expressions — idempotent, call before
   * using `call_function("graft_cosine", ...)` / `"graft_dot"`.
   */

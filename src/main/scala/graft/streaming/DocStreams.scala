@@ -315,6 +315,45 @@ object DocStreams {
     * the alerting contract (score against the reference, not the
     * stream-so-far).
     */
+  /** Streaming semantic-decontamination gate — the continuous twin of
+    * [[graft.operators.Similarity.decontaminateSemantic]]: every
+    * arriving vector is scored against the persisted eval-benchmark
+    * set and ADMITTED only when its nearest-eval cosine stays below
+    * `minCos`. Stateless map-side kernel
+    * (graft.plans.MaxCosineBroadcast): the eval set is collected once
+    * from `evalPath` (benchmark-sized — the same fixed-cardinality
+    * contract the batch broadcast rides), broadcast, and each row pays
+    * one fused max-cos scan — no stream aggregation, no state store,
+    * so batch DF and stream replay are identical (spec-pinned against
+    * the batch operator's clean slice, including the 6dp-tie lower-id
+    * rule).
+    *
+    * `evalPath` is parquet with the SAME `idCol`/`vecCol` columns
+    * (write the eval table once with `eval.write.parquet(path)`).
+    * Emits (idCol, max_eval_cos, nearest_eval_id) for admitted rows —
+    * the audit columns a quarantine log wants for the borderline docs.
+    */
+  def semanticAdmission(vecs: DataFrame, idCol: String, vecCol: String,
+                        evalPath: String, minCos: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    val spark = vecs.sparkSession
+    val evalRows = spark.read.parquet(evalPath)
+      .select(col(idCol).cast("long"), col(vecCol)).collect()
+    require(evalRows.nonEmpty,
+      s"semanticAdmission: eval set at $evalPath is empty — an empty gate " +
+        "admits everything silently; check the path")
+    val ids = evalRows.map(_.getLong(0))
+    val evs = evalRows.map(_.getSeq[Float](1).toArray)
+    val bc = spark.sparkContext.broadcast((ids, evs))
+    val m = GraftPlanFactory.column(graft.plans.MaxCosineBroadcast(bc,
+      GraftPlanFactory.expression(col(vecCol))))
+    vecs.select(col(idCol), m.as("__m"))
+      .select(col(idCol),
+        col("__m").getField("cos").as("max_eval_cos"),
+        col("__m").getField("id").as("nearest_eval_id"))
+      .filter(col("max_eval_cos") < minCos)
+  }
+
   def bm25Alerts(docs: DataFrame, idCol: String, textCol: String,
                  indexPath: String, queries: Seq[(Int, Seq[String])],
                  minScore: Double): DataFrame = {

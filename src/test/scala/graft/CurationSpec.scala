@@ -29,6 +29,27 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"quota sample fell back to a window sort:\n$plan")
   }
 
+  test("temperature sample flattens toward small sources; draw matches the md5 quota order") {
+    import spark.implicits._
+    // big has 9× small's char mass: proportional sampling gives small
+    // 10% of the budget; α = 0.5 gives it √1∕(√9+√1) = 25%
+    val docs = ((1L to 900L).map(i => (i, "big", 100L)) ++
+      (1001L to 1100L).map(i => (i, "small", 100L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Curation.temperatureSample(docs, "doc_id", "source", "n_chars", 100)
+    val bySrc = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // weights √90000 = 300, √10000 = 100 → quotas ⌊75⌋ / ⌊25⌋
+    assert(bySrc == Map("big" -> 75L, "small" -> 25L), bySrc.toString)
+    val again = Curation.temperatureSample(docs, "doc_id", "source", "n_chars", 100)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // the per-source draw is exactly quotaSample's md5-order prefix
+    val q = Curation.quotaSample(docs.filter(col("source") === "small"),
+      "doc_id", "source", 25)
+    assert(out.filter(col("source") === "small").exceptAll(q).isEmpty &&
+      q.exceptAll(out.filter(col("source") === "small")).isEmpty)
+  }
+
   test("corpus shuffle is a deterministic permutation of 1..N") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()

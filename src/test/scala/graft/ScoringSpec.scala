@@ -118,6 +118,29 @@ class ScoringSpec extends AnyFunSuite {
     assert(out.forall(_.getBoolean(3)), "prior must push neutral docs positive")
   }
 
+  // ---- source divergence -------------------------------------------
+
+  test("sourceDivergence: identical sources score zero, disjoint sources score ln 2") {
+    // two sources with the SAME token distribution → each equals the
+    // corpus blend → KL exactly 0 (every ln ratio is ln 1 = 0)
+    val same = Seq((1L, "a a b", "s1"), (2L, "a a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val kl0 = Scoring.sourceDivergence(same, "text", "source")
+      .select("source", "kl_nats").as[(String, Double)].collect().toMap
+    assert(kl0 == Map("s1" -> 0.0, "s2" -> 0.0), kl0.toString)
+    // fully disjoint equal-mass sources: p_s(t) = 1, p_c(t) = 1/2 →
+    // KL = ln 2, through the decimal-term path: round(ln 2, 6) = 0.693147
+    val disj = Seq((1L, "a a a a", "s1"), (2L, "b b b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val kl2 = Scoring.sourceDivergence(disj, "text", "source")
+      .select("source", "kl_nats").as[(String, Double)].collect().toMap
+    assert(kl2 == Map("s1" -> 0.693147, "s2" -> 0.693147), kl2.toString)
+    // n_tokens / n_types bookkeeping
+    val row = Scoring.sourceDivergence(disj, "text", "source")
+      .filter(col("source") === "s1").collect()(0)
+    assert(row.getAs[Long]("n_tokens") == 4L && row.getAs[Long]("n_types") == 1L)
+  }
+
   // ---- persisted model + streaming admission -----------------------
 
   test("nbScoreIndexed against a persisted model equals the direct classifier") {

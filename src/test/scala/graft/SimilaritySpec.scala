@@ -297,6 +297,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("eval set is empty"))
   }
 
+  test("prototypeScores: total, cells agree with kmeans, rank 1 is each cell's max cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    val ps = Similarity.prototypeScores(emb, "vec_id", "embedding")
+    assert(ps.count() == emb.count(), "every vector must be scored")
+    // the argmin struct's trailing cosine must not perturb assignment
+    val km = Similarity.kmeans(emb, "vec_id", "embedding")
+    val cells = ps.select("vec_id", "cluster_id")
+    assert(cells.exceptAll(km).isEmpty && km.exceptAll(cells).isEmpty,
+      "prototype cells diverged from kmeans assignment")
+    val rows = ps.collect()
+    assert(rows.forall(r => math.abs(r.getAs[Double]("proto_cos")) <= 1.0 + 1e-9))
+    rows.groupBy(_.getAs[Int]("cluster_id")).foreach { case (cid, rs) =>
+      val top = rs.filter(_.getAs[Int]("rnk") == 1)
+      assert(top.length == 1, s"cluster $cid must have exactly one rank-1 row")
+      assert(top.head.getAs[Double]("proto_cos") ==
+        rs.map(_.getAs[Double]("proto_cos")).max,
+        s"cluster $cid rank 1 is not the most prototypical vector")
+    }
+    // scoring is map-side broadcast-codebook: no join anywhere (the
+    // only exchange is the within-cluster rank window)
+    val plan = ps.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"prototype scan grew a join:\n$plan")
+  }
+
   test("knnLsh candidates carry no vector payload through the dedup shuffle") {
     val emb = Tables.embeddings(spark, sf)
     val plan = Similarity.knnLsh(emb, "vec_id", "embedding", 10, 5)

@@ -290,6 +290,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming semantic-decontamination gate equals the batch clean slice") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = sources.Tables.embeddings(spark, sf)
+    val isEval = col("vec_id") % 50 === 7
+    val evalPath = "target/test_semantic_eval"
+    emb.filter(isEval).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(evalPath)
+    val train = emb.filter(!isEval)
+    // threshold 0.3 actually rejects vectors at driver SFs (the
+    // dedup_embedding pair threshold) — the gate must do real work
+    val gate = graft.streaming.DocStreams.semanticAdmission(
+      train, "vec_id", "embedding", evalPath, minCos = 0.3)
+    val ref = graft.operators.Similarity.decontaminateSemantic(
+        train, emb.filter(isEval), "vec_id", "embedding", minCos = 0.3)
+      .filter(!col("contaminated"))
+      .select(col("vec_id"), col("max_eval_cos"), col("nearest_eval_id"))
+    assert(gate.count() > 0 && gate.count() < train.count(),
+      "gate must admit some and reject some at this threshold")
+    assert(gate.exceptAll(ref).isEmpty && ref.exceptAll(gate).isEmpty,
+      "kernel gate diverged from the batch operator (cosine/round/tie rule)")
+    // stream replay: stateless map-side kernel → append-mode identical
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val stream = ms.toDF().toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val q = graft.streaming.DocStreams.semanticAdmission(
+        stream, "vec_id", "embedding", evalPath, minCos = 0.3)
+      .writeStream.format("memory").queryName("semadm")
+      .outputMode("append").start()
+    try {
+      ms.addData(train.select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("semadm")
+      assert(streamed.exceptAll(gate).isEmpty && gate.exceptAll(streamed).isEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionize emits closed sessions; watermark flushes idle state") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
