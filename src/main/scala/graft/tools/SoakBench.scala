@@ -82,7 +82,7 @@ object SoakBench {
     val axes = args.lift(3).map(_.split(',').toSet)
       .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25",
         "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
-        "lmscore", "bpe"))
+        "lmscore", "bpe", "mixaudit", "proto"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -447,6 +447,40 @@ object SoakBench {
       .map(m => (m.merged, m.freq)).getOrElse(("", 0L))
     println(f"""{"metric":"soak_bpe_learn","input_mb":$bMb%.0f,"word_vocab":$nWords,"n_merges":${bMerges.length},"sec":$bSec%.1f,"dict_scan_sec":$scanSec%.1f,"sec_per_merge":${(bSec - scanSec) / math.max(bMerges.length, 1)}%.2f,"top_merge":"$topMerge","top_freq":$topFreq}""")
     require(dict == nWords)
+    }
+
+    // ---- axis 14: mixture-audit ops on the combined corpus -----------
+    // source_divergence's scale claim: ONE tokenize scan to the
+    // (source, token, cnt) table; everything after re-aggregates it,
+    // so shuffle is bounded by the distinct-(source,token) census —
+    // a small multiple of the input, never quadratic.
+    // temperature_sample's claim: the corpus pays one mass agg + one
+    // TopKPerKey cut — shuffle O(sources × maxQuota), not the corpus.
+    if (axes("mixaudit")) {
+    val corpus = spark.read.parquet("target/soak_combined")
+      .withColumn("source", concat(lit("s"), (col("doc_id") % 20).cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val mxMb = corpus.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+    axis("source_divergence", mxMb) {
+      graft.operators.Scoring.sourceDivergence(corpus, "text", "source")
+    }
+    axis("temperature_sample", mxMb) {
+      graft.operators.Curation.temperatureSample(corpus, "doc_id", "source",
+        "n_chars", 10000)
+    }
+    }
+
+    // ---- axis 15: prototypicality scan over the wide vector corpus ---
+    // the claim: train (2 Lloyd rounds, driver codebook) + score is a
+    // broadcast-codebook SCAN — no join; the only shuffle is the
+    // per-cluster rank window, bounded by the (id, cid, cos) rows.
+    if (axes("proto")) {
+    val bigEmb = spark.read.parquet("target/soak_pq_vectors")
+    val nVec = bigEmb.count()
+    val protoMb = nVec * 64 * 4 / 1e6
+    axis("prototype_scores", protoMb) {
+      graft.operators.Similarity.prototypeScores(bigEmb, "vec_id", "embedding")
+    }
     }
 
     // ---- axis 12: bigram-LM train + score at corpus scale ------------

@@ -137,4 +137,39 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(a.count() == 3)
     assert(a.filter(col("cluster_id") < 0 || col("cluster_id") >= 3).count() == 0)
   }
+
+  test("mixture-audit ops degrade cleanly on empty/degenerate input") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Scoring
+    val srcSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    def srcDocs(rows: (Long, String, String, Long)*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map(r => Row(r._1, r._2, r._3, r._4)), 2), srcSchema)
+    val none = srcDocs()
+    // empty corpus → empty audits, no ANSI division/ln blowups
+    assert(Scoring.sourceDivergence(none, "text", "source").count() == 0)
+    assert(Curation.temperatureSample(none, "doc_id", "source", "n_chars", 100)
+      .count() == 0)
+    // single source: its distribution IS the corpus → KL exactly 0,
+    // and the whole temperature budget lands on it (q_s = 1)
+    val one = srcDocs((1L, "a b a", "only", 5L), (2L, "b a", "only", 3L))
+    val kl = Scoring.sourceDivergence(one, "text", "source").collect()
+    assert(kl.length == 1 && kl(0).getAs[Double]("kl_nats") == 0.0)
+    val drawn = Curation.temperatureSample(one, "doc_id", "source", "n_chars", 100)
+    assert(drawn.count() == 2, "budget beyond corpus size keeps everything")
+    // prototypicality on an empty vector table stays empty
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 2), StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    assert(Similarity.prototypeScores(emptyEmb, "vec_id", "embedding").count() == 0)
+    // empty-text docs: zero tokens contribute nothing but must not
+    // null-poison the census (explode drops them)
+    val mixed = srcDocs((1L, "a a", "s1", 3L), (2L, "", "s2", 0L))
+    val k2 = Scoring.sourceDivergence(mixed, "text", "source").collect()
+    assert(k2.length == 1 && k2(0).getString(0) == "s1",
+      "token-less source has no distribution row; token-bearing one survives")
+  }
 }
