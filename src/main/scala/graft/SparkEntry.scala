@@ -794,6 +794,11 @@ object SparkEntry {
       Curation.curationPipeline(Tables.documents(s, d), "doc_id", "text", "source")),
     "corpus_split" -> ((s, d) =>
       Curation.splitAssign(Tables.documents(s, d), "doc_id")),
+    // cross-split 4-gram leakage: held-out docs sharing content with
+    // train — the audit the id-bucket split can't prevent (C71)
+    "split_leakage" -> ((s, d) =>
+      Curation.splitLeakage(Tables.documents(s, d), "doc_id", "text",
+        valPermille = 100, testPermille = 100)),
     "embedding_kmeans" -> ((s, d) =>
       Similarity.kmeans(Tables.embeddings(s, d), "vec_id", "embedding")),
     // prototypicality (cos to own k-means centroid) + in-cluster rank
@@ -1327,6 +1332,24 @@ object SparkEntry {
          |SELECT doc_id FROM exact_kept
          |WHERE doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin,
     "decontaminate" -> decontaminateSql,
+    "split_leakage" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS tokens FROM documents),
+         |sh AS (SELECT doc_id,
+         |    unnest(${TextFunctions.shinglesSql("tokens", 4)}) AS s FROM toks),
+         |ex AS (SELECT DISTINCT doc_id,
+         |    cast('0x' || substr(md5(s), 1, 12) as bigint) AS gk FROM sh),
+         |sp AS (SELECT doc_id,
+         |    CASE WHEN b < 100 THEN 'test'
+         |         WHEN b < 200 THEN 'val' ELSE 'train' END AS split
+         |  FROM (SELECT doc_id,
+         |      ${ph("concat('split|', cast(doc_id AS varchar))")} % 1000 AS b
+         |    FROM documents)),
+         |tg AS (SELECT DISTINCT e.gk FROM ex e
+         |  JOIN sp ON sp.doc_id = e.doc_id WHERE sp.split = 'train')
+         |SELECT e.doc_id, sp.split, count(*) AS shared_grams
+         |FROM ex e JOIN sp ON sp.doc_id = e.doc_id JOIN tg ON tg.gk = e.gk
+         |WHERE sp.split <> 'train'
+         |GROUP BY 1, 2""".stripMargin,
     // the bloom prescreen is exact after its confirm join — same oracle
     "decontaminate_bloom" -> decontaminateSql,
     "corpus_stats" ->

@@ -364,6 +364,46 @@ object Curation {
         .otherwise(lit("train")).as("split"))
   }
 
+  /** C71: split-hygiene audit — [[splitAssign]] composed with the
+    * [[decontaminate]] gram screen, run ACROSS the split boundary: a
+    * held-out (val/test) document sharing any distinct word `n`-gram
+    * with any TRAIN document means the eval split is compromised (the
+    * leak the deterministic id-bucket split can't prevent: near-dup
+    * CONTENT with different ids lands on both sides). Returns the
+    * leaked held-out docs with their split and shared-gram count —
+    * run it after every re-crawl, before any eval number is trusted.
+    *
+    * Scale shape: unlike the benchmark screen, BOTH sides grow with
+    * the corpus, so there is no broadcast contract — the probe is the
+    * gram-keyed shuffle join ([[decontaminate]]'s
+    * `broadcastBench = false` regime), each side reduced to distinct
+    * (doc, 48-bit gram-hash) rows map-side first. The split label is
+    * a pure function of the id, so it is RECOMPUTED in the output
+    * projection — no assignment join anywhere.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 4, valPermille: Int = 10,
+                   testPermille: Int = 10): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000)
+    def splitOf(id: Column): Column = {
+      val b = phash(concat(lit("split|"), id.cast("string"))) % 1000
+      when(b < testPermille, lit("test"))
+        .when(b < testPermille + valPermille, lit("val"))
+        .otherwise(lit("train"))
+    }
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      splitOf(col(idCol)).as("__split"))
+    val trainGrams = docGrams(base.filter(col("__split") === "train"),
+      "doc_id", "__text", n).select(col("gk")).distinct()
+    docGrams(base.filter(col("__split") =!= "train"), "doc_id", "__text", n)
+      .join(trainGrams, Seq("gk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+      .select(col("doc_id"), splitOf(col("doc_id")).as("split"),
+        col("shared_grams"))
+  }
+
   /** Tokenizer vocabulary build: the `vocabSize` most frequent tokens
     * with dense ids in (count desc, token asc) order. The global top-V
     * compiles to TakeOrderedAndProject (per-partition top-V, merge —

@@ -50,6 +50,29 @@ class CurationSpec extends AnyFunSuite {
       q.exceptAll(out.filter(col("source") === "small")).isEmpty)
   }
 
+  test("split leakage flags planted cross-split duplicates, nothing else") {
+    import spark.implicits._
+    val ids = (1L to 200L)
+    val sp = Curation.splitAssign(ids.toDF("doc_id"), "doc_id", 100, 100)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val trainId = ids.find(sp(_) == "train").get
+    val heldId = ids.find(id => sp(id) != "train").get
+    val docs = ids.map { id =>
+      // one held-out doc gets the SAME text as a train doc — the leak
+      // the id-bucket split cannot see; everyone else is gram-unique
+      val text = if (id == trainId || id == heldId)
+        "alpha beta gamma delta epsilon"
+      else s"unique$id token$id filler$id pad$id tail$id"
+      (id, text)
+    }.toDF("doc_id", "text")
+    val out = Curation.splitLeakage(docs, "doc_id", "text",
+      valPermille = 100, testPermille = 100).collect()
+    assert(out.length == 1, s"expected exactly the planted leak, got ${out.toSeq}")
+    assert(out(0).getLong(0) == heldId && out(0).getString(1) == sp(heldId))
+    // 5 tokens → two distinct 4-grams shared
+    assert(out(0).getLong(2) == 2L)
+  }
+
   test("corpus shuffle is a deterministic permutation of 1..N") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
