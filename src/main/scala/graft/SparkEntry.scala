@@ -684,6 +684,9 @@ object SparkEntry {
     // IVF cells restrict the candidates, PQ codes score them (C59)
     "knn_ivfpq" -> ((s, d) =>
       Similarity.knnIvfPq(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
+    // full IVFADC: residual re-encoding per cell (C72)
+    "knn_ivfpq_residual" -> ((s, d) =>
+      Similarity.knnIvfPqResidual(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     // embedding-space eval decontamination (C61) — benchmark fixture is
     // fixed-cardinality at any SF, the broadcast contract
     "decontaminate_semantic" -> ((s, d) => {
@@ -1628,6 +1631,7 @@ object SparkEntry {
     "embedding_pq" -> Similarity.pqEncodeOracleSql(),
     "knn_pq" -> Similarity.knnPqOracleSql(),
     "knn_ivfpq" -> Similarity.knnIvfPqOracleSql(),
+    "knn_ivfpq_residual" -> Similarity.knnIvfPqResidualOracleSql(),
     "decontaminate_semantic" ->
       s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS e
          |  FROM embeddings WHERE vec_id % 50 = 7),

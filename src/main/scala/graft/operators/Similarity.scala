@@ -1164,6 +1164,154 @@ object Similarity {
       .withColumn("adist", col("adist").cast("double"))
   }
 
+  /** C72: IVFADC with RESIDUAL re-encoding — the full Jégou et al.
+    * 2011 §IV composition [[knnIvfPq]] deliberately skipped: each
+    * corpus vector is PQ-encoded as its residual v − c(v) against its
+    * cell centroid, and each query builds a distance table from its
+    * OWN residual per probed cell. Residuals are centered near zero
+    * (much smaller norms than raw vectors), so the same m×ksub
+    * codebook budget quantizes them with less error — the reason
+    * FAISS's IVFADC default re-encodes residuals.
+    *
+    * Scale shape: identical to [[knnIvfPq]] — ONE corpus scan emits
+    * (id, cell, residual codes), scoring is the broadcast
+    * distance-table join + kernel ADC sum, shuffle-free before the
+    * TopKPerKey cut. The residual subtraction is a float zip_with in
+    * the same scan (DuckDB REAL−REAL is the identical correctly-
+    * rounded float — bit-portable). The residual codebooks follow the
+    * house sampled-seed rule (hash-ordered ksub seeds, their
+    * RESIDUALS sliced per subspace). The query side carries nProbes
+    * distance tables per query (one per probed cell) — still
+    * broadcast-sized: queries × nProbes × m × ksub decimals.
+    */
+  def knnIvfPqResidual(emb: DataFrame, idCol: String, vecCol: String,
+                       nQueries: Int = 10, k: Int = 5, centroidMod: Int = 50,
+                       nProbes: Int = 4, m: Int = 16, ksub: Int = 32): DataFrame = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(emb.sparkSession)
+    val centroids = emb.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    // like [[knnIvfPq]]'s assign, but the winning centroid VECTOR
+    // rides along — residuals need it
+    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
+      val wa = Window.partitionBy(col(id))
+        .orderBy(col("csim").desc, col("centroid_id"))
+      df.join(broadcast(centroids))
+        .select(col(id), col(vec), col("centroid_id"), col("cv"),
+          VectorFunctions.cosineNative(col(vec), col("cv")).as("csim"))
+        .withColumn("crnk", row_number().over(wa))
+        .filter(col("crnk") <= probes)
+        .select(col(id), col(vec), col("centroid_id"), col("cv"))
+    }
+    val corpusRes = assign(
+        emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+        "neighbor_id", "nv", probes = 1)
+      .withColumn("rv", zip_with(col("nv"), col("cv"), (x, y) => x - y))
+    // residual codebooks: the SAME hash-ordered ksub seed rule as
+    // [[pqCodebooks]], over the seed vectors' residuals (ksub-row
+    // collect — codebook-scalar convention)
+    val seeds = corpusRes
+      .select(col("neighbor_id").as("sid"), col("rv"),
+        graft.functions.PortableHash.portableHash(col("neighbor_id")).as("__h"))
+      .orderBy(col("__h"), col("sid")).limit(ksub).collect()
+    val rvecs = seeds.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val dims = rvecs.headOption.map(_.length).getOrElse(0)
+    require(rvecs.nonEmpty && dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    val cbs = Array.tabulate(m)(mi => rvecs.map(v => v.slice(mi * dsub, (mi + 1) * dsub)))
+    val encCol = GraftPlanFactory.column(graft.plans.PqEncodeExpr(
+      GraftPlanFactory.expression(col("rv")), cbs))
+    val corpus = corpusRes
+      .select(col("neighbor_id"), col("centroid_id"),
+        encCol.getField("codes").as("codes"))
+      .materialized
+    val qdtCol = GraftPlanFactory.column(graft.plans.PqDistTableExpr(
+      GraftPlanFactory.expression(col("qrv")), cbs))
+    val queries = assign(
+        emb.filter(col(idCol) < nQueries)
+          .select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        "query_id", "qv", probes = nProbes)
+      .withColumn("qrv", zip_with(col("qv"), col("cv"), (x, y) => x - y))
+      .select(col("query_id"), col("centroid_id"), qdtCol.as("__dt"))
+    val adist = GraftPlanFactory.column(graft.plans.AdcSumExpr(
+      GraftPlanFactory.expression(col("codes")),
+      GraftPlanFactory.expression(col("__dt"))))
+    val scored = corpus.join(broadcast(queries), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq("adist", "neighbor_id"), k, descending = false)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("adist", col("adist").cast("double"))
+  }
+
+  /** DuckDB twin of [[knnIvfPqResidual]] — the IVF cell CTEs with
+    * residual vectors threaded through the PQ seed/codebook/encode/
+    * distance-table chain (cell-local residual per side).
+    */
+  def knnIvfPqResidualOracleSql(nQueries: Int = 10, k: Int = 5,
+                                centroidMod: Int = 50, nProbes: Int = 4,
+                                m: Int = 16, ksub: Int = 32,
+                                dims: Int = 64): String = {
+    val dsub = dims / m
+    val ph = graft.functions.PortableHash.duckdb("cast(vec_id AS varchar)")
+    def dot(a: String, b: String) = VectorFunctions.dotSql(a, b)
+    def cos(a: String, b: String) = VectorFunctions.cosineSql(a, b)
+    s"""WITH centroids AS (SELECT vec_id AS centroid_id, embedding AS cv
+       |  FROM embeddings WHERE vec_id % $centroidMod = 0),
+       |cranked AS (SELECT e.vec_id, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.centroid_id) AS crnk
+       |  FROM embeddings e CROSS JOIN centroids c),
+       |assigned AS (SELECT vec_id, centroid_id FROM cranked WHERE crnk = 1),
+       |res AS (SELECT e.vec_id, a.centroid_id,
+       |    list_transform(range(1, ${dims + 1}),
+       |      i -> e.embedding[i] - c.cv[i]) AS rv
+       |  FROM embeddings e JOIN assigned a USING (vec_id)
+       |  JOIN centroids c USING (centroid_id)),
+       |seeds AS (SELECT vec_id, rv,
+       |    row_number() OVER (ORDER BY $ph, vec_id) AS rn FROM res),
+       |cb AS (SELECT t.m, cast(s.rn - 1 AS integer) AS code,
+       |    list_transform(s.rv[t.m*$dsub+1 : t.m*$dsub+$dsub], x -> x::DOUBLE) AS cv
+       |  FROM seeds s CROSS JOIN range(0, $m) t(m) WHERE s.rn <= $ksub),
+       |sub AS (SELECT r.vec_id, r.centroid_id, t.m,
+       |    list_transform(r.rv[t.m*$dsub+1 : t.m*$dsub+$dsub], x -> x::DOUBLE) AS vm
+       |  FROM res r CROSS JOIN range(0, $m) t(m)),
+       |enc AS (SELECT s.vec_id, s.centroid_id, s.m,
+       |    min(struct_pack(s := ${dot("c.cv", "c.cv")} - (2.0 * ${dot("s.vm", "c.cv")}),
+       |                    c := c.code)) AS st
+       |  FROM sub s JOIN cb c ON c.m = s.m
+       |  GROUP BY s.vec_id, s.centroid_id, s.m),
+       |probed AS (SELECT vec_id, centroid_id FROM cranked
+       |  WHERE crnk <= $nProbes AND vec_id < $nQueries),
+       |qres AS (SELECT p.vec_id AS query_id, p.centroid_id,
+       |    list_transform(range(1, ${dims + 1}),
+       |      i -> e.embedding[i] - c.cv[i]) AS qrv
+       |  FROM probed p JOIN embeddings e ON e.vec_id = p.vec_id
+       |  JOIN centroids c USING (centroid_id)),
+       |qsub AS (SELECT query_id, centroid_id, t.m,
+       |    list_transform(qrv[t.m*$dsub+1 : t.m*$dsub+$dsub], x -> x::DOUBLE) AS vm
+       |  FROM qres CROSS JOIN range(0, $m) t(m)),
+       |dtab AS (SELECT q.query_id, q.centroid_id, q.m, c.code,
+       |    cast(round((${dot("c.cv", "c.cv")} - (2.0 * ${dot("q.vm", "c.cv")}))
+       |      + ${dot("q.vm", "q.vm")}, 6) AS decimal(18,6)) AS d2
+       |  FROM qsub q JOIN cb c ON c.m = q.m),
+       |scored AS (SELECT d.query_id, e.vec_id AS neighbor_id,
+       |    cast(sum(d.d2) AS decimal(28,6)) AS adist
+       |  FROM enc e JOIN dtab d ON d.centroid_id = e.centroid_id
+       |    AND d.m = e.m AND d.code = e.st.c
+       |  WHERE d.query_id <> e.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, cast(adist AS double) AS adist, rnk FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, neighbor_id) AS integer) AS rnk
+       |  FROM scored) WHERE rnk <= $k""".stripMargin
+  }
+
   /** DuckDB twin of [[knnIvfPq]] — the [[knnIvf]] oracle's cell CTEs
     * spliced onto the [[knnPqOracleSql]] ADC chain.
     */

