@@ -173,6 +173,49 @@ class PlanAuditSpec extends AnyFunSuite {
       s"$name: signature pipeline recomputed from the source scan:\n$plan")
   }
 
+  test("source_divergence: census materialized once, scalars broadcast, term join shuffles") {
+    noAutoBroadcast {
+      val plan = SparkEntry.queries("source_divergence")(spark, sf)
+        .queryExecution.executedPlan.toString
+      // the (source, token, cnt) census must be a materialized table
+      // re-read by the term join and every total — tokenize runs ONCE
+      assert(!plan.contains("Scan parquet"),
+        s"census recomputed from the source scan:\n$plan")
+      assert("Scan ExistingRDD".r.findAllMatchIn(plan).length >= 3,
+        s"census not shared across totals/term join:\n$plan")
+      // source totals + corpus scalar are the only compile-time
+      // broadcasts; the token-keyed term join must stay a shuffle join
+      assert("BroadcastExchange".r.findAllMatchIn(plan).length == 2,
+        s"expected exactly the two scalar/source broadcasts:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"token term join should be a shuffle join:\n$plan")
+    }
+  }
+
+  test("temperature_sample: TopKPerKey draw, quota table broadcast, no corpus sort") {
+    noAutoBroadcast {
+      val plan = SparkEntry.queries("temperature_sample")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"),
+        s"draw fell off TopKPerKey into a corpus window sort:\n$plan")
+      assert("BroadcastExchange".r.findAllMatchIn(plan).length == 1,
+        s"quota table must be the only broadcast:\n$plan")
+    }
+  }
+
+  test("split_leakage: gram probe is a shuffle join, no broadcast assumption") {
+    noAutoBroadcast {
+      val plan = SparkEntry.queries("split_leakage")(spark, sf)
+        .queryExecution.executedPlan.toString
+      // both sides grow with the corpus — a compile-time broadcast
+      // here would OOM at the 100 TB target
+      assert("BroadcastExchange".r.findAllMatchIn(plan).length == 0,
+        s"corpus-scale gram side got a broadcast hint:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"gram probe should be a shuffle join:\n$plan")
+    }
+  }
+
   test("dedup_minhash: band table materialized, signature pipeline runs once") {
     auditMaterializedSelfJoin("dedup_minhash", 2)
   }
