@@ -45,7 +45,33 @@ object Cli {
     case "verify" :: sfDir :: outDir :: _            => graft.Verify.main(Array(sfDir, outDir))
     case "index" :: kind :: sfDir :: path :: _       => index(kind, sfDir, path)
     case "imagedemo" :: rest                         => imageDemo(rest.headOption.map(_.toLong).getOrElse(500L))
+    case "audit" :: rest                             => audit(rest.headOption.getOrElse(DefaultSf))
     case _                                           => usage()
+  }
+
+  /** One-command corpus health report — the audits a mixture designer
+    * reads before touching weights, as one JSON line per section:
+    * composition (corpus_stats grand total), per-source distribution
+    * shift (source_divergence), split hygiene (split_leakage count),
+    * and the Gopher keep rate. Every section is an existing catalog
+    * query — this is a reading order, not new computation.
+    */
+  private def audit(sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = session()
+    def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+    val stats = q("corpus_stats")
+      .filter(col("source").isNull && col("lang").isNull).collect()(0)
+    println(s"""{"audit":"composition","n_docs":${stats.getAs[Long]("n_docs")},"n_tokens":${stats.getAs[Long]("n_tokens")},"dup_rate":${stats.getAs[Double]("dup_rate")}}""")
+    q("source_divergence").orderBy(col("kl_nats").desc).collect().foreach { r =>
+      println(s"""{"audit":"source_divergence","source":"${r.getString(0)}","n_tokens":${r.getLong(1)},"kl_nats":${r.getDouble(3)}}""")
+    }
+    val leaks = q("split_leakage").count()
+    println(s"""{"audit":"split_leakage","leaked_heldout_docs":$leaks}""")
+    val keep = q("gopher_rules").agg(
+      sum(when(col("keep"), 1L).otherwise(0L)).cast("double") / count(lit(1))).collect()(0).getDouble(0)
+    println(s"""{"audit":"gopher_keep_rate","rate":$keep}""")
+    spark.stop()
   }
 
   /** End-to-end demo of the REAL image path over generated PNGs — the
@@ -179,7 +205,10 @@ object Cli {
         |                                          build a persisted index/model
         |  imagedemo [n]                           real-image-path demo over n
         |                                          generated PNGs (decode screen,
-        |                                          resize, feature cosine)""".stripMargin)
+        |                                          resize, feature cosine)
+        |  audit [sfDir]                           corpus health report: composition,
+        |                                          source KL, split leakage, Gopher
+        |                                          keep rate (one JSON line each)""".stripMargin)
     sys.exit(2)
   }
 

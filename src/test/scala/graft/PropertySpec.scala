@@ -163,4 +163,36 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("property: KL non-negativity and temperature quota bounds on random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+    val doc = Gen.listOfN(6, word).map(_.mkString(" "))
+    val nSrc = 4
+    (1 to 3).foreach { round =>
+      val texts = samples(doc, 40, seed = 7000 + round)
+      val docs = texts.zipWithIndex.map { case (t, i) =>
+        (i.toLong, t, s"s${i % nSrc}", t.length.toLong)
+      }.toDF("doc_id", "text", "source", "n_chars")
+      // Gibbs' inequality: KL(P_s ‖ P_corpus) ≥ 0 — the round-6-decimal
+      // term grid can dip a source at most n_types·5e-7 below zero
+      val kls = graft.operators.Scoring.sourceDivergence(docs, "text", "source")
+        .select("kl_nats", "n_types").as[(Double, Long)].collect()
+      assert(kls.length == nSrc)
+      kls.foreach { case (kl, nt) =>
+        assert(kl >= -nt * 5e-7, s"KL $kl below the rounding floor for $nt types")
+      }
+      // temperature draw: per-source takes never exceed ⌊budget·q_s⌋,
+      // total never exceeds the budget
+      val budget = 20
+      val drawn = graft.operators.Curation
+        .temperatureSample(docs, "doc_id", "source", "n_chars", budget)
+      assert(drawn.count() <= budget)
+      val perSrc = drawn.groupBy("source").count().as[(String, Long)].collect()
+      assert(perSrc.forall(_._2 <= budget), perSrc.toSeq.toString)
+      // drawn ids are a subset of the corpus
+      assert(drawn.join(docs, Seq("doc_id"), "left_anti").count() == 0)
+    }
+  }
 }
