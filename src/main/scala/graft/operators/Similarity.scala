@@ -1248,6 +1248,108 @@ object Similarity {
       .withColumn("adist", col("adist").cast("double"))
   }
 
+  /** Persist the residual-IVFADC index — the production "vector
+    * database" shape of [[knnIvfPqResidual]]: the code table lands
+    * under `path/codes` DIRECTORY-PARTITIONED BY CELL (a probe reads
+    * only its probed cells' partitions — the IVF promise materialized
+    * as partition pruning), centroids under `path/centroids`, the
+    * residual codebook under `path/codebook`, and params pin the
+    * build-time geometry so a probe can never run against mismatched
+    * codebooks. Build cost = the one assign+encode scan every ad-hoc
+    * query pays; after it, corpus vectors are never read again.
+    */
+  def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                      path: String, centroidMod: Int = 50,
+                      m: Int = 16, ksub: Int = 32): Unit = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val centroids = emb.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val wa = Window.partitionBy(col("__id")).orderBy(col("csim").desc, col("centroid_id"))
+    val corpusRes = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .join(broadcast(centroids))
+      .select(col("__id"), col("__v"), col("centroid_id"), col("cv"),
+        VectorFunctions.cosineNative(col("__v"), col("cv")).as("csim"))
+      .withColumn("crnk", row_number().over(wa))
+      .filter(col("crnk") === 1)
+      .withColumn("rv", zip_with(col("__v"), col("cv"), (x, y) => x - y))
+    val seeds = corpusRes
+      .select(col("__id").as("sid"), col("rv"),
+        graft.functions.PortableHash.portableHash(col("__id")).as("__h"))
+      .orderBy(col("__h"), col("sid")).limit(ksub).collect()
+    val rvecs = seeds.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val dims = rvecs.headOption.map(_.length).getOrElse(0)
+    require(rvecs.nonEmpty && dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    val cbs = Array.tabulate(m)(mi => rvecs.map(v => v.slice(mi * dsub, (mi + 1) * dsub)))
+    val encCol = GraftPlanFactory.column(graft.plans.PqEncodeExpr(
+      GraftPlanFactory.expression(col("rv")), cbs))
+    corpusRes
+      .select(col("__id").as("vec_id"), col("centroid_id"),
+        encCol.getField("codes").as("codes"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cbm, mi) =>
+      cbm.zipWithIndex.map { case (cv, j) => (mi, j, cv.toSeq) }
+    }.toSeq.toDF("m", "code", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    Seq((m, ksub, dsub, centroidMod)).toDF("m", "ksub", "dsub", "centroid_mod")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Probe a persisted residual-IVFADC index ([[buildIvfPqIndex]]):
+    * queries assign against the STORED centroids, build residual
+    * distance tables per probed cell, and the code scan carries a
+    * LITERAL cell filter (the probed cells collected driver-side —
+    * queries × nProbes ints, the codebook-scalar convention) so
+    * partition pruning reads only those cells' files. Same answer as
+    * [[knnIvfPqResidual]] on identical parameters (spec-pinned);
+    * corpus vectors are never read.
+    */
+  def knnIvfPqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbes: Int = 4): DataFrame = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val cbs = readPqCodebook(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("centroid_id"), col("cv"),
+        VectorFunctions.cosineNative(col("qv"), col("cv")).as("csim"))
+      .withColumn("crnk", row_number().over(wa))
+      .filter(col("crnk") <= nProbes)
+      .withColumn("qrv", zip_with(col("qv"), col("cv"), (x, y) => x - y))
+    val qdtCol = GraftPlanFactory.column(graft.plans.PqDistTableExpr(
+      GraftPlanFactory.expression(col("qrv")), cbs))
+    val qTab = probed.select(col("query_id"), col("centroid_id"), qdtCol.as("__dt"))
+    // literal cell list → PartitionFilters on the code scan
+    val cells = probed.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"), col("codes"))
+    val adist = GraftPlanFactory.column(graft.plans.AdcSumExpr(
+      GraftPlanFactory.expression(col("codes")),
+      GraftPlanFactory.expression(col("__dt"))))
+    val scored = codes.join(broadcast(qTab), Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    graft.plans.TopK.perKey(scored, Seq("query_id"),
+        Seq("adist", "neighbor_id"), k, descending = false)
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("adist", col("adist").cast("double"))
+  }
+
   /** DuckDB twin of [[knnIvfPqResidual]] — the IVF cell CTEs with
     * residual vectors threaded through the PQ seed/codebook/encode/
     * distance-table chain (cell-local residual per side).

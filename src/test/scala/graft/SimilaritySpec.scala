@@ -317,6 +317,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), s"cut fell off TopKPerKey:\n$plan")
   }
 
+  test("persisted residual-IVFADC index: probe equals direct, scan prunes to probed cells") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val path = "target/test_ivfpq_idx"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path)
+    val probeQ = emb.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    val probe = Similarity.knnIvfPqProbe(spark, path, probeQ,
+      "vec_id", "embedding", 5, nProbes = 4)
+    val direct = Similarity.knnIvfPqResidual(emb, "vec_id", "embedding", 10, 5)
+    assert(probe.exceptAll(direct).isEmpty && direct.exceptAll(probe).isEmpty,
+      "index probe diverged from the direct residual IVFADC")
+    // the probed-cells literal must reach the code scan as a
+    // partition filter — the IVF promise materialized on disk
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"code scan not pruned to probed cells:\n$plan")
+  }
+
   test("prototypeScores: total, cells agree with kmeans, rank 1 is each cell's max cosine") {
     val emb = Tables.embeddings(spark, sf)
     val ps = Similarity.prototypeScores(emb, "vec_id", "embedding")
