@@ -175,6 +175,8 @@ object Cli {
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", path)
       case "pq" => graft.operators.Similarity.buildPqIndex(
         graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding", path)
+      case "ivfpq" => graft.operators.Similarity.buildIvfPqIndex(
+        graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding", path)
       case "nbmodel" => graft.operators.Scoring.buildNbModel(
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
         org.apache.spark.sql.functions.col("lang") === "en", path)
@@ -182,7 +184,7 @@ object Cli {
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", path)
       case other =>
         System.err.println(
-          s"unknown index kind '$other' (minhash|lsh|cdc|bm25|pq|nbmodel|lmmodel)")
+          s"unknown index kind '$other' (minhash|lsh|cdc|bm25|pq|ivfpq|nbmodel|lmmodel)")
         sys.exit(1)
     }
     println(f"index=$kind path=$path sec=${(System.nanoTime() - t0) / 1e9}%.2f")
@@ -201,7 +203,7 @@ object Cli {
         |  status                                  executor / resource snapshot
         |  bench [sfDir]                           the benchmark main
         |  verify <sfDir> <outDir>                 the correctness-dump main
-        |  index <minhash|lsh|cdc|bm25|pq|nbmodel|lmmodel> <sfDir> <path>
+        |  index <minhash|lsh|cdc|bm25|pq|ivfpq|nbmodel|lmmodel> <sfDir> <path>
         |                                          build a persisted index/model
         |  imagedemo [n]                           real-image-path demo over n
         |                                          generated PNGs (decode screen,
