@@ -82,7 +82,7 @@ object SoakBench {
     val axes = args.lift(3).map(_.split(',').toSet)
       .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25",
         "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
-        "lmscore", "bpe", "mixaudit", "proto"))
+        "lmscore", "bpe", "mixaudit", "proto", "leakage", "semgate"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -481,6 +481,41 @@ object SoakBench {
     axis("prototype_scores", protoMb) {
       graft.operators.Similarity.prototypeScores(bigEmb, "vec_id", "embedding")
     }
+    }
+
+    // ---- axis 16: cross-split leakage screen at corpus scale ---------
+    // both gram sides grow with the corpus (no broadcast contract) —
+    // the claim: shuffle bounded by the distinct (doc, gram-hash)
+    // census (longs, never text), linear in input.
+    if (axes("leakage")) {
+    val corpus = spark.read.parquet("target/soak_combined")
+    val lkMb = corpus.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+    axis("split_leakage", lkMb) {
+      graft.operators.Curation.splitLeakage(corpus, "doc_id", "text",
+        valPermille = 100, testPermille = 100)
+    }
+    }
+
+    // ---- axis 17: semantic-gate kernel throughput --------------------
+    // the MaxCosineBroadcast scan: rows × evalSet fused cosines, one
+    // kernel call per row, zero shuffle — measure vectors/s at a
+    // benchmark-sized eval set (2k evals × 200k rows = 400M fused
+    // dot+norm loops).
+    if (axes("semgate")) {
+    val bigEmb = spark.read.parquet("target/soak_pq_vectors")
+    val sample = bigEmb.filter(col("vec_id") % 10 === 0)
+    val nRows = sample.count()
+    val evalPath = "target/soak_semgate_eval"
+    bigEmb.filter(col("vec_id") % 1000 === 7)
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(evalPath)
+    val nEval = spark.read.parquet(evalPath).count()
+    val gateMb = nRows * 64 * 4 / 1e6
+    axis("semantic_gate", gateMb) {
+      graft.streaming.DocStreams.semanticAdmission(
+        sample, "vec_id", "embedding", evalPath, minCos = 0.99)
+    }
+    println(s"""{"metric":"soak_semantic_gate_dims","rows":$nRows,"eval_set":$nEval}""")
     }
 
     // ---- axis 12: bigram-LM train + score at corpus scale ------------
