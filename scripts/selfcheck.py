@@ -111,7 +111,11 @@ def main(sf_dir, out_dir, skip=()):
         # (DECIMAL/HUGEINT -> float64). Equal VALUES with unequal
         # pandas dtypes still hash-mismatch on the driver — catch that
         # here, where the repr-based compare below is blind to it.
-        dtype_err = pandas_dtype_check(name, files, con, oracle[name])
+        # NOTE: this re-executes the oracle once more for .df();
+        # dtypes are scale-independent, so big sweeps (sf1) can skip
+        # it with GRAFT_SELFCHECK_NO_DTYPE=1 after an sf0.01 pass.
+        dtype_err = (None if os.environ.get("GRAFT_SELFCHECK_NO_DTYPE")
+                     else pandas_dtype_check(name, files, con, oracle[name]))
         if dtype_err:
             n_fail += 1
             print(f"  FAIL {name}: {dtype_err}")
