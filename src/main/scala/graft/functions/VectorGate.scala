@@ -33,9 +33,16 @@ object VectorGate {
         i += 1
       }
       val raw = dot / (math.sqrt(na) * math.sqrt(nb))
-      val c = java.math.BigDecimal.valueOf(raw)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      if (c > bestCos || (c == bestCos && ids(j) < bestId)) {
+      // Spark's round() passes NaN/Infinity through unrounded
+      // (BigDecimal.valueOf would throw) — a zero vector on either
+      // side cosines to NaN, and the batch operator emits it
+      val c = if (raw.isNaN || raw.isInfinite) raw
+        else java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // Double.compare = Spark's double ordering (NaN greatest,
+      // NaN == NaN) — matches the batch max(struct(cos, -id)) exactly
+      val cmp = java.lang.Double.compare(c, bestCos)
+      if (cmp > 0 || (cmp == 0 && ids(j) < bestId)) {
         bestCos = c; bestId = ids(j)
       }
       j += 1

@@ -82,9 +82,14 @@ object Curation {
         sum(col("__w").cast("decimal(28,6)"))
           .over(Window.partitionBy()).cast("decimal(28,6)").as("__tw"))
       .select(col(strataCol),
-        floor(lit(budget).cast("double") *
-          (col("__w").cast("double") / col("__tw").cast("double")))
-          .cast("int").as("quota"))
+        // __tw = 0 (every source at zero mass) would make the ratio
+        // NaN and the ANSI int cast of floor(NaN) kill the job —
+        // a degenerate corpus draws nothing instead
+        when(col("__tw") > 0,
+          floor(lit(budget).cast("double") *
+            (col("__w").cast("double") / col("__tw").cast("double")))
+            .cast("int"))
+          .otherwise(lit(0)).as("quota"))
     // sources-row scalar collect (quota codebook), like kmeans/PQ params
     val qmax = Option(quotas.agg(max(col("quota"))).head.get(0))
       .fold(0)(_.asInstanceOf[Int])

@@ -1192,6 +1192,12 @@ object Similarity {
     GraftFunctions.register(emb.sparkSession)
     val centroids = emb.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    if (emb.isEmpty)
+      return emb.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(0d).as("adist"), lit(0).as("rnk")).limit(0)
+    require(!centroids.isEmpty,
+      s"knnIvfPqResidual: no centroids (no $idCol divisible by $centroidMod) " +
+        "— IVF cells are undefined; pick a centroidMod that selects some ids")
     // like [[knnIvfPq]]'s assign, but the winning centroid VECTOR
     // rides along — residuals need it
     def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
@@ -1267,6 +1273,9 @@ object Similarity {
     GraftFunctions.register(spark)
     val centroids = emb.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    require(!centroids.isEmpty,
+      s"buildIvfPqIndex: no centroids (no $idCol divisible by $centroidMod) " +
+        "— refusing to write an unprobeable index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val wa = Window.partitionBy(col("__id")).orderBy(col("csim").desc, col("centroid_id"))
     val corpusRes = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))

@@ -171,5 +171,28 @@ class EdgeCaseSpec extends AnyFunSuite {
     val k2 = Scoring.sourceDivergence(mixed, "text", "source").collect()
     assert(k2.length == 1 && k2(0).getString(0) == "s1",
       "token-less source has no distribution row; token-bearing one survives")
+    // ALL sources at zero mass: the quota ratio would be NaN and the
+    // ANSI int cast would kill the job — the draw must be empty instead
+    val zeroMass = srcDocs((1L, "", "s1", 0L), (2L, "", "s2", 0L))
+    assert(Curation.temperatureSample(zeroMass, "doc_id", "source",
+      "n_chars", 100).count() == 0)
+  }
+
+  test("residual IVFADC degrades cleanly: empty corpus empty, centroid-less fails fast") {
+    import org.apache.spark.sql.functions._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val emptyEmb = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.empty[Row], 2), schema)
+    assert(Similarity.knnIvfPqResidual(emptyEmb, "vec_id", "embedding").count() == 0)
+    // ids that never hit the centroid modulus: cells are undefined —
+    // a clear refusal beats a confusing dims-divisibility error
+    val odd = sources.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 2 === 1)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnIvfPqResidual(odd, "vec_id", "embedding", centroidMod = 2)
+    }
+    assert(ex.getMessage.contains("no centroids"))
   }
 }

@@ -329,6 +329,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("semantic gate survives a zero vector (NaN cosine) and still matches batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = sources.Tables.embeddings(spark, sf)
+    val evalPath = "target/test_semantic_eval_nan"
+    emb.filter(col("vec_id") % 50 === 7).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(evalPath)
+    // plant a ZERO train vector: its cosine to every eval is NaN —
+    // the kernel must not throw (BigDecimal.valueOf(NaN) would) and
+    // must agree with the batch operator's NaN ordering
+    val zero = Seq((999998L, Array.fill(64)(0f).toSeq))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val train = emb.filter(col("vec_id") % 50 =!= 7)
+      .select("vec_id", "embedding").unionAll(zero)
+    val gate = graft.streaming.DocStreams.semanticAdmission(
+      train, "vec_id", "embedding", evalPath, minCos = 0.3)
+    val ref = graft.operators.Similarity.decontaminateSemantic(
+        train, spark.read.parquet(evalPath), "vec_id", "embedding", minCos = 0.3)
+      .filter(!col("contaminated"))
+      .select(col("vec_id"), col("max_eval_cos"), col("nearest_eval_id"))
+    assert(gate.filter(col("vec_id") === 999998L).count() == 0,
+      "NaN max-cos must drop the zero vector (NaN sorts greatest, like batch)")
+    assert(gate.exceptAll(ref).isEmpty && ref.exceptAll(gate).isEmpty,
+      "gate diverged from batch in the presence of a NaN cosine")
+  }
+
   test("stateful sessionize emits closed sessions; watermark flushes idle state") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
