@@ -1310,6 +1310,40 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
   }
 
+  /** Append a batch to a persisted residual-IVFADC index — the
+    * continuous-ingestion path: the batch assigns against the INDEX's
+    * stored centroids and encodes with its stored residual codebook
+    * (never re-sampled geometry — probes must keep answering over one
+    * consistent code space), then its code rows append into the cell
+    * partitions. Same crash semantics as [[appendToPqIndex]]: a
+    * replayed partial append duplicates code rows — rebuild or re-id
+    * after a mid-append failure.
+    */
+  def appendToIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                         path: String): Unit = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val cbs = readPqCodebook(spark, path)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val wa = Window.partitionBy(col("__id")).orderBy(col("csim").desc, col("centroid_id"))
+    val batchRes = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .join(broadcast(centroids))
+      .select(col("__id"), col("__v"), col("centroid_id"), col("cv"),
+        VectorFunctions.cosineNative(col("__v"), col("cv")).as("csim"))
+      .withColumn("crnk", row_number().over(wa))
+      .filter(col("crnk") === 1)
+      .withColumn("rv", zip_with(col("__v"), col("cv"), (x, y) => x - y))
+    val encCol = GraftPlanFactory.column(graft.plans.PqEncodeExpr(
+      GraftPlanFactory.expression(col("rv")), cbs))
+    batchRes
+      .select(col("__id").as("vec_id"), col("centroid_id"),
+        encCol.getField("codes").as("codes"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/codes")
+  }
+
   /** Probe a persisted residual-IVFADC index ([[buildIvfPqIndex]]):
     * queries assign against the STORED centroids, build residual
     * distance tables per probed cell, and the code scan carries a

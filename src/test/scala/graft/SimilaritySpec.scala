@@ -338,6 +338,31 @@ class SimilaritySpec extends AnyFunSuite {
       s"code scan not pruned to probed cells:\n$plan")
   }
 
+  test("residual-IVFADC append uses STORED geometry; probe sees old and new vectors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    val path = "target/test_ivfpq_idx_append"
+    Similarity.buildIvfPqIndex(old, "vec_id", "embedding", path)
+    val cbsBefore = spark.read.parquet(s"$path/codebook").collect().toSet
+    Similarity.appendToIvfPqIndex(batch, "vec_id", "embedding", path)
+    // geometry untouched: append must never re-sample centroids/codebook
+    assert(spark.read.parquet(s"$path/codebook").collect().toSet == cbsBefore)
+    val probeQ = emb.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnIvfPqProbe(spark, path, probeQ,
+      "vec_id", "embedding", 5, nProbes = 4)
+    // appended vectors are probe-visible...
+    val batchIds = batch.select("vec_id").as[Long].collect().toSet
+    assert(got.select("neighbor_id").as[Long].collect().exists(batchIds),
+      "no appended vector ever surfaces as a neighbor")
+    // ...and every query still gets a full top-k
+    assert(got.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+  }
+
   test("prototypeScores: total, cells agree with kmeans, rank 1 is each cell's max cosine") {
     val emb = Tables.embeddings(spark, sf)
     val ps = Similarity.prototypeScores(emb, "vec_id", "embedding")
