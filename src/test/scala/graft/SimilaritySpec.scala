@@ -338,6 +338,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"code scan not pruned to probed cells:\n$plan")
   }
 
+  test("residual-IVFADC probe: candidate coverage grows monotonically with nProbes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val path = "target/test_ivfpq_idx_probes"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path)
+    val probeQ = emb.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    val truth = Similarity.knnBruteForce(emb, "vec_id", "embedding", 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(p: Int): Set[(Long, Long)] =
+      Similarity.knnIvfPqProbe(spark, path, probeQ, "vec_id", "embedding", 5, nProbes = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = Seq(1, 2, 4).map(p => p -> (hits(p) & truth).size.toDouble / truth.size)
+    info("residual IVFADC probe recall@5: " +
+      recall.map { case (p, r) => f"$p probes $r%.2f" }.mkString(", "))
+    // more probed cells never SHRINK the candidate pool; PQ re-ranking
+    // within a larger pool can reshuffle the top-k, so the pinned
+    // contract is a bounded drop, never a collapse
+    recall.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra - 0.1,
+        f"recall collapsed from $ra%.2f ($pa probes) to $rb%.2f ($pb probes)")
+    }
+    assert(recall.toMap.apply(4) >= 0.1, "default-probe recall below floor")
+  }
+
   test("residual-IVFADC append uses STORED geometry; probe sees old and new vectors") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
