@@ -750,6 +750,9 @@ object SparkEntry {
     // distribution-shift audit (C68)
     "source_divergence" -> ((s, d) =>
       Scoring.sourceDivergence(Tables.documents(s, d), "text", "source")),
+    // per-doc Shannon token entropy — the ln twin of token_diversity (C73)
+    "token_entropy" -> ((s, d) =>
+      Scoring.tokenEntropy(Tables.documents(s, d), "doc_id", "text")),
     // BPE round-one candidate merges from the word-count dictionary
     // (C66; the full merge LOOP is Bpe.bpeLearn — spec-driven, its
     // per-round argmax is this query's shape)
@@ -1723,6 +1726,20 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN c3 IS NULL AND c2s IS NULL AND c1w3 IS NULL
          |    THEN tf ELSE 0 END) AS BIGINT) AS n_oov
          |FROM j GROUP BY 1""".stripMargin,
+    "token_entropy" ->
+      s"""WITH tc AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest($tok) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY 1),
+         |e AS (SELECT t.doc_id, max(tot.n) AS n_tokens,
+         |    CAST(sum(CAST(t.c AS DECIMAL(10,0)) * CAST(round(ln(
+         |      CAST(tot.n AS DOUBLE) / CAST(t.c AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6))) AS DOUBLE) / CAST(max(tot.n) AS DOUBLE)
+         |      AS entropy_nats
+         |  FROM tc t JOIN tot ON tot.doc_id = t.doc_id GROUP BY 1)
+         |SELECT d.doc_id, coalesce(e.n_tokens, 0) AS n_tokens,
+         |  coalesce(e.entropy_nats, 0.0) AS entropy_nats
+         |FROM documents d LEFT JOIN e USING (doc_id)""".stripMargin,
     // same weight factorization as the Spark side: integer counts ×
     // round-6-decimal ln terms, ONE unrounded decimal→double quotient
     "source_divergence" ->

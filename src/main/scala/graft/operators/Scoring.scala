@@ -508,6 +508,45 @@ object Scoring {
       spark.read.parquet(s"$path/meta"), idCol)
   }
 
+  /** C73: per-document Shannon token entropy (nats) — the
+    * information-theoretic twin of TextAnalysis.tokenDiversity's
+    * Gini–Simpson index (same curation signal: boilerplate and
+    * keyword-stuffed docs score LOW entropy; natural prose sits near
+    * ln of its effective vocabulary), for pipelines that calibrate on
+    * entropy thresholds rather than Simpson. Uses the integer-weight
+    * factorization H = (1/n)·Σ_t c_t·ln(n∕c_t): each term is
+    * cnt × round-6-decimal-ln (exact order-independent sum), the
+    * final score ONE unrounded decimal→double quotient — the same
+    * portability discipline as every ln-based score in this file.
+    *
+    * Scale shape: one tokenize scan to the (doc, token, cnt) table
+    * (materialized — it feeds the per-doc totals and the term sum),
+    * doc-keyed joins only, linear at any corpus size. Docs that
+    * tokenize to nothing keep a zero row (the tokenDiversity
+    * convention).
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .materialized
+    val tot = tc.groupBy(col("doc_id")).agg(sum(col("c")).as("n"))
+    val scored = tc.join(tot, "doc_id")
+      .withColumn("__t", cntTerm(col("c"),
+        lnTerm(col("n").cast("double") / col("c").cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("__n"),
+        (sum(col("__t")).cast("double") / max(col("n")).cast("double"))
+          .as("__h"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        coalesce(col("__h"), lit(0.0)).as("entropy_nats"))
+  }
+
   /** C68: per-source unigram KL divergence against the whole corpus —
     * the distribution-shift audit behind mixture construction (the
     * quantity DSIR-style importance weighting and temperature-scaled

@@ -118,6 +118,27 @@ class ScoringSpec extends AnyFunSuite {
     assert(out.forall(_.getBoolean(3)), "prior must push neutral docs positive")
   }
 
+  // ---- token entropy -----------------------------------------------
+
+  test("tokenEntropy: hand-computed values; empty and single-token docs score zero") {
+    val docs = Seq(
+      (1L, "a a b b"),   // uniform over 2 → ln 2
+      (2L, "a b c d"),   // uniform over 4 → ln 4
+      (3L, "a a a"),     // single type → 0
+      (4L, "")           // empty → zero row kept
+    ).toDF("doc_id", "text")
+    val out = Scoring.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.size == 4, "every doc keeps a row, including the empty one")
+    // through the decimal-term path: round(ln 2, 6) = 0.693147 exactly
+    assert(out(1L) == ((4L, 0.693147)), out(1L).toString)
+    assert(out(2L) == ((4L, 1.386294)), out(2L).toString)
+    assert(out(3L) == ((3L, 0.0)))
+    assert(out(4L) == ((0L, 0.0)))
+    // ordering signal: repetitive text scores strictly below varied text
+    assert(out(3L)._2 < out(1L)._2 && out(1L)._2 < out(2L)._2)
+  }
+
   // ---- source divergence -------------------------------------------
 
   test("sourceDivergence: identical sources score zero, disjoint sources score ln 2") {
