@@ -49,4 +49,41 @@ object VectorGate {
     }
     new GenericInternalRow(Array[Any](bestCos, bestId))
   }
+
+  /** Nearest-centroid argmax against a broadcast codebook — the
+    * zero-shuffle IVF cell assignment behind
+    * graft.plans.ArgMaxCosineBroadcast. Bit-replicates the window
+    * form `row_number() OVER (PARTITION BY id ORDER BY csim DESC,
+    * centroid_id) = 1` that the DuckDB oracles pin:
+    *   - each cosine is the CosineSimilarity fused pass verbatim,
+    *     UNROUNDED (the window form compares raw doubles);
+    *   - Double.compare = Spark's (and DuckDB's) sort order for
+    *     doubles — NaN greatest, NaN == NaN — so a zero vector
+    *     (cosine NaN on every centroid) resolves exactly like the
+    *     window: NaN rows rank first under DESC, tie → lower id.
+    */
+  def argMaxCos(v: ArrayData, ids: Array[Long], vecs: Array[Array[Float]]): InternalRow = {
+    var bestCos = Double.NegativeInfinity
+    var bestId = Long.MaxValue
+    var j = 0
+    while (j < vecs.length) {
+      val y = vecs(j)
+      val n = math.min(v.numElements(), y.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = v.getFloat(i).toDouble
+        val yi = y(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val c = dot / (math.sqrt(na) * math.sqrt(nb))
+      val cmp = java.lang.Double.compare(c, bestCos)
+      if (cmp > 0 || (cmp == 0 && ids(j) < bestId)) {
+        bestCos = c; bestId = ids(j)
+      }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](bestCos, bestId))
+  }
 }

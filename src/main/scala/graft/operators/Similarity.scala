@@ -265,6 +265,93 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Collect a (centroid_id, cv) codebook table into kernel arrays —
+    * the codebook-scalar convention (the table was already broadcast-
+    * sized; collecting it is the same data the old broadcast shipped).
+    * Ids are read generically (any integral type) so a non-long idCol
+    * fails with a named error instead of a ClassCastException.
+    */
+  private[graft] def centroidArrays(centroids: DataFrame): (Array[Long], Array[Array[Float]]) = {
+    val rows = centroids.select(col("centroid_id"), col("cv")).collect()
+    val ids = rows.map(r => r.get(0) match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case s: java.lang.Short => s.longValue
+      case b: java.lang.Byte => b.longValue
+      case other => throw new IllegalArgumentException(
+        "centroidArrays: centroid_id must be integral, got " +
+          (if (other == null) "NULL" else other.getClass.getName))
+    })
+    val vecs = rows.map(_.getSeq[Float](1).toArray)
+    (ids, vecs)
+  }
+
+  /** Corpus-side (probes=1) IVF cell assignment — ONE map pass per row
+    * through the [[graft.plans.ArgMaxCosineBroadcast]] kernel, ZERO
+    * shuffle, zero row multiplication. This replaces the
+    * broadcast-cross-join + per-id `row_number` window the IVF family
+    * used through round 8 (a corpus × centroids hash exchange carrying
+    * vector payloads — THE scale-killer on the 100 TB build path); the
+    * window form survives on the query side (rows = nQueries) and as
+    * the kernel's spec-pinned parity reference. Returns `df` with a
+    * `centroid_id` (bigint) column appended; an empty codebook yields
+    * the empty frame the old join form produced.
+    */
+  private[graft] def ivfAssignCells(df: DataFrame, vecCol: String,
+                                    centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    val ca = centroidArrays(centroids)
+    if (ca._1.isEmpty)
+      return df.withColumn("centroid_id", lit(null).cast("bigint")).limit(0)
+    val bc = df.sparkSession.sparkContext.broadcast(ca)
+    df.withColumn("centroid_id",
+      GraftPlanFactory.column(graft.plans.ArgMaxCosineBroadcast(bc,
+        GraftPlanFactory.expression(col(vecCol)))).getField("id"))
+  }
+
+  /** Per-cell occupancy of a persisted IVF index — recomputed into
+    * `path/cellstats` on build AND append. Counting groups the codes
+    * scan's PARTITION column only, so parquet column pruning makes the
+    * refresh a footer-cheap pass even on a 100 TB index. A hot cell
+    * (duplicate-flood vector, degenerate codebook) concentrates probe
+    * cost toward linear scan; per the house rule the guard WARNS and
+    * records — it never drops rows silently (an index must answer for
+    * every vector it was given).
+    */
+  private[graft] def refreshIvfCellStats(spark: org.apache.spark.sql.SparkSession,
+                                         path: String,
+                                         warnFrac: Double = 0.2): Unit = {
+    spark.read.parquet(s"$path/codes")
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
+    val rows = spark.read.parquet(s"$path/cellstats").collect()
+    if (rows.length > 1) {
+      val total = rows.map(_.getLong(1)).sum
+      val hot = rows.maxBy(_.getLong(1))
+      val frac = if (total == 0) 0.0 else hot.getLong(1).toDouble / total
+      if (frac > warnFrac)
+        System.err.println(s"[graft] WARNING: IVF index $path hot cell " +
+          s"${hot.get(0)} holds ${hot.getLong(1)} of $total rows " +
+          f"($frac%.2f > $warnFrac%.2f bound) — probes on it pay near-linear " +
+          "cost; train a larger coarse codebook or dedup the flood upstream")
+    }
+  }
+
+  /** The index build/append scan: zero-shuffle cell assignment plus
+    * residual computation — (__id, __v, centroid_id, cv, rv), one row
+    * per input row, NO exchange anywhere (kernel argmax + broadcast
+    * hash join for the winning centroid vector). This is the shape
+    * that must stay shuffle-free at 100 TB: [[buildIvfPqIndex]] is
+    * the one IVF op that scans the whole corpus. PlanAuditSpec pins
+    * the no-Exchange property.
+    */
+  private[graft] def ivfResidualRows(emb: DataFrame, idCol: String, vecCol: String,
+                                     centroids: DataFrame): DataFrame =
+    ivfAssignCells(
+        emb.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v", centroids)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .withColumn("rv", zip_with(col("__v"), col("cv"), (x, y) => x - y))
+
   /** IVF-style ANN: a deterministic subsample acts as the centroid
     * codebook (`vec_id % centroidMod == 0`), every vector is assigned
     * to its nearest centroid (one broadcast pass), and queries probe
@@ -296,10 +383,12 @@ object Similarity {
         .select(col(id), col(vec), col("centroid_id"))
     }
     // corpus vectors live in exactly one inverted list; queries fan out
-    // to nProbes lists, so (query, neighbor) pairs are already unique
-    val corpus = assign(
+    // to nProbes lists, so (query, neighbor) pairs are already unique.
+    // Corpus side is probes=1 = an argmax → the zero-shuffle kernel;
+    // the window `assign` stays on the query side only (nQueries rows).
+    val corpus = ivfAssignCells(
       emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
-      "neighbor_id", "nv", probes = 1)
+      "nv", centroids)
     val queries = assign(
       emb.filter(col(idCol) < nQueries).select(col(idCol).as("query_id"), col(vecCol).as("qv")),
       "query_id", "qv", probes = nProbes)
@@ -1134,9 +1223,10 @@ object Similarity {
     }
     val encCol = GraftPlanFactory.column(graft.plans.PqEncodeExpr(
       GraftPlanFactory.expression(col("nv")), cbs))
-    val corpus = assign(
+    // corpus probes=1 → zero-shuffle argmax kernel (see [[ivfAssignCells]])
+    val corpus = ivfAssignCells(
         emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
-        "neighbor_id", "nv", probes = 1)
+        "nv", centroids)
       .select(col("neighbor_id"), col("centroid_id"),
         encCol.getField("codes").as("codes"))
       .materialized
@@ -1210,9 +1300,13 @@ object Similarity {
         .filter(col("crnk") <= probes)
         .select(col(id), col(vec), col("centroid_id"), col("cv"))
     }
-    val corpusRes = assign(
+    // corpus probes=1 → zero-shuffle argmax kernel; the winning
+    // centroid VECTOR comes from a broadcast hash join back onto the
+    // codebook table (1 row in → 1 row out, no exchange)
+    val corpusRes = ivfAssignCells(
         emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
-        "neighbor_id", "nv", probes = 1)
+        "nv", centroids)
+      .join(broadcast(centroids), Seq("centroid_id"))
       .withColumn("rv", zip_with(col("nv"), col("cv"), (x, y) => x - y))
     // residual codebooks: the SAME hash-ordered ksub seed rule as
     // [[pqCodebooks]], over the seed vectors' residuals (ksub-row
@@ -1277,14 +1371,7 @@ object Similarity {
       s"buildIvfPqIndex: no centroids (no $idCol divisible by $centroidMod) " +
         "— refusing to write an unprobeable index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    val wa = Window.partitionBy(col("__id")).orderBy(col("csim").desc, col("centroid_id"))
-    val corpusRes = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .join(broadcast(centroids))
-      .select(col("__id"), col("__v"), col("centroid_id"), col("cv"),
-        VectorFunctions.cosineNative(col("__v"), col("cv")).as("csim"))
-      .withColumn("crnk", row_number().over(wa))
-      .filter(col("crnk") === 1)
-      .withColumn("rv", zip_with(col("__v"), col("cv"), (x, y) => x - y))
+    val corpusRes = ivfResidualRows(emb, idCol, vecCol, centroids)
     val seeds = corpusRes
       .select(col("__id").as("sid"), col("rv"),
         graft.functions.PortableHash.portableHash(col("__id")).as("__h"))
@@ -1308,6 +1395,7 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
     Seq((m, ksub, dsub, centroidMod)).toDF("m", "ksub", "dsub", "centroid_mod")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    refreshIvfCellStats(spark, path)
   }
 
   /** Append a batch to a persisted residual-IVFADC index — the
@@ -1327,14 +1415,19 @@ object Similarity {
     GraftFunctions.register(spark)
     val cbs = readPqCodebook(spark, path)
     val centroids = spark.read.parquet(s"$path/centroids")
-    val wa = Window.partitionBy(col("__id")).orderBy(col("csim").desc, col("centroid_id"))
-    val batchRes = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .join(broadcast(centroids))
-      .select(col("__id"), col("__v"), col("centroid_id"), col("cv"),
-        VectorFunctions.cosineNative(col("__v"), col("cv")).as("csim"))
-      .withColumn("crnk", row_number().over(wa))
-      .filter(col("crnk") === 1)
-      .withColumn("rv", zip_with(col("__v"), col("cv"), (x, y) => x - y))
+    // fail fast on mis-dimensioned batches: the stored codebook pins
+    // m×dsub geometry, and a wrong-width vector would silently encode
+    // a TRUNCATED residual into the shared code space
+    val params = spark.read.parquet(s"$path/params").collect()(0)
+    val (pm, pdsub) = (params.getAs[Number]("m").intValue,
+      params.getAs[Number]("dsub").intValue)
+    emb.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+      val dims = r.getInt(0)
+      require(dims == pm * pdsub,
+        s"appendToIvfPqIndex: batch vector dims $dims != stored geometry " +
+          s"m*dsub = $pm*$pdsub = ${pm * pdsub} — refusing to corrupt the index")
+    }
+    val batchRes = ivfResidualRows(emb, idCol, vecCol, centroids)
     val encCol = GraftPlanFactory.column(graft.plans.PqEncodeExpr(
       GraftPlanFactory.expression(col("rv")), cbs))
     batchRes
@@ -1342,6 +1435,7 @@ object Similarity {
         encCol.getField("codes").as("codes"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/codes")
+    refreshIvfCellStats(spark, path)
   }
 
   /** Probe a persisted residual-IVFADC index ([[buildIvfPqIndex]]):
@@ -1373,12 +1467,31 @@ object Similarity {
     val qdtCol = GraftPlanFactory.column(graft.plans.PqDistTableExpr(
       GraftPlanFactory.expression(col("qrv")), cbs))
     val qTab = probed.select(col("query_id"), col("centroid_id"), qdtCol.as("__dt"))
-    // literal cell list → PartitionFilters on the code scan
+    // literal cell list → PartitionFilters on the code scan. Cell ids
+    // are read generically (any integral idCol), and the isin literals
+    // are converted to the SCAN's inferred partition-column type — an
+    // implicit cast on the partition column itself would defeat the
+    // pruning this index exists for.
     val cells = probed.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0))
-    val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("centroid_id").isin(cells.toIndexedSeq: _*))
-      .select(col("vec_id").as("neighbor_id"), col("centroid_id"), col("codes"))
+      .collect().map(_.get(0) match {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+        case s: java.lang.Short => s.longValue
+        case b: java.lang.Byte => b.longValue
+        case other => throw new IllegalArgumentException(
+          "knnIvfPqProbe: stored centroid_id must be integral, got " +
+            (if (other == null) "NULL" else other.getClass.getName))
+      })
+    val codesRaw = spark.read.parquet(s"$path/codes")
+    val cellLits: Seq[Any] = codesRaw.schema("centroid_id").dataType match {
+      case org.apache.spark.sql.types.IntegerType => cells.toIndexedSeq.map(_.toInt)
+      case org.apache.spark.sql.types.ShortType => cells.toIndexedSeq.map(_.toShort)
+      case _ => cells.toIndexedSeq
+    }
+    val codes = codesRaw
+      .filter(col("centroid_id").isin(cellLits: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("centroid_id").cast("bigint").as("centroid_id"), col("codes"))
     val adist = GraftPlanFactory.column(graft.plans.AdcSumExpr(
       GraftPlanFactory.expression(col("codes")),
       GraftPlanFactory.expression(col("__dt"))))

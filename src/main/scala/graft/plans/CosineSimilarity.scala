@@ -151,6 +151,54 @@ case class MaxCosineBroadcast(
   }
 }
 
+/** Nearest centroid of an `array<float>` vector against a BROADCAST
+  * centroid codebook, as a (cos, id) struct — the zero-shuffle IVF
+  * cell assignment. The corpus side of every IVF-family operator
+  * (knnIvf / knnIvfPq / knnIvfPqResidual / buildIvfPqIndex /
+  * appendToIvfPqIndex) is a probes=1 assignment, i.e. an argmax —
+  * this kernel computes it in ONE map pass per row, replacing the
+  * broadcast-cross-join (corpus × centroids row multiplication with
+  * vector payloads) + per-id `row_number` window (a full hash
+  * exchange of the multiplied rows) that form is built from. The
+  * window form survives on the query side (rows = nQueries) and as
+  * this kernel's spec-pinned parity reference (SimilaritySpec).
+  *
+  * Unlike [[MaxCosineBroadcast]] there is NO 6dp rounding: the window
+  * form ranks on the raw `graft_cosine` double, so the kernel
+  * compares unrounded values with `Double.compare` (Spark/DuckDB sort
+  * order — NaN greatest, ties → lower centroid id).
+  */
+case class ArgMaxCosineBroadcast(
+    cents: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])],
+    child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("cos", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+  override def prettyName: String = "graft_argmax_cosine"
+  override def nullable: Boolean = child.nullable
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.VectorGate.argMaxCos(
+      v.asInstanceOf[ArrayData], cents.value._1, cents.value._2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcastCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val tupCls = "scala.Tuple2"
+    val bRef = ctx.addReferenceObj("graftCentBcast", cents, bcastCls)
+    val idsTerm = ctx.addMutableState("long[]", "graftCentIds",
+      v => s"$v = (long[]) (($tupCls) $bRef.value())._1();")
+    val vecsTerm = ctx.addMutableState("float[][]", "graftCentVecs",
+      v => s"$v = (float[][]) (($tupCls) $bRef.value())._2();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorGate.argMaxCos($c, $idsTerm, $vecsTerm);")
+  }
+}
+
 /** Registry for graft's native expressions — idempotent, call before
   * using `call_function("graft_cosine", ...)` / `"graft_dot"`.
   */

@@ -451,4 +451,96 @@ class SimilaritySpec extends AnyFunSuite {
     val w1 = wcss(1); val w2 = wcss(2)
     assert(w2 <= w1 * 1.0001, s"wcss grew: iter1=$w1 iter2=$w2")
   }
+
+  test("ivfAssignCells kernel == window form, incl. NaN zero-vectors and exact ties") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val emb0 = Tables.embeddings(spark, sf)
+    val dims = emb0.select(size(col("embedding"))).first().getInt(0)
+    // plant a zero vector (cosine NaN against every centroid) and an
+    // exact duplicate of a centroid (6dp-and-beyond tie candidates)
+    val centroidDup = emb0.filter(col("vec_id") % 50 === 0)
+      .select(lit(900001L).as("vec_id"), col("embedding")).limit(1)
+    val zeroVec = Seq((900002L, Array.fill(dims)(0f).toSeq)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+      .unionByName(centroidDup).unionByName(zeroVec)
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val kernel = Similarity.ivfAssignCells(
+        emb.select(col("vec_id"), col("embedding")), "embedding", centroids)
+      .select(col("vec_id"), col("centroid_id"))
+    // the spec-pinned parity reference: the round-8 window form
+    val wa = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val window = emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("centroid_id"),
+        graft.functions.VectorFunctions.cosineNative(col("embedding"), col("cv")).as("csim"))
+      .withColumn("crnk", org.apache.spark.sql.functions.row_number().over(wa))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    assert(kernel.exceptAll(window).isEmpty && window.exceptAll(kernel).isEmpty,
+      "kernel assignment diverged from the window parity reference")
+    // and the kernel plan is exchange-free (the whole point)
+    val plan = kernel.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).isEmpty,
+      s"kernel assignment shuffles:\n$plan")
+  }
+
+  test("ivfResidualRows (index build scan) has no shuffle exchange") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val rows = Similarity.ivfResidualRows(emb, "vec_id", "embedding", centroids)
+    assert(rows.count() == emb.count(), "build scan must keep every vector")
+    val plan = rows.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllMatchIn(plan).isEmpty,
+      s"100 TB build path shuffles:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid-vector fetch should be a broadcast hash join:\n$plan")
+  }
+
+  test("IVF index build records cellstats; hot cell triggers a WARN, never a cap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    // duplicate-flood: 400 copies of one direction land in one cell
+    val hot = emb.limit(1).collect()(0).getSeq[Float](1)
+    val flood = (0 until 400).map(i => (700000L + i, hot)).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val path = "target/test_ivfpq_idx_skew"
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    try Similarity.buildIvfPqIndex(
+      emb.select(col("vec_id"), col("embedding")).unionByName(flood),
+      "vec_id", "embedding", path)
+    finally System.setErr(realErr)
+    val stats = spark.read.parquet(s"$path/cellstats")
+    val total = stats.agg(sum("n")).first().getLong(0)
+    assert(total == emb.count() + 400, "cellstats must account for every row")
+    val maxCell = stats.agg(max("n")).first().getLong(0)
+    assert(maxCell >= 400, "flood cell missing from cellstats")
+    assert(errBuf.toString.contains("hot cell"),
+      s"no hot-cell WARN for a ${maxCell}/$total flood; stderr: ${errBuf.toString.take(200)}")
+    assert(dims > 0) // fixture sanity
+  }
+
+  test("appendToIvfPqIndex refuses a mis-dimensioned batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val path = "target/test_ivfpq_idx_dims"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path)
+    val bad = Seq((800000L, Seq.fill(16)(0.5f))).toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(bad, "vec_id", "embedding", path)
+    }
+    assert(e.getMessage.contains("dims"), e.getMessage)
+  }
 }
