@@ -669,6 +669,10 @@ object SparkEntry {
       Similarity.knnLsh(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     "knn_ivf" -> ((s, d) =>
       Similarity.knnIvf(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
+    // fixed-k TRAINED coarse quantizer (C74): centroid count no longer
+    // scales with the corpus — the 100 TB IVF configuration
+    "knn_ivf_trained" -> ((s, d) =>
+      Similarity.knnIvfTrained(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     // PQ family (Jégou et al. 2011): corpus → m-byte codes (C55), ADC
     // top-k over the code table with a broadcast distance table (C56)
     // portable projection: codes array → CSV string, decimal → double
@@ -687,6 +691,9 @@ object SparkEntry {
     // full IVFADC: residual re-encoding per cell (C72)
     "knn_ivfpq_residual" -> ((s, d) =>
       Similarity.knnIvfPqResidual(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
+    // FAISS-default IVFADC: residuals against TRAINED cells (C75)
+    "knn_ivfpq_residual_trained" -> ((s, d) =>
+      Similarity.knnIvfPqResidualTrained(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     // embedding-space eval decontamination (C61) — benchmark fixture is
     // fixed-cardinality at any SF, the broadcast contract
     "decontaminate_semantic" -> ((s, d) => {
@@ -1635,6 +1642,10 @@ object SparkEntry {
     "knn_pq" -> Similarity.knnPqOracleSql(),
     "knn_ivfpq" -> Similarity.knnIvfPqOracleSql(),
     "knn_ivfpq_residual" -> Similarity.knnIvfPqResidualOracleSql(),
+    "knn_ivf_trained" -> Similarity.knnIvfOracleSql(
+      centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
+    "knn_ivfpq_residual_trained" -> Similarity.knnIvfPqResidualOracleSql(
+      centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
     "decontaminate_semantic" ->
       s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS e
          |  FROM embeddings WHERE vec_id % 50 = 7),

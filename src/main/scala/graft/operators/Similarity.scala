@@ -352,6 +352,36 @@ object Similarity {
       .join(broadcast(centroids), Seq("centroid_id"))
       .withColumn("rv", zip_with(col("__v"), col("cv"), (x, y) => x - y))
 
+  /** Fixed-k trained coarse quantizer as a centroid TABLE
+    * (centroid_id bigint = 0..k-1, cv array<float>): the
+    * [[kmeansCentroids]] codebook (deterministic Lloyd on the
+    * fixed-point grid), float-cast so the IVF family's downstream
+    * arithmetic (kernel cosines, REAL−REAL residuals) is identical to
+    * the `id % mod` path. `trainMod` strides the training sample —
+    * codebook quality needs only a sample; the full corpus pays its
+    * k×dims cosines once, at assignment.
+    */
+  def trainedCentroidTable(emb: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int = 2, trainMod: Int = 1): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val train = if (trainMod == 1) emb else emb.filter(col(idCol) % trainMod === 0)
+    kmeansCentroids(train, idCol, vecCol, k, iters).zipWithIndex
+      .map { case (c, j) => (j.toLong, c.map(_.toFloat).toSeq) }
+      .toSeq.toDF("centroid_id", "cv")
+      .select(col("centroid_id"), col("cv").cast("array<float>"))
+  }
+
+  /** The trained-codebook centroids CTE head for the IVF oracles —
+    * [[kmeansCtePrefix]] (bit-exact Lloyd replica) capped with the
+    * same double→REAL cast [[trainedCentroidTable]] applies.
+    */
+  def trainedCentroidsCte(kCoarse: Int, iters: Int = 2, dims: Int = 64): String =
+    kmeansCtePrefix(kCoarse, iters, dims) +
+      s""",
+         |centroids AS (SELECT cid AS centroid_id,
+         |  list_transform(cv, x -> x::REAL) AS cv FROM c$iters)""".stripMargin
+
   /** IVF-style ANN: a deterministic subsample acts as the centroid
     * codebook (`vec_id % centroidMod == 0`), every vector is assigned
     * to its nearest centroid (one broadcast pass), and queries probe
@@ -366,11 +396,38 @@ object Similarity {
     */
   def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
              nQueries: Int, k: Int, centroidMod: Int = 50,
-             nProbes: Int = 4): DataFrame = {
+             nProbes: Int = 4): DataFrame =
+    knnIvfWith(emb, idCol, vecCol, nQueries, k, nProbes,
+      emb.filter(col(idCol) % centroidMod === 0)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cv")))
+
+  /** [[knnIvf]] with a FIXED-k sample-trained coarse quantizer — the
+    * 100 TB configuration. The `id % centroidMod` subsample codebook
+    * grows WITH the corpus (n/mod centroids → assignment cosines
+    * O(n²/mod), a corpus-proportional broadcast); a k-means codebook
+    * trained on a `trainMod`-strided sample keeps the codebook at a
+    * chosen k forever, like [[embeddingPairsIvf]] already does for
+    * pair mining. Centroids are float-cast so every downstream shape
+    * (kernel cosines, REAL residuals) is identical to the mod path,
+    * and the DuckDB twin ([[knnIvfTrainedOracleSql]]) replays the
+    * same train→cast chain bit-exactly.
+    */
+  def knnIvfTrained(emb: DataFrame, idCol: String, vecCol: String,
+                    nQueries: Int, k: Int, kCoarse: Int = 16,
+                    iters: Int = 2, nProbes: Int = 4,
+                    trainMod: Int = 1): DataFrame =
+    knnIvfWith(emb, idCol, vecCol, nQueries, k, nProbes,
+      trainedCentroidTable(emb, idCol, vecCol, kCoarse, iters, trainMod))
+
+  /** Core of the IVF scan family: caller supplies the coarse codebook
+    * TABLE (centroid_id, cv array<float>) — the mod subsample, a
+    * trained fixed-k codebook, or a stored index's centroids.
+    */
+  def knnIvfWith(emb: DataFrame, idCol: String, vecCol: String,
+                 nQueries: Int, k: Int, nProbes: Int,
+                 centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(emb.sparkSession)
-    val centroids = emb.filter(col(idCol) % centroidMod === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
     def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
       val wa = Window.partitionBy(col(id))
         .orderBy(col("csim").desc, col("centroid_id"))
@@ -1204,13 +1261,28 @@ object Similarity {
     */
   def knnIvfPq(emb: DataFrame, idCol: String, vecCol: String,
                nQueries: Int = 10, k: Int = 5, centroidMod: Int = 50,
-               nProbes: Int = 4, m: Int = 16, ksub: Int = 32): DataFrame = {
+               nProbes: Int = 4, m: Int = 16, ksub: Int = 32): DataFrame =
+    knnIvfPqWith(emb, idCol, vecCol, nQueries, k, nProbes, m, ksub,
+      emb.filter(col(idCol) % centroidMod === 0)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cv")))
+
+  /** [[knnIvfPq]] with a fixed-k trained coarse quantizer (see
+    * [[knnIvfTrained]] for why the mod subsample doesn't scale).
+    */
+  def knnIvfPqTrained(emb: DataFrame, idCol: String, vecCol: String,
+                      nQueries: Int = 10, k: Int = 5, kCoarse: Int = 16,
+                      iters: Int = 2, nProbes: Int = 4, m: Int = 16,
+                      ksub: Int = 32, trainMod: Int = 1): DataFrame =
+    knnIvfPqWith(emb, idCol, vecCol, nQueries, k, nProbes, m, ksub,
+      trainedCentroidTable(emb, idCol, vecCol, kCoarse, iters, trainMod))
+
+  def knnIvfPqWith(emb: DataFrame, idCol: String, vecCol: String,
+                   nQueries: Int, k: Int, nProbes: Int, m: Int, ksub: Int,
+                   centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.classic.GraftPlanFactory
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(emb.sparkSession)
     val cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
-    val centroids = emb.filter(col(idCol) % centroidMod === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
     def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
       val wa = Window.partitionBy(col(id))
         .orderBy(col("csim").desc, col("centroid_id"))
@@ -1276,18 +1348,36 @@ object Similarity {
     */
   def knnIvfPqResidual(emb: DataFrame, idCol: String, vecCol: String,
                        nQueries: Int = 10, k: Int = 5, centroidMod: Int = 50,
-                       nProbes: Int = 4, m: Int = 16, ksub: Int = 32): DataFrame = {
+                       nProbes: Int = 4, m: Int = 16, ksub: Int = 32): DataFrame =
+    knnIvfPqResidualWith(emb, idCol, vecCol, nQueries, k, nProbes, m, ksub,
+      emb.filter(col(idCol) % centroidMod === 0)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cv")))
+
+  /** [[knnIvfPqResidual]] with a fixed-k trained coarse quantizer (see
+    * [[knnIvfTrained]]) — residuals against trained centroids are the
+    * FAISS-default IVFADC configuration: trained cells center their
+    * members better than an arbitrary subsample, so residual norms
+    * (and thus quantization error) drop further.
+    */
+  def knnIvfPqResidualTrained(emb: DataFrame, idCol: String, vecCol: String,
+                              nQueries: Int = 10, k: Int = 5, kCoarse: Int = 16,
+                              iters: Int = 2, nProbes: Int = 4, m: Int = 16,
+                              ksub: Int = 32, trainMod: Int = 1): DataFrame =
+    knnIvfPqResidualWith(emb, idCol, vecCol, nQueries, k, nProbes, m, ksub,
+      trainedCentroidTable(emb, idCol, vecCol, kCoarse, iters, trainMod))
+
+  def knnIvfPqResidualWith(emb: DataFrame, idCol: String, vecCol: String,
+                           nQueries: Int, k: Int, nProbes: Int, m: Int,
+                           ksub: Int, centroids: DataFrame): DataFrame = {
     import org.apache.spark.sql.classic.GraftPlanFactory
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(emb.sparkSession)
-    val centroids = emb.filter(col(idCol) % centroidMod === 0)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
     if (emb.isEmpty)
       return emb.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
         lit(0d).as("adist"), lit(0).as("rnk")).limit(0)
     require(!centroids.isEmpty,
-      s"knnIvfPqResidual: no centroids (no $idCol divisible by $centroidMod) " +
-        "— IVF cells are undefined; pick a centroidMod that selects some ids")
+      "knnIvfPqResidualWith: no centroids (empty codebook table) — IVF cells " +
+        "are undefined; supply a non-empty codebook (mod subsample or trained)")
     // like [[knnIvfPq]]'s assign, but the winning centroid VECTOR
     // rides along — residuals need it
     def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
@@ -1360,15 +1450,22 @@ object Similarity {
     */
   def buildIvfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
                       path: String, centroidMod: Int = 50,
-                      m: Int = 16, ksub: Int = 32): Unit = {
+                      m: Int = 16, ksub: Int = 32,
+                      coarseK: Int = 0, coarseIters: Int = 2,
+                      trainMod: Int = 1): Unit = {
     import org.apache.spark.sql.classic.GraftPlanFactory
-    import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     GraftFunctions.register(spark)
-    val centroids = emb.filter(col(idCol) % centroidMod === 0)
+    // coarseK > 0 → fixed-k TRAINED coarse quantizer (the 100 TB
+    // configuration: centroid count decoupled from corpus size);
+    // 0 → the mod-subsample scheme. params record which, so a reader
+    // can tell how the cells were defined without guessing.
+    val centroids = if (coarseK > 0)
+      trainedCentroidTable(emb, idCol, vecCol, coarseK, coarseIters, trainMod)
+    else emb.filter(col(idCol) % centroidMod === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
     require(!centroids.isEmpty,
-      s"buildIvfPqIndex: no centroids (no $idCol divisible by $centroidMod) " +
+      s"buildIvfPqIndex: no centroids (coarseK=$coarseK, centroidMod=$centroidMod) " +
         "— refusing to write an unprobeable index")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val corpusRes = ivfResidualRows(emb, idCol, vecCol, centroids)
@@ -1393,7 +1490,9 @@ object Similarity {
       cbm.zipWithIndex.map { case (cv, j) => (mi, j, cv.toSeq) }
     }.toSeq.toDF("m", "code", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
-    Seq((m, ksub, dsub, centroidMod)).toDF("m", "ksub", "dsub", "centroid_mod")
+    Seq((m, ksub, dsub, centroidMod,
+        if (coarseK > 0) "trained" else "mod", coarseK))
+      .toDF("m", "ksub", "dsub", "centroid_mod", "coarse_src", "coarse_k")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
     refreshIvfCellStats(spark, path)
   }
@@ -1510,16 +1609,47 @@ object Similarity {
     * residual vectors threaded through the PQ seed/codebook/encode/
     * distance-table chain (cell-local residual per side).
     */
+  /** DuckDB twin of [[knnIvfWith]] — the cell-assignment CTEs with a
+    * pluggable centroids head (mod subsample by default; pass
+    * [[trainedCentroidsCte]] for the trained-codebook variant).
+    */
+  def knnIvfOracleSql(nQueries: Int = 10, k: Int = 5, centroidMod: Int = 50,
+                      nProbes: Int = 4,
+                      centroidsHead: Option[String] = None): String = {
+    def cos(a: String, b: String) = VectorFunctions.cosineSql(a, b)
+    val head = centroidsHead.getOrElse(
+      s"""WITH centroids AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % $centroidMod = 0)""".stripMargin)
+    s"""$head,
+       |ranked AS (SELECT e.vec_id, e.embedding, c.centroid_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.centroid_id) AS crnk
+       |  FROM embeddings e CROSS JOIN centroids c),
+       |assigned AS (SELECT vec_id, embedding, centroid_id FROM ranked WHERE crnk = 1),
+       |probed AS (SELECT vec_id, embedding, centroid_id FROM ranked WHERE crnk <= $nProbes),
+       |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${cos("q.embedding", "c.embedding")}, 6) AS score
+       |  FROM probed q JOIN assigned c ON q.centroid_id = c.centroid_id
+       |  WHERE q.vec_id < $nQueries AND q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, score, rnk FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    cast(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS integer) AS rnk
+       |  FROM scored) WHERE rnk <= $k""".stripMargin
+  }
+
   def knnIvfPqResidualOracleSql(nQueries: Int = 10, k: Int = 5,
                                 centroidMod: Int = 50, nProbes: Int = 4,
                                 m: Int = 16, ksub: Int = 32,
-                                dims: Int = 64): String = {
+                                dims: Int = 64,
+                                centroidsHead: Option[String] = None): String = {
     val dsub = dims / m
     val ph = graft.functions.PortableHash.duckdb("cast(vec_id AS varchar)")
     def dot(a: String, b: String) = VectorFunctions.dotSql(a, b)
     def cos(a: String, b: String) = VectorFunctions.cosineSql(a, b)
-    s"""WITH centroids AS (SELECT vec_id AS centroid_id, embedding AS cv
-       |  FROM embeddings WHERE vec_id % $centroidMod = 0),
+    val head = centroidsHead.getOrElse(
+      s"""WITH centroids AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id % $centroidMod = 0)""".stripMargin)
+    s"""$head,
        |cranked AS (SELECT e.vec_id, c.centroid_id,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${cos("e.embedding", "c.cv")} DESC, c.centroid_id) AS crnk
@@ -1530,11 +1660,11 @@ object Similarity {
        |      i -> e.embedding[i] - c.cv[i]) AS rv
        |  FROM embeddings e JOIN assigned a USING (vec_id)
        |  JOIN centroids c USING (centroid_id)),
-       |seeds AS (SELECT vec_id, rv,
+       |rseeds AS (SELECT vec_id, rv,
        |    row_number() OVER (ORDER BY $ph, vec_id) AS rn FROM res),
        |cb AS (SELECT t.m, cast(s.rn - 1 AS integer) AS code,
        |    list_transform(s.rv[t.m*$dsub+1 : t.m*$dsub+$dsub], x -> x::DOUBLE) AS cv
-       |  FROM seeds s CROSS JOIN range(0, $m) t(m) WHERE s.rn <= $ksub),
+       |  FROM rseeds s CROSS JOIN range(0, $m) t(m) WHERE s.rn <= $ksub),
        |sub AS (SELECT r.vec_id, r.centroid_id, t.m,
        |    list_transform(r.rv[t.m*$dsub+1 : t.m*$dsub+$dsub], x -> x::DOUBLE) AS vm
        |  FROM res r CROSS JOIN range(0, $m) t(m)),

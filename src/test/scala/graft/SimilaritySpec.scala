@@ -452,6 +452,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(w2 <= w1 * 1.0001, s"wcss grew: iter1=$w1 iter2=$w2")
   }
 
+  test("trained coarse quantizer: recall-vs-nProbes monotone with a floor at the default") {
+    val emb = Tables.embeddings(spark, sf)
+    val truth = Similarity.knnBruteForce(emb, "vec_id", "embedding", 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(p: Int): Set[(Long, Long)] =
+      Similarity.knnIvfTrained(emb, "vec_id", "embedding", 10, 5, nProbes = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = Seq(1, 2, 4).map(p => p -> (hits(p) & truth).size.toDouble / truth.size)
+    info("trained-IVF recall@5: " +
+      recall.map { case (p, r) => f"$p probes $r%.2f" }.mkString(", "))
+    recall.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra - 1e-9, f"recall fell from $ra%.2f ($pa) to $rb%.2f ($pb probes)")
+    }
+    assert(recall.toMap.apply(4) >= 0.5, "trained-IVF default-probe recall below floor")
+  }
+
+  test("trained residual-IVFADC index: probe == ad-hoc trained; params record codebook source") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val path = "target/test_ivfpq_idx_trained"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path, coarseK = 16)
+    val params = spark.read.parquet(s"$path/params").collect()(0)
+    assert(params.getAs[String]("coarse_src") == "trained")
+    assert(params.getAs[Int]("coarse_k") == 16)
+    val probeQ = emb.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      .toDF("vec_id", "embedding")
+    val probe = Similarity.knnIvfPqProbe(spark, path, probeQ,
+      "vec_id", "embedding", 5, nProbes = 4)
+    val direct = Similarity.knnIvfPqResidualTrained(emb, "vec_id", "embedding", 10, 5)
+    assert(probe.exceptAll(direct).isEmpty && direct.exceptAll(probe).isEmpty,
+      "trained-index probe diverged from the ad-hoc trained IVFADC")
+  }
+
   test("ivfAssignCells kernel == window form, incl. NaN zero-vectors and exact ties") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
