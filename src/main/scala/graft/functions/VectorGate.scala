@@ -86,4 +86,47 @@ object VectorGate {
     }
     new GenericInternalRow(Array[Any](bestCos, bestId))
   }
+
+  /** Top-`nProbes` nearest centroids of one vector against the
+    * broadcast codebook — the multi-probe sibling of [[argMaxCos]],
+    * same ordering contract (unrounded cosines, Double.compare, ties
+    * → lower id = the window form `crnk <= nProbes`). Insertion into
+    * two nProbes-sized arrays: nProbes is small (≤ 8 in practice), so
+    * the scan stays O(centroids × nProbes) with zero allocation per
+    * candidate.
+    */
+  def topCells(v: ArrayData, ids: Array[Long], vecs: Array[Array[Float]],
+               nProbes: Int): ArrayData = {
+    val bc = new Array[Double](nProbes)
+    val bi = new Array[Long](nProbes)
+    var filled = 0
+    var j = 0
+    while (j < vecs.length) {
+      val y = vecs(j)
+      val n = math.min(v.numElements(), y.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = v.getFloat(i).toDouble
+        val yi = y(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val c = dot / (math.sqrt(na) * math.sqrt(nb))
+      var pos = filled
+      while (pos > 0 && {
+        val cmp = java.lang.Double.compare(c, bc(pos - 1))
+        cmp > 0 || (cmp == 0 && ids(j) < bi(pos - 1))
+      }) pos -= 1
+      if (pos < nProbes) {
+        var q = math.min(filled, nProbes - 1)
+        while (q > pos) { bc(q) = bc(q - 1); bi(q) = bi(q - 1); q -= 1 }
+        bc(pos) = c; bi(pos) = ids(j)
+        if (filled < nProbes) filled += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOfRange(bi, 0, filled))
+  }
 }

@@ -1902,7 +1902,7 @@ object Similarity {
     * the array [[buildPqIndex]] wrote (doubles round-trip parquet
     * bit-exactly, so probe arithmetic is identical to build-time).
     */
-  private def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
                              path: String): Array[Array[Array[Double]]] = {
     val p = spark.read.parquet(s"$path/params").collect()(0)
     val (m, ksub) = (p.getInt(0), p.getInt(1))

@@ -199,6 +199,44 @@ case class ArgMaxCosineBroadcast(
   }
 }
 
+/** Top-`nProbes` nearest centroid ids (array<bigint>, best first) of an
+  * `array<float>` vector against a BROADCAST codebook — the multi-probe
+  * sibling of [[ArgMaxCosineBroadcast]] for STREAMING probes, where the
+  * per-id rank window the batch query side uses isn't expressible in
+  * append mode. Same ordering contract: unrounded fused cosines,
+  * Double.compare, ties → lower centroid id (≡ `crnk <= nProbes`).
+  */
+case class ProbeCellsBroadcast(
+    cents: org.apache.spark.broadcast.Broadcast[(Array[Long], Array[Array[Float]])],
+    nProbes: Int,
+    child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  require(nProbes > 0, s"nProbes must be positive, got $nProbes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_probe_cells"
+  override def nullable: Boolean = child.nullable
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.VectorGate.topCells(
+      v.asInstanceOf[ArrayData], cents.value._1, cents.value._2, nProbes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcastCls = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val tupCls = "scala.Tuple2"
+    val bRef = ctx.addReferenceObj("graftProbeBcast", cents, bcastCls)
+    val idsTerm = ctx.addMutableState("long[]", "graftProbeIds",
+      v => s"$v = (long[]) (($tupCls) $bRef.value())._1();")
+    val vecsTerm = ctx.addMutableState("float[][]", "graftProbeVecs",
+      v => s"$v = (float[][]) (($tupCls) $bRef.value())._2();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorGate.topCells($c, $idsTerm, $vecsTerm, $nProbes);")
+  }
+}
+
 /** Registry for graft's native expressions — idempotent, call before
   * using `call_function("graft_cosine", ...)` / `"graft_dot"`.
   */

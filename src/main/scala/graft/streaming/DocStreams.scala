@@ -395,4 +395,63 @@ object DocStreams {
         col("__s.score").as("score"))
       .filter(col("score") >= minScore)
   }
+
+  /** Streaming ANN alerting against a persisted residual-IVFADC index
+    * ([[graft.operators.Similarity.buildIvfPqIndex]]) — the continuous
+    * twin of the batch [[graft.operators.Similarity.knnIvfPqProbe]],
+    * completing the build/append/probe loop the way [[bm25Alerts]]
+    * does for the BM25 index: each arriving vector probes its
+    * `nProbes` nearest stored cells and emits every indexed neighbor
+    * with ADC distance ≤ `maxDist` (the alerting cut — a top-k rank
+    * window isn't expressible in append mode; threshold on the SAME
+    * adist the batch probe ranks on, so replay parity is exact on the
+    * thresholded set).
+    *
+    * Shape per micro-batch, all stateless: cell assignment is the
+    * map-side [[graft.plans.ProbeCellsBroadcast]] kernel (stored
+    * centroids collected once at stream setup — codebook-scalar
+    * convention, same as bm25Alerts' df map), residual distance
+    * tables are per-row expressions, and candidate scoring is a
+    * stream-static INNER join on `centroid_id` against the code
+    * table. Scale note: Spark re-reads the static side each batch —
+    * the code table is the PQ-compressed form (m bytes/vector, ~12×
+    * smaller than the vectors) and the join reads only (vec_id,
+    * centroid_id, codes); for a fixed known query set prefer the
+    * batch probe's literal cell filter, which partition-prunes.
+    */
+  def annAlerts(vecs: DataFrame, idCol: String, vecCol: String,
+                indexPath: String, maxDist: Double,
+                nProbes: Int = 4): DataFrame = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    val spark = vecs.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val cbs = Similarity.readPqCodebook(spark, indexPath)
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val ca = Similarity.centroidArrays(centroids)
+    require(ca._1.nonEmpty,
+      s"annAlerts: index at $indexPath has no centroids — nothing is probeable")
+    val bc = spark.sparkContext.broadcast(ca)
+    val cellsCol = GraftPlanFactory.column(graft.plans.ProbeCellsBroadcast(bc,
+      nProbes, GraftPlanFactory.expression(col("qv"))))
+    val probed = vecs.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("centroid_id", explode(cellsCol))
+      .join(broadcast(centroids.withColumn("centroid_id",
+        col("centroid_id").cast("bigint"))), Seq("centroid_id"))
+      .withColumn("qrv", zip_with(col("qv"), col("cv"), (x, y) => x - y))
+    val qdtCol = GraftPlanFactory.column(graft.plans.PqDistTableExpr(
+      GraftPlanFactory.expression(col("qrv")), cbs))
+    val qTab = probed.select(col("query_id"), col("centroid_id"), qdtCol.as("__dt"))
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .select(col("vec_id").as("neighbor_id"),
+        col("centroid_id").cast("bigint").as("centroid_id"), col("codes"))
+    val adist = GraftPlanFactory.column(graft.plans.AdcSumExpr(
+      GraftPlanFactory.expression(col("codes")),
+      GraftPlanFactory.expression(col("__dt"))))
+    qTab.join(codes, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        adist.cast("double").as("adist"))
+      .filter(col("adist") <= maxDist)
+  }
 }

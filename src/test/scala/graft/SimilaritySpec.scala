@@ -487,6 +487,43 @@ class SimilaritySpec extends AnyFunSuite {
       "trained-index probe diverged from the ad-hoc trained IVFADC")
   }
 
+  test("streaming ANN alerts replay == batch index probe thresholded on adist") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val emb = Tables.embeddings(spark, sf)
+    val path = "target/test_ivfpq_idx_alerts"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path, coarseK = 16)
+    val queries = emb.filter(col("vec_id") < 10)
+    val n = emb.count().toInt
+    // batch truth: the full candidate set (k = corpus) cut at a
+    // threshold that keeps a non-trivial alert set
+    val all = Similarity.knnIvfPqProbe(spark, path,
+      queries, "vec_id", "embedding", n, nProbes = 4)
+    val maxDist = all.select("adist").as[Double].collect().sorted.apply(30)
+    val expected = all.filter(col("adist") <= maxDist)
+      .select("query_id", "neighbor_id", "adist")
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val alerts = graft.streaming.DocStreams.annAlerts(
+      ms.toDF().toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>")),
+      "vec_id", "embedding", path, maxDist, nProbes = 4)
+    val q = alerts.writeStream.format("memory").queryName("annalerts")
+      .outputMode("append").start()
+    try {
+      val rows = queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      ms.addData(rows.take(5).toSeq)
+      q.processAllAvailable()
+      ms.addData(rows.drop(5).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("annalerts")
+      assert(got.count() > 0, "alert replay produced nothing")
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        "streamed ANN alert set diverged from the batch probe")
+    } finally q.stop()
+  }
+
   test("ivfAssignCells kernel == window form, incl. NaN zero-vectors and exact ties") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
