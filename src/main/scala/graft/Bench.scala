@@ -45,7 +45,13 @@ object Bench {
     // "queries" stays name->sec (the driver's contract); failures are
     // reported in a separate list so a crashing query can't masquerade
     // as a normal timing.
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // per-query secs at 3 decimals (ms precision): the harness
+    // tail-captures stdout, and a 140-entry full-precision map
+    // overran the tail in round 8 (BENCH_r08 parsed:null) — shorter
+    // line, whole line survives
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -53,12 +59,15 @@ object Bench {
     Files.writeString(Paths.get("target/bench_metrics.json"), listener.json)
     System.err.println("[bench] metrics: " + listener.json)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    // stdout is tail-captured by the harness and a 97-entry map can be
-    // truncated mid-JSON — the file is the durable copy of the SAME line
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // durable copies of the SAME line: one under target/, one at the
+    // repo root (BENCH_full_latest.json) so every per-query timing is
+    // machine-readable even if the stdout capture truncates
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_out.json")
     Files.createDirectories(Paths.get(outFile).toAbsolutePath.getParent)
     Files.writeString(Paths.get(outFile), json + "\n")
+    try Files.writeString(Paths.get("BENCH_full_latest.json"), json + "\n")
+    catch { case _: Exception => () } // read-only cwd: target/ copy stands
     println(json)
     spark.stop()
   }

@@ -1246,8 +1246,9 @@ object SparkEntry {
          |tw AS (SELECT CAST(sum(CAST(w AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS tw
          |  FROM w),
          |q AS (SELECT source,
-         |    CAST(floor(CAST(100 AS DOUBLE) *
-         |      (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) AS INTEGER) AS quota
+         |    CASE WHEN tw > 0 THEN CAST(floor(CAST(100 AS DOUBLE) *
+         |      (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE))) AS INTEGER)
+         |    ELSE 0 END AS quota
          |  FROM w CROSS JOIN tw),
          |r AS (SELECT doc_id, source,
          |    row_number() OVER (PARTITION BY source

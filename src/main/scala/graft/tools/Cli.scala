@@ -63,8 +63,19 @@ object Cli {
     val stats = q("corpus_stats")
       .filter(col("source").isNull && col("lang").isNull).collect()(0)
     println(s"""{"audit":"composition","n_docs":${stats.getAs[Long]("n_docs")},"n_tokens":${stats.getAs[Long]("n_tokens")},"dup_rate":${stats.getAs[Double]("dup_rate")}}""")
+    // source is free text from the corpus — escape it (a quote or
+    // backslash in a source name must not produce an invalid JSON line)
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     q("source_divergence").orderBy(col("kl_nats").desc).collect().foreach { r =>
-      println(s"""{"audit":"source_divergence","source":"${r.getString(0)}","n_tokens":${r.getLong(1)},"kl_nats":${r.getDouble(3)}}""")
+      println(s"""{"audit":"source_divergence","source":${js(r.getString(0))},"n_tokens":${r.getLong(1)},"kl_nats":${r.getDouble(3)}}""")
     }
     val leaks = q("split_leakage").count()
     println(s"""{"audit":"split_leakage","leaked_heldout_docs":$leaks}""")
