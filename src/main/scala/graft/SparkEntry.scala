@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, MapReduceOps, Multimodal, Relational, Scoring, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Html, MapReduceOps, Multimodal, Relational, Scoring, Similarity, TextAnalysis}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.sources.Tables
 
@@ -730,6 +730,16 @@ object SparkEntry {
     // NFC + control-strip + whitespace-collapse canonicalization (C60)
     "text_normalize" -> ((s, d) =>
       TextAnalysis.textNormalize(Tables.documents(s, d), "doc_id", "text")),
+    // crawl-ingestion stage 0 (C76): HTML → clean text with
+    // link-density boilerplate filtering, on the deterministic
+    // page fixture around each document
+    "html_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Html.htmlExtract(
+        docs.select(col("doc_id"),
+          Html.wrapHtml(col("doc_id"), col("text")).as("html")),
+        "doc_id", "html")
+    }),
     "gopher_repetition" -> ((s, d) =>
       TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")),
     // CCNet-style bigram-LM perplexity screen: per-doc cross-entropy
@@ -1645,6 +1655,7 @@ object SparkEntry {
     "knn_ivfpq_residual" -> Similarity.knnIvfPqResidualOracleSql(),
     "knn_ivf_trained" -> Similarity.knnIvfOracleSql(
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
+    "html_extract" -> Html.htmlExtractOracleSql(),
     "knn_ivfpq_residual_trained" -> Similarity.knnIvfPqResidualOracleSql(
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
     "decontaminate_semantic" ->

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → clean-text extraction with link-density boilerplate
+  * filtering — the FIRST stage of a crawl-derived training-data
+  * pipeline (every downstream operator in this library assumes it
+  * already ran). The heuristics are the public jusText/trafilatura
+  * core (Pomikálek 2011 "Removing boilerplate and duplicate content
+  * from web corpora"): drop script/style wholesale, segment the page
+  * into blocks at block-level tag boundaries, strip tags and unescape
+  * entities per block, and drop blocks whose LINK DENSITY (anchor-text
+  * chars / block chars) exceeds a threshold — navigation chrome and
+  * footers are mostly links, body prose is not.
+  *
+  * Scale shape: one map pass — every stage is a per-row expression
+  * (regexp_replace / split / higher-order transform-filter-aggregate),
+  * zero shuffle, no UDF. Pattern constants are RE2-safe (no
+  * backreferences, inline flags, explicit whitespace classes) so the
+  * DuckDB twin runs the IDENTICAL patterns; DuckDB's regexp_replace
+  * needs the extra 'g' option for the global semantics Spark has by
+  * default.
+  *
+  * Reference scope note: the reference engine ships no HTML stage
+  * (its corpus inputs are pre-cleaned text); this operator extends
+  * the library toward the crawl-ingestion use its LLM-pipeline brief
+  * requires.
+  */
+object Html {
+
+  // shared Spark/DuckDB pattern constants — RE2-safe subsets only
+  private[graft] val ScriptPat = "(?is)<script[^>]*>.*?</script>"
+  private[graft] val StylePat = "(?is)<style[^>]*>.*?</style>"
+  private[graft] val BlockSplitPat = "(?i)</(?:p|div|nav|li|h[1-6]|td|blockquote|article|section)>"
+  private[graft] val TagPat = "<[^>]*>"
+  private[graft] val LinkTextPat = "(?is)<a[^>]*>(.*?)</a>"
+  private[graft] val WsPat = "[ \\t\\r\\n]+"
+
+  /** Default jusText-style link-density cut: a block more than a third
+    * of whose visible characters are anchor text is chrome.
+    */
+  val DefaultMaxLinkDensity = 0.33
+
+  // tag-strip + whitespace-collapse + entity-unescape of one raw
+  // block. Order matters and is pinned by the oracle twin: tags go
+  // first (entity-unescaping first would let an escaped '&lt;' open a
+  // fake tag), ws-collapse + trim second, entities last with &amp;
+  // unescaped after the named entities (standard order — '&amp;lt;'
+  // must yield '&lt;', not '<').
+  private def blockText(b: Column): Column = {
+    val stripped = trim(regexp_replace(regexp_replace(b, TagPat, " "), WsPat, " "))
+    replace(
+      replace(
+        replace(
+          replace(
+            replace(stripped, lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")),
+      lit("&amp;"), lit("&"))
+  }
+
+  /** Extract clean text + boilerplate stats from an HTML column.
+    * Output: (id, clean_text, n_blocks, n_dropped, n_links,
+    * link_density) — n_blocks counts non-empty blocks, n_dropped the
+    * link-dense ones removed from clean_text, link_density the
+    * page-level anchor-chars / text-chars ratio (0 on an empty page).
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String,
+                  maxLinkDensity: Double = DefaultMaxLinkDensity): DataFrame = {
+    val noScript = regexp_replace(
+      regexp_replace(col(htmlCol), ScriptPat, " "), StylePat, " ")
+    val stats = transform(split(noScript, BlockSplitPat), b =>
+      struct(
+        blockText(b).as("t"),
+        aggregate(regexp_extract_all(b, lit(LinkTextPat), lit(1)),
+          lit(0), (acc, l) => acc + length(blockText(l))).as("lc")))
+    val nonempty = filter(stats, s => length(s.getField("t")) > 0)
+    val kept = filter(col("__ne"), s =>
+      s.getField("lc").cast("double") <=
+        lit(maxLinkDensity) * length(s.getField("t")).cast("double"))
+    val totChars = aggregate(col("__ne"), lit(0), (acc, s) => acc + length(s.getField("t")))
+    val linkChars = aggregate(col("__ne"), lit(0), (acc, s) => acc + s.getField("lc"))
+    df.select(col(idCol),
+        nonempty.as("__ne"), noScript.as("__ns"))
+      .withColumn("__kept", kept)
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__kept"), s => s.getField("t"))).as("clean_text"),
+        size(col("__ne")).as("n_blocks"),
+        (size(col("__ne")) - size(col("__kept"))).as("n_dropped"),
+        size(regexp_extract_all(col("__ns"), lit(LinkTextPat), lit(1))).as("n_links"),
+        when(totChars > 0,
+            round(linkChars.cast("double") / totChars.cast("double"), 6))
+          .otherwise(lit(0.0)).as("link_density"))
+  }
+
+  /** Deterministic HTML fixture around a text column — the shape of a
+    * crawled page (nav chrome, styled head, script, body prose,
+    * link-heavy footer), reproduced character-for-character by
+    * [[wrapHtmlSql]] so the extractor's DuckDB twin sees the same
+    * bytes. The text is entity-escaped on the way in (the extractor
+    * unescapes on the way out — round-trip pinned by the oracle).
+    */
+  def wrapHtml(idCol: Column, textCol: Column): Column = {
+    val esc = replace(
+      replace(
+        replace(textCol, lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;")),
+      lit(">"), lit("&gt;"))
+    concat(
+      lit("<html><head><title>Doc "), idCol,
+      lit("</title><style>p{margin:0}</style><script>var x=1;</script></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/contact\">Contact</a></nav><p>"),
+      esc,
+      lit("</p><div><a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a>" +
+        " (c) Example Site</div></body></html>"))
+  }
+
+  /** SQL twin of [[wrapHtml]] over `documents` columns. */
+  private def wrapHtmlSql(idExpr: String, textExpr: String): String = {
+    val esc = s"replace(replace(replace($textExpr, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    "'<html><head><title>Doc ' || " + idExpr +
+      " || '</title><style>p{margin:0}</style><script>var x=1;</script></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+      "<a href=\"/contact\">Contact</a></nav><p>' || " + esc +
+      " || '</p><div><a href=\"/privacy\">Privacy</a> <a href=\"/terms\">Terms</a>" +
+      " (c) Example Site</div></body></html>'"
+  }
+
+  /** DuckDB twin of wrap + extract over the documents table — the
+    * identical pattern constants with DuckDB's explicit 'g' option
+    * where Spark's regexp_replace is implicitly global, and
+    * list_transform/list_filter/list_sum for the higher-order stages.
+    */
+  def htmlExtractOracleSql(maxLinkDensity: Double = DefaultMaxLinkDensity): String = {
+    // duckdb string literals: backslashes are literal, only '' needs
+    // escaping — WsPat's \t\r\n must stay as regex escapes
+    def qp(p: String) = "'" + p.replace("'", "''") + "'"
+    def strip(v: String) =
+      s"trim(regexp_replace(regexp_replace($v, ${qp(TagPat)}, ' ', 'g'), ${qp(WsPat)}, ' ', 'g'))"
+    def unesc(e: String) =
+      s"replace(replace(replace(replace(replace($e, '&lt;', '<'), '&gt;', '>'), " +
+        "'&quot;', '\"'), '&#39;', ''''), '&amp;', '&')"
+    val blockTextSql = unesc(strip("b"))
+    val linkTextSql = unesc(strip("l"))
+    s"""WITH h AS (SELECT doc_id, ${wrapHtmlSql("doc_id", "text")} AS html FROM documents),
+       |ns AS (SELECT doc_id,
+       |    regexp_replace(regexp_replace(html, ${qp(ScriptPat)}, ' ', 'g'),
+       |      ${qp(StylePat)}, ' ', 'g') AS html FROM h),
+       |blk AS (SELECT doc_id, html,
+       |    list_transform(regexp_split_to_array(html, ${qp(BlockSplitPat)}),
+       |      b -> struct_pack(t := $blockTextSql,
+       |        lc := coalesce(list_sum(list_transform(
+       |          regexp_extract_all(b, ${qp(LinkTextPat)}, 1),
+       |          l -> len($linkTextSql))), 0))) AS st
+       |  FROM ns),
+       |ne AS (SELECT doc_id, html,
+       |    list_filter(st, s -> len(s.t) > 0) AS ne FROM blk),
+       |agg AS (SELECT doc_id, html, ne,
+       |    list_filter(ne, s -> cast(s.lc AS DOUBLE) <= $maxLinkDensity * cast(len(s.t) AS DOUBLE)) AS kept,
+       |    coalesce(list_sum(list_transform(ne, s -> len(s.t))), 0) AS tot,
+       |    coalesce(list_sum(list_transform(ne, s -> s.lc)), 0) AS lch
+       |  FROM ne)
+       |SELECT doc_id,
+       |  array_to_string(list_transform(kept, s -> s.t), ' ') AS clean_text,
+       |  cast(len(ne) AS INTEGER) AS n_blocks,
+       |  cast(len(ne) - len(kept) AS INTEGER) AS n_dropped,
+       |  cast(len(regexp_extract_all(html, ${qp(LinkTextPat)}, 1)) AS INTEGER) AS n_links,
+       |  CASE WHEN tot > 0
+       |    THEN round(cast(lch AS DOUBLE) / cast(tot AS DOUBLE), 6)
+       |    ELSE 0.0 END AS link_density
+       |FROM agg""".stripMargin
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Html
+import graft.sources.Tables
+
+/** The HTML extractor must (a) keep body prose and round-trip escaped
+  * entities, (b) drop link-dense chrome blocks and script/style
+  * wholesale, (c) degrade cleanly on malformed/nested/empty input, and
+  * (d) stay a zero-shuffle map pass.
+  */
+class HtmlSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def extract(html: String*): Seq[org.apache.spark.sql.Row] =
+    Html.htmlExtract(
+      html.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("doc_id", "html"),
+      "doc_id", "html")
+      .orderBy("doc_id").collect().toSeq
+
+  test("fixture page: nav/footer dropped, body prose kept, entities round-trip") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val wrapped = docs.select(col("doc_id"),
+      Html.wrapHtml(col("doc_id"), col("text")).as("html"), col("text"))
+    val out = Html.htmlExtract(wrapped, "doc_id", "html")
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+    // body text survives extraction verbatim modulo ws collapse
+    val collapsed = trim(regexp_replace(col("text"), "[ \\t\\r\\n]+", " "))
+    assert(out.filter(!col("clean_text").contains(collapsed)).count() == 0,
+      "body prose lost or mangled by extraction")
+    // nav ("Home About Contact") and footer links never leak
+    assert(out.filter(col("clean_text").contains("Home About Contact")).count() == 0,
+      "nav chrome leaked into clean text")
+    assert(out.filter(col("clean_text").contains("var x=1")).count() == 0,
+      "script content leaked into clean text")
+    // page stats: 5 links on every fixture page, some block dropped
+    assert(out.filter(col("n_links") =!= 5).count() == 0)
+    assert(out.filter(col("n_dropped") < 1).count() == 0,
+      "link-dense chrome was never dropped")
+  }
+
+  test("entity escape/unescape round-trips text containing markup characters") {
+    val tricky = "a < b && b > c, \"quoted\" <p>not a tag</p>"
+    val df = Seq((1L, tricky)).toDF("doc_id", "text")
+    val out = Html.htmlExtract(
+      df.select(col("doc_id"), Html.wrapHtml(col("doc_id"), col("text")).as("html")),
+      "doc_id", "html").collect()(0)
+    assert(out.getAs[String]("clean_text").contains(tricky),
+      s"round-trip mangled: ${out.getAs[String]("clean_text")}")
+  }
+
+  test("malformed, nested, and empty HTML degrade cleanly") {
+    val rows = extract(
+      "",                                           // empty page
+      "<p>unclosed everywhere <div><b>bold",        // never-closed tags
+      "<div><div><p>deep <a href=x>link</a> text</p></div></div>", // nested
+      "plain text, no tags at all",
+      "<script>while(true){}</script>",             // script-only page
+      "<p></p><div></div>",                         // only empty blocks
+      "<a href=x>all</a> <a href=y>links</a>")      // pure-link page
+    assert(rows.length == 7)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byId(0).getAs[String]("clean_text") == "")
+    assert(byId(0).getAs[Double]("link_density") == 0.0)
+    assert(byId(1).getAs[String]("clean_text").contains("unclosed everywhere"))
+    assert(byId(2).getAs[String]("clean_text").contains("deep link text"))
+    assert(byId(3).getAs[String]("clean_text") == "plain text, no tags at all")
+    assert(byId(4).getAs[String]("clean_text") == "")
+    assert(byId(5).getAs[Int]("n_blocks") == 0)
+    // a pure-link page is all boilerplate: dropped, density ≈ 1
+    // (the separator space between anchors is the only non-link char)
+    assert(byId(6).getAs[String]("clean_text") == "")
+    assert(byId(6).getAs[Double]("link_density") > 0.8)
+    assert(byId(6).getAs[Int]("n_dropped") == byId(6).getAs[Int]("n_blocks"))
+  }
+
+  test("extraction is a zero-shuffle map pass") {
+    val docs = Tables.documents(spark, sf)
+    val out = Html.htmlExtract(
+      docs.select(col("doc_id"),
+        Html.wrapHtml(col("doc_id"), col("text")).as("html")),
+      "doc_id", "html")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"html_extract shuffles:\n$plan")
+  }
+}
