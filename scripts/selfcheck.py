@@ -70,6 +70,78 @@ def pandas_dtype_check(name, files, con, oracle_sql):
     return None
 
 
+def spark_kind(s):
+    """Pandas dtype class of a dumped Spark column — shared by the
+    full and describe dtype phases (same classes the driver's hash
+    compare is sensitive to)."""
+    d = s.dtype
+    if d.kind in "iu":
+        return "int"
+    if d.kind == "M":
+        return "datetime"
+    if d.kind == "f":
+        return str(d)
+    if d.kind == "O":
+        nn = s.dropna()
+        if len(nn) == 0:
+            return "object(empty)"
+        t = type(nn.iloc[0]).__name__
+        return "datetime" if t in ("date", "datetime", "Timestamp") else f"object({t})"
+    return str(d)
+
+
+def duck_kind(t):
+    """Pandas dtype class DuckDB's .df() would produce for a DESCRIBEd
+    column type — the execution-free side of the describe dtype phase."""
+    t = t.upper()
+    if t.startswith("DECIMAL") or t in ("HUGEINT", "UHUGEINT"):
+        return "float64"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t == "DOUBLE":
+        return "float64"
+    if t in ("FLOAT", "REAL"):
+        return "float32"
+    if t in ("VARCHAR", "UUID"):
+        return "object(str)"
+    if t.startswith("DATE") or t.startswith("TIMESTAMP"):
+        return "datetime"
+    if t == "BOOLEAN":
+        return "bool"
+    return f"object({t})"
+
+
+def describe_dtype_check(name, files, con, oracle_sql):
+    """Execution-free mirror of pandas_dtype_check for big-SF sweeps
+    (the full phase re-executes every oracle — 2+ CPU-hours at sf1):
+    Spark dtypes come from the already-written dumps, oracle dtypes
+    from DESCRIBE (planning only). One documented blind spot: DESCRIBE
+    says 'int' where .df() would widen a NULL-bearing int column to
+    float64 — accepted only when the Spark dump shows the same
+    nullable-int coercion (NaNs present); a null-free float64-vs-int
+    pair is still flagged (that is the real round-7 bug class)."""
+    import pandas as pd
+    spark = pd.concat([pd.read_parquet(f) for f in files])
+    desc = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    ora = {r[0]: r[1] for r in desc}
+    if sorted(spark.columns) != sorted(ora):
+        return None  # schema mismatch reported by the value phase
+    bad = []
+    for c in spark.columns:
+        sk, dk = spark_kind(spark[c]), duck_kind(ora[c])
+        if sk == dk:
+            continue
+        if sk == "float64" and dk == "int" and spark[c].isna().any():
+            continue  # both engines' pandas would widen the NULLs
+        if sk == "object(empty)":
+            continue  # no rows to type on the Spark side
+        bad.append(f"{c}: spark={sk} oracle~{dk} (describe)")
+    if bad:
+        return "dtype mismatch (describe phase): " + "; ".join(bad)
+    return None
+
+
 def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     # Bound the oracle's memory and give it a spill dir: the heavy
@@ -111,11 +183,20 @@ def main(sf_dir, out_dir, skip=()):
         # (DECIMAL/HUGEINT -> float64). Equal VALUES with unequal
         # pandas dtypes still hash-mismatch on the driver — catch that
         # here, where the repr-based compare below is blind to it.
-        # NOTE: this re-executes the oracle once more for .df();
-        # dtypes are scale-independent, so big sweeps (sf1) can skip
-        # it with GRAFT_SELFCHECK_NO_DTYPE=1 after an sf0.01 pass.
-        dtype_err = (None if os.environ.get("GRAFT_SELFCHECK_NO_DTYPE")
-                     else pandas_dtype_check(name, files, con, oracle[name]))
+        # NOTE: the full phase re-executes the oracle once more for
+        # .df(). Modes (GRAFT_SELFCHECK_DTYPE): full (default),
+        # describe (execution-free — DESCRIBE types vs dump dtypes,
+        # for sf>=1 sweeps), off. GRAFT_SELFCHECK_NO_DTYPE=1 is the
+        # legacy spelling of off.
+        dtype_mode = os.environ.get("GRAFT_SELFCHECK_DTYPE", "full")
+        if os.environ.get("GRAFT_SELFCHECK_NO_DTYPE"):
+            dtype_mode = "off"
+        if dtype_mode == "describe":
+            dtype_err = describe_dtype_check(name, files, con, oracle[name])
+        elif dtype_mode == "off":
+            dtype_err = None
+        else:
+            dtype_err = pandas_dtype_check(name, files, con, oracle[name])
         if dtype_err:
             n_fail += 1
             print(f"  FAIL {name}: {dtype_err}")

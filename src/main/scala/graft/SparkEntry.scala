@@ -78,6 +78,25 @@ object SparkEntry {
         .select(col("value").as("line"))),
     "raw_weather_stats" -> ((s, _) =>
       MapReduceOps.keyStats(rawWeather(s), "measurement", "value")),
+    // WARC-style record ingestion (A11): one raw multi-record file →
+    // a documents table, records split at blank-line delimiters INSIDE
+    // the scan (Spark text lineSep), ids content-addressed — the step
+    // that feeds A8's pipeline at corpus scale. The fixture file is
+    // generated once from the reference story (100-line records joined
+    // by blank lines — driver-side, it's a 1 MB fixture build); the
+    // oracle recomputes the SAME grouping from the story directly, so
+    // the compare proves the write → delimiter-split → read round trip.
+    "raw_corpus_ingest" -> ((s, _) => {
+      val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(RawStoryPath))
+      val recs = raw.split("\n", -1).grouped(100).map(_.mkString("\n")).toSeq
+      val dir = java.nio.file.Paths.get("target/raw_ingest")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("corpus.txt"), recs.mkString("\n\n"))
+      graft.sources.Formats.readRecords(s, "target/raw_ingest/corpus.txt")
+        .select(col("record_id"), col("text"),
+          length(col("text")).as("n_chars"),
+          size(TextFunctions.tokens(col("text"))).as("n_tokens"))
+    }),
   )
 
   private def tok = TextFunctions.tokensSql("text")
@@ -135,6 +154,24 @@ object SparkEntry {
          |  SELECT unnest(string_split_regex(content, '\\r\\n|\\r|\\n')) AS line
          |  FROM read_text('$RawStoryPath'))
          |WHERE regexp_matches(line, '$rawGrepPattern')""".stripMargin,
+    // the oracle never reads the generated file: it regroups the story
+    // lines with the same 100-line/blank-line-join algebra the query's
+    // fixture builder uses, so equality proves the whole
+    // write → lineSep-split → read round trip. The [^ \t\r\n] filter
+    // is the same explicit class the Spark side uses (\S differs
+    // between engines).
+    "raw_corpus_ingest" ->
+      s"""WITH f AS (SELECT string_split(content, chr(10)) AS ls
+         |  FROM read_text('$RawStoryPath')),
+         |ln AS (SELECT unnest(list_transform(ls,
+         |    (x, i) -> struct_pack(i := i, line := x))) AS s FROM f),
+         |rec AS (SELECT array_to_string(list(s.line ORDER BY s.i), chr(10)) AS text
+         |  FROM ln GROUP BY (s.i - 1) // 100)
+         |SELECT md5(text) AS record_id, text,
+         |  cast(length(text) AS integer) AS n_chars,
+         |  cast(len(${TextFunctions.tokensSql("text")}) AS integer) AS n_tokens
+         |FROM rec
+         |WHERE regexp_matches(text, '[^ \t\r\n]')""".stripMargin,
     "raw_weather_stats" ->
       s"""WITH w AS (SELECT * FROM read_csv('$RawWeatherPath', header = true,
          |    columns = {'temperature': 'DOUBLE', 'humidity': 'DOUBLE', 'pressure': 'DOUBLE'})),

@@ -35,6 +35,28 @@ object Formats {
   def readText(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
 
+  /** Record-delimited raw-corpus ingestion — the WARC-style step that
+    * turns one large crawl/dump file into a documents table (the feed
+    * for the whole pipeline: html_extract → quality → dedup → …).
+    * Spark's text source accepts an arbitrary byte-sequence `lineSep`,
+    * so the split runs INSIDE the scan: a single multi-TB file splits
+    * into ~maxPartitionBytes tasks and each task parses its slice in
+    * place, records spanning split boundaries handled by the reader —
+    * no driver pass, no shuffle. Records are content-addressed
+    * (`record_id` = md5 of the record text — replay-idempotent ids, no
+    * coordination); whitespace-only records are dropped (delimiter
+    * runs and file edges).
+    */
+  def readRecords(spark: SparkSession, path: String,
+                  delimiter: String = "\n\n"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("lineSep", delimiter).text(path)
+      // explicit class, not \S: Java and RE2 disagree on \x0B
+      .filter(col("value").rlike("[^ \\t\\r\\n]"))
+      .select(md5(col("value").cast("binary")).as("record_id"),
+        col("value").as("text"))
+  }
+
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
   def readOrc(spark: SparkSession, path: String): DataFrame =

@@ -82,7 +82,8 @@ object SoakBench {
     val axes = args.lift(3).map(_.split(',').toSet)
       .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25",
         "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
-        "lmscore", "bpe", "mixaudit", "proto", "leakage", "semgate"))
+        "lmscore", "bpe", "mixaudit", "proto", "leakage", "semgate",
+        "ingest", "htmlx"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -609,6 +610,45 @@ object SoakBench {
     Thread.sleep(2000) // listener events drain asynchronously
     val pqReadMb = pqMeter.bytes.get / 1e6
     println(f"""{"metric":"soak_pq_probe","vectors":$nVec,"sec":$secPp%.2f,"codes_mb":$codesMb%.1f,"read_mb":$pqReadMb%.1f,"vectors_mb":$vecMb%.0f}""")
+    }
+
+    // ---- axis: record-delimited raw-corpus ingestion ----------------
+    // GB-scale readRecords: raw text files of blank-line-delimited
+    // records (each doc's text + its own trailing newline — the text
+    // writer's per-row newline completes the \n\n delimiter), parsed
+    // inside the scan with content-addressed ids. Throughput line =
+    // the SURVEY §6 ingestion row.
+    if (axes("ingest")) {
+      val ingMult = math.max(1, (targetMb / baseMb).toInt)
+      val rawPath = "target/soak_raw"
+      docs.select(explode(sequence(lit(1), lit(ingMult))).as("copy"), col("text"))
+        .select(concat(col("text"), lit("\n")).as("value"))
+        .repartition(32).write.mode("overwrite").text(rawPath)
+      val rawMb = dirBytes(rawPath) / 1e6
+      axis("raw_ingest", rawMb) {
+        graft.sources.Formats.readRecords(spark, rawPath)
+          .select(col("record_id"), length(col("text")).as("n"))
+      }
+    }
+
+    // ---- axis: HTML extraction at corpus scale ----------------------
+    // htmlExtract over page-wrapped docs: regex + HOF per-row chain,
+    // zero shuffle — the MB/s line says whether the composed form
+    // needs a kernel
+    if (axes("htmlx")) {
+      val hMult = math.max(1, (targetMb / baseMb).toInt)
+      val htmlPath = "target/soak_html"
+      docs.select(explode(sequence(lit(1), lit(hMult))).as("copy"),
+          col("doc_id"), col("text"))
+        .select((col("doc_id") * hMult + col("copy")).as("doc_id"),
+          graft.operators.Html.wrapHtml(col("doc_id") * hMult + col("copy"),
+            col("text")).as("html"))
+        .repartition(32).write.mode("overwrite").parquet(htmlPath)
+      val html = spark.read.parquet(htmlPath)
+      val htmlMb = html.agg(sum(length(col("html")))).collect()(0).getLong(0) / 1e6
+      axis("html_extract", htmlMb) {
+        graft.operators.Html.htmlExtract(html, "doc_id", "html")
+      }
     }
 
     spark.stop()

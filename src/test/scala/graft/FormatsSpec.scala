@@ -72,4 +72,41 @@ class FormatsSpec extends AnyFunSuite {
     assert(hit.count() == docs.filter(col("fp") === probe).count())
     assert(hit.queryExecution.executedPlan.toString.contains("PushedFilters"))
   }
+
+  test("readRecords: delimiter runs and file edges drop, content ids stable") {
+    val path = tmp("recs") + ".txt"
+    // leading delimiter, a delimiter run, internal single newlines
+    // (NOT record breaks), trailing delimiter
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      "\n\nalpha line1\nalpha line2\n\n\n\nbeta\n\ngamma g2\n\n")
+    val got = Formats.readRecords(spark, path)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got.values.toSet ==
+      Set("alpha line1\nalpha line2", "beta", "gamma g2"))
+    // ids are md5(content) — recomputable, replay-idempotent
+    got.foreach { case (id, text) =>
+      val want = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(id == want, s"record_id not content-addressed for ${text.take(20)}")
+    }
+  }
+
+  test("readRecords: records spanning scan-split boundaries stay whole") {
+    import org.apache.spark.sql.functions._
+    val path = tmp("bigrecs") + ".txt"
+    // ~4 MB file of 2000 records; 64 KB splits force record spans
+    val recs = (0 until 2000).map(i => s"record $i " + ("x" * 2000))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      recs.mkString("\n\n"))
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val split = Formats.readRecords(spark, path)
+      assert(split.rdd.getNumPartitions > 8,
+        "fixture did not force multiple scan splits")
+      assert(split.count() == 2000)
+      assert(split.select(sum(length(col("text")))).first().getLong(0) ==
+        recs.map(_.length).sum, "a split boundary corrupted a record")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+  }
 }
