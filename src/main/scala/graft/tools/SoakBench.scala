@@ -83,7 +83,7 @@ object SoakBench {
       .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25",
         "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
         "lmscore", "bpe", "mixaudit", "proto", "leakage", "semgate",
-        "ingest", "htmlx"))
+        "ingest", "htmlx", "ivfassign"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -144,7 +144,10 @@ object SoakBench {
     }
 
     // ---- axis 3: summed-vector embeddings → semantic_clusters -------
-    if (axes("vectors")) {
+    // ("vecgen" regenerates target/soak_vectors without the timing
+    // runs — for axes that only consume the corpus, e.g. ivfassign at
+    // a different vecMult)
+    if (axes("vectors") || axes("vecgen")) {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val nv = emb.count()
     val ea = emb.select(col("vec_id").as("a_id"), col("embedding").as("av"),
@@ -156,7 +159,11 @@ object SoakBench {
       .select((col("a_id") * vecMult + col("k")).as("vec_id"),
         zip_with(col("av"), col("bv"), (x, y) => x + y).as("embedding"))
       .repartition(32).write.mode("overwrite").parquet(bigPath)
-    val bigEmb = spark.read.parquet(bigPath)
+    }
+    if (axes("vectors")) {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val nv = emb.count()
+    val bigEmb = spark.read.parquet("target/soak_vectors")
     val vecMb = nv * vecMult * 64 * 8 / 1e6
     val cosT = args.lift(2).map(_.toDouble).getOrElse(0.7)
     // size the hyperplane count to the corpus (2^nPlanes buckets/table;
@@ -610,6 +617,44 @@ object SoakBench {
     Thread.sleep(2000) // listener events drain asynchronously
     val pqReadMb = pqMeter.bytes.get / 1e6
     println(f"""{"metric":"soak_pq_probe","vectors":$nVec,"sec":$secPp%.2f,"codes_mb":$codesMb%.1f,"read_mb":$pqReadMb%.1f,"vectors_mb":$vecMb%.0f}""")
+    }
+
+    // ---- axis: IVF corpus-side assignment kernel vs window A/B ------
+    // The round-9 reshape measured at 2M vectors: zero-shuffle argmax
+    // kernel (ivfAssignCells) over the FULL corpus vs the round-8
+    // broadcast-cross-join + per-id row_number window on a 1/16 subset
+    // (the full corpus × centroids shuffle would burn ~40 GB of disk
+    // for no extra information — memoized soak discipline).
+    if (axes("ivfassign")) {
+      graft.plans.GraftFunctions.register(spark)
+      val bigEmb = spark.read.parquet("target/soak_vectors")
+      val nVec = bigEmb.count()
+      val vecMb = nVec * 64 * 8 / 1e6
+      val mod = math.max(1, (nVec / 256).toInt)
+      val centroids = bigEmb.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val nCents = centroids.count()
+      axis("ivf_assign_kernel", vecMb) {
+        graft.operators.Similarity.ivfAssignCells(
+            bigEmb.select(col("vec_id"), col("embedding")), "embedding", centroids)
+          .select(col("vec_id"), col("centroid_id"))
+      }
+      val sub = bigEmb.filter(col("vec_id") % 16 === 0)
+      val nSub = sub.count()
+      val subMb = nSub * 64 * 8 / 1e6
+      import org.apache.spark.sql.expressions.Window
+      axis("ivf_assign_window_sub16", subMb) {
+        val wa = Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("centroid_id"))
+        sub.join(broadcast(centroids))
+          .select(col("vec_id"), col("centroid_id"),
+            graft.functions.VectorFunctions.cosineNative(
+              col("embedding"), col("cv")).as("csim"))
+          .withColumn("crnk", row_number().over(wa))
+          .filter(col("crnk") === 1)
+          .select(col("vec_id"), col("centroid_id"))
+      }
+      println(s"""{"metric":"soak_ivf_assign_meta","vectors":$nVec,"centroids":$nCents,"window_subset":$nSub}""")
     }
 
     // ---- axis: record-delimited raw-corpus ingestion ----------------
