@@ -731,6 +731,9 @@ object SparkEntry {
     // FAISS-default IVFADC: residuals against TRAINED cells (C75)
     "knn_ivfpq_residual_trained" -> ((s, d) =>
       Similarity.knnIvfPqResidualTrained(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
+    // exact re-rank of the ADC shortlist — the FAISS refine stage (C77)
+    "knn_ivfpq_refine" -> ((s, d) =>
+      Similarity.knnIvfPqResidualRefined(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     // embedding-space eval decontamination (C61) — benchmark fixture is
     // fixed-cardinality at any SF, the broadcast contract
     "decontaminate_semantic" -> ((s, d) => {
@@ -1695,6 +1698,7 @@ object SparkEntry {
     "html_extract" -> Html.htmlExtractOracleSql(),
     "knn_ivfpq_residual_trained" -> Similarity.knnIvfPqResidualOracleSql(
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
+    "knn_ivfpq_refine" -> Similarity.knnIvfPqRefineOracleSql(),
     "decontaminate_semantic" ->
       s"""WITH ev AS (SELECT vec_id AS eval_id, embedding AS e
          |  FROM embeddings WHERE vec_id % 50 = 7),

@@ -1438,6 +1438,41 @@ object Similarity {
       .withColumn("adist", col("adist").cast("double"))
   }
 
+  /** Exact re-ranking on the ADC shortlist — the FAISS "refine" stage
+    * (Jégou et al. 2011 §V.: verify a short ADC candidate list with
+    * exact distances): take the residual IVFADC's top `rerankFrom`
+    * per query, re-score JUST those (query, neighbor) pairs with the
+    * exact fused cosine, and emit the exact top `k`. Buys back most
+    * of the quantization-induced recall loss for the price of
+    * nQueries × rerankFrom exact distances.
+    *
+    * Scale shape: the shortlist is broadcast-sized (nQueries ×
+    * rerankFrom id pairs), so both vector fetches are broadcast hash
+    * joins against the corpus scan — no shuffle beyond what the ADC
+    * stage already does; the final rank window partitions by query
+    * over ≤ rerankFrom rows each.
+    */
+  def knnIvfPqResidualRefined(emb: DataFrame, idCol: String, vecCol: String,
+                              nQueries: Int = 10, k: Int = 5,
+                              rerankFrom: Int = 20, centroidMod: Int = 50,
+                              nProbes: Int = 4, m: Int = 16,
+                              ksub: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val short = knnIvfPqResidual(emb, idCol, vecCol, nQueries, rerankFrom,
+        centroidMod, nProbes, m, ksub)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = emb.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val nv = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    broadcast(short).join(qv, Seq("query_id")).join(nv, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosineNative(col("qv"), col("nv")), 6).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
+  }
+
   /** Persist the residual-IVFADC index — the production "vector
     * database" shape of [[knnIvfPqResidual]]: the code table lands
     * under `path/codes` DIRECTORY-PARTITIONED BY CELL (a probe reads
@@ -1637,11 +1672,9 @@ object Similarity {
        |  FROM scored) WHERE rnk <= $k""".stripMargin
   }
 
-  def knnIvfPqResidualOracleSql(nQueries: Int = 10, k: Int = 5,
-                                centroidMod: Int = 50, nProbes: Int = 4,
-                                m: Int = 16, ksub: Int = 32,
-                                dims: Int = 64,
-                                centroidsHead: Option[String] = None): String = {
+  private def residualScoredCtes(nQueries: Int, centroidMod: Int, nProbes: Int,
+                                 m: Int, ksub: Int, dims: Int,
+                                 centroidsHead: Option[String]): String = {
     val dsub = dims / m
     val ph = graft.functions.PortableHash.duckdb("cast(vec_id AS varchar)")
     def dot(a: String, b: String) = VectorFunctions.dotSql(a, b)
@@ -1692,12 +1725,49 @@ object Similarity {
        |  FROM enc e JOIN dtab d ON d.centroid_id = e.centroid_id
        |    AND d.m = e.m AND d.code = e.st.c
        |  WHERE d.query_id <> e.vec_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB twin of [[knnIvfPqResidualWith]] — the residual CTE chain
+    * plus the rank/emit tail.
+    */
+  def knnIvfPqResidualOracleSql(nQueries: Int = 10, k: Int = 5,
+                                centroidMod: Int = 50, nProbes: Int = 4,
+                                m: Int = 16, ksub: Int = 32,
+                                dims: Int = 64,
+                                centroidsHead: Option[String] = None): String =
+    s"""${residualScoredCtes(nQueries, centroidMod, nProbes, m, ksub, dims, centroidsHead)}
        |SELECT query_id, neighbor_id, cast(adist AS double) AS adist, rnk FROM (
        |  SELECT query_id, neighbor_id, adist,
        |    cast(row_number() OVER (PARTITION BY query_id
        |      ORDER BY adist ASC, neighbor_id) AS integer) AS rnk
        |  FROM scored) WHERE rnk <= $k""".stripMargin
+
+  /** DuckDB twin of [[knnIvfPqResidualRefined]] — the residual ADC
+    * chain cut at `rerankFrom`, then exact-cosine re-ranking.
+    */
+  def knnIvfPqRefineOracleSql(nQueries: Int = 10, k: Int = 5,
+                              rerankFrom: Int = 20,
+                              centroidMod: Int = 50, nProbes: Int = 4,
+                              m: Int = 16, ksub: Int = 32,
+                              dims: Int = 64,
+                              centroidsHead: Option[String] = None): String = {
+    def cos(a: String, b: String) = VectorFunctions.cosineSql(a, b)
+    s"""${residualScoredCtes(nQueries, centroidMod, nProbes, m, ksub, dims, centroidsHead)},
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist ASC, neighbor_id) AS srnk
+       |  FROM scored) WHERE srnk <= $rerankFrom),
+       |ref AS (SELECT s.query_id, s.neighbor_id,
+       |    round(${cos("q.embedding", "n.embedding")}, 6) AS score
+       |  FROM short s JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings n ON n.vec_id = s.neighbor_id)
+       |SELECT query_id, neighbor_id, score, rnk FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    cast(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS integer) AS rnk
+       |  FROM ref) WHERE rnk <= $k""".stripMargin
   }
 
   /** DuckDB twin of [[knnIvfPq]] — the [[knnIvf]] oracle's cell CTEs

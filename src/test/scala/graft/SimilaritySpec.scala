@@ -452,6 +452,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(w2 <= w1 * 1.0001, s"wcss grew: iter1=$w1 iter2=$w2")
   }
 
+  test("ADC-shortlist exact re-rank: recall never below the plain residual IVFADC") {
+    val emb = Tables.embeddings(spark, sf)
+    val truth = Similarity.knnBruteForce(emb, "vec_id", "embedding", 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = Similarity.knnIvfPqResidual(emb, "vec_id", "embedding", 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.knnIvfPqResidualRefined(emb, "vec_id", "embedding", 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rp = (plain & truth).size.toDouble / truth.size
+    val rr = (refined & truth).size.toDouble / truth.size
+    info(f"residual IVFADC recall@5: plain $rp%.2f, refined(20) $rr%.2f")
+    // the shortlist is fixed; exact re-scoring can only improve the
+    // ordering inside it — recall must not drop
+    assert(rr >= rp - 1e-9, f"refine lost recall: $rp%.2f -> $rr%.2f")
+    // and the refined set is drawn from the candidate pool (per-query
+    // shortlist of 20), every query still gets a full top-5
+    assert(refined.size == 50)
+  }
+
   test("trained coarse quantizer: recall-vs-nProbes monotone with a floor at the default") {
     val emb = Tables.embeddings(spark, sf)
     val truth = Similarity.knnBruteForce(emb, "vec_id", "embedding", 10, 5)
