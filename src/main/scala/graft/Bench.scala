@@ -69,6 +69,12 @@ object Bench {
     try Files.writeString(Paths.get("BENCH_full_latest.json"), json + "\n")
     catch { case _: Exception => () } // read-only cwd: target/ copy stands
     println(json)
+    // the harness keeps only the LAST ~2000 stdout chars, and a
+    // 141-entry map is ~4 KB — the full line above can never survive
+    // whole (BENCH_r08 parsed:null). End stdout with a SHORT summary
+    // line that always fits the tail intact: total + failures +
+    // where the complete per-query map lives.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries_file":"BENCH_full_latest.json"}""")
     spark.stop()
   }
 }

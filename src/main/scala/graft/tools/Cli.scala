@@ -188,6 +188,10 @@ object Cli {
         graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding", path)
       case "ivfpq" => graft.operators.Similarity.buildIvfPqIndex(
         graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding", path)
+      // trained fixed-k coarse codebook (the 100 TB configuration)
+      case "ivfpq-trained" => graft.operators.Similarity.buildIvfPqIndex(
+        graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        path, coarseK = 16)
       case "nbmodel" => graft.operators.Scoring.buildNbModel(
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
         org.apache.spark.sql.functions.col("lang") === "en", path)
@@ -195,7 +199,7 @@ object Cli {
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", path)
       case other =>
         System.err.println(
-          s"unknown index kind '$other' (minhash|lsh|cdc|bm25|pq|ivfpq|nbmodel|lmmodel)")
+          s"unknown index kind '$other' (minhash|lsh|cdc|bm25|pq|ivfpq|ivfpq-trained|nbmodel|lmmodel)")
         sys.exit(1)
     }
     println(f"index=$kind path=$path sec=${(System.nanoTime() - t0) / 1e9}%.2f")
