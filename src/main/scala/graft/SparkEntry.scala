@@ -887,6 +887,40 @@ object SparkEntry {
     "corpus_token_budget" -> ((s, d) =>
       Curation.tokenBudgetSample(Tables.documents(s, d), "doc_id", "text",
         "source", 500L)),
+    // CCNet-style corpus-wide line dedup (first-occurrence-wins) on
+    // the deterministic multi-line page fixture — the boilerplate-line
+    // removal stage between html_extract and document dedup (C78)
+    "line_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.lineDedup(
+        docs.select(col("doc_id"),
+          Dedup.wrapLines(col("text"), col("source")).as("text")),
+        "doc_id", "text")
+    }),
+    // incremental line dedup: the batch third of the corpus deduped
+    // against the already-ingested rest — reference reduced to line
+    // digests once, batch lines also first-occurrence-deduped within
+    // the batch (C81)
+    "line_dedup_incremental" -> ((s, d) => {
+      val fx = Tables.documents(s, d)
+        .select(col("doc_id"),
+          Dedup.wrapLines(col("text"), col("source")).as("text"))
+      Dedup.lineDedupAgainst(fx.filter(col("doc_id") % 3 === 0),
+        fx.filter(col("doc_id") % 3 =!= 0), "doc_id", "text")
+    }),
+    // sliding-window context-length chunking, 64-token windows with
+    // stride 48 (16-token overlap); chunk content dumped as md5 (C79)
+    "doc_chunks" -> ((s, d) =>
+      Curation.docChunks(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          col("n_tokens"), md5(col("chunk_text")).as("chunk_fp"))),
+    // deterministic token-budgeted training-shard layout: per-shard
+    // manifest (docs, tokens, xor content digest) over the md5-order
+    // global assignment (C80)
+    "training_shards" -> ((s, d) =>
+      Curation.shardManifest(
+        Curation.trainingShards(Tables.documents(s, d), "doc_id", "text", 2000L),
+        "doc_id")),
     "tfidf_topterms" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", 5)),
     "collocations" -> ((s, d) =>
@@ -1346,6 +1380,84 @@ object SparkEntry {
          |          ${ph("concat(source, '|', doc_id)")} AS h
          |        FROM documents))
          |WHERE tokens_before < 500""".stripMargin,
+    "line_dedup" ->
+      s"""WITH fx AS (SELECT doc_id, ${Dedup.wrapLinesSql("text", "source")} AS text
+         |  FROM documents),
+         |la AS (SELECT doc_id,
+         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |      l -> l <> '') AS lines
+         |  FROM fx),
+         |occ AS (SELECT doc_id, u.pos AS line_no, u.l AS line FROM (
+         |  SELECT doc_id, unnest(list_transform(lines,
+         |    (x, i) -> struct_pack(l := x, pos := i))) AS u
+         |  FROM la)),
+         |keep AS (SELECT doc_id, line_no FROM (
+         |  SELECT doc_id, line_no,
+         |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+         |  FROM occ) WHERE rn = 1)
+         |SELECT o.doc_id,
+         |  cast(count(*) AS int) AS n_lines,
+         |  cast(count(k.doc_id) AS int) AS n_kept,
+         |  coalesce(string_agg(o.line, chr(10) ORDER BY o.line_no)
+         |    FILTER (WHERE k.doc_id IS NOT NULL), '') AS clean_text
+         |FROM occ o LEFT JOIN keep k
+         |  ON o.doc_id = k.doc_id AND o.line_no = k.line_no
+         |GROUP BY o.doc_id""".stripMargin,
+    "line_dedup_incremental" ->
+      s"""WITH fx AS (SELECT doc_id, ${Dedup.wrapLinesSql("text", "source")} AS text
+         |  FROM documents),
+         |la AS (SELECT doc_id,
+         |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+         |      l -> l <> '') AS lines
+         |  FROM fx),
+         |occ AS (SELECT doc_id, u.pos AS line_no, u.l AS line FROM (
+         |  SELECT doc_id, unnest(list_transform(lines,
+         |    (x, i) -> struct_pack(l := x, pos := i))) AS u
+         |  FROM la)),
+         |bocc AS (SELECT * FROM occ WHERE doc_id % 3 = 0),
+         |keep AS (SELECT doc_id, line_no FROM (
+         |  SELECT doc_id, line_no, line,
+         |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+         |  FROM bocc) b
+         |  WHERE rn = 1
+         |    AND line NOT IN (SELECT line FROM occ WHERE doc_id % 3 <> 0))
+         |SELECT o.doc_id,
+         |  cast(count(*) AS int) AS n_lines,
+         |  cast(count(k.doc_id) AS int) AS n_kept,
+         |  coalesce(string_agg(o.line, chr(10) ORDER BY o.line_no)
+         |    FILTER (WHERE k.doc_id IS NOT NULL), '') AS clean_text
+         |FROM bocc o LEFT JOIN keep k
+         |  ON o.doc_id = k.doc_id AND o.line_no = k.line_no
+         |GROUP BY o.doc_id""".stripMargin,
+    "doc_chunks" ->
+      s"""WITH toks AS (SELECT doc_id, $tok AS t FROM documents),
+         |nch AS (SELECT doc_id, t,
+         |    CASE WHEN len(t) = 0 THEN 0
+         |         ELSE 1 + (greatest(len(t) - 64, 0) + 47) // 48 END AS nc
+         |  FROM toks),
+         |ex AS (SELECT doc_id, unnest(CASE WHEN nc > 0
+         |      THEN generate_series(0, nc - 1) ELSE []::BIGINT[] END) AS i, t
+         |  FROM nch)
+         |SELECT doc_id, cast(i AS int) AS chunk_id, cast(i * 48 AS int) AS start_tok,
+         |  cast(len(ct) AS int) AS n_tokens,
+         |  md5(array_to_string(ct, ' ')) AS chunk_fp
+         |FROM (SELECT doc_id, i, list_slice(t, i * 48 + 1, i * 48 + 64) AS ct
+         |      FROM ex)""".stripMargin,
+    "training_shards" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    cast(len($tok) AS bigint) AS n,
+         |    ${ph("concat('shuffle|', cast(doc_id AS varchar))")} AS h
+         |  FROM documents),
+         |cum AS (SELECT doc_id, n,
+         |    cast(sum(n) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS bigint) AS before
+         |  FROM base)
+         |SELECT shard_id,
+         |  cast(count(*) AS bigint) AS n_docs,
+         |  cast(sum(n) AS bigint) AS n_tokens,
+         |  bit_xor(${ph("concat('doc|', cast(doc_id AS varchar))")}) AS digest
+         |FROM (SELECT doc_id, n, before // 2000 AS shard_id FROM cum)
+         |GROUP BY shard_id""".stripMargin,
     "embedding_kmeans" -> Similarity.kmeansOracleSql(),
     "prototype_scores" -> Similarity.prototypeScoresOracleSql(),
     "cluster_sample" ->

@@ -485,6 +485,113 @@ object Curation {
         col("start_offset"), col("bin"))
   }
 
+  /** Fixed-window document chunking with stride overlap — the
+    * context-length stage that turns over-long documents into
+    * trainable `win`-token pieces: chunk i covers tokens
+    * [i·stride, i·stride + win), so consecutive chunks share
+    * win − stride tokens of context (the standard sliding-window
+    * split used when a document exceeds the model's context).
+    * Empty-token docs emit no chunks; a doc of ≤ win tokens emits
+    * exactly one.
+    *
+    * Output: (id, chunk_id, start_tok, n_tokens, chunk_text).
+    *
+    * Scale shape: tokenize + per-row explode of a chunk-index
+    * sequence + slice — one map pass, zero shuffle; output volume is
+    * input × (win / stride) at worst. The chunk-count guard keeps
+    * `sequence` ascending (Spark's default step is −1 when start >
+    * stop — an empty doc would otherwise yield a descending range,
+    * not an empty one).
+    */
+  def docChunks(docs: DataFrame, idCol: String, textCol: String,
+                win: Int = 64, stride: Int = 48): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win, got win=$win stride=$stride")
+    val t = TextFunctions.tokens(col(textCol))
+    val nChunks = when(size(t) === 0, lit(0))
+      .otherwise(lit(1) + floor((greatest(size(t) - win, lit(0))
+        + lit(stride) - 1) / stride).cast("int"))
+    docs
+      .select(col(idCol), t.as("__t"), nChunks.as("__nc"))
+      .select(col(idCol), col("__t"),
+        posexplode(when(col("__nc") > 0, sequence(lit(0), col("__nc") - 1))
+          .otherwise(array().cast("array<int>"))).as(Seq("chunk_id", "__i")))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        slice(col("__t"), col("chunk_id") * stride + 1, lit(win)).as("__c"))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        size(col("__c")).as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Deterministic training-shard assignment: docs are laid out in the
+    * reproducible md5-hash order of [[shuffleOrder]] and cut into
+    * shards of `budgetTokens` tokens — the "write the final corpus as
+    * N fixed-size training shards" step. A doc lands in shard
+    * floor(tokens_before / budget) of the global order, so shard
+    * boundaries are content-independent and every rerun (and every
+    * engine) produces the identical layout.
+    *
+    * Output: one row per doc — (id, shard_id, n_tokens, start_offset)
+    * with start_offset the doc's global token offset.
+    *
+    * Scale shape: the global running sum is NOT a single-partition
+    * window — it's the classic two-pass distributed prefix sum: one
+    * range-partitioned sort on (hash, id), one bounded collect of
+    * per-partition token subtotals (numPartitions longs — the
+    * codebook-scalar convention), then a map-side pass adding each
+    * partition's base offset. The sort's shuffle files are reused by
+    * the second pass, so the data moves once.
+    */
+  def trainingShards(docs: DataFrame, idCol: String, textCol: String,
+                     budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sorted = docs.select(
+        col(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"),
+        phash(concat(lit("shuffle|"), col(idCol).cast("string"))).as("__h"))
+      .orderBy(col("__h"), col(idCol))
+    val nIdx = 1 // n_tokens position in the sorted row
+    val rdd = sorted.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex { (p, it) =>
+        Iterator.single(p -> it.foldLeft(0L)(_ + _.getLong(nIdx)))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val bases = partSums.scanLeft(0L)(_ + _) // bases(p) = tokens before partition p
+    val schema = StructType(sorted.schema.fields.take(2) ++ Seq(
+      StructField("start_offset", LongType, nullable = false),
+      StructField("shard_id", LongType, nullable = false)))
+    val out = rdd.mapPartitionsWithIndex { (p, it) =>
+      var run = bases(p)
+      it.map { r =>
+        val n = r.getLong(nIdx)
+        val before = run
+        run += n
+        org.apache.spark.sql.Row(r.get(0), n, before, before / budgetTokens)
+      }
+    }
+    docs.sparkSession.createDataFrame(out, schema)
+  }
+
+  /** Per-shard manifest over a [[trainingShards]] assignment: doc and
+    * token counts plus an order-independent content digest (bit-xor of
+    * each member id's md5-derived hash) — what a training job checks
+    * before trusting a shard directory. One small aggregation;
+    * `n_shards = ceil(total_tokens / budget)` rows.
+    */
+  def shardManifest(assign: DataFrame, idCol: String): DataFrame =
+    assign.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr(s"bit_xor(${phashSql(s"concat('doc|', cast($idCol AS string))")})")
+          .as("digest"))
+
+  /** Spark-SQL spelling of [[phash]] for use inside `expr(...)`. */
+  private def phashSql(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 15), 16, 10) AS long)"
+
   /** C42: corpus snapshot diff — what changed between two curation
     * iterations, by CONTENT (fingerprint), not by id: a re-crawled page
     * with identical text is `kept` even under a new doc id, and an

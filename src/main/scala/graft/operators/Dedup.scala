@@ -789,6 +789,166 @@ object Dedup {
     grams.join(dup, Seq("gh"), "left_semi").select(col("doc_id"), col("pos"))
   }
 
+  /** Corpus-wide line-level deduplication — the CCNet/RefinedWeb
+    * "remove duplicated lines" pass (Wenzek et al. 2020 §3.1) that runs
+    * BETWEEN html extraction and document-level dedup: boilerplate
+    * lines (cookie banners, share buttons, footers) repeat across
+    * millions of pages, and removing them both shrinks the corpus and
+    * un-masks real document-level near-duplicates. Contract:
+    * first-occurrence-wins — for every distinct line the minimal
+    * (doc_id, line_no) occurrence is kept, all later occurrences are
+    * dropped (deterministic, engine-independent; no "seen" state).
+    *
+    * Output: one row per doc — (id, n_lines, n_kept, clean_text) with
+    * clean_text the kept lines re-joined by newline in original order
+    * (empty string when every line lost its race).
+    *
+    * Scale shape: lines shuffle as (md5, doc_id, line_no) — 32-char
+    * digest + two longs, never line text; one groupBy picks winners,
+    * one int-list groupBy folds kept line numbers per doc, one 1:1 id
+    * join back to the docs table, and the text itself is re-split
+    * map-side on the joined row. The per-doc kept-line-number array is
+    * bounded by the doc's own line count — the same O(doc) class as
+    * holding the text column. Grouping on the full 128-bit digest (not
+    * the 60-bit phash) keeps hash-collision line merges out of reach
+    * at corpus scale.
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = lineOccurrences(docs, idCol, textCol)
+    val winners = occ.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("line_no"))).as("__w"))
+      .select(col(s"__w.$idCol").as(idCol), col("__w.line_no").as("line_no"))
+    rebuildKept(docs, idCol, textCol, winners)
+  }
+
+  // line_no indexes the TRIMMED-NONEMPTY line array (the same array
+  // [[rebuildKept]] filters) — numbering raw split positions instead
+  // would skew indices on any blank line
+  private def lineArr(textCol: String): Column =
+    filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+
+  /** One row per nonempty line: (id, line_no, __h = md5(line)). */
+  private def lineOccurrences(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(lineArr(textCol)).as(Seq("line_no", "__l")))
+      .select(col(idCol), col("line_no"), md5(col("__l")).as("__h"))
+
+  /** Rebuild per-doc output from a kept (id, line_no) set: fold the
+    * kept line numbers per doc (bounded by the doc's own line count),
+    * join the docs table 1:1, and re-split the text map-side.
+    */
+  private def rebuildKept(docs: DataFrame, idCol: String, textCol: String,
+                          kept: DataFrame): DataFrame = {
+    val keptNos = kept.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("line_no"))).as("__keep"))
+    docs.join(keptNos, Seq(idCol), "left")
+      .select(col(idCol), lineArr(textCol).as("__lines"),
+        coalesce(col("__keep"), array().cast("array<int>")).as("__keep"))
+      .select(col(idCol),
+        size(col("__lines")).as("n_lines"),
+        size(col("__keep")).as("n_kept"),
+        array_join(
+          filter(col("__lines"), (_, i) => array_contains(col("__keep"), i)),
+          "\n").as("clean_text"))
+  }
+
+  /** Incremental [[lineDedup]]: dedup a new BATCH against an already-
+    * ingested reference corpus — a batch line survives iff its digest
+    * appears nowhere in the reference AND it is the batch's own first
+    * occurrence. With reference ids below batch ids this equals
+    * running [[lineDedup]] over reference ∪ batch and keeping the
+    * batch rows (spec-pinned); unlike that form, the reference text is
+    * reduced to digests once and never rescanned per batch.
+    *
+    * Scale shape: [[lineDedup]]'s digest-only shuffles plus one
+    * digest anti-join; no distinct on the reference digests — the
+    * anti-join tolerates duplicates and a distinct would add a full
+    * shuffle before the join's own ([[incremental]]'s convention).
+    */
+  def lineDedupAgainst(batch: DataFrame, reference: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val refH = lineOccurrences(reference, idCol, textCol).select(col("__h"))
+    val occ = lineOccurrences(batch, idCol, textCol)
+    val winners = occ.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("line_no"))).as("__w"))
+      .join(refH, Seq("__h"), "left_anti")
+      .select(col(s"__w.$idCol").as(idCol), col("__w.line_no").as("line_no"))
+    rebuildKept(batch, idCol, textCol, winners)
+  }
+
+  /** Persist the line-digest index of a reference corpus at `path` —
+    * the continuous-ingestion form of [[lineDedupAgainst]]'s reference
+    * side: the corpus is line-split and hashed ONCE; each later batch
+    * hashes only itself. Digests are stored distinct (the index is
+    * probed forever — paying one build-time shuffle to halve its size
+    * is the right trade, unlike the per-batch anti-join input).
+    */
+  def buildLineIndex(reference: DataFrame, idCol: String, textCol: String,
+                     path: String): Unit =
+    lineOccurrences(reference, idCol, textCol)
+      .select(col("__h").as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$path/linehashes")
+
+  /** Extend a persisted line index with a batch's lines (call after
+    * admitting the batch). Append-only; duplicate digests from a
+    * replayed append are benign — the probe is an anti-join.
+    */
+  def appendToLineIndex(docs: DataFrame, idCol: String, textCol: String,
+                        path: String): Unit =
+    lineOccurrences(docs, idCol, textCol)
+      .select(col("__h").as("h")).distinct()
+      .write.mode("append").parquet(s"$path/linehashes")
+
+  /** [[lineDedupAgainst]] a persisted index: only the batch is split
+    * and hashed. Equality with the two-corpus form is spec-pinned.
+    */
+  def lineDedupIndexed(batch: DataFrame, path: String,
+                       idCol: String, textCol: String): DataFrame = {
+    val refH = batch.sparkSession.read.parquet(s"$path/linehashes")
+      .select(col("h").as("__h"))
+    val occ = lineOccurrences(batch, idCol, textCol)
+    val winners = occ.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("line_no"))).as("__w"))
+      .join(refH, Seq("__h"), "left_anti")
+      .select(col(s"__w.$idCol").as(idCol), col("__w.line_no").as("line_no"))
+    rebuildKept(batch, idCol, textCol, winners)
+  }
+
+  /** Deterministic multi-line page fixture for [[lineDedup]]'s driver
+    * query (the documents table is single-line text): a corpus-wide
+    * header line, the doc's tokens re-wrapped into 6-token lines, and
+    * a per-source footer — the repeated-chrome shape a crawl corpus
+    * has after HTML extraction. [[wrapLinesSql]] is the DuckDB twin.
+    */
+  def wrapLines(textCol: Column, srcCol: Column): Column = {
+    val t = tokens(textCol)
+    val n = size(t)
+    val body = when(n > 0,
+      transform(sequence(lit(0), ((n - 1) / 6).cast("int")),
+        i => array_join(slice(t, i * 6 + 1, lit(6)), " ")))
+      .otherwise(array().cast("array<string>"))
+    concat_ws("\n",
+      concat(array(lit("share this article")), body,
+        array(concat(lit("all rights reserved "), srcCol))))
+  }
+
+  /** DuckDB expression building the identical fixture from column
+    * expressions `textExpr`/`srcExpr` (tokens via
+    * [[graft.functions.TextFunctions.tokensSql]]).
+    */
+  def wrapLinesSql(textExpr: String, srcExpr: String): String = {
+    val t = graft.functions.TextFunctions.tokensSql(textExpr)
+    s"""array_to_string(list_concat(list_concat(
+       |    ['share this article'],
+       |    CASE WHEN len($t) > 0 THEN
+       |      list_transform(generate_series(0, (len($t) - 1) // 6),
+       |        i -> array_to_string(list_slice($t, i * 6 + 1, i * 6 + 6), ' '))
+       |    ELSE []::VARCHAR[] END),
+       |    ['all rights reserved ' || $srcExpr]), chr(10))""".stripMargin
+  }
+
   /** Shared tail: df-cap then shared-fingerprint pair counts. */
   private def pairByFingerprint(fps: DataFrame, minShared: Long,
                                 maxDf: Int): DataFrame = {

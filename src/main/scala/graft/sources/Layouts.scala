@@ -98,6 +98,34 @@ object Layouts {
     * swap the path at their metadata layer, the same contract a real
     * table format's OPTIMIZE commits through its log.
     */
+  /** Training-shard sink: write the corpus as token-budgeted shard
+    * directories (`path/data/shard_id=N/…`) in the deterministic
+    * layout of [[graft.operators.Curation.trainingShards]], plus a
+    * `path/manifest` table ([[graft.operators.Curation.shardManifest]]:
+    * per-shard doc/token counts and xor content digest) a training job
+    * verifies before reading. Returns (nShards, totalTokens).
+    *
+    * Scale shape: the assignment rows (id + three longs) join the docs
+    * table once on id; `repartition(shard_id)` then clusters each
+    * shard's docs so the partitioned write emits ONE file per shard
+    * (budget-sized by construction) instead of a file per (task,
+    * shard) pair — at 100 TB the no-repartition form would shatter
+    * every shard directory into thousands of KB files.
+    */
+  def writeTrainingShards(docs: DataFrame, idCol: String, textCol: String,
+                          budgetTokens: Long, path: String): (Long, Long) = {
+    val assign = graft.operators.Curation
+      .trainingShards(docs, idCol, textCol, budgetTokens)
+    docs.join(assign.select(col(idCol), col("start_offset"), col("shard_id")),
+        Seq(idCol))
+      .repartition(col("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(s"$path/data")
+    val mani = graft.operators.Curation.shardManifest(assign, idCol)
+    mani.coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+    val tot = mani.agg(count(lit(1)), sum(col("n_tokens"))).head()
+    (tot.getLong(0), if (tot.isNullAt(1)) 0L else tot.getLong(1))
+  }
+
   def compact(spark: SparkSession, src: String, dest: String,
               targetMb: Int = 128): (Int, Int) = {
     require(src != dest, "compact() rewrites into a NEW directory")

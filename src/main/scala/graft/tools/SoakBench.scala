@@ -83,7 +83,7 @@ object SoakBench {
       .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25",
         "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
         "lmscore", "bpe", "mixaudit", "proto", "leakage", "semgate",
-        "ingest", "htmlx", "ivfassign"))
+        "ingest", "htmlx", "ivfassign", "linededup", "chunks", "shards"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -693,6 +693,51 @@ object SoakBench {
       val htmlMb = html.agg(sum(length(col("html")))).collect()(0).getLong(0) / 1e6
       axis("html_extract", htmlMb) {
         graft.operators.Html.htmlExtract(html, "doc_id", "html")
+      }
+    }
+
+    // ---- axis: line dedup over a replicated-page corpus -------------
+    // exact-copy replication of the multi-line page fixture: every
+    // body line occurs `mult` times and the header/footer occur
+    // n×mult times — the worst honest boilerplate shape. Checks the
+    // digest-only shuffle claim holds at GB scale (shuffle MB should
+    // track line COUNT, not text bytes).
+    if (axes("linededup")) {
+      val lMult = math.max(1, (targetMb / baseMb).toInt)
+      val lPath = "target/soak_lines"
+      docs.select(explode(sequence(lit(1), lit(lMult))).as("copy"),
+          col("doc_id"), col("text"), col("source"))
+        .select((col("doc_id") * lMult + col("copy")).as("doc_id"),
+          graft.operators.Dedup.wrapLines(col("text"), col("source")).as("text"))
+        .repartition(32).write.mode("overwrite").parquet(lPath)
+      val lines = spark.read.parquet(lPath)
+      val lineMb = lines.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+      axis("line_dedup", lineMb) {
+        graft.operators.Dedup.lineDedup(lines, "doc_id", "text")
+      }
+    }
+
+    // ---- axis: context chunking + shard assignment ------------------
+    // both run off the flood corpus (distinct ids, replicated text):
+    // chunking is the zero-shuffle map-throughput number; shards is
+    // the two-pass prefix sum whose only shuffle is the (id, 2×long)
+    // range sort — shuffle MB must be a small multiple of row count.
+    if (axes("chunks") || axes("shards")) {
+      val cMult = math.max(1, (targetMb / baseMb).toInt)
+      val cPath = "target/soak_chunkdocs"
+      docs.select(explode(sequence(lit(1), lit(cMult))).as("copy"),
+          col("doc_id"), col("text"))
+        .select((col("doc_id") * cMult + col("copy")).as("doc_id"), col("text"))
+        .repartition(32).write.mode("overwrite").parquet(cPath)
+      val cdocs = spark.read.parquet(cPath)
+      val cMb = cdocs.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
+      if (axes("chunks")) axis("doc_chunks", cMb) {
+        graft.operators.Curation.docChunks(cdocs, "doc_id", "text")
+      }
+      if (axes("shards")) axis("training_shards", cMb) {
+        graft.operators.Curation.shardManifest(
+          graft.operators.Curation.trainingShards(
+            cdocs, "doc_id", "text", 1000000L), "doc_id")
       }
     }
 

@@ -311,4 +311,85 @@ class CurationSpec extends AnyFunSuite {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(total == direct)
   }
+
+  test("doc chunks: coverage, stride overlap, and edge sizes are exact") {
+    import spark.implicits._
+    // 10 tokens, win=4, stride=3 → starts 0,3,6 (ceil((10-4)/3)=2 extra)
+    val docs = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+                   (2L, "a b"),   // short doc: one whole-doc chunk
+                   (3L, "")       // empty doc: no chunks
+    ).toDF("doc_id", "text")
+    val out = Curation.docChunks(docs, "doc_id", "text", win = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(out.filter(_._1 == 1L).map(c => (c._2, c._3, c._4, c._5)).toSeq == Seq(
+      (0, 0, 4, "t0 t1 t2 t3"), (1, 3, 4, "t3 t4 t5 t6"), (2, 6, 4, "t6 t7 t8 t9")))
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._4, c._5)).toSeq ==
+      Seq((0, 2, "a b")))
+    assert(!out.exists(_._1 == 3L))
+    // every token position is covered by at least one chunk
+    val covered = out.filter(_._1 == 1L)
+      .flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0 until 10).toSet)
+  }
+
+  test("doc chunks: last chunk never starts past the text and is never empty") {
+    val out = Curation.docChunks(
+      Tables.documents(spark, sf), "doc_id", "text")
+    assert(out.filter(col("n_tokens") === 0).count() == 0)
+    // chunk_id is dense from 0 per doc
+    val dense = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("chunk_id")).as("mx"))
+      .filter(col("mx") =!= col("n") - 1).count()
+    assert(dense == 0)
+  }
+
+  test("training shards: offsets are a prefix sum in md5 order; budget cuts hold") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.trainingShards(docs, "doc_id", "text", budgetTokens = 2000L)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // global offsets: sorting by start_offset must give a gapless chain
+    val chain = rows.sortBy(_._3)
+    assert(chain.head._3 == 0L)
+    chain.sliding(2).foreach {
+      case Array((_, n, off, _), (_, _, off2, _)) => assert(off + n == off2)
+      case _ => ()
+    }
+    // shard = floor(start_offset / budget), and totals are conserved
+    assert(rows.forall { case (_, _, off, sh) => sh == off / 2000L })
+    // determinism incl. under a different input partitioning
+    val again = Curation.trainingShards(
+      docs.repartition(13), "doc_id", "text", 2000L)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // order is shuffleOrder's: position ranks and offset ranks agree
+    val pos = Curation.shuffleOrder(docs, "doc_id")
+    val joined = out.join(pos, "doc_id")
+      .select(col("start_offset"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(joined.sortBy(_._1).map(_._2).sameElements(
+      joined.map(_._2).sorted))
+  }
+
+  test("shard manifest agrees with a direct per-shard aggregation") {
+    val docs = Tables.documents(spark, sf)
+    val assign = Curation.trainingShards(docs, "doc_id", "text", 2000L)
+    val mani = Curation.shardManifest(assign, "doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val direct = assign.collect()
+      .map(r => (r.getLong(3), r.getLong(1), r.getLong(0)))
+      .groupBy(_._1)
+      .map { case (sh, g) =>
+        val digest = g.map { case (_, _, id) =>
+          java.lang.Long.parseLong(
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(s"doc|$id")
+              .substring(0, 15), 16)
+        }.reduce(_ ^ _)
+        sh -> (g.length.toLong, g.map(_._2).sum, digest)
+      }
+    assert(mani == direct)
+    // every shard except possibly the last holds >= budget - max doc tokens
+    val budgetShards = mani.keys.toSeq.sorted
+    assert(budgetShards == (0L until budgetShards.length).toSeq)
+  }
 }

@@ -116,4 +116,41 @@ class LayoutsSpec extends AnyFunSuite {
     }
     assert(spark.read.parquet(src).count() == docs.count())
   }
+
+  test("training-shard sink: manifest matches the data directories, one file per shard") {
+    val root = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = Tables.documents(spark, sf)
+    val (nShards, totalTokens) =
+      Layouts.writeTrainingShards(docs, "doc_id", "text", 2000L, root)
+    // the partition column re-reads type-INFERRED (int for small ids) —
+    // normalize to the manifest's long before comparing
+    val data = spark.read.parquet(s"$root/data")
+      .withColumn("shard_id", col("shard_id").cast("long"))
+    val mani = spark.read.parquet(s"$root/manifest")
+    assert(mani.count() == nShards)
+    // manifest counts equal what the written data actually holds
+    val fromData = data.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+          .as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fromMani = mani.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fromData == fromMani)
+    assert(fromMani.values.map(_._2).sum == totalTokens)
+    // no docs lost and the layout reads back partition-pruned
+    assert(data.count() == docs.count())
+    val one = data.filter(col("shard_id") === 0)
+    assert(one.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    // repartition(shard_id) keeps each shard directory to ONE data file
+    val multi = (0L until nShards).count { s =>
+      val d = java.nio.file.Paths.get(s"$root/data/shard_id=$s")
+      java.nio.file.Files.exists(d) && {
+        val st = java.nio.file.Files.list(d)
+        try st.filter(p => p.getFileName.toString.endsWith(".parquet")).count() > 1
+        finally st.close()
+      }
+    }
+    assert(multi == 0, s"$multi shard dirs hold more than one parquet file")
+  }
 }

@@ -230,6 +230,95 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("line dedup: first occurrence wins, later copies drop, order survives") {
+    val docs = Seq(
+      (1L, "alpha beta\nshared boilerplate line\ngamma delta"),
+      (2L, "shared boilerplate line\nepsilon zeta"),
+      (3L, "eta theta\nshared boilerplate line")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // doc 1 holds the minimal (doc_id, line_no) for the shared line
+    assert(out(1L) == (3, 3, "alpha beta\nshared boilerplate line\ngamma delta"))
+    assert(out(2L) == (2, 1, "epsilon zeta"))
+    assert(out(3L) == (2, 1, "eta theta"))
+  }
+
+  test("line dedup: blank lines don't skew kept-line indices; rerun is idempotent") {
+    val docs = Seq(
+      // blank + whitespace-only lines between real ones: line numbering
+      // must index the FILTERED array or reconstruction picks wrong lines
+      (1L, "keep one\n\n   \ndup line\nkeep two"),
+      (2L, "dup line\nonly here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+    val byId = out.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(byId(1L) == "keep one\ndup line\nkeep two")
+    assert(byId(2L) == "only here")
+    // a deduped corpus has no repeated lines left: second pass keeps all
+    val again = Dedup.lineDedup(
+      out.select(col("doc_id"), col("clean_text").as("text")), "doc_id", "text")
+    assert(again.filter(col("n_kept") =!= col("n_lines")).count() == 0)
+  }
+
+  test("line dedup: doc whose every line loses yields empty text; empty doc is (0,0)") {
+    val docs = Seq(
+      (1L, "the only line"),
+      (2L, "the only line"), // loses both its lines to doc 1... both = its one
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L) == (1, 1, "the only line"))
+    assert(out(2L) == (1, 0, ""))
+    assert(out(3L) == (0, 0, ""))
+  }
+
+  test("incremental line dedup equals the unioned batch slice; index closes the loop") {
+    val ref = Seq(
+      (1L, "ingested line one\ncommon footer"),
+      (2L, "ingested line two\ncommon footer")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "fresh line alpha\ncommon footer\nbatch dup"),
+      (11L, "batch dup\nfresh line beta")
+    ).toDF("doc_id", "text")
+    val inc = Dedup.lineDedupAgainst(batch, ref, "doc_id", "text")
+    // reference ids below batch ids ⇒ equals full lineDedup's batch rows
+    val full = Dedup.lineDedup(ref.unionByName(batch), "doc_id", "text")
+      .filter(col("doc_id") >= 10L)
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+    val byId = inc.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(byId(10L) == "fresh line alpha\nbatch dup")
+    assert(byId(11L) == "fresh line beta")
+    // persisted index: same survivors, reference never rescanned
+    val dir = java.nio.file.Files.createTempDirectory("graft_lineidx").toString
+    Dedup.buildLineIndex(ref, "doc_id", "text", dir)
+    val idx = Dedup.lineDedupIndexed(batch, dir, "doc_id", "text")
+    assert(idx.exceptAll(inc).isEmpty && inc.exceptAll(idx).isEmpty)
+    // append the admitted batch: a later batch's copy of its lines drops
+    Dedup.appendToLineIndex(batch, "doc_id", "text", dir)
+    val batch2 = Seq((20L, "fresh line alpha\nbrand new line")).toDF("doc_id", "text")
+    val out2 = Dedup.lineDedupIndexed(batch2, dir, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out2(20L) == "brand new line")
+  }
+
+  test("wrapLines fixture: header/footer wrap 6-token body lines") {
+    val docs = Seq((7L, "a b c d e f g h", "src3")).toDF("doc_id", "text", "source")
+    val got = docs.select(
+      Dedup.wrapLines(col("text"), col("source")).as("w"))
+      .head().getString(0)
+    assert(got ==
+      "share this article\na b c d e f\ng h\nall rights reserved src3")
+    val empty = Seq((8L, "", "s")).toDF("doc_id", "text", "source")
+      .select(Dedup.wrapLines(col("text"), col("source")).as("w"))
+      .head().getString(0)
+    assert(empty == "share this article\nall rights reserved s")
+  }
+
   test("knn_join restricted to the probe ids equals knnLsh on the same params") {
     val emb = graft.sources.Tables.embeddings(spark, sf)
     val got = Similarity.knnJoin(emb, "vec_id", "embedding", k = 5)

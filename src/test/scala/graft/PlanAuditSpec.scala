@@ -364,4 +364,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastNestedLoopJoin"),
       s"hopping window must not self-join:\n$plan")
   }
+
+  test("doc_chunks is pure map-side: no exchange at all") {
+    val plan = operators.Curation
+      .docChunks(sources.Tables.documents(spark, sf), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("line_dedup shuffles digests and ids only — line text never crosses an exchange") {
+    noAutoBroadcast {
+      val df = SparkEntry.queries("line_dedup")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // every Exchange's output carries only hash/id/line_no columns;
+      // the text and line payloads stay map-side of their exchanges
+      val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty, plan)
+      // partition keys are the digest / doc id — never a text column
+      assert(exchanges.forall(l =>
+        l.contains("hashpartitioning(__h#") || l.contains("hashpartitioning(doc_id#")),
+        s"unexpected shuffle key:\n${exchanges.mkString("\n")}")
+      // and the digest projection happens BEFORE its exchange: the md5
+      // aggregate's partial side sits under the exchange, so the line
+      // payload (__l) exists only map-side
+      assert(!exchanges.exists(l => l.contains("__l") || l.contains("clean_text")),
+        s"line text crossed a shuffle:\n${exchanges.mkString("\n")}")
+    }
+  }
 }
