@@ -923,15 +923,21 @@ object Dedup {
     * has after HTML extraction. [[wrapLinesSql]] is the DuckDB twin.
     */
   def wrapLines(textCol: Column, srcCol: Column): Column = {
-    val t = tokens(textCol)
-    val n = size(t)
-    val body = when(n > 0,
-      transform(sequence(lit(0), ((n - 1) / 6).cast("int")),
-        i => array_join(slice(t, i * 6 + 1, lit(6)), " ")))
-      .otherwise(array().cast("array<string>"))
-    concat_ws("\n",
-      concat(array(lit("share this article")), body,
-        array(concat(lit("all rights reserved "), srcCol))))
+    // tokens() is bound ONCE as a lambda variable: Column trees are
+    // trees, not DAGs, so referencing a val twice duplicates the
+    // subtree — and inside the body transform that re-tokenized the
+    // doc once PER LINE (interpreted, ~50× the work; a 2 GB fixture
+    // generation measurably never finished)
+    element_at(transform(array(tokens(textCol)), t => {
+      val n = size(t)
+      val body = when(n > 0,
+        transform(sequence(lit(0), ((n - 1) / 6).cast("int")),
+          i => array_join(slice(t, i * 6 + 1, lit(6)), " ")))
+        .otherwise(array().cast("array<string>"))
+      concat_ws("\n",
+        concat(array(lit("share this article")), body,
+          array(concat(lit("all rights reserved "), srcCol))))
+    }), 1)
   }
 
   /** DuckDB expression building the identical fixture from column

@@ -705,11 +705,16 @@ object SoakBench {
     if (axes("linededup")) {
       val lMult = math.max(1, (targetMb / baseMb).toInt)
       val lPath = "target/soak_lines"
-      docs.select(explode(sequence(lit(1), lit(lMult))).as("copy"),
-          col("doc_id"), col("text"), col("source"))
-        .select((col("doc_id") * lMult + col("copy")).as("doc_id"),
+      // wrap the BASE docs once, then flood exact copies of the wrapped
+      // page under distinct ids: the same all-lines-duplicated stress,
+      // without re-running the per-doc wrap mult times
+      docs.select(col("doc_id"),
           graft.operators.Dedup.wrapLines(col("text"), col("source")).as("text"))
-        .repartition(32).write.mode("overwrite").parquet(lPath)
+        .repartition(32)
+        .select(explode(sequence(lit(1), lit(lMult))).as("copy"),
+          col("doc_id"), col("text"))
+        .select((col("doc_id") * lMult + col("copy")).as("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(lPath)
       val lines = spark.read.parquet(lPath)
       val lineMb = lines.agg(sum(length(col("text")))).collect()(0).getLong(0) / 1e6
       axis("line_dedup", lineMb) {

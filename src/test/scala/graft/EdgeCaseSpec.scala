@@ -195,4 +195,35 @@ class EdgeCaseSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("no centroids"))
   }
+
+  test("line dedup / chunking / shards degrade cleanly on empty and all-blank input") {
+    assert(Dedup.lineDedup(empty, "doc_id", "text").count() == 0)
+    assert(Curation.docChunks(empty, "doc_id", "text").count() == 0)
+    assert(Curation.trainingShards(empty, "doc_id", "text", 100L).count() == 0)
+    assert(Curation.shardManifest(
+      Curation.trainingShards(empty, "doc_id", "text", 100L), "doc_id").count() == 0)
+    // all-blank corpus: every doc has zero effective lines/tokens.
+    // NOTE the line filter is SPACE-trim (Spark's and DuckDB's shared
+    // trim default — the portable contract): a tab-only line counts
+    // as content; whitespace canonicalization is text_normalize's job
+    val blank = docsOf((1L, ""), (2L, "  \n   \n  "))
+    val ld = Dedup.lineDedup(blank, "doc_id", "text").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(ld == Set((0, 0, "")))
+    val tabLine = Dedup.lineDedup(docsOf((1L, "\t")), "doc_id", "text")
+      .head()
+    assert(tabLine.getInt(1) == 1 && tabLine.getString(3) == "\t")
+    assert(Curation.docChunks(blank, "doc_id", "text").count() == 0)
+    // zero-token docs all land in shard 0 at offset 0
+    val ts = Curation.trainingShards(blank, "doc_id", "text", 100L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ts == Set((0L, 0L, 0L)))
+    // invalid params fail fast, not silently
+    intercept[IllegalArgumentException] {
+      Curation.docChunks(blank, "doc_id", "text", win = 4, stride = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Curation.trainingShards(blank, "doc_id", "text", 0L)
+    }
+  }
 }
