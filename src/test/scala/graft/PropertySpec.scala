@@ -195,4 +195,92 @@ class PropertySpec extends AnyFunSuite {
       assert(drawn.join(docs, Seq("doc_id"), "left_anti").count() == 0)
     }
   }
+
+  test("property: line dedup matches an independent first-occurrence model") {
+    import spark.implicits._
+    // small line vocab → heavy cross-doc duplication; blanks + space
+    // padding exercise the trim/filter path
+    val line = Gen.oneOf(
+      Gen.chooseNum(0, 15).map(i => s"line number $i"),
+      Gen.oneOf("", "   ", " padded line "))
+    val doc = Gen.chooseNum(0, 8).flatMap(n => Gen.listOfN(n, line))
+      .map(_.mkString("\n"))
+    val texts = samples(doc, 120, seed = 9100L)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // independent model: space-trim, drop empties, keep first (id, no)
+    val model = scala.collection.mutable.Map[String, (Long, Int)]()
+    val docLines = docs.map { case (id, t) =>
+      id -> t.split("\n", -1).toSeq
+        .map(l => l.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse)
+        .filter(_.nonEmpty)
+    }
+    docLines.foreach { case (id, ls) =>
+      ls.zipWithIndex.foreach { case (l, no) =>
+        if (!model.contains(l)) model(l) = (id, no)
+      }
+    }
+    val want = docLines.map { case (id, ls) =>
+      val kept = ls.zipWithIndex.collect {
+        case (l, no) if model(l) == (id, no) => l
+      }
+      id -> (ls.length, kept.length, kept.mkString("\n"))
+    }.toMap
+    val got = graft.operators.Dedup
+      .lineDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(got == want)
+  }
+
+  test("property: doc chunks match an independent sliding-window model") {
+    import spark.implicits._
+    val word = Gen.chooseNum(0, 30).map(i => s"w$i")
+    val doc = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val texts = samples(doc, 150, seed = 9200L)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for ((win, stride) <- Seq((8, 8), (8, 5), (3, 1))) {
+      val want = docs.flatMap { case (id, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty).toSeq
+        val starts =
+          if (toks.isEmpty) Seq.empty
+          else 0 +: Iterator.iterate(stride)(_ + stride)
+            .takeWhile(s => s < toks.length && s - stride + win < toks.length)
+            .toSeq
+        starts.zipWithIndex.map { case (s, i) =>
+          (id, i, s, toks.slice(s, s + win))
+        }
+      }.map { case (id, i, s, c) => (id, i, s, c.length, c.mkString(" ")) }.toSet
+      val got = graft.operators.Curation
+        .docChunks(docs.toDF("doc_id", "text"), "doc_id", "text", win, stride)
+        .as[(Long, Int, Int, Int, String)].collect().toSet
+      assert(got == want, s"win=$win stride=$stride")
+    }
+  }
+
+  test("property: training shards match an independent prefix-sum model") {
+    import spark.implicits._
+    val word = Gen.chooseNum(0, 30).map(i => s"w$i")
+    val doc = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def phash(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    for (round <- 1 to 2; budget <- Seq(7L, 50L)) {
+      val texts = samples(doc, 100, seed = 9300L + round)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val ordered = docs.map { case (id, t) =>
+        (id, t.split("\\s+").count(_.nonEmpty).toLong, phash(s"shuffle|$id"))
+      }.sortBy { case (id, _, h) => (h, id) }
+      val want = ordered.scanLeft((0L, 0L, 0L, 0L)) {
+        case ((_, _, acc, _), (id, n, _)) => (id, n, acc + n, 0L)
+      }.drop(1).map { case (id, n, end, _) =>
+        (id, n, end - n, (end - n) / budget)
+      }.toSet
+      val got = graft.operators.Curation
+        .trainingShards(docs.toDF("doc_id", "text"), "doc_id", "text", budget)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"round=$round budget=$budget")
+    }
+  }
 }
