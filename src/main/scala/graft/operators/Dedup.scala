@@ -823,8 +823,9 @@ object Dedup {
 
   // line_no indexes the TRIMMED-NONEMPTY line array (the same array
   // [[rebuildKept]] filters) — numbering raw split positions instead
-  // would skew indices on any blank line
-  private def lineArr(textCol: String): Column =
+  // would skew indices on any blank line. Shared with the streaming
+  // admission twin (graft.streaming.DocStreams.lineCleanAdmission).
+  private[graft] def lineArr(textCol: String): Column =
     filter(transform(split(col(textCol), "\n"), l => trim(l)),
       l => length(l) > 0)
 

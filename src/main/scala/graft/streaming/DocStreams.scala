@@ -454,4 +454,60 @@ object DocStreams {
         adist.cast("double").as("adist"))
       .filter(col("adist") <= maxDist)
   }
+
+  /** Streaming line-clean admission — the continuous twin of
+    * [[graft.operators.Dedup.lineDedupIndexed]] against a persisted
+    * line-digest index ([[graft.operators.Dedup.buildLineIndex]]):
+    * each arriving document keeps a line iff (a) it is the doc's own
+    * first occurrence (map-side array filter, no state) and (b) its
+    * digest is absent from the index (stream-static anti join; the
+    * static side's FILE LISTING is pinned when the query starts, so
+    * index appends become visible on the next stream (re)start — run
+    * admission as periodically restarted jobs, the standard pattern
+    * for a growing static side). Lines are regrouped per (doc,
+    * event-time window) under the
+    * watermark, so output is append-mode and state is
+    * watermark-bounded; emits (id, n_lines, n_kept, clean_text).
+    *
+    * Admission semantics, two deliberate deltas from the batch op:
+    * a doc whose EVERY line is already indexed emits nothing (not
+    * admitted — the batch form emits an (id, n, 0, "") row), and
+    * CROSS-doc duplicates inside one micro-batch both survive until
+    * the admitted batch is appended to the index (cross-doc
+    * first-occurrence needs a corpus-wide aggregation — that is the
+    * batch operator's job; the index append closes the gap one batch
+    * later, the same contract as [[incrementalDedup]]'s LSH note).
+    */
+  def lineCleanAdmission(docs: DataFrame, indexPath: String,
+                         idCol: String, textCol: String, tsCol: String,
+                         watermark: String = "2 hours",
+                         window: String = "1 minute"): DataFrame = {
+    import graft.operators.Dedup
+    val refH = docs.sparkSession.read.parquet(s"$indexPath/linehashes")
+      .select(col("h").as("__h"))
+    val arr = Dedup.lineArr(textCol)
+    // (line_no, line) pairs surviving the within-doc first-occurrence
+    // cut: an element is kept iff no EARLIER element equals it
+    val firstOcc = filter(
+      transform(arr, (l, i) => struct(i.as("line_no"), l.as("__l"))),
+      p => !array_contains(slice(arr, lit(1), p.getField("line_no")),
+        p.getField("__l")))
+    val lines = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol), size(arr).as("n_lines"),
+        explode(firstOcc).as("__p"))
+      .select(col(idCol), col(tsCol), col("n_lines"),
+        col("__p.line_no").as("line_no"), col("__p.__l").as("__l"))
+      .withColumn("__h", md5(col("__l")))
+      .join(refH, Seq("__h"), "left_anti")
+    lines
+      .groupBy(col(idCol),
+        org.apache.spark.sql.functions.window(col(tsCol), window))
+      .agg(first(col("n_lines")).as("n_lines"),
+        count(lit(1)).cast("int").as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("line_no"), col("__l")))),
+          s => s.getField("__l")), "\n").as("clean_text"))
+      .select(col(idCol), col("n_lines"), col("n_kept"), col("clean_text"))
+  }
 }

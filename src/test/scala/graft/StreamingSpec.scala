@@ -164,6 +164,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming line-clean admission: index lines drop, in-doc dups drop, appends picked up") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_linestream").toString
+    val ref = Seq((100L, "indexed boilerplate\nmore chrome")).toDF("doc_id", "text")
+    graft.operators.Dedup.buildLineIndex(ref, "doc_id", "text", dir)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = ms.toDF().toDF("doc_id", "ts", "text")
+    val cleaned = graft.streaming.DocStreams.lineCleanAdmission(
+      docs, dir, "doc_id", "text", "ts", watermark = "10 seconds")
+    val q = cleaned.writeStream.format("memory").queryName("linestream")
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    try {
+      ms.addData(
+        // fresh + indexed + in-doc duplicate of the fresh line
+        (1L, t(100), "fresh alpha\nindexed boilerplate\nfresh alpha\nfresh beta"),
+        // every line indexed → not admitted at all
+        (2L, t(101), "indexed boilerplate\nmore chrome"))
+      q.processAllAvailable()
+      ms.addData((9L, t(500), "watermark pusher")) // flush the first window
+      q.processAllAvailable()
+      val rows = spark.table("linestream")
+        .select("doc_id", "n_lines", "n_kept", "clean_text")
+        .as[(Long, Int, Int, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(rows(1L) == (4, 2, "fresh alpha\nfresh beta"), rows.toString)
+      assert(!rows.contains(2L), s"fully-indexed doc admitted: $rows")
+      // batch parity on the admitted doc: same survivors as the batch op
+      val batchRow = graft.operators.Dedup.lineDedupIndexed(
+        Seq((1L, "fresh alpha\nindexed boilerplate\nfresh alpha\nfresh beta"))
+          .toDF("doc_id", "text"), dir, "doc_id", "text")
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).head
+      assert(batchRow == (4, 2, "fresh alpha\nfresh beta"))
+      // append the admitted lines; the static file listing is pinned
+      // at query start, so the append is visible from the next stream
+      // (re)start — the periodically-restarted-admission pattern
+      graft.operators.Dedup.appendToLineIndex(
+        Seq((1L, "fresh alpha\nfresh beta")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      q.stop()
+      val q2 = graft.streaming.DocStreams.lineCleanAdmission(
+          docs, dir, "doc_id", "text", "ts", watermark = "10 seconds")
+        .writeStream.format("memory").queryName("linestream2")
+        .outputMode("append").start()
+      try {
+        ms.addData((3L, t(600), "fresh alpha\nnovel gamma"))
+        q2.processAllAvailable()
+        ms.addData((9L, t(9999), "watermark pusher two"))
+        q2.processAllAvailable()
+        val r3 = spark.table("linestream2").filter(col("doc_id") === 3L)
+          .select("n_lines", "n_kept", "clean_text")
+          .as[(Int, Int, String)].collect().head
+        assert(r3 == (2, 1, "novel gamma"), r3.toString)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("streaming token-budget admission carries state across batches per source") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
