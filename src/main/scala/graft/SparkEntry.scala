@@ -921,6 +921,16 @@ object SparkEntry {
       Curation.shardManifest(
         Curation.trainingShards(Tables.documents(s, d), "doc_id", "text", 2000L),
         "doc_id")),
+    // the full stage-0 composite in ONE declarative plan: HTML extract
+    // → token gate → exact dedup → shard manifest. Pages wrapped under
+    // a CONSTANT title so replicated texts are exact page duplicates
+    // and the dedup stage is live at sf >= 0.1 (C82)
+    "crawl_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Curation.crawlPipeline(
+        docs.select(col("doc_id"), Html.wrapHtml(lit(0), col("text")).as("html")),
+        "doc_id", "html")
+    }),
     "tfidf_topterms" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(Tables.documents(s, d), "doc_id", "text", 5)),
     "collocations" -> ((s, d) =>
@@ -1457,6 +1467,27 @@ object SparkEntry {
          |  cast(sum(n) AS bigint) AS n_tokens,
          |  bit_xor(${ph("concat('doc|', cast(doc_id AS varchar))")}) AS digest
          |FROM (SELECT doc_id, n, before // 2000 AS shard_id FROM cum)
+         |GROUP BY shard_id""".stripMargin,
+    "crawl_pipeline" ->
+      s"""${Html.htmlExtractCtes(idExpr = "0")},
+         |gated AS (SELECT doc_id, clean_text FROM extracted
+         |  WHERE len(${TextFunctions.tokensSql("clean_text")}) BETWEEN 5 AND 10000),
+         |csurv AS (SELECT doc_id, clean_text FROM (
+         |  SELECT doc_id, clean_text,
+         |    row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) AS rn
+         |  FROM gated) WHERE rn = 1),
+         |cbase AS (SELECT doc_id,
+         |    cast(len(${TextFunctions.tokensSql("clean_text")}) AS bigint) AS n,
+         |    ${ph("concat('shuffle|', cast(doc_id AS varchar))")} AS h FROM csurv),
+         |ccum AS (SELECT doc_id, n,
+         |    cast(sum(n) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS bigint) AS before
+         |  FROM cbase)
+         |SELECT shard_id,
+         |  cast(count(*) AS bigint) AS n_docs,
+         |  cast(sum(n) AS bigint) AS n_tokens,
+         |  bit_xor(${ph("concat('doc|', cast(doc_id AS varchar))")}) AS digest
+         |FROM (SELECT doc_id, n, before // 2000 AS shard_id FROM ccum)
          |GROUP BY shard_id""".stripMargin,
     "embedding_kmeans" -> Similarity.kmeansOracleSql(),
     "prototype_scores" -> Similarity.prototypeScoresOracleSql(),

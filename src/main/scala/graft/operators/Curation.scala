@@ -314,6 +314,36 @@ object Curation {
     quotaSample(sampledInput, idCol, strataCol, quota)
   }
 
+  /** End-to-end crawl-to-training pipeline as ONE declarative plan —
+    * the stage-0 composite a real crawl corpus runs: HTML → clean text
+    * (link-density boilerplate filtering, [[Html.htmlExtract]]) →
+    * token-count gate (the Gopher word-count rule's shape: too-short
+    * and absurdly-long pages drop) → exact content dedup (min-id
+    * survivor per fingerprint, [[Dedup.exact]]) → token-budgeted shard
+    * manifest ([[trainingShards]] + [[shardManifest]]). Returns the
+    * manifest of the corpus a training job would read.
+    *
+    * Scale shape: every stage keeps its own audited shape (extract
+    * map-side; gate a filter; dedup one fingerprint aggregation whose
+    * shuffle is a digest + id; shards the two-pass prefix sum). The
+    * survivor ID SET is materialized (a long per kept page) and the
+    * extract re-runs on the semi-joined side — at corpus scale
+    * re-running a map-side extract beats persisting the extracted
+    * text, the same ids-not-text judgment as [[Dedup.corpusDedup]].
+    */
+  def crawlPipeline(pages: DataFrame, idCol: String, htmlCol: String,
+                    minTok: Int = 5, maxTok: Int = 10000,
+                    budgetTokens: Long = 2000L): DataFrame = {
+    val gated = Html.htmlExtract(pages, idCol, htmlCol)
+      .select(col(idCol), col("clean_text"))
+      .filter(size(TextFunctions.tokens(col("clean_text")))
+        .between(minTok, maxTok))
+    val survivors = Dedup.exact(gated, idCol, "clean_text")
+      .select(col("survivor_id").as("__sid")).materialized
+    val surv = gated.join(survivors, col(idCol) === col("__sid"), "left_semi")
+    shardManifest(trainingShards(surv, idCol, "clean_text", budgetTokens), idCol)
+  }
+
   /** Document-ALIGNED sequence packing (next-fit): unlike
     * [[packSequences]], a document never straddles two examples — a doc
     * goes into the current bin if it fits the remaining budget,

@@ -134,7 +134,21 @@ object Html {
     * where Spark's regexp_replace is implicitly global, and
     * list_transform/list_filter/list_sum for the higher-order stages.
     */
-  def htmlExtractOracleSql(maxLinkDensity: Double = DefaultMaxLinkDensity): String = {
+  def htmlExtractOracleSql(maxLinkDensity: Double = DefaultMaxLinkDensity): String =
+    s"""${htmlExtractCtes(maxLinkDensity)}
+       |SELECT doc_id, clean_text, n_blocks, n_dropped, n_links, link_density
+       |FROM extracted""".stripMargin
+
+  /** The wrap + extract chain as a composable WITH-prefix ending in an
+    * `extracted` CTE (doc_id, clean_text + the stats columns) — the
+    * splice point for downstream composite oracles (crawl_pipeline).
+    * `idExpr` parameterizes the page-title id so a composite can wrap
+    * every doc under one constant title (making replicated texts exact
+    * page duplicates for its dedup stage); reserved CTE names:
+    * h/ns/blk/ne/agg/extracted.
+    */
+  def htmlExtractCtes(maxLinkDensity: Double = DefaultMaxLinkDensity,
+                      idExpr: String = "doc_id"): String = {
     // duckdb string literals: backslashes are literal, only '' needs
     // escaping — WsPat's \t\r\n must stay as regex escapes
     def qp(p: String) = "'" + p.replace("'", "''") + "'"
@@ -145,7 +159,7 @@ object Html {
         "'&quot;', '\"'), '&#39;', ''''), '&amp;', '&')"
     val blockTextSql = unesc(strip("b"))
     val linkTextSql = unesc(strip("l"))
-    s"""WITH h AS (SELECT doc_id, ${wrapHtmlSql("doc_id", "text")} AS html FROM documents),
+    s"""WITH h AS (SELECT doc_id, ${wrapHtmlSql(idExpr, "text")} AS html FROM documents),
        |ns AS (SELECT doc_id,
        |    regexp_replace(regexp_replace(html, ${qp(ScriptPat)}, ' ', 'g'),
        |      ${qp(StylePat)}, ' ', 'g') AS html FROM h),
@@ -162,8 +176,8 @@ object Html {
        |    list_filter(ne, s -> cast(s.lc AS DOUBLE) <= $maxLinkDensity * cast(len(s.t) AS DOUBLE)) AS kept,
        |    coalesce(list_sum(list_transform(ne, s -> len(s.t))), 0) AS tot,
        |    coalesce(list_sum(list_transform(ne, s -> s.lc)), 0) AS lch
-       |  FROM ne)
-       |SELECT doc_id,
+       |  FROM ne),
+       |extracted AS (SELECT doc_id,
        |  array_to_string(list_transform(kept, s -> s.t), ' ') AS clean_text,
        |  cast(len(ne) AS INTEGER) AS n_blocks,
        |  cast(len(ne) - len(kept) AS INTEGER) AS n_dropped,
@@ -171,6 +185,6 @@ object Html {
        |  CASE WHEN tot > 0
        |    THEN round(cast(lch AS DOUBLE) / cast(tot AS DOUBLE), 6)
        |    ELSE 0.0 END AS link_density
-       |FROM agg""".stripMargin
+       |FROM agg)""".stripMargin
   }
 }

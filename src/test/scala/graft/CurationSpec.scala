@@ -371,6 +371,39 @@ class CurationSpec extends AnyFunSuite {
       joined.map(_._2).sorted))
   }
 
+  test("crawl pipeline equals its step-by-step composition; each gate fires") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Html}
+    val prose = (1 to 40).map(i => s"word$i").mkString(" ")
+    val pages = Seq(
+      (1L, prose),                 // survives everything
+      (2L, prose),                 // exact duplicate of 1 → deduped
+      (3L, "tiny"),                // under the token gate → dropped
+      (4L, prose + " extra tail")  // distinct → survives
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), Html.wrapHtml(lit(0), col("text")).as("html"))
+    val got = Curation.crawlPipeline(pages, "doc_id", "html")
+    // step-by-step replica
+    val gated = Html.htmlExtract(pages, "doc_id", "html")
+      .select(col("doc_id"), col("clean_text"))
+      .filter(size(graft.functions.TextFunctions.tokens(col("clean_text")))
+        .between(5, 10000))
+    val sids = Dedup.exact(gated, "doc_id", "clean_text")
+      .select(col("survivor_id").as("__sid"))
+    val surv = gated.join(sids, col("doc_id") === col("__sid"), "left_semi")
+    val want = Curation.shardManifest(
+      Curation.trainingShards(surv, "doc_id", "clean_text", 2000L), "doc_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // survivors are exactly docs 1 and 4 (2 deduped, 3 gated out)
+    assert(surv.select("doc_id").as[Long].collect().toSet == Set(1L, 4L))
+    // manifest conserves the survivors' token mass
+    val mTok = got.agg(sum("n_tokens")).head().getLong(0)
+    val sTok = surv.select(
+      size(graft.functions.TextFunctions.tokens(col("clean_text"))).cast("long"))
+      .as[Long].collect().sum
+    assert(mTok == sTok)
+  }
+
   test("shard manifest agrees with a direct per-shard aggregation") {
     val docs = Tables.documents(spark, sf)
     val assign = Curation.trainingShards(docs, "doc_id", "text", 2000L)
