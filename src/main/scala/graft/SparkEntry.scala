@@ -921,6 +921,17 @@ object SparkEntry {
       Curation.shardManifest(
         Curation.trainingShards(Tables.documents(s, d), "doc_id", "text", 2000L),
         "doc_id")),
+    // URL-level dedup of a crawl frontier: canonicalize (case, www,
+    // default ports, tracking params, param order, trailing slash,
+    // fragments) then one aggregation — the dedup that runs before any
+    // content byte is compared, on the deterministic URL fixture (C83)
+    "url_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Html.urlDedup(
+        docs.select(col("doc_id"),
+          Html.wrapUrl(col("doc_id"), col("source")).as("url")),
+        "doc_id", "url")
+    }),
     // the full stage-0 composite in ONE declarative plan: HTML extract
     // → token gate → exact dedup → shard manifest. Pages wrapped under
     // a CONSTANT title so replicated texts are exact page duplicates
@@ -1468,6 +1479,12 @@ object SparkEntry {
          |  bit_xor(${ph("concat('doc|', cast(doc_id AS varchar))")}) AS digest
          |FROM (SELECT doc_id, n, before // 2000 AS shard_id FROM cum)
          |GROUP BY shard_id""".stripMargin,
+    "url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, ${Html.wrapUrlSql("doc_id", "source")} AS url
+         |  FROM documents)
+         |SELECT ${Html.urlNormalizeSql("url")} AS canonical_url,
+         |  min(doc_id) AS survivor_id, count(*) AS n_copies
+         |FROM u GROUP BY 1""".stripMargin,
     "crawl_pipeline" ->
       s"""${Html.htmlExtractCtes(idExpr = "0")},
          |gated AS (SELECT doc_id, clean_text FROM extracted

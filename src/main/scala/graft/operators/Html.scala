@@ -134,6 +134,103 @@ object Html {
     * where Spark's regexp_replace is implicitly global, and
     * list_transform/list_filter/list_sum for the higher-order stages.
     */
+  /** Canonicalize a crawl URL — the normalization every crawl dedups
+    * on BEFORE fetching content (two spellings of one address must not
+    * ingest twice): lowercase the scheme and host, strip a `www.`
+    * prefix and explicit default ports (:80/:443), drop the fragment,
+    * remove tracking parameters (utm_*, ref, fbclid, gclid), SORT the
+    * surviving query parameters (param order is not identity), and
+    * strip one trailing slash from the path. Pure column ops (regex +
+    * split/filter/sort HOFs), zero shuffle; [[urlNormalizeSql]] is the
+    * DuckDB twin. Malformed input without a `://` passes through
+    * lowercased-host-rules only where they parse — the regexes yield
+    * empty groups and the recomposition degrades to the raw string
+    * trimmed of a fragment.
+    */
+  def urlNormalize(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host0 = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(
+      regexp_replace(host0, "^www\\.", ""), ":(80|443)$", "")
+    // path+query with the fragment dropped
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val path = regexp_replace(path0, "/$", "")
+    val qs = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val params = array_join(
+      array_sort(filter(split(qs, "&"), p =>
+        p =!= lit("") &&
+          !p.rlike("^(utm_[^=]*|ref|fbclid|gclid)="))), "&")
+    when(scheme === "", regexp_replace(url, "#.*$", ""))
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(params === "", lit("")).otherwise(concat(lit("?"), params))))
+  }
+
+  /** DuckDB expression computing the identical canonical URL. */
+  def urlNormalizeSql(expr: String): String = {
+    val scheme = s"lower(regexp_extract($expr, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val host = "regexp_replace(regexp_replace(" +
+      s"lower(regexp_extract($expr, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), " +
+      "'^www\\.', ''), ':(80|443)$', '')"
+    val rest = s"regexp_extract($expr, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)"
+    val path = s"regexp_replace(regexp_extract($rest, '^([^?]*)', 1), '/$$', '')"
+    val qs = s"regexp_extract($rest, '^[^?]*\\?(.*)$$', 1)"
+    val params = "array_to_string(list_sort(list_filter(" +
+      s"string_split($qs, '&'), " +
+      "p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))), '&')"
+    s"""CASE WHEN $scheme = '' THEN regexp_replace($expr, '#.*$$', '')
+       |ELSE $scheme || '://' || $host || $path ||
+       |  CASE WHEN $params = '' THEN '' ELSE '?' || $params END END""".stripMargin
+  }
+
+  /** URL-level dedup over a crawl frontier/log: one row per canonical
+    * URL with its copy count and the minimal (first-crawled) doc id —
+    * the cheapest dedup of the whole pipeline, run before any byte of
+    * content is compared. One normalization map pass + one aggregation
+    * whose shuffle carries (canonical url, id).
+    */
+  def urlDedup(pages: DataFrame, idCol: String, urlCol: String): DataFrame =
+    pages
+      .select(col(idCol), urlNormalize(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Deterministic crawl-URL fixture for [[urlDedup]]'s driver query:
+    * every normalization hazard appears on a doc_id schedule — mixed
+    * scheme case, www. prefixes, explicit :443 ports, trailing
+    * slashes, tracking params in varying positions, fragments — and
+    * ids sharing (source, id mod 40, id mod 20) collapse to one
+    * canonical URL. [[wrapUrlSql]] is the DuckDB twin.
+    */
+  def wrapUrl(idCol: Column, srcCol: Column): Column =
+    concat(
+      when(idCol % 3 === 0, lit("HTTPS")).otherwise(lit("https")),
+      lit("://"),
+      when(idCol % 2 === 0, lit("www.")).otherwise(lit("")),
+      srcCol, lit(".example.com"),
+      when(idCol % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/articles/item"), (idCol % 40).cast("string"),
+      when(idCol % 4 === 0, lit("/")).otherwise(lit("")),
+      when(idCol % 2 === 0,
+        concat(lit("?utm_source=feed&id="), (idCol % 20).cast("string"),
+          lit("&ref=rss")))
+        .otherwise(concat(lit("?id="), (idCol % 20).cast("string"))),
+      when(idCol % 7 === 0, lit("#section2")).otherwise(lit("")))
+
+  /** DuckDB twin of [[wrapUrl]] over column expressions. */
+  def wrapUrlSql(idExpr: String, srcExpr: String): String =
+    s"""CASE WHEN $idExpr % 3 = 0 THEN 'HTTPS' ELSE 'https' END || '://' ||
+       |CASE WHEN $idExpr % 2 = 0 THEN 'www.' ELSE '' END ||
+       |$srcExpr || '.example.com' ||
+       |CASE WHEN $idExpr % 5 = 0 THEN ':443' ELSE '' END ||
+       |'/articles/item' || cast($idExpr % 40 AS varchar) ||
+       |CASE WHEN $idExpr % 4 = 0 THEN '/' ELSE '' END ||
+       |CASE WHEN $idExpr % 2 = 0
+       |  THEN '?utm_source=feed&id=' || cast($idExpr % 20 AS varchar) || '&ref=rss'
+       |  ELSE '?id=' || cast($idExpr % 20 AS varchar) END ||
+       |CASE WHEN $idExpr % 7 = 0 THEN '#section2' ELSE '' END""".stripMargin
+
   def htmlExtractOracleSql(maxLinkDensity: Double = DefaultMaxLinkDensity): String =
     s"""${htmlExtractCtes(maxLinkDensity)}
        |SELECT doc_id, clean_text, n_blocks, n_dropped, n_links, link_density

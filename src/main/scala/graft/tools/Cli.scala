@@ -44,6 +44,8 @@ object Cli {
     case "bench" :: rest                             => graft.Bench.main(rest.toArray)
     case "verify" :: sfDir :: outDir :: _            => graft.Verify.main(Array(sfDir, outDir))
     case "index" :: kind :: sfDir :: path :: _       => index(kind, sfDir, path)
+    case "shards" :: sfDir :: path :: rest           =>
+      shards(sfDir, path, rest.headOption.map(_.toLong).getOrElse(1000000L))
     case "imagedemo" :: rest                         => imageDemo(rest.headOption.map(_.toLong).getOrElse(500L))
     case "audit" :: rest                             => audit(rest.headOption.getOrElse(DefaultSf))
     case _                                           => usage()
@@ -172,6 +174,21 @@ object Cli {
   /** Build a persisted index from the catalog tables — the production
     * build-once-probe-cheap entry points (minhash / LSH / CDC / BM25).
     */
+  /** Training-shard sink command — write the documents table as
+    * token-budgeted shard directories + manifest (Layouts
+    * .writeTrainingShards), the output stage of the pipeline.
+    */
+  private def shards(sfDir: String, path: String, budget: Long): Unit = {
+    val spark = session()
+    val t0 = System.nanoTime()
+    val (nShards, totalTokens) = graft.sources.Layouts.writeTrainingShards(
+      graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
+      budget, path)
+    println(f"shards=$nShards tokens=$totalTokens budget=$budget path=$path " +
+      f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    spark.stop()
+  }
+
   private def index(kind: String, sfDir: String, path: String): Unit = {
     val spark = session()
     val t0 = System.nanoTime()
@@ -192,6 +209,10 @@ object Cli {
       case "ivfpq-trained" => graft.operators.Similarity.buildIvfPqIndex(
         graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
         path, coarseK = 16)
+      // line-digest index for incremental line dedup / the streaming
+      // line-clean admission (C81)
+      case "line" => graft.operators.Dedup.buildLineIndex(
+        graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", path)
       case "nbmodel" => graft.operators.Scoring.buildNbModel(
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text",
         org.apache.spark.sql.functions.col("lang") === "en", path)
@@ -199,7 +220,7 @@ object Cli {
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", path)
       case other =>
         System.err.println(
-          s"unknown index kind '$other' (minhash|lsh|cdc|bm25|pq|ivfpq|ivfpq-trained|nbmodel|lmmodel)")
+          s"unknown index kind '$other' (minhash|lsh|cdc|bm25|pq|ivfpq|ivfpq-trained|line|nbmodel|lmmodel)")
         sys.exit(1)
     }
     println(f"index=$kind path=$path sec=${(System.nanoTime() - t0) / 1e9}%.2f")
@@ -218,8 +239,10 @@ object Cli {
         |  status                                  executor / resource snapshot
         |  bench [sfDir]                           the benchmark main
         |  verify <sfDir> <outDir>                 the correctness-dump main
-        |  index <minhash|lsh|cdc|bm25|pq|ivfpq|nbmodel|lmmodel> <sfDir> <path>
-        |                                          build a persisted index/model
+        |  index <minhash|lsh|cdc|bm25|pq|ivfpq|ivfpq-trained|line|nbmodel|lmmodel>
+        |        <sfDir> <path>                    build a persisted index/model
+        |  shards <sfDir> <path> [budgetTokens]    write the corpus as token-budgeted
+        |                                          training shards + manifest
         |  imagedemo [n]                           real-image-path demo over n
         |                                          generated PNGs (decode screen,
         |                                          resize, feature cosine)

@@ -85,4 +85,46 @@ class HtmlSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"html_extract shuffles:\n$plan")
   }
+
+  test("url normalization: each canonicalization rule, alone and combined") {
+    val cases = Seq(
+      // scheme + host case, www, default port
+      "HTTPS://WWW.Site.Example.com:443/a" -> "https://site.example.com/a",
+      "http://www.site.org:80/x" -> "http://site.org/x",
+      // non-default port survives
+      "http://site.org:8080/x" -> "http://site.org:8080/x",
+      // trailing slash, fragment
+      "https://site.org/path/" -> "https://site.org/path",
+      "https://site.org/path#frag" -> "https://site.org/path",
+      // tracking params stripped, the rest sorted; ? dropped when empty
+      "https://site.org/p?utm_source=a&b=2&a=1&ref=rss" -> "https://site.org/p?a=1&b=2",
+      "https://site.org/p?utm_campaign=x&fbclid=y&gclid=z" -> "https://site.org/p",
+      // `ref` only as a whole param name: refresh=1 survives
+      "https://site.org/p?refresh=1" -> "https://site.org/p?refresh=1",
+      // path case preserved, host case folded
+      "https://SITE.org/CasePath" -> "https://site.org/CasePath",
+      // root: trailing slash strips to bare authority
+      "https://site.org/" -> "https://site.org",
+      // no scheme: pass-through minus fragment
+      "not a url#frag" -> "not a url")
+    val got = cases.map(_._1).toDF("url")
+      .select(Html.urlNormalize(col("url")).as("n"))
+      .as[String].collect().toSeq
+    cases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"normalize($in)")
+    }
+  }
+
+  test("url dedup groups spelling variants under one canonical survivor") {
+    val pages = Seq(
+      (1L, "https://site.org/a?id=1"),
+      (2L, "HTTPS://www.site.org/a/?id=1&utm_source=x#top"), // same as 1
+      (3L, "https://site.org/a?id=2")
+    ).toDF("doc_id", "url")
+    val out = Html.urlDedup(pages, "doc_id", "url")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(
+      "https://site.org/a?id=1" -> ((1L, 2L)),
+      "https://site.org/a?id=2" -> ((3L, 1L))))
+  }
 }
