@@ -83,7 +83,8 @@ object SoakBench {
       .getOrElse(Set("flood", "minhash", "vectors", "ivf", "bm25",
         "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
         "lmscore", "bpe", "mixaudit", "proto", "leakage", "semgate",
-        "ingest", "htmlx", "ivfassign", "linededup", "chunks", "shards"))
+        "ingest", "htmlx", "ivfassign", "linededup", "chunks", "shards",
+        "crawlpipe"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -743,6 +744,28 @@ object SoakBench {
         graft.operators.Curation.shardManifest(
           graft.operators.Curation.trainingShards(
             cdocs, "doc_id", "text", 1000000L), "doc_id")
+      }
+    }
+
+    // ---- axis: the stage-0 composite end-to-end ---------------------
+    // exact-copy flood of HTML pages under one title: the extract is
+    // the map-heavy stage, the dedup stage collapses mult copies to
+    // one, and the manifest is computed over the collapsed survivor
+    // set — the full crawl_pipeline shape at GB scale.
+    if (axes("crawlpipe")) {
+      val pMult = math.max(1, (targetMb / baseMb).toInt)
+      val pPath = "target/soak_pages"
+      docs.select(col("doc_id"),
+          graft.operators.Html.wrapHtml(lit(0), col("text")).as("html"))
+        .repartition(32)
+        .select(explode(sequence(lit(1), lit(pMult))).as("copy"),
+          col("doc_id"), col("html"))
+        .select((col("doc_id") * pMult + col("copy")).as("doc_id"), col("html"))
+        .write.mode("overwrite").parquet(pPath)
+      val pages = spark.read.parquet(pPath)
+      val pagesMb = pages.agg(sum(length(col("html")))).collect()(0).getLong(0) / 1e6
+      axis("crawl_pipeline", pagesMb) {
+        graft.operators.Curation.crawlPipeline(pages, "doc_id", "html")
       }
     }
 
