@@ -19,8 +19,14 @@ object Verify {
     def included(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // same tuned session the library ships (GraftSession) — verify the
-    // configuration users actually run
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // configuration users actually run. SPARK_GRAFT_MASTER overrides
+    // the local master so the SAME dump can run under
+    // local-cluster[n,c,m] (separate executor JVMs — the closest
+    // single-box stand-in for a real cluster: it exercises closure/
+    // kernel serialization and broadcasts that local mode never
+    // round-trips).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = GraftSession.builder(master, cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val listener = Monitoring.install(spark)
