@@ -111,6 +111,12 @@ object Layouts {
     * (budget-sized by construction) instead of a file per (task,
     * shard) pair — at 100 TB the no-repartition form would shatter
     * every shard directory into thousands of KB files.
+    *
+    * Crash semantics: data first, manifest LAST — a reader that finds
+    * the manifest knows the shard directories it describes are
+    * complete (a crash between the two writes leaves data without a
+    * manifest, which readers treat as absent; rerunning the sink
+    * overwrites both). The manifest is the commit marker.
     */
   def writeTrainingShards(docs: DataFrame, idCol: String, textCol: String,
                           budgetTokens: Long, path: String): (Long, Long) = {
