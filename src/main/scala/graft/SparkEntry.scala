@@ -921,6 +921,17 @@ object SparkEntry {
       Curation.shardManifest(
         Curation.trainingShards(Tables.documents(s, d), "doc_id", "text", 2000L),
         "doc_id")),
+    // shard-manifest diff across two corpus builds (full vs a
+    // deterministic removal slice) — the retrain-only-changed-shards
+    // audit; removal shifts every later global offset, so the diff
+    // shows the boundary blast radius honestly (C84)
+    "shard_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def mani(df: DataFrame) = Curation.shardManifest(
+        Curation.trainingShards(df, "doc_id", "text", 2000L), "doc_id")
+      Curation.shardDiff(mani(docs),
+        mani(docs.filter(col("doc_id") % 17 =!= 3)))
+    }),
     // URL-level dedup of a crawl frontier: canonicalize (case, www,
     // default ports, tracking params, param order, trailing slash,
     // fragments) then one aggregation — the dedup that runs before any
@@ -1479,6 +1490,34 @@ object SparkEntry {
          |  bit_xor(${ph("concat('doc|', cast(doc_id AS varchar))")}) AS digest
          |FROM (SELECT doc_id, n, before // 2000 AS shard_id FROM cum)
          |GROUP BY shard_id""".stripMargin,
+    "shard_diff" -> {
+      def maniCtes(p: String, where: String) =
+        s"""${p}b AS (SELECT doc_id, cast(len($tok) AS bigint) AS n,
+           |    ${ph("concat('shuffle|', cast(doc_id AS varchar))")} AS h
+           |  FROM documents$where),
+           |${p}c AS (SELECT doc_id, n,
+           |    cast(sum(n) OVER (ORDER BY h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS bigint) AS before
+           |  FROM ${p}b),
+           |${p}m AS (SELECT before // 2000 AS shard_id,
+           |    cast(count(*) AS bigint) AS n_docs,
+           |    cast(sum(n) AS bigint) AS n_tokens,
+           |    bit_xor(${ph("concat('doc|', cast(doc_id AS varchar))")}) AS digest
+           |  FROM ${p}c GROUP BY 1)""".stripMargin
+      s"""WITH ${maniCtes("so", "")},
+         |${maniCtes("sn", " WHERE doc_id % 17 <> 3")}
+         |SELECT coalesce(som.shard_id, snm.shard_id) AS shard_id,
+         |  CASE WHEN som.shard_id IS NULL THEN 'added'
+         |       WHEN snm.shard_id IS NULL THEN 'removed'
+         |       WHEN som.digest = snm.digest AND som.n_docs = snm.n_docs
+         |            AND som.n_tokens = snm.n_tokens THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  coalesce(som.n_docs, 0) AS old_docs,
+         |  coalesce(snm.n_docs, 0) AS new_docs,
+         |  coalesce(som.n_tokens, 0) AS old_tokens,
+         |  coalesce(snm.n_tokens, 0) AS new_tokens
+         |FROM som FULL OUTER JOIN snm ON som.shard_id = snm.shard_id""".stripMargin
+    },
     "url_dedup" ->
       s"""WITH u AS (SELECT doc_id, ${Html.wrapUrlSql("doc_id", "source")} AS url
          |  FROM documents)

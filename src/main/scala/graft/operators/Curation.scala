@@ -618,6 +618,40 @@ object Curation {
         expr(s"bit_xor(${phashSql(s"concat('doc|', cast($idCol AS string))")})")
           .as("digest"))
 
+  /** Shard-manifest diff across two corpus builds — the audit an
+    * incremental re-training run reads to touch ONLY changed shards:
+    * full-outer join of two [[shardManifest]] outputs on shard_id,
+    * each shard classified added / removed / changed / unchanged by
+    * the (digest, n_docs, n_tokens) triple. Counts are coalesced to 0
+    * on the missing side (no NULL-widening across engines). One join
+    * of two manifest-sized tables — O(shards), never O(corpus).
+    *
+    * Note the honest caveat a user must know: shard boundaries are
+    * GLOBAL-ORDER-defined (floor(tokens_before ∕ budget)), so
+    * removing one doc shifts every later offset and cascades
+    * `changed` from that point in the hash order on — the diff makes
+    * that blast radius visible rather than hiding it.
+    */
+  def shardDiff(oldMani: DataFrame, newMani: DataFrame): DataFrame = {
+    val o = oldMani.select(col("shard_id"),
+      col("n_docs").as("__od"), col("n_tokens").as("__ot"),
+      col("digest").as("__og"))
+    val n = newMani.select(col("shard_id"),
+      col("n_docs").as("__nd"), col("n_tokens").as("__nt"),
+      col("digest").as("__ng"))
+    o.join(n, Seq("shard_id"), "full_outer")
+      .select(col("shard_id"),
+        when(col("__og").isNull, lit("added"))
+          .when(col("__ng").isNull, lit("removed"))
+          .when(col("__og") === col("__ng") && col("__od") === col("__nd")
+            && col("__ot") === col("__nt"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("__od"), lit(0L)).as("old_docs"),
+        coalesce(col("__nd"), lit(0L)).as("new_docs"),
+        coalesce(col("__ot"), lit(0L)).as("old_tokens"),
+        coalesce(col("__nt"), lit(0L)).as("new_tokens"))
+  }
+
   /** Spark-SQL spelling of [[phash]] for use inside `expr(...)`. */
   private def phashSql(e: String): String =
     s"cast(conv(substring(md5($e), 1, 15), 16, 10) AS long)"

@@ -404,6 +404,42 @@ class CurationSpec extends AnyFunSuite {
     assert(mTok == sTok)
   }
 
+  test("shard diff classifies added/removed/changed/unchanged; identical builds all-unchanged") {
+    import spark.implicits._
+    val oldM = Seq((0L, 5L, 2000L, 111L), (1L, 4L, 1900L, 222L),
+      (2L, 6L, 2100L, 333L)).toDF("shard_id", "n_docs", "n_tokens", "digest")
+    val newM = Seq((0L, 5L, 2000L, 111L),  // unchanged
+      (1L, 4L, 1900L, 999L),               // same counts, new digest → changed
+      (3L, 2L, 800L, 444L)                 // new shard → added; 2 → removed
+    ).toDF("shard_id", "n_docs", "n_tokens", "digest")
+    val got = Curation.shardDiff(oldM, newM).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got(0L) == (("unchanged", 5L, 5L, 2000L, 2000L)))
+    assert(got(1L) == (("changed", 4L, 4L, 1900L, 1900L)))
+    assert(got(2L) == (("removed", 6L, 0L, 2100L, 0L)))
+    assert(got(3L) == (("added", 0L, 2L, 0L, 800L)))
+    // self-diff of a REAL manifest: everything unchanged
+    val mani = Curation.shardManifest(
+      Curation.trainingShards(Tables.documents(spark, sf), "doc_id", "text", 2000L),
+      "doc_id")
+    val self = Curation.shardDiff(mani, mani)
+    assert(self.filter(col("status") =!= "unchanged").count() == 0)
+    // a removal cascades `changed` from the victim's offset onward,
+    // never silently `unchanged` with different content
+    val pruned = Curation.shardManifest(
+      Curation.trainingShards(
+        Tables.documents(spark, sf).filter(col("doc_id") =!= 0L),
+        "doc_id", "text", 2000L), "doc_id")
+    val diff = Curation.shardDiff(mani, pruned)
+    val statuses = diff.groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.contains("changed"))
+    val tokOld = diff.agg(sum("old_tokens")).head().getLong(0)
+    val tokNew = diff.agg(sum("new_tokens")).head().getLong(0)
+    assert(tokOld > tokNew) // the removed doc's tokens left the corpus
+  }
+
   test("shard manifest agrees with a direct per-shard aggregation") {
     val docs = Tables.documents(spark, sf)
     val assign = Curation.trainingShards(docs, "doc_id", "text", 2000L)
