@@ -780,6 +780,16 @@ object SparkEntry {
           Html.wrapHtml(col("doc_id"), col("text")).as("html")),
         "doc_id", "html")
     }),
+    // robots-meta compliance gate (C85): noindex/nofollow/none
+    // directives per page on the deterministic meta-tag fixture —
+    // the exclusion signal honored before a page enters the corpus
+    "robots_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Html.robotsGate(
+        docs.select(col("doc_id"),
+          Html.wrapRobotsHtml(col("doc_id"), col("text")).as("html")),
+        "doc_id", "html")
+    }),
     "gopher_repetition" -> ((s, d) =>
       TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")),
     // CCNet-style bigram-LM perplexity screen: per-doc cross-entropy
@@ -1895,6 +1905,7 @@ object SparkEntry {
     "knn_ivf_trained" -> Similarity.knnIvfOracleSql(
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
     "html_extract" -> Html.htmlExtractOracleSql(),
+    "robots_gate" -> Html.robotsGateOracleSql,
     "knn_ivfpq_residual_trained" -> Similarity.knnIvfPqResidualOracleSql(
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
     "knn_ivfpq_refine" -> Similarity.knnIvfPqRefineOracleSql(),

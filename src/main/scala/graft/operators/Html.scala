@@ -231,6 +231,111 @@ object Html {
        |  ELSE '?id=' || cast($idExpr % 20 AS varchar) END ||
        |CASE WHEN $idExpr % 7 = 0 THEN '#section2' ELSE '' END""".stripMargin
 
+  // robots-meta pattern constants — shared Spark/DuckDB, RE2-safe
+  private[graft] val MetaTagPat = "(?i)<meta[^>]*>"
+  private[graft] val RobotsNamePat = "(?i)name[ \\t]*=[ \\t]*[\"']robots[\"']"
+  private[graft] val ContentAttrPat = "(?i)content[ \\t]*=[ \\t]*[\"']([^\"']*)[\"']"
+
+  /** Robots-meta compliance gate — the page-level exclusion signal a
+    * responsible crawl pipeline honors BEFORE a page enters the corpus
+    * (REP meta tags, standardized in RFC 9309's ecosystem; the
+    * `noindex`/`nofollow`/`none` values are the public Google/Bing
+    * documented set). Per page: collect `<meta …>` tags, keep those
+    * whose name attribute is `robots` (attribute ORDER and CASE are
+    * not identity — `content=… name=…` and `NAME="ROBOTS"` both bind;
+    * UA-specific tags like `name="googlebot"` are deliberately NOT
+    * honored — the gate implements the generic-UA contract, documented
+    * choice), union their comma-separated directive lists (two robots
+    * tags on one page both apply), and derive: `noindex` (directive
+    * `noindex` or `none`), `nofollow` (`nofollow` or `none`),
+    * `indexable` (= NOT noindex — the corpus admission bit).
+    *
+    * Scale shape: per-row regex + higher-order ops only — zero
+    * shuffle, no UDF, composes with [[htmlExtract]] in the same map
+    * pass.
+    */
+  def robotsGate(pages: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val metas = regexp_extract_all(col(htmlCol), lit(MetaTagPat), lit(0))
+    val robots = filter(metas, m => m.rlike(RobotsNamePat))
+    val flags = transform(
+      flatten(transform(robots, m =>
+        split(regexp_extract(m, ContentAttrPat, 1), ","))),
+      t => lower(trim(t)))
+    pages.select(col(idCol), robots.as("__r"), flags.as("__f"))
+      .select(col(idCol),
+        size(col("__r")).as("n_robots_meta"),
+        (array_contains(col("__f"), "noindex") ||
+          array_contains(col("__f"), "none")).as("noindex"),
+        (array_contains(col("__f"), "nofollow") ||
+          array_contains(col("__f"), "none")).as("nofollow"))
+      .withColumn("indexable", !col("noindex"))
+  }
+
+  /** Deterministic robots-meta page fixture: every directive hazard on
+    * a doc_id schedule — plain noindex, CASE variants, reversed
+    * attribute order, `none`, a UA-specific googlebot tag (must NOT
+    * bind), `all`, a description meta merely containing the word
+    * noindex (must NOT bind), and a two-tag union page.
+    * [[wrapRobotsHtmlSql]] is the character-identical DuckDB twin.
+    */
+  def wrapRobotsHtml(idCol: Column, textCol: Column): Column = {
+    val m = idCol % 11
+    val meta =
+      when(m === 0, lit("<meta name=\"robots\" content=\"noindex\">"))
+        .when(m === 1, lit("<META NAME=\"ROBOTS\" CONTENT=\"NOINDEX, NOFOLLOW\">"))
+        .when(m === 2, lit("<meta content=\"nofollow\" name=\"robots\">"))
+        .when(m === 3, lit("<meta name='robots' content='none'>"))
+        .when(m === 4, lit("<meta name=\"googlebot\" content=\"noindex\">"))
+        .when(m === 5, lit("<meta name=\"robots\" content=\"all\">"))
+        .when(m === 6, lit("<meta name=\"description\" content=\"noindex is a word\">"))
+        .when(m === 7, lit("<meta name=\"robots\" content=\"noarchive\">" +
+          "<meta name=\"robots\" content=\"noindex\">"))
+        .otherwise(lit(""))
+    concat(lit("<html><head><title>Doc "), idCol, lit("</title>"), meta,
+      lit("</head><body><p>"), textCol, lit("</p></body></html>"))
+  }
+
+  /** DuckDB twin of [[wrapRobotsHtml]]. */
+  def wrapRobotsHtmlSql(idExpr: String, textExpr: String): String =
+    s"""'<html><head><title>Doc ' || $idExpr || '</title>' ||
+       |CASE $idExpr % 11
+       |  WHEN 0 THEN '<meta name="robots" content="noindex">'
+       |  WHEN 1 THEN '<META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW">'
+       |  WHEN 2 THEN '<meta content="nofollow" name="robots">'
+       |  WHEN 3 THEN '<meta name=''robots'' content=''none''>'
+       |  WHEN 4 THEN '<meta name="googlebot" content="noindex">'
+       |  WHEN 5 THEN '<meta name="robots" content="all">'
+       |  WHEN 6 THEN '<meta name="description" content="noindex is a word">'
+       |  WHEN 7 THEN '<meta name="robots" content="noarchive">' ||
+       |    '<meta name="robots" content="noindex">'
+       |  ELSE '' END ||
+       |'</head><body><p>' || $textExpr || '</p></body></html>'""".stripMargin
+
+  /** DuckDB twin of wrap + gate over the documents table — identical
+    * pattern constants, list HOFs for the per-tag stages.
+    */
+  def robotsGateOracleSql: String = {
+    def qp(p: String) = "'" + p.replace("'", "''") + "'"
+    s"""WITH h AS (SELECT doc_id, ${wrapRobotsHtmlSql("doc_id", "text")} AS html
+       |  FROM documents),
+       |r AS (SELECT doc_id,
+       |    list_filter(regexp_extract_all(html, ${qp(MetaTagPat)}, 0),
+       |      m -> regexp_matches(m, ${qp(RobotsNamePat)})) AS robots
+       |  FROM h),
+       |f AS (SELECT doc_id, robots,
+       |    list_transform(
+       |      flatten(list_transform(robots,
+       |        m -> string_split(regexp_extract(m, ${qp(ContentAttrPat)}, 1), ','))),
+       |      t -> lower(trim(t))) AS flags
+       |  FROM r)
+       |SELECT doc_id,
+       |  cast(len(robots) AS INTEGER) AS n_robots_meta,
+       |  (list_contains(flags, 'noindex') OR list_contains(flags, 'none')) AS noindex,
+       |  (list_contains(flags, 'nofollow') OR list_contains(flags, 'none')) AS nofollow,
+       |  NOT (list_contains(flags, 'noindex') OR list_contains(flags, 'none')) AS indexable
+       |FROM f""".stripMargin
+  }
+
   def htmlExtractOracleSql(maxLinkDensity: Double = DefaultMaxLinkDensity): String =
     s"""${htmlExtractCtes(maxLinkDensity)}
        |SELECT doc_id, clean_text, n_blocks, n_dropped, n_links, link_density

@@ -115,6 +115,46 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("robots gate: directive table rule by rule, union, and non-binding tags") {
+    def gate(html: String*) = Html.robotsGate(
+      html.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("doc_id", "html"),
+      "doc_id", "html")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getInt(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+      .toSeq
+    val page = (meta: String) => s"<html><head>$meta</head><body><p>x</p></body></html>"
+    assert(gate(
+      page("""<meta name="robots" content="noindex">"""),
+      page("""<META NAME="ROBOTS" CONTENT="NOINDEX, NOFOLLOW">"""), // case + list
+      page("""<meta content="nofollow" name="robots">"""),          // attr order
+      page("""<meta name='robots' content='none'>"""),              // none = both
+      page("""<meta name="googlebot" content="noindex">"""),        // UA tag: no bind
+      page("""<meta name="robots" content="all">"""),
+      page("""<meta name="description" content="noindex is a word">"""),
+      page("""<meta name="robots" content="noarchive"><meta name="robots" content="noindex">"""),
+      page(""),                                                      // no meta at all
+      page("""<meta name="robots">""")                               // content-less
+    ) == Seq(
+      (1, true, false, false),
+      (1, true, true, false),
+      (1, false, true, true),
+      (1, true, true, false),
+      (0, false, false, true),
+      (1, false, false, true),
+      (0, false, false, true),
+      (2, true, false, false),
+      (0, false, false, true),
+      (1, false, false, true)))
+    // zero-shuffle map pass, like the extractor
+    val docs = Tables.documents(spark, sf).limit(20)
+    val plan = Html.robotsGate(
+      docs.select(col("doc_id"),
+        Html.wrapRobotsHtml(col("doc_id"), col("text")).as("html")),
+      "doc_id", "html")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"robots gate shuffled:\n$plan")
+  }
+
   test("url dedup groups spelling variants under one canonical survivor") {
     val pages = Seq(
       (1L, "https://site.org/a?id=1"),
