@@ -97,7 +97,46 @@ object SparkEntry {
           length(col("text")).as("n_chars"),
           size(TextFunctions.tokens(col("text"))).as("n_tokens"))
     }),
+    // WARC container ingestion (A12): the Common-Crawl shape — the
+    // story's 100-line records wrapped in real WARC/1.0 named headers
+    // (fixture build driver-side, ~1 MB), then readWarc splits records
+    // at the version-line boundary INSIDE the scan and parses headers
+    // + payload per-row, zero shuffle. The oracle re-parses the SAME
+    // generated file in SQL, proving the split + header grammar.
+    "warc_ingest" -> ((s, _) => {
+      buildWarcFixture()
+      graft.sources.Formats.readWarc(s, WarcFixturePath)
+        .select(col("record_id"), col("warc_type"), col("warc_date"),
+          col("target_uri"), col("content_type"), col("content_length"),
+          col("length_ok"), col("block"))
+    }),
   )
+
+  private val WarcFixturePath = "/root/repo/target/warc_ingest/corpus.warc"
+
+  /** Deterministic WARC/1.0 fixture from the reference story: each
+    * 100-line record becomes one `response`/`request`/`metadata`
+    * record (i%3) with uuid-shaped ids, minute-stepped dates, and a
+    * byte-accurate Content-Length. Idempotent rebuild.
+    */
+  private def buildWarcFixture(): Unit = {
+    val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(RawStoryPath))
+    val blocks = raw.split("\n", -1).grouped(100).map(_.mkString("\n")).toSeq
+    val types = Seq("response", "request", "metadata")
+    val recs = blocks.zipWithIndex.map { case (b, i) =>
+      s"WARC/1.0\r\n" +
+        f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-${i}%012d>\r\n" +
+        s"WARC-Type: ${types(i % 3)}\r\n" +
+        f"WARC-Date: 2026-01-01T${i / 60}%02d:${i % 60}%02d:00Z\r\n" +
+        s"WARC-Target-URI: https://crawl.example.com/page/$i\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${b.getBytes("UTF-8").length}\r\n" +
+        s"\r\n$b\r\n\r\n"
+    }
+    val p = java.nio.file.Paths.get(WarcFixturePath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, recs.mkString(""))
+  }
 
   private def tok = TextFunctions.tokensSql("text")
 
@@ -172,6 +211,28 @@ object SparkEntry {
          |  cast(len(${TextFunctions.tokensSql("text")}) AS integer) AS n_tokens
          |FROM rec
          |WHERE regexp_matches(text, '[^ \t\r\n]')""".stripMargin,
+    "warc_ingest" ->
+      s"""WITH f AS (SELECT content FROM read_text('$WarcFixturePath')),
+         |recs AS (SELECT unnest(string_split(content,
+         |    chr(13)||chr(10)||chr(13)||chr(10)||'WARC/1.0'||chr(13)||chr(10))) AS r0 FROM f),
+         |norm AS (SELECT regexp_replace(regexp_replace(r0,
+         |    '^WARC/1\\.0\r\n', ''), '[\r\n]+$$', '') AS rec FROM recs),
+         |sp AS (SELECT rec,
+         |    string_split(rec, chr(13)||chr(10)||chr(13)||chr(10))[1] AS hdr
+         |  FROM norm WHERE rec <> ''),
+         |p AS (SELECT
+         |    regexp_extract(hdr, '(?im)^WARC-Record-ID:[ \t]*([^\r\n]*)', 1) AS record_id,
+         |    regexp_extract(hdr, '(?im)^WARC-Type:[ \t]*([^\r\n]*)', 1) AS warc_type,
+         |    regexp_extract(hdr, '(?im)^WARC-Date:[ \t]*([^\r\n]*)', 1) AS wd,
+         |    regexp_extract(hdr, '(?im)^WARC-Target-URI:[ \t]*([^\r\n]*)', 1) AS target_uri,
+         |    regexp_extract(hdr, '(?im)^Content-Type:[ \t]*([^\r\n]*)', 1) AS content_type,
+         |    cast(regexp_extract(hdr, '(?im)^Content-Length:[ \t]*([^\r\n]*)', 1) AS bigint) AS content_length,
+         |    substring(rec, length(hdr) + 5) AS block
+         |  FROM sp)
+         |SELECT record_id, warc_type, cast(wd AS timestamp) AS warc_date,
+         |  target_uri, content_type, content_length,
+         |  (strlen(block) = content_length) AS length_ok, block
+         |FROM p""".stripMargin,
     "raw_weather_stats" ->
       s"""WITH w AS (SELECT * FROM read_csv('$RawWeatherPath', header = true,
          |    columns = {'temperature': 'DOUBLE', 'humidity': 'DOUBLE', 'pressure': 'DOUBLE'})),
@@ -789,6 +850,21 @@ object SparkEntry {
         docs.select(col("doc_id"),
           Html.wrapRobotsHtml(col("doc_id"), col("text")).as("html")),
         "doc_id", "html")
+    }),
+    // robots.txt frontier filtering (C86): RFC 9309 parse + most-
+    // specific-group / longest-match evaluation of the wrapUrl
+    // frontier for agent graftbot — rules broadcast per host, the
+    // frontier never shuffles
+    "robots_txt_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val robots = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          Html.wrapRobotsTxt(col("source")).as("content"))
+      Html.robotsFilter(
+        docs.select(col("doc_id"),
+          Html.wrapUrl(col("doc_id"), col("source")).as("url")),
+        "doc_id", "url",
+        Html.robotsRules(robots, "host", "content"), "graftbot")
     }),
     "gopher_repetition" -> ((s, d) =>
       TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")),
@@ -1906,6 +1982,7 @@ object SparkEntry {
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
     "html_extract" -> Html.htmlExtractOracleSql(),
     "robots_gate" -> Html.robotsGateOracleSql,
+    "robots_txt_filter" -> Html.robotsTxtFilterOracleSql,
     "knn_ivfpq_residual_trained" -> Similarity.knnIvfPqResidualOracleSql(
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
     "knn_ivfpq_refine" -> Similarity.knnIvfPqRefineOracleSql(),

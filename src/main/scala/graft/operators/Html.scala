@@ -336,6 +336,160 @@ object Html {
        |FROM f""".stripMargin
   }
 
+  /** Parse robots.txt files into a (host, ua, rtype, rpath) rules
+    * table — RFC 9309 grammar: lines strip comments (`#` to EOL) and
+    * whitespace; consecutive `User-agent:` lines form ONE group whose
+    * every agent owns the rule block that follows; `Allow`/`Disallow`
+    * names are case-insensitive; an empty-path `Disallow:` imposes no
+    * restriction and is dropped. Group association runs as a window
+    * over line numbers PER robots file — the input is one row per
+    * host, thousands at most, never corpus-sized.
+    */
+  def robotsRules(robots: DataFrame, hostCol: String, contentCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(col(contentCol), "\n")).as(Seq("line_no", "raw")))
+      .select(col("host"), col("line_no"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+    val classified = lines.select(col("host"), col("line_no"),
+      lower(trim(regexp_extract(col("line"), "(?i)^User-agent:[ \\t]*(.*)$", 1))).as("ua"),
+      lower(regexp_extract(col("line"), "(?i)^(Allow|Disallow):", 1)).as("rtype"),
+      trim(regexp_extract(col("line"), "(?i)^(?:Allow|Disallow):[ \\t]*(.*)$", 1)).as("rpath"))
+    val w = Window.partitionBy("host").orderBy("line_no")
+    val grouped = classified
+      .withColumn("is_ua", col("ua") =!= "")
+      .withColumn("run_start",
+        col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(w), lit(false)))
+      .withColumn("grp", sum(when(col("run_start"), 1).otherwise(0)).over(w))
+    val uas = grouped.filter(col("is_ua"))
+      .select(col("host"), col("grp"), col("ua"))
+    val rules = grouped.filter(col("rtype") =!= "" && col("rpath") =!= "")
+      .select(col("host"), col("grp"), col("rtype"), col("rpath"))
+    uas.join(rules, Seq("host", "grp"))
+      .select("host", "ua", "rtype", "rpath")
+  }
+
+  /** Evaluate a URL frontier against a [[robotsRules]] table for one
+    * crawler agent — RFC 9309 matching: the MOST SPECIFIC user-agent
+    * group and ONLY that group applies (an exact-agent group shadows
+    * `*` entirely, not a union); among that group's prefix-matching
+    * rules the LONGEST path wins, `allow` winning length ties; no
+    * matching rule (or no rules at all for the host) means allowed.
+    *
+    * Scale shape — the part that matters at a 100 TB frontier: rules
+    * collapse to one array per host (robots.txt data is KB-per-host,
+    * thousands of hosts) and ride a BROADCAST join; the winning rule
+    * is picked per row by an `array_max` over a sortable
+    * (len, allow-pref, path) struct — the frontier itself never
+    * shuffles (the obvious per-URL row_number window would reshuffle
+    * all of it).
+    */
+  def robotsFilter(urls: DataFrame, idCol: String, urlCol: String,
+                   rules: DataFrame, agent: String): DataFrame = {
+    val spec = rules.groupBy("host")
+      .agg(max((col("ua") === agent).cast("int")).as("has_spec"))
+    val applicable = rules.join(broadcast(spec), Seq("host"))
+      .filter((col("has_spec") === 1 && col("ua") === agent) ||
+        (col("has_spec") === 0 && col("ua") === "*"))
+    val perHost = applicable.groupBy("host")
+      .agg(collect_list(struct(col("rtype"), col("rpath"))).as("__rules"))
+      .withColumnRenamed("host", "__rhost")
+    val canon = urlNormalize(col(urlCol))
+    val u = urls.select(col(idCol),
+      regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1).as("host"),
+      regexp_extract(canon, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1).as("path"))
+    val matching = filter(col("__rules"), r =>
+      startswith(col("path"), r.getField("rpath")))
+    val winner = array_max(transform(matching, r => struct(
+      length(r.getField("rpath")).as("l"),
+      when(r.getField("rtype") === "allow", 1).otherwise(0).as("pref"),
+      r.getField("rpath").as("rpath"),
+      r.getField("rtype").as("rtype"))))
+    u.join(broadcast(perHost), col("host") === col("__rhost"), "left")
+      .withColumn("__w", winner)
+      .select(col(idCol), col("host"), col("path"),
+        coalesce(col("__w").getField("rpath"), lit("")).as("matched_path"),
+        coalesce(col("__w").getField("rtype"), lit("")).as("matched_type"),
+        (col("__w").isNull || col("__w").getField("rtype") === "allow")
+          .as("allowed"))
+  }
+
+  /** Deterministic robots.txt fixture per host: even-length sources
+    * get an agent-specific `graftbot` group (exercising the
+    * group-shadowing rule), every host gets a two-agent `*`/`otherbot`
+    * group with longest-match allow overrides, an inline comment, and
+    * an empty `Disallow:`. [[wrapRobotsTxtSql]] is the DuckDB twin.
+    */
+  def wrapRobotsTxt(src: Column): Column = concat(
+    lit("# robots fixture\n"),
+    when(length(src) % 2 === 0,
+      lit("User-agent: graftbot\nDisallow: /articles/item1\nAllow: /articles/item12\n\n"))
+      .otherwise(lit("")),
+    lit("User-agent: *\nUser-agent: otherbot\n" +
+      "Disallow: /articles/item2\nAllow: /articles/item23\n" +
+      "Disallow: /articles/item3\nDisallow: /articles/item4 # seasonal\n" +
+      "Disallow:\n"))
+
+  /** DuckDB twin of [[wrapRobotsTxt]]. */
+  def wrapRobotsTxtSql(srcExpr: String): String = {
+    def nl(parts: Seq[String]) = parts.map(p => s"'$p'").mkString(" || chr(10) || ")
+    s"""'# robots fixture' || chr(10) ||
+       |CASE WHEN length($srcExpr) % 2 = 0 THEN ${nl(Seq(
+            "User-agent: graftbot", "Disallow: /articles/item1",
+            "Allow: /articles/item12"))} || chr(10) || chr(10) ELSE '' END ||
+       |${nl(Seq("User-agent: *", "User-agent: otherbot",
+            "Disallow: /articles/item2", "Allow: /articles/item23",
+            "Disallow: /articles/item3", "Disallow: /articles/item4 # seasonal",
+            "Disallow:"))} || chr(10)""".stripMargin
+  }
+
+  /** DuckDB twin of the full fixture → parse → filter chain over the
+    * documents table, for agent `graftbot` on the [[wrapUrl]] frontier.
+    */
+  def robotsTxtFilterOracleSql: String =
+    s"""WITH src AS (SELECT DISTINCT source FROM documents),
+       |rb AS (SELECT source || '.example.com' AS host,
+       |    ${wrapRobotsTxtSql("source")} AS content FROM src),
+       |lx AS (SELECT host, unnest(list_transform(string_split(content, chr(10)),
+       |    (x, i) -> struct_pack(i := i, raw := x))) AS s FROM rb),
+       |ln AS (SELECT host, s.i AS line_no,
+       |    trim(regexp_replace(s.raw, '#.*$$', '')) AS line FROM lx),
+       |cl AS (SELECT host, line_no,
+       |    lower(trim(regexp_extract(line, '(?i)^User-agent:[ \t]*(.*)$$', 1))) AS ua,
+       |    lower(regexp_extract(line, '(?i)^(Allow|Disallow):', 1)) AS rtype,
+       |    trim(regexp_extract(line, '(?i)^(?:Allow|Disallow):[ \t]*(.*)$$', 1)) AS rpath
+       |  FROM ln),
+       |g AS (SELECT *, (ua <> '') AS is_ua,
+       |    coalesce(lag(ua <> '') OVER (PARTITION BY host ORDER BY line_no), false) AS prev_ua
+       |  FROM cl),
+       |g2 AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY host ORDER BY line_no) AS grp FROM g),
+       |uas AS (SELECT host, grp, ua FROM g2 WHERE is_ua),
+       |rules AS (SELECT host, grp, rtype, rpath FROM g2
+       |  WHERE rtype <> '' AND rpath <> ''),
+       |rr AS (SELECT uas.host, uas.ua, rules.rtype, rules.rpath
+       |  FROM uas JOIN rules USING (host, grp)),
+       |sp AS (SELECT host, max(CASE WHEN ua = 'graftbot' THEN 1 ELSE 0 END) AS has_spec
+       |  FROM rr GROUP BY host),
+       |ap AS (SELECT rr.host, rtype, rpath FROM rr JOIN sp USING (host)
+       |  WHERE (has_spec = 1 AND ua = 'graftbot') OR (has_spec = 0 AND ua = '*')),
+       |u0 AS (SELECT doc_id, ${urlNormalizeSql(wrapUrlSql("doc_id", "source"))} AS url
+       |  FROM documents),
+       |u AS (SELECT doc_id,
+       |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+       |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+       |  FROM u0),
+       |j AS (SELECT u.doc_id, u.host, u.path, ap.rpath, ap.rtype,
+       |    CASE WHEN ap.rtype = 'allow' THEN 1 ELSE 0 END AS pref
+       |  FROM u LEFT JOIN ap ON u.host = ap.host AND starts_with(u.path, ap.rpath)),
+       |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY len(rpath) DESC, pref DESC, rpath DESC) AS rn FROM j)
+       |SELECT doc_id, host, path,
+       |  coalesce(rpath, '') AS matched_path,
+       |  coalesce(rtype, '') AS matched_type,
+       |  (rpath IS NULL OR rtype = 'allow') AS allowed
+       |FROM w WHERE rn = 1""".stripMargin
+
   def htmlExtractOracleSql(maxLinkDensity: Double = DefaultMaxLinkDensity): String =
     s"""${htmlExtractCtes(maxLinkDensity)}
        |SELECT doc_id, clean_text, n_blocks, n_dropped, n_links, link_density

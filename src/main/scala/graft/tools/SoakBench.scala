@@ -84,7 +84,7 @@ object SoakBench {
         "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
         "lmscore", "bpe", "mixaudit", "proto", "leakage", "semgate",
         "ingest", "htmlx", "ivfassign", "linededup", "chunks", "shards",
-        "crawlpipe"))
+        "crawlpipe", "warc", "robots"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -766,6 +766,60 @@ object SoakBench {
       val pagesMb = pages.agg(sum(length(col("html")))).collect()(0).getLong(0) / 1e6
       axis("crawl_pipeline", pagesMb) {
         graft.operators.Curation.crawlPipeline(pages, "doc_id", "html")
+      }
+    }
+
+    // ---- axis: WARC container ingestion ------------------------------
+    // GB-scale readWarc: each doc's text wrapped in real WARC/1.0
+    // headers, all records concatenated into raw files (each text-sink
+    // row is one full record minus its final LF — the writer's own
+    // per-row "\n" completes the \r\n\r\n terminator), then split +
+    // header-parsed inside the scan. Zero shuffle expected; the MB/s
+    // line is the ingestion-stage budget for a crawl archive.
+    if (axes("warc")) {
+      val wMult = math.max(1, (targetMb / baseMb).toInt)
+      val wPath = "target/soak_warc"
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Record-ID: <urn:uuid:"), col("doc_id"),
+        lit(">\r\nWARC-Type: response\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"),
+        lit("WARC-Target-URI: https://crawl.example.com/page/"), col("doc_id"),
+        lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        octet_length(col("text")),
+        lit("\r\n\r\n"), col("text"), lit("\r\n\r"))
+      docs.select(explode(sequence(lit(1), lit(wMult))).as("copy"),
+          col("doc_id"), col("text"))
+        .select((col("doc_id") * wMult + col("copy")).as("doc_id"), col("text"))
+        .select(rec.as("value"))
+        .repartition(32).write.mode("overwrite").text(wPath)
+      val warcMb = dirBytes(wPath) / 1e6
+      axis("warc_ingest", warcMb) {
+        graft.sources.Formats.readWarc(spark, wPath)
+          .select(col("record_id"), col("warc_type"), col("content_length"),
+            col("length_ok"), length(col("block")).as("n"))
+      }
+    }
+
+    // ---- axis: robots.txt frontier filtering -------------------------
+    // a mult-replicated URL frontier against per-host rule arrays: the
+    // broadcast-join + array_max winner pick must keep shuffle at ~0
+    // regardless of frontier size — the claim that matters at 100 TB.
+    if (axes("robots")) {
+      val rMult = math.max(1, ((targetMb * 10) / baseMb).toInt) // urls are short
+      val rPath = "target/soak_urls"
+      docs.select(explode(sequence(lit(1), lit(rMult))).as("copy"),
+          col("doc_id"), col("source"))
+        .select((col("doc_id") * rMult + col("copy")).as("doc_id"),
+          graft.operators.Html.wrapUrl(col("doc_id") * rMult + col("copy"),
+            col("source")).as("url"))
+        .repartition(32).write.mode("overwrite").parquet(rPath)
+      val urls = spark.read.parquet(rPath)
+      val urlMb = urls.agg(sum(length(col("url")))).collect()(0).getLong(0) / 1e6
+      val robots = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          graft.operators.Html.wrapRobotsTxt(col("source")).as("content"))
+      val rules = graft.operators.Html.robotsRules(robots, "host", "content")
+      axis("robots_filter", urlMb) {
+        graft.operators.Html.robotsFilter(urls, "doc_id", "url", rules, "graftbot")
       }
     }
 

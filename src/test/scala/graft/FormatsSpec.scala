@@ -109,4 +109,74 @@ class FormatsSpec extends AnyFunSuite {
         recs.map(_.length).sum, "a split boundary corrupted a record")
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
   }
+
+  private def warcRecord(i: Int, block: String,
+                         declaredLen: Option[Int] = None): String =
+    "WARC/1.0\r\n" +
+      s"WARC-Record-ID: <urn:uuid:rec-$i>\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+      s"WARC-Target-URI: https://example.com/$i\r\n" +
+      "Content-Type: text/plain\r\n" +
+      s"Content-Length: ${declaredLen.getOrElse(block.getBytes("UTF-8").length)}\r\n" +
+      s"\r\n$block\r\n\r\n"
+
+  test("readWarc: header grammar — case-insensitive names, missing headers, length check") {
+    import org.apache.spark.sql.Row
+    val path = tmp("warc") + ".warc"
+    val rec0 = warcRecord(0, "hello world")
+    // lowercased header names must still bind (spec: names case-insensitive)
+    val rec1 = rec0.replace("WARC-Type:", "warc-type:")
+      .replace("Content-Length:", "content-length:")
+      .replace("<urn:uuid:rec-0>", "<urn:uuid:rec-1>")
+    // a record with no Target-URI/Content-Length (warcinfo shape):
+    // empty string / null length, length_ok null-safe false
+    val rec2 = "WARC/1.0\r\nWARC-Record-ID: <urn:uuid:rec-2>\r\n" +
+      "WARC-Type: warcinfo\r\nWARC-Date: 2026-01-01T00:00:01Z\r\n" +
+      "\r\nsoftware: graft\r\n\r\n"
+    // declared length deliberately wrong → length_ok false
+    val rec3 = warcRecord(3, "four byte blck", declaredLen = Some(999))
+    // multi-line block containing a blank \n\n line (NOT \r\n\r\n):
+    // must stay one record with the block intact
+    val rec4 = warcRecord(4, "para one\n\npara two")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      rec0 + rec1 + rec2 + rec3 + rec4)
+    val got = Formats.readWarc(spark, path)
+      .orderBy("record_id").collect().toSeq
+    assert(got.size == 5)
+    val byId = got.map(r => r.getString(0) -> r).toMap
+    assert(byId("<urn:uuid:rec-0>").getString(1) == "response")
+    assert(byId("<urn:uuid:rec-0>").getBoolean(7))
+    assert(byId("<urn:uuid:rec-0>").getString(6) == "hello world")
+    assert(byId("<urn:uuid:rec-1>").getString(1) == "response",
+      "lowercased warc-type header did not bind")
+    assert(byId("<urn:uuid:rec-1>").getLong(5) == 11L,
+      "lowercased content-length header did not bind")
+    val info = byId("<urn:uuid:rec-2>")
+    assert(info.getString(3) == "" && info.isNullAt(5),
+      "missing headers must yield empty string / null length")
+    assert(info.getString(6) == "software: graft")
+    assert(!byId("<urn:uuid:rec-3>").getBoolean(7),
+      "wrong declared Content-Length must fail length_ok")
+    assert(byId("<urn:uuid:rec-4>").getString(6) == "para one\n\npara two",
+      "a bare \\n\\n inside a block must not split the record")
+  }
+
+  test("readWarc: records spanning scan-split boundaries stay whole") {
+    import org.apache.spark.sql.functions._
+    val path = tmp("bigwarc") + ".warc"
+    val blocks = (0 until 2000).map(i => s"record $i " + ("x" * 2000))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      blocks.zipWithIndex.map { case (b, i) => warcRecord(i, b) }.mkString(""))
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val split = Formats.readWarc(spark, path)
+      assert(split.rdd.getNumPartitions > 8,
+        "fixture did not force multiple scan splits")
+      assert(split.count() == 2000)
+      assert(split.filter(!col("length_ok")).count() == 0,
+        "a split boundary corrupted a payload")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+  }
 }

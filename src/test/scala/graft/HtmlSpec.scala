@@ -155,6 +155,51 @@ class HtmlSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"robots gate shuffled:\n$plan")
   }
 
+  test("robots.txt: RFC 9309 parse, group shadowing, longest-match, zero-shuffle frontier") {
+    val robotsTxt =
+      """# site robots
+        |User-agent: graftbot
+        |Disallow: /private
+        |Allow: /private/ok
+        |
+        |User-agent: *
+        |User-agent: otherbot
+        |Disallow: /articles   # inline comment
+        |Disallow:
+        |""".stripMargin
+    val robots = Seq(
+      ("a.com", robotsTxt),
+      // no graftbot group here: * applies
+      ("b.com", "User-agent: *\nDisallow: /blocked\n"),
+      ("c.com", "# nothing but comments\n")).toDF("host", "content")
+    val rules = Html.robotsRules(robots, "host", "content")
+    val got = rules.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      ("a.com", "graftbot", "disallow", "/private"),
+      ("a.com", "graftbot", "allow", "/private/ok"),
+      ("a.com", "*", "disallow", "/articles"),        // inline comment stripped
+      ("a.com", "otherbot", "disallow", "/articles"), // consecutive UA lines share
+      ("b.com", "*", "disallow", "/blocked")))        // empty Disallow: dropped
+    val urls = Seq(
+      (1L, "https://a.com/private/x"),    // graftbot group: blocked
+      (2L, "https://a.com/private/ok/x"), // longest match: allow overrides
+      (3L, "https://a.com/articles/y"),   // * group SHADOWED for graftbot: allowed
+      (4L, "https://b.com/blocked/z"),    // * applies: blocked
+      (5L, "https://b.com/open"),         // no matching rule: allowed
+      (6L, "https://c.com/anything"),     // host with no rules: allowed
+      (7L, "https://d.com/x")             // host with no robots.txt: allowed
+    ).toDF("doc_id", "url")
+    val out = Html.robotsFilter(urls, "doc_id", "url", rules, "graftbot")
+    val byId = out.collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(byId == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> true, 7L -> true))
+    // the frontier side must ride a broadcast join, never a sort-merge
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"frontier shuffled into a sort-merge join:\n$plan")
+  }
+
   test("url dedup groups spelling variants under one canonical survivor") {
     val pages = Seq(
       (1L, "https://site.org/a?id=1"),
