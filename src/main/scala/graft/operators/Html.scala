@@ -386,33 +386,69 @@ object Html {
     */
   def robotsFilter(urls: DataFrame, idCol: String, urlCol: String,
                    rules: DataFrame, agent: String): DataFrame = {
-    val spec = rules.groupBy("host")
-      .agg(max((col("ua") === agent).cast("int")).as("has_spec"))
-    val applicable = rules.join(broadcast(spec), Seq("host"))
-      .filter((col("has_spec") === 1 && col("ua") === agent) ||
-        (col("has_spec") === 0 && col("ua") === "*"))
-    val perHost = applicable.groupBy("host")
-      .agg(collect_list(struct(col("rtype"), col("rpath"))).as("__rules"))
-      .withColumnRenamed("host", "__rhost")
     val canon = urlNormalize(col(urlCol))
     val u = urls.select(col(idCol),
-      regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?#]*)", 1).as("host"),
-      regexp_extract(canon, "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1).as("path"))
-    val matching = filter(col("__rules"), r =>
-      startswith(col("path"), r.getField("rpath")))
-    val winner = array_max(transform(matching, r => struct(
-      length(r.getField("rpath")).as("l"),
-      when(r.getField("rtype") === "allow", 1).otherwise(0).as("pref"),
-      r.getField("rpath").as("rpath"),
-      r.getField("rtype").as("rtype"))))
-    u.join(broadcast(perHost), col("host") === col("__rhost"), "left")
-      .withColumn("__w", winner)
+      regexp_extract(canon, HostOfUrlPat, 1).as("host"),
+      regexp_extract(canon, PathOfUrlPat, 1).as("path"))
+    u.join(broadcast(robotsRuleArrays(rules, agent)),
+        col("host") === col("__rhost"), "left")
+      .withColumn("__w", robotsWinner(col("path"), col("__rules")))
       .select(col(idCol), col("host"), col("path"),
         coalesce(col("__w").getField("rpath"), lit("")).as("matched_path"),
         coalesce(col("__w").getField("rtype"), lit("")).as("matched_type"),
         (col("__w").isNull || col("__w").getField("rtype") === "allow")
           .as("allowed"))
   }
+
+  private[graft] val HostOfUrlPat = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+  private[graft] val PathOfUrlPat = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** The broadcast side of robots evaluation: resolve group shadowing
+    * for `agent` and collapse the surviving rules to ONE array per
+    * host — KB-sized per host, always broadcastable. Columns
+    * (__rhost, __rules).
+    */
+  def robotsRuleArrays(rules: DataFrame, agent: String): DataFrame = {
+    val spec = rules.groupBy("host")
+      .agg(max((col("ua") === agent).cast("int")).as("has_spec"))
+    rules.join(broadcast(spec), Seq("host"))
+      .filter((col("has_spec") === 1 && col("ua") === agent) ||
+        (col("has_spec") === 0 && col("ua") === "*"))
+      .groupBy("host")
+      .agg(collect_list(struct(col("rtype"), col("rpath"))).as("__rules"))
+      .withColumnRenamed("host", "__rhost")
+  }
+
+  /** Per-row winning rule over a [[robotsRuleArrays]] array: longest
+    * prefix match, `allow` winning length ties — an `array_max` over a
+    * sortable struct, zero shuffle. NULL when no rule matches.
+    */
+  def robotsWinner(path: Column, rulesArr: Column): Column =
+    array_max(transform(
+      filter(rulesArr, r => startswith(path, r.getField("rpath"))),
+      r => struct(
+        length(r.getField("rpath")).as("l"),
+        when(r.getField("rtype") === "allow", 1).otherwise(0).as("pref"),
+        r.getField("rpath").as("rpath"),
+        r.getField("rtype").as("rtype"))))
+
+  /** Persist a crawl-frontier index: the distinct canonical URLs
+    * already fetched, the left-anti reference [[graft.streaming.DocStreams.frontierAdmission]]
+    * consults. One parquet dir, append-able; `\$path/urls`.
+    */
+  def buildFrontierIndex(fetched: DataFrame, urlCol: String, path: String): Unit =
+    fetched.select(urlNormalize(col(urlCol)).as("canonical_url"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$path/urls")
+
+  /** Append newly fetched URLs to a [[buildFrontierIndex]] index —
+    * visible to a streaming admission from its NEXT (re)start (the
+    * static file listing pins at query start).
+    */
+  def appendToFrontierIndex(fetched: DataFrame, urlCol: String, path: String): Unit =
+    fetched.select(urlNormalize(col(urlCol)).as("canonical_url"))
+      .distinct()
+      .write.mode("append").parquet(s"$path/urls")
 
   /** Deterministic robots.txt fixture per host: even-length sources
     * get an agent-specific `graftbot` group (exercising the

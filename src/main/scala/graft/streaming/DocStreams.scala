@@ -478,6 +478,51 @@ object DocStreams {
     * batch operator's job; the index append closes the gap one batch
     * later, the same contract as [[incrementalDedup]]'s LSH note).
     */
+  /** Streaming crawl-frontier admission — the discovery-side gate a
+    * crawler runs continuously on its stream of outlinks: canonicalize
+    * each discovered URL ([[graft.operators.Html.urlNormalize]]),
+    * evaluate it against this agent's robots.txt rules (stream-static
+    * BROADCAST join of the per-host rule arrays — KB per host, the
+    * frontier stream never shuffles for the decision), drop URLs whose
+    * canonical form is already in a persisted frontier index
+    * ([[graft.operators.Html.buildFrontierIndex]]; left-anti
+    * stream-static join — the file listing pins at query start, so
+    * appends become visible on restart, the same contract as
+    * [[lineCleanAdmission]]), and drop re-discoveries within the
+    * stream itself via `dropDuplicatesWithinWatermark` on the
+    * canonical URL (state bounded by the watermark; a URL re-emitted
+    * later than the horizon re-admits — the periodic index append is
+    * what makes the suppression durable).
+    *
+    * Emits one row per admitted URL: (id, ts, canonical_url, host,
+    * path, matched_path, matched_type).
+    */
+  def frontierAdmission(urls: DataFrame, rules: DataFrame, agent: String,
+                        indexPath: String, idCol: String, urlCol: String,
+                        tsCol: String, watermark: String = "2 hours"): DataFrame = {
+    import graft.operators.Html
+    val seen = urls.sparkSession.read.parquet(s"$indexPath/urls")
+      .select(col("canonical_url").as("__seen"))
+    val canon = urls
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        Html.urlNormalize(col(urlCol)).as("canonical_url"))
+      .withColumn("host", regexp_extract(col("canonical_url"), Html.HostOfUrlPat, 1))
+      .withColumn("path", regexp_extract(col("canonical_url"), Html.PathOfUrlPat, 1))
+    val decided = canon
+      .join(broadcast(Html.robotsRuleArrays(rules, agent)),
+        col("host") === col("__rhost"), "left")
+      .withColumn("__w", Html.robotsWinner(col("path"), col("__rules")))
+      .filter(col("__w").isNull || col("__w").getField("rtype") === "allow")
+    decided
+      .join(seen, col("canonical_url") === col("__seen"), "left_anti")
+      .dropDuplicatesWithinWatermark("canonical_url")
+      .select(col(idCol), col(tsCol), col("canonical_url"),
+        col("host"), col("path"),
+        coalesce(col("__w").getField("rpath"), lit("")).as("matched_path"),
+        coalesce(col("__w").getField("rtype"), lit("")).as("matched_type"))
+  }
+
   def lineCleanAdmission(docs: DataFrame, indexPath: String,
                          idCol: String, textCol: String, tsCol: String,
                          watermark: String = "2 hours",

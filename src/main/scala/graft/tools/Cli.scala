@@ -218,9 +218,18 @@ object Cli {
         org.apache.spark.sql.functions.col("lang") === "en", path)
       case "lmmodel" => graft.operators.Scoring.buildLmModel(
         graft.sources.Tables.documents(spark, sfDir), "doc_id", "text", path)
+      // canonical-URL frontier index for the streaming crawl-frontier
+      // admission (fixture frontier from the documents table)
+      case "frontier" =>
+        import org.apache.spark.sql.functions.col
+        graft.operators.Html.buildFrontierIndex(
+          graft.sources.Tables.documents(spark, sfDir)
+            .select(graft.operators.Html.wrapUrl(col("doc_id"), col("source"))
+              .as("url")),
+          "url", path)
       case other =>
         System.err.println(
-          s"unknown index kind '$other' (minhash|lsh|cdc|bm25|pq|ivfpq|ivfpq-trained|line|nbmodel|lmmodel)")
+          s"unknown index kind '$other' (minhash|lsh|cdc|bm25|pq|ivfpq|ivfpq-trained|line|nbmodel|lmmodel|frontier)")
         sys.exit(1)
     }
     println(f"index=$kind path=$path sec=${(System.nanoTime() - t0) / 1e9}%.2f")
@@ -239,7 +248,7 @@ object Cli {
         |  status                                  executor / resource snapshot
         |  bench [sfDir]                           the benchmark main
         |  verify <sfDir> <outDir>                 the correctness-dump main
-        |  index <minhash|lsh|cdc|bm25|pq|ivfpq|ivfpq-trained|line|nbmodel|lmmodel>
+        |  index <minhash|lsh|cdc|bm25|pq|ivfpq|ivfpq-trained|line|nbmodel|lmmodel|frontier>
         |        <sfDir> <path>                    build a persisted index/model
         |  shards <sfDir> <path> [budgetTokens]    write the corpus as token-budgeted
         |                                          training shards + manifest

@@ -452,4 +452,53 @@ class StreamingSpec extends AnyFunSuite {
         s"expected watermark-flushed session, got $flushed")
     } finally q.stop()
   }
+
+  test("streaming frontier admission: robots deny, seen-index drop, in-stream dedup, restart append") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_frontier").toString
+    // already-fetched set: one canonical url (spelling-variant on purpose)
+    graft.operators.Html.buildFrontierIndex(
+      Seq("HTTPS://www.a.com/old?utm_source=x").toDF("url"), "url", dir)
+    val rules = graft.operators.Html.robotsRules(
+      Seq(("a.com", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"))
+        .toDF("host", "content"), "host", "content")
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val urls = ms.toDF().toDF("url_id", "ts", "url")
+    def admit() = graft.streaming.DocStreams.frontierAdmission(
+      urls, rules, "graftbot", dir, "url_id", "url", "ts",
+      watermark = "10 seconds")
+    val q = admit().writeStream.format("memory").queryName("frontier")
+      .outputMode("append").start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    try {
+      ms.addData(
+        (1L, t(100), "https://a.com/fresh"),          // admitted
+        (2L, t(100), "https://a.com/private/x"),      // robots deny
+        (3L, t(100), "https://a.com/private/ok/x"),   // longest-match allow
+        (4L, t(100), "https://a.com/old"),            // in frontier index
+        (5L, t(101), "https://www.a.com/fresh/"),     // same canonical as 1
+        (6L, t(101), "https://b.com/norules"))        // no robots.txt → admitted
+      q.processAllAvailable()
+      val got = spark.table("frontier")
+        .select("url_id", "canonical_url").as[(Long, String)].collect().toMap
+      assert(got.keySet == Set(1L, 3L, 6L), s"got $got")
+      assert(got(1L) == "https://a.com/fresh")
+      // fetched batch appended → suppressed from the NEXT query start
+      graft.operators.Html.appendToFrontierIndex(
+        Seq("https://a.com/fresh").toDF("url"), "url", dir)
+      q.stop()
+      val q2 = admit().writeStream.format("memory").queryName("frontier2")
+        .outputMode("append").start()
+      try {
+        ms.addData(
+          (7L, t(200), "https://a.com/fresh"),  // now in the index → drop
+          (8L, t(200), "https://a.com/newer"))  // admitted
+        q2.processAllAvailable()
+        val ids2 = spark.table("frontier2").select("url_id").as[Long].collect().toSet
+        assert(ids2 == Set(8L), s"got $ids2")
+      } finally q2.stop()
+    } finally q.stop()
+  }
 }
