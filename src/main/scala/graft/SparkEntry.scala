@@ -866,6 +866,15 @@ object SparkEntry {
         "doc_id", "url",
         Html.robotsRules(robots, "host", "content"), "graftbot")
     }),
+    // robots.txt host-level directives (C87): Crawl-delay resolved
+    // for graftbot under group shadowing + global Sitemap collection
+    "robots_directives" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val robots = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          Html.wrapRobotsTxt(col("source")).as("content"))
+      Html.robotsDirectives(robots, "host", "content", "graftbot")
+    }),
     "gopher_repetition" -> ((s, d) =>
       TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")),
     // CCNet-style bigram-LM perplexity screen: per-doc cross-entropy
@@ -1983,6 +1992,7 @@ object SparkEntry {
     "html_extract" -> Html.htmlExtractOracleSql(),
     "robots_gate" -> Html.robotsGateOracleSql,
     "robots_txt_filter" -> Html.robotsTxtFilterOracleSql,
+    "robots_directives" -> Html.robotsDirectivesOracleSql,
     "knn_ivfpq_residual_trained" -> Similarity.knnIvfPqResidualOracleSql(
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
     "knn_ivfpq_refine" -> Similarity.knnIvfPqRefineOracleSql(),

@@ -346,27 +346,77 @@ object Html {
     * host, thousands at most, never corpus-sized.
     */
   def robotsRules(robots: DataFrame, hostCol: String, contentCol: String): DataFrame = {
+    val grouped = robotsGrouped(robots, hostCol, contentCol)
+    val rules = grouped
+      .select(col("host"), col("grp"),
+        lower(regexp_extract(col("line"), "(?i)^(Allow|Disallow):", 1)).as("rtype"),
+        trim(regexp_extract(col("line"), "(?i)^(?:Allow|Disallow):[ \\t]*(.*)$", 1)).as("rpath"))
+      .filter(col("rtype") =!= "" && col("rpath") =!= "")
+    robotsUas(grouped).join(rules, Seq("host", "grp"))
+      .select("host", "ua", "rtype", "rpath")
+  }
+
+  // comment-stripped, trimmed robots.txt lines with their user-agent
+  // GROUP id: consecutive UA lines share a run, each run starts a group
+  private def robotsGrouped(robots: DataFrame, hostCol: String,
+                            contentCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = robots.select(col(hostCol).as("host"),
         posexplode(split(col(contentCol), "\n")).as(Seq("line_no", "raw")))
       .select(col("host"), col("line_no"),
         trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
-    val classified = lines.select(col("host"), col("line_no"),
-      lower(trim(regexp_extract(col("line"), "(?i)^User-agent:[ \\t]*(.*)$", 1))).as("ua"),
-      lower(regexp_extract(col("line"), "(?i)^(Allow|Disallow):", 1)).as("rtype"),
-      trim(regexp_extract(col("line"), "(?i)^(?:Allow|Disallow):[ \\t]*(.*)$", 1)).as("rpath"))
     val w = Window.partitionBy("host").orderBy("line_no")
-    val grouped = classified
+    lines
+      .withColumn("ua",
+        lower(trim(regexp_extract(col("line"), "(?i)^User-agent:[ \\t]*(.*)$", 1))))
       .withColumn("is_ua", col("ua") =!= "")
       .withColumn("run_start",
         col("is_ua") && !coalesce(lag(col("is_ua"), 1).over(w), lit(false)))
       .withColumn("grp", sum(when(col("run_start"), 1).otherwise(0)).over(w))
-    val uas = grouped.filter(col("is_ua"))
-      .select(col("host"), col("grp"), col("ua"))
-    val rules = grouped.filter(col("rtype") =!= "" && col("rpath") =!= "")
-      .select(col("host"), col("grp"), col("rtype"), col("rpath"))
-    uas.join(rules, Seq("host", "grp"))
-      .select("host", "ua", "rtype", "rpath")
+  }
+
+  private def robotsUas(grouped: DataFrame): DataFrame =
+    grouped.filter(col("is_ua")).select(col("host"), col("grp"), col("ua"))
+
+  /** Host-level robots.txt directives beyond the allow/disallow rules:
+    * `Crawl-delay` (non-standard but universally emitted; group-scoped
+    * like the rules, resolved for `agent` with the same
+    * most-specific-group shadowing) and `Sitemap` (global — RFC 9309's
+    * ecosystem defines it OUTSIDE any group, so every sitemap line
+    * counts regardless of position). One row per host:
+    * (host, crawl_delay_sec — 0.0 when none applies, n_sitemaps,
+    * sitemaps — sorted, comma-joined; '' when none).
+    */
+  def robotsDirectives(robots: DataFrame, hostCol: String,
+                       contentCol: String, agent: String): DataFrame = {
+    val grouped = robotsGrouped(robots, hostCol, contentCol)
+    val uas = robotsUas(grouped)
+    val delays = grouped
+      .select(col("host"), col("grp"),
+        regexp_extract(col("line"), "(?i)^Crawl-delay:[ \\t]*([0-9.]+)", 1).as("__d"))
+      .filter(col("__d") =!= "")
+      .join(uas, Seq("host", "grp"))
+    val spec = delays.groupBy("host")
+      .agg(max((col("ua") === agent).cast("int")).as("has_spec"))
+    val delayPerHost = delays.join(broadcast(spec), Seq("host"))
+      .filter((col("has_spec") === 1 && col("ua") === agent) ||
+        (col("has_spec") === 0 && col("ua") === "*"))
+      .groupBy("host")
+      .agg(min(col("__d").cast("double")).as("crawl_delay_sec"))
+    val sitemaps = grouped
+      .select(col("host"),
+        trim(regexp_extract(col("line"), "(?i)^Sitemap:[ \\t]*(.*)$", 1)).as("__s"))
+      .filter(col("__s") =!= "")
+      .groupBy("host")
+      .agg(count(lit(1)).cast("int").as("n_sitemaps"),
+        array_join(array_sort(collect_list(col("__s"))), ",").as("sitemaps"))
+    robots.select(col(hostCol).as("host")).distinct()
+      .join(delayPerHost, Seq("host"), "left")
+      .join(sitemaps, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("crawl_delay_sec"), lit(0.0)).as("crawl_delay_sec"),
+        coalesce(col("n_sitemaps"), lit(0)).as("n_sitemaps"),
+        coalesce(col("sitemaps"), lit("")).as("sitemaps"))
   }
 
   /** Evaluate a URL frontier against a [[robotsRules]] table for one
@@ -458,25 +508,33 @@ object Html {
     */
   def wrapRobotsTxt(src: Column): Column = concat(
     lit("# robots fixture\n"),
+    lit("Sitemap: https://"), src, lit(".example.com/sitemap.xml\n"),
     when(length(src) % 2 === 0,
-      lit("User-agent: graftbot\nDisallow: /articles/item1\nAllow: /articles/item12\n\n"))
+      lit("User-agent: graftbot\nDisallow: /articles/item1\nAllow: /articles/item12\nCrawl-delay: 2\n\n"))
       .otherwise(lit("")),
     lit("User-agent: *\nUser-agent: otherbot\n" +
       "Disallow: /articles/item2\nAllow: /articles/item23\n" +
       "Disallow: /articles/item3\nDisallow: /articles/item4 # seasonal\n" +
-      "Disallow:\n"))
+      "Disallow:\nCrawl-delay: 5\n"),
+    when(length(src) % 3 === 0,
+      concat(lit("Sitemap: https://"), src, lit(".example.com/news.xml\n")))
+      .otherwise(lit("")))
 
   /** DuckDB twin of [[wrapRobotsTxt]]. */
   def wrapRobotsTxtSql(srcExpr: String): String = {
     def nl(parts: Seq[String]) = parts.map(p => s"'$p'").mkString(" || chr(10) || ")
     s"""'# robots fixture' || chr(10) ||
+       |'Sitemap: https://' || $srcExpr || '.example.com/sitemap.xml' || chr(10) ||
        |CASE WHEN length($srcExpr) % 2 = 0 THEN ${nl(Seq(
             "User-agent: graftbot", "Disallow: /articles/item1",
-            "Allow: /articles/item12"))} || chr(10) || chr(10) ELSE '' END ||
+            "Allow: /articles/item12", "Crawl-delay: 2"))} || chr(10) || chr(10) ELSE '' END ||
        |${nl(Seq("User-agent: *", "User-agent: otherbot",
             "Disallow: /articles/item2", "Allow: /articles/item23",
             "Disallow: /articles/item3", "Disallow: /articles/item4 # seasonal",
-            "Disallow:"))} || chr(10)""".stripMargin
+            "Disallow:", "Crawl-delay: 5"))} || chr(10) ||
+       |CASE WHEN length($srcExpr) % 3 = 0
+       |  THEN 'Sitemap: https://' || $srcExpr || '.example.com/news.xml' || chr(10)
+       |  ELSE '' END""".stripMargin
   }
 
   /** DuckDB twin of the full fixture → parse → filter chain over the
@@ -525,6 +583,44 @@ object Html {
        |  coalesce(rtype, '') AS matched_type,
        |  (rpath IS NULL OR rtype = 'allow') AS allowed
        |FROM w WHERE rn = 1""".stripMargin
+
+  /** DuckDB twin of fixture → [[robotsDirectives]] for agent graftbot. */
+  def robotsDirectivesOracleSql: String =
+    s"""WITH src AS (SELECT DISTINCT source FROM documents),
+       |rb AS (SELECT source || '.example.com' AS host,
+       |    ${wrapRobotsTxtSql("source")} AS content FROM src),
+       |lx AS (SELECT host, unnest(list_transform(string_split(content, chr(10)),
+       |    (x, i) -> struct_pack(i := i, raw := x))) AS s FROM rb),
+       |ln AS (SELECT host, s.i AS line_no,
+       |    trim(regexp_replace(s.raw, '#.*$$', '')) AS line FROM lx),
+       |cl AS (SELECT host, line_no,
+       |    lower(trim(regexp_extract(line, '(?i)^User-agent:[ \t]*(.*)$$', 1))) AS ua,
+       |    regexp_extract(line, '(?i)^Crawl-delay:[ \t]*([0-9.]+)', 1) AS d,
+       |    trim(regexp_extract(line, '(?i)^Sitemap:[ \t]*(.*)$$', 1)) AS sm
+       |  FROM ln),
+       |g AS (SELECT *, (ua <> '') AS is_ua,
+       |    coalesce(lag(ua <> '') OVER (PARTITION BY host ORDER BY line_no), false) AS prev_ua
+       |  FROM cl),
+       |g2 AS (SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY host ORDER BY line_no) AS grp FROM g),
+       |uas AS (SELECT host, grp, ua FROM g2 WHERE is_ua),
+       |dl AS (SELECT host, grp, d FROM g2 WHERE d <> ''),
+       |dj AS (SELECT dl.host, uas.ua, d FROM dl JOIN uas USING (host, grp)),
+       |spd AS (SELECT host, max(CASE WHEN ua = 'graftbot' THEN 1 ELSE 0 END) AS has_spec
+       |  FROM dj GROUP BY host),
+       |dph AS (SELECT dj.host, min(cast(d AS DOUBLE)) AS crawl_delay_sec
+       |  FROM dj JOIN spd USING (host)
+       |  WHERE (has_spec = 1 AND ua = 'graftbot') OR (has_spec = 0 AND ua = '*')
+       |  GROUP BY dj.host),
+       |smaps AS (SELECT host, cast(count(*) AS INTEGER) AS n_sitemaps,
+       |    array_to_string(list_sort(list(sm)), ',') AS sitemaps
+       |  FROM g2 WHERE sm <> '' GROUP BY host)
+       |SELECT rb.host,
+       |  coalesce(crawl_delay_sec, 0.0) AS crawl_delay_sec,
+       |  coalesce(n_sitemaps, 0) AS n_sitemaps,
+       |  coalesce(sitemaps, '') AS sitemaps
+       |FROM rb LEFT JOIN dph ON rb.host = dph.host
+       |  LEFT JOIN smaps ON rb.host = smaps.host""".stripMargin
 
   def htmlExtractOracleSql(maxLinkDensity: Double = DefaultMaxLinkDensity): String =
     s"""${htmlExtractCtes(maxLinkDensity)}

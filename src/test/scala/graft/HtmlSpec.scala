@@ -200,6 +200,26 @@ class HtmlSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"frontier shuffled into a sort-merge join:\n$plan")
   }
 
+  test("robots.txt directives: crawl-delay group shadowing, sitemaps are global") {
+    val robots = Seq(
+      ("a.com",
+        "Sitemap: https://a.com/s2.xml\n" +
+          "User-agent: graftbot\nCrawl-delay: 2\n\n" +
+          "User-agent: *\nCrawl-delay: 9\n" +
+          "Sitemap: https://a.com/s1.xml\n"),      // global even inside a group
+      ("b.com", "User-agent: *\nCrawl-delay: 7\n"), // no graftbot group: * applies
+      ("c.com", "User-agent: *\nDisallow: /x\n")    // no delay, no sitemap
+    ).toDF("host", "content")
+    val got = Html.robotsDirectives(robots, "host", "content", "graftbot")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getInt(2), r.getString(3))))
+      .toMap
+    assert(got("a.com") ==
+      ((2.0, 2, "https://a.com/s1.xml,https://a.com/s2.xml")))
+    assert(got("b.com") == ((7.0, 0, "")))
+    assert(got("c.com") == ((0.0, 0, "")))
+  }
+
   test("url dedup groups spelling variants under one canonical survivor") {
     val pages = Seq(
       (1L, "https://site.org/a?id=1"),

@@ -283,4 +283,60 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"round=$round budget=$budget")
     }
   }
+
+  test("property: robots evaluation matches an independent structural model") {
+    import spark.implicits._
+    // generate STRUCTURED rule sets, render them to robots.txt text for
+    // the engine, and evaluate the model from the structure — so the
+    // parity covers the parser and the matcher together while sharing
+    // no code with either
+    case class R(t: String, p: String)
+    case class G(uas: Seq[String], rules: Seq[R])
+    val pathPool = Seq("/a", "/a/b", "/ab", "/b", "/b/c", "/c")
+    val genRule = for {
+      t <- Gen.oneOf("allow", "disallow")
+      p <- Gen.oneOf(pathPool)
+    } yield R(t, p)
+    val genGroup = for {
+      uas <- Gen.atLeastOne(Seq("graftbot", "*", "otherbot"))
+      n <- Gen.chooseNum(1, 3)
+      rules <- Gen.listOfN(n, genRule)
+    } yield G(uas.toSeq, rules)
+    val genContent = Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, genGroup))
+    val hosts = Seq("h0.com", "h1.com", "h2.com", "h3.com")
+    val robotsStruct = hosts.zip(samples(genContent, hosts.size, seed = 9400L))
+    def cap(t: String) = if (t == "allow") "Allow" else "Disallow"
+    val robotsDf = robotsStruct.map { case (h, gs) =>
+      (h, gs.map(g => (g.uas.map("User-agent: " + _) ++
+          g.rules.map(r => s"${cap(r.t)}: ${r.p}")).mkString("\n"))
+        .mkString("\n\n"))
+    }.toDF("host", "content")
+    val genUrl = for {
+      h <- Gen.oneOf(hosts :+ "h9.com") // one host with no robots.txt
+      p <- Gen.oneOf(pathPool)
+      s <- Gen.oneOf("", "/x", "y")
+    } yield s"https://$h$p$s"
+    val urls = samples(genUrl, 200, seed = 9401L).zipWithIndex
+      .map { case (u, i) => (i.toLong, u) }
+    val byHost = robotsStruct.toMap
+    def model(u: String): Boolean = {
+      val rest = u.stripPrefix("https://")
+      val host = rest.takeWhile(_ != '/')
+      val path = rest.drop(host.length)
+      val flat = byHost.getOrElse(host, Seq.empty)
+        .flatMap(g => g.uas.flatMap(ua => g.rules.map(ua -> _)))
+      val specific = flat.collect { case ("graftbot", r) => r }
+      val mine = if (specific.nonEmpty) specific
+                 else flat.collect { case ("*", r) => r }
+      val matching = mine.filter(r => path.startsWith(r.p))
+      matching.isEmpty || matching.maxBy(r =>
+        (r.p.length, if (r.t == "allow") 1 else 0, r.p, r.t)).t == "allow"
+    }
+    val want = urls.map { case (id, u) => id -> model(u) }.toMap
+    val rules = graft.operators.Html.robotsRules(robotsDf, "host", "content")
+    val got = graft.operators.Html.robotsFilter(urls.toDF("url_id", "url"),
+        "url_id", "url", rules, "graftbot")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(got == want)
+  }
 }
