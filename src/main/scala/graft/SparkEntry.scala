@@ -875,6 +875,16 @@ object SparkEntry {
           Html.wrapRobotsTxt(col("source")).as("content"))
       Html.robotsDirectives(robots, "host", "content", "graftbot")
     }),
+    // sitemap XML parsing (C88): urlset entries → one row per <url>,
+    // loc required, optional fields defaulted (priority 0.5 per the
+    // sitemaps.org schema), zero shuffle
+    "sitemap_parse" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Html.sitemapParse(
+        docs.select(col("doc_id"),
+          Html.wrapSitemap(col("doc_id"), col("source")).as("xml")),
+        "doc_id", "xml")
+    }),
     "gopher_repetition" -> ((s, d) =>
       TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")),
     // CCNet-style bigram-LM perplexity screen: per-doc cross-entropy
@@ -1993,6 +2003,7 @@ object SparkEntry {
     "robots_gate" -> Html.robotsGateOracleSql,
     "robots_txt_filter" -> Html.robotsTxtFilterOracleSql,
     "robots_directives" -> Html.robotsDirectivesOracleSql,
+    "sitemap_parse" -> Html.sitemapParseOracleSql,
     "knn_ivfpq_residual_trained" -> Similarity.knnIvfPqResidualOracleSql(
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
     "knn_ivfpq_refine" -> Similarity.knnIvfPqRefineOracleSql(),

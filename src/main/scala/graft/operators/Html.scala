@@ -622,6 +622,119 @@ object Html {
        |FROM rb LEFT JOIN dph ON rb.host = dph.host
        |  LEFT JOIN smaps ON rb.host = smaps.host""".stripMargin
 
+  // sitemap XML pattern constants — shared Spark/DuckDB, RE2-safe
+  private[graft] val SitemapUrlPat = "(?is)<url>(.*?)</url>"
+  private[graft] val LocPat = "(?is)<loc>[ \\t\\r\\n]*(.*?)[ \\t\\r\\n]*</loc>"
+  private[graft] val LastmodPat = "(?is)<lastmod>[ \\t\\r\\n]*(.*?)[ \\t\\r\\n]*</lastmod>"
+  private[graft] val ChangefreqPat = "(?is)<changefreq>[ \\t\\r\\n]*(.*?)[ \\t\\r\\n]*</changefreq>"
+  private[graft] val PriorityPat = "(?is)<priority>[ \\t\\r\\n]*([0-9.]*)[ \\t\\r\\n]*</priority>"
+
+  /** Parse sitemap XML (the sitemaps.org urlset schema — the discovery
+    * feed [[robotsDirectives]] points at) into one row per `<url>`
+    * entry: (id, entry_no, loc, lastmod, changefreq, priority).
+    * `loc` is required by the schema — entries without one are
+    * DROPPED; the optional fields default to ''/''/0.5 (0.5 is the
+    * schema's documented priority default). Regex extraction, not an
+    * XML parser — the deliberate trade of every large-scale sitemap
+    * reader: crawl-scale sitemap files are machine-generated and
+    * regular, and the regex chain runs as one zero-shuffle codegen'd
+    * map pass (posexplode is a generate, not an exchange).
+    */
+  def sitemapParse(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    def field(e: Column, pat: String) = regexp_extract(e, pat, 1)
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(col(xmlCol), lit(SitemapUrlPat), lit(1)))
+          .as(Seq("entry_no", "__e")))
+      .filter(field(col("__e"), LocPat) =!= "")
+      .select(col(idCol), col("entry_no"),
+        field(col("__e"), LocPat).as("loc"),
+        field(col("__e"), LastmodPat).as("lastmod"),
+        field(col("__e"), ChangefreqPat).as("changefreq"),
+        when(field(col("__e"), PriorityPat) === "", lit(0.5))
+          .otherwise(field(col("__e"), PriorityPat).cast("double"))
+          .as("priority"))
+  }
+
+  /** Deterministic sitemap-XML fixture per document: three entries on
+    * a doc_id schedule — optional lastmod on %2, changefreq cycling,
+    * priority on %3 (else the 0.5 default path), one loc-less entry
+    * on %5 (must drop), whitespace padding inside tags throughout.
+    * [[wrapSitemapSql]] is the DuckDB twin.
+    */
+  def wrapSitemap(idCol: Column, srcCol: Column): Column = {
+    val base = concat(lit("https://"), srcCol, lit(".example.com/page/"))
+    def entry(k: Int): Column = concat(
+      lit("<url>\n  <loc> "), base, ((idCol * 3 + lit(k)) % 1000).cast("string"),
+      lit(" </loc>\n"),
+      when(idCol % 2 === 0,
+        concat(lit("  <lastmod>2026-0"), (idCol % 9 + 1).cast("string"),
+          lit("-15</lastmod>\n"))).otherwise(lit("")),
+      lit("  <changefreq>"),
+      when((idCol + lit(k)) % 3 === 0, lit("daily"))
+        .when((idCol + lit(k)) % 3 === 1, lit("weekly"))
+        .otherwise(lit("monthly")),
+      lit("</changefreq>\n"),
+      when(idCol % 3 === 0,
+        concat(lit("  <priority>0."), (idCol % 9 + 1).cast("string"),
+          lit("</priority>\n"))).otherwise(lit("")),
+      lit("</url>\n"))
+    concat(
+      lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+      entry(0), entry(1), entry(2),
+      when(idCol % 5 === 0,
+        lit("<url>\n  <changefreq>never</changefreq>\n</url>\n"))
+        .otherwise(lit("")),
+      lit("</urlset>\n"))
+  }
+
+  /** DuckDB twin of [[wrapSitemap]]. */
+  def wrapSitemapSql(idExpr: String, srcExpr: String): String = {
+    val base = s"'https://' || $srcExpr || '.example.com/page/'"
+    def entry(k: Int): String =
+      s"""'<url>' || chr(10) || '  <loc> ' || $base ||
+         |cast(($idExpr * 3 + $k) % 1000 AS varchar) || ' </loc>' || chr(10) ||
+         |CASE WHEN $idExpr % 2 = 0 THEN '  <lastmod>2026-0' ||
+         |  cast($idExpr % 9 + 1 AS varchar) || '-15</lastmod>' || chr(10)
+         |  ELSE '' END ||
+         |'  <changefreq>' ||
+         |CASE WHEN ($idExpr + $k) % 3 = 0 THEN 'daily'
+         |     WHEN ($idExpr + $k) % 3 = 1 THEN 'weekly'
+         |     ELSE 'monthly' END ||
+         |'</changefreq>' || chr(10) ||
+         |CASE WHEN $idExpr % 3 = 0 THEN '  <priority>0.' ||
+         |  cast($idExpr % 9 + 1 AS varchar) || '</priority>' || chr(10)
+         |  ELSE '' END ||
+         |'</url>' || chr(10)""".stripMargin
+    s"""'<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+       |'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10) ||
+       |${entry(0)} || ${entry(1)} || ${entry(2)} ||
+       |CASE WHEN $idExpr % 5 = 0 THEN '<url>' || chr(10) ||
+       |  '  <changefreq>never</changefreq>' || chr(10) || '</url>' || chr(10)
+       |  ELSE '' END ||
+       |'</urlset>' || chr(10)""".stripMargin
+  }
+
+  /** DuckDB twin of fixture → [[sitemapParse]] over documents. */
+  def sitemapParseOracleSql: String = {
+    def qp(p: String) = "'" + p.replace("'", "''") + "'"
+    def field(pat: String) = s"regexp_extract(e.x, ${qp(pat)}, 1)"
+    s"""WITH sm AS (SELECT doc_id, ${wrapSitemapSql("doc_id", "source")} AS xml
+       |  FROM documents),
+       |ent AS (SELECT doc_id,
+       |    unnest(list_transform(regexp_extract_all(xml, ${qp(SitemapUrlPat)}, 1),
+       |      (x, i) -> struct_pack(i := i, x := x))) AS e
+       |  FROM sm)
+       |SELECT doc_id, cast(e.i - 1 AS INTEGER) AS entry_no,
+       |  ${field(LocPat)} AS loc,
+       |  ${field(LastmodPat)} AS lastmod,
+       |  ${field(ChangefreqPat)} AS changefreq,
+       |  CASE WHEN ${field(PriorityPat)} = '' THEN 0.5
+       |       ELSE cast(${field(PriorityPat)} AS DOUBLE) END AS priority
+       |FROM ent
+       |WHERE ${field(LocPat)} <> ''""".stripMargin
+  }
+
   def htmlExtractOracleSql(maxLinkDensity: Double = DefaultMaxLinkDensity): String =
     s"""${htmlExtractCtes(maxLinkDensity)}
        |SELECT doc_id, clean_text, n_blocks, n_dropped, n_links, link_density

@@ -220,6 +220,34 @@ class HtmlSpec extends AnyFunSuite {
     assert(got("c.com") == ((0.0, 0, "")))
   }
 
+  test("sitemap parse: loc required, optional defaults, whitespace padding, zero shuffle") {
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc>  https://a.com/1  </loc><lastmod>2026-01-02</lastmod>
+        |  <changefreq>daily</changefreq><priority>0.8</priority></url>
+        |<url><loc>https://a.com/2</loc></url>
+        |<url><changefreq>never</changefreq></url>
+        |<url><loc>
+        |https://a.com/3
+        |</loc></url>
+        |</urlset>""".stripMargin
+    val out = Html.sitemapParse(Seq((7L, xml)).toDF("doc_id", "xml"), "doc_id", "xml")
+      .orderBy("entry_no").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getString(4), r.getDouble(5)))
+      .toSeq
+    assert(out == Seq(
+      (0, "https://a.com/1", "2026-01-02", "daily", 0.8),
+      (1, "https://a.com/2", "", "", 0.5),     // schema default priority
+      // entry 2 has no <loc> → dropped (its position still consumed)
+      (3, "https://a.com/3", "", "", 0.5)))    // newline padding trimmed
+    val plan = Html.sitemapParse(
+        Tables.documents(spark, sf).filter(col("doc_id") < 20).select(col("doc_id"),
+          Html.wrapSitemap(col("doc_id"), col("source")).as("xml")),
+        "doc_id", "xml")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sitemap parse shuffled:\n$plan")
+  }
+
   test("url dedup groups spelling variants under one canonical survivor") {
     val pages = Seq(
       (1L, "https://site.org/a?id=1"),
