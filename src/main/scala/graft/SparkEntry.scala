@@ -110,6 +110,29 @@ object SparkEntry {
           col("target_uri"), col("content_type"), col("content_length"),
           col("length_ok"), col("block"))
     }),
+    // gzip-member WARC ingestion (A14): the .warc.gz distribution
+    // layout — per-file decompression, then the same split + parse;
+    // the oracle is the PLAIN twin's SQL chain, so the compare proves
+    // gz path ≡ plain path record for record
+    "warc_gz_ingest" -> ((s, _) => {
+      buildWarcGzFixture()
+      graft.sources.Formats.readWarcGz(s, WarcGzFixturePath)
+        .select(col("record_id"), col("warc_type"), col("warc_date"),
+          col("target_uri"), col("content_type"), col("content_length"),
+          col("length_ok"), col("block"))
+    }),
+    // HTTP responses inside WARC blocks (A13): the Common-Crawl payload
+    // shape — status line, HTTP headers, body split out of each
+    // response block; the block's own \r\n\r\n exercises warcParse's
+    // substring-not-split contract for real
+    "warc_http" -> ((s, _) => {
+      buildWarcHttpFixture()
+      graft.sources.Formats.httpParse(
+        graft.sources.Formats.readWarc(s, WarcHttpFixturePath), "block")
+        .select(col("record_id"), col("target_uri"), col("status"),
+          col("http_content_type"), col("http_content_length"),
+          col("body_ok"), col("body"))
+    }),
   )
 
   private val WarcFixturePath = "/root/repo/target/warc_ingest/corpus.warc"
@@ -119,11 +142,11 @@ object SparkEntry {
     * record (i%3) with uuid-shaped ids, minute-stepped dates, and a
     * byte-accurate Content-Length. Idempotent rebuild.
     */
-  private def buildWarcFixture(): Unit = {
+  private def warcRecords(): Seq[String] = {
     val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(RawStoryPath))
     val blocks = raw.split("\n", -1).grouped(100).map(_.mkString("\n")).toSeq
     val types = Seq("response", "request", "metadata")
-    val recs = blocks.zipWithIndex.map { case (b, i) =>
+    blocks.zipWithIndex.map { case (b, i) =>
       s"WARC/1.0\r\n" +
         f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-${i}%012d>\r\n" +
         s"WARC-Type: ${types(i % 3)}\r\n" +
@@ -133,12 +156,90 @@ object SparkEntry {
         s"Content-Length: ${b.getBytes("UTF-8").length}\r\n" +
         s"\r\n$b\r\n\r\n"
     }
+  }
+
+  private def buildWarcFixture(): Unit = {
     val p = java.nio.file.Paths.get(WarcFixturePath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, warcRecords().mkString(""))
+  }
+
+  private val WarcGzFixturePath = "/root/repo/target/warc_gz/corpus.warc.gz"
+
+  /** The SAME records as [[buildWarcFixture]], compressed one gzip
+    * MEMBER per record (the Common-Crawl .warc.gz layout) — the gz
+    * reader must produce byte-identical results to the plain reader,
+    * which is exactly what its oracle (the plain file's SQL twin)
+    * checks.
+    */
+  private def buildWarcGzFixture(): Unit = {
+    buildWarcFixture()
+    val p = java.nio.file.Paths.get(WarcGzFixturePath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    val fos = new java.io.FileOutputStream(p.toFile)
+    try warcRecords().foreach { r =>
+      val g = new java.util.zip.GZIPOutputStream(fos)
+      g.write(r.getBytes("UTF-8"))
+      g.finish() // member trailer, underlying stream stays open
+    } finally fos.close()
+  }
+
+  private val WarcHttpFixturePath = "/root/repo/target/warc_http/corpus.warc"
+
+  /** WARC/1.0 fixture whose blocks are real HTTP responses: status
+    * line (404 on i%7==3), HTTP headers with a byte-accurate HTTP
+    * Content-Length, blank line, body — the block's internal
+    * `\r\n\r\n` is the point. Idempotent rebuild.
+    */
+  private def buildWarcHttpFixture(): Unit = {
+    val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(RawStoryPath))
+    val blocks = raw.split("\n", -1).grouped(100).map(_.mkString("\n")).toSeq
+    val recs = blocks.zipWithIndex.map { case (b, i) =>
+      val (status, reason) = if (i % 7 == 3) (404, "Not Found") else (200, "OK")
+      val http = s"HTTP/1.1 $status $reason\r\n" +
+        "Content-Type: text/plain; charset=UTF-8\r\n" +
+        s"Content-Length: ${b.getBytes("UTF-8").length}\r\n" +
+        "Server: graft-fixture\r\n" +
+        s"\r\n$b"
+      s"WARC/1.0\r\n" +
+        f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0001-${i}%012d>\r\n" +
+        "WARC-Type: response\r\n" +
+        f"WARC-Date: 2026-01-02T${i / 60}%02d:${i % 60}%02d:00Z\r\n" +
+        s"WARC-Target-URI: https://crawl.example.com/page/$i\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n" +
+        s"\r\n$http\r\n\r\n"
+    }
+    val p = java.nio.file.Paths.get(WarcHttpFixturePath)
     java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, recs.mkString(""))
   }
 
   private def tok = TextFunctions.tokensSql("text")
+
+  /** The WARC split + header-parse chain as a WITH-prefix ending in a
+    * `p` CTE (record_id, warc_type, wd, target_uri, content_type,
+    * content_length, block) — shared by the warc_ingest and warc_http
+    * oracles; reserved CTE names f/recs/norm/sp/p.
+    */
+  private def warcCtes(path: String): String =
+    s"""WITH f AS (SELECT content FROM read_text('$path')),
+       |recs AS (SELECT unnest(string_split(content,
+       |    chr(13)||chr(10)||chr(13)||chr(10)||'WARC/1.0'||chr(13)||chr(10))) AS r0 FROM f),
+       |norm AS (SELECT regexp_replace(regexp_replace(r0,
+       |    '^WARC/1\\.0\r\n', ''), '[\r\n]+$$', '') AS rec FROM recs),
+       |sp AS (SELECT rec,
+       |    string_split(rec, chr(13)||chr(10)||chr(13)||chr(10))[1] AS hdr
+       |  FROM norm WHERE rec <> ''),
+       |p AS (SELECT
+       |    regexp_extract(hdr, '(?im)^WARC-Record-ID:[ \t]*([^\r\n]*)', 1) AS record_id,
+       |    regexp_extract(hdr, '(?im)^WARC-Type:[ \t]*([^\r\n]*)', 1) AS warc_type,
+       |    regexp_extract(hdr, '(?im)^WARC-Date:[ \t]*([^\r\n]*)', 1) AS wd,
+       |    regexp_extract(hdr, '(?im)^WARC-Target-URI:[ \t]*([^\r\n]*)', 1) AS target_uri,
+       |    regexp_extract(hdr, '(?im)^Content-Type:[ \t]*([^\r\n]*)', 1) AS content_type,
+       |    cast(regexp_extract(hdr, '(?im)^Content-Length:[ \t]*([^\r\n]*)', 1) AS bigint) AS content_length,
+       |    substring(rec, length(hdr) + 5) AS block
+       |  FROM sp)""".stripMargin
 
   private val aOracles: Map[String, String] = Map(
     "mr_wordcount" ->
@@ -212,27 +313,40 @@ object SparkEntry {
          |FROM rec
          |WHERE regexp_matches(text, '[^ \t\r\n]')""".stripMargin,
     "warc_ingest" ->
-      s"""WITH f AS (SELECT content FROM read_text('$WarcFixturePath')),
-         |recs AS (SELECT unnest(string_split(content,
-         |    chr(13)||chr(10)||chr(13)||chr(10)||'WARC/1.0'||chr(13)||chr(10))) AS r0 FROM f),
-         |norm AS (SELECT regexp_replace(regexp_replace(r0,
-         |    '^WARC/1\\.0\r\n', ''), '[\r\n]+$$', '') AS rec FROM recs),
-         |sp AS (SELECT rec,
-         |    string_split(rec, chr(13)||chr(10)||chr(13)||chr(10))[1] AS hdr
-         |  FROM norm WHERE rec <> ''),
-         |p AS (SELECT
-         |    regexp_extract(hdr, '(?im)^WARC-Record-ID:[ \t]*([^\r\n]*)', 1) AS record_id,
-         |    regexp_extract(hdr, '(?im)^WARC-Type:[ \t]*([^\r\n]*)', 1) AS warc_type,
-         |    regexp_extract(hdr, '(?im)^WARC-Date:[ \t]*([^\r\n]*)', 1) AS wd,
-         |    regexp_extract(hdr, '(?im)^WARC-Target-URI:[ \t]*([^\r\n]*)', 1) AS target_uri,
-         |    regexp_extract(hdr, '(?im)^Content-Type:[ \t]*([^\r\n]*)', 1) AS content_type,
-         |    cast(regexp_extract(hdr, '(?im)^Content-Length:[ \t]*([^\r\n]*)', 1) AS bigint) AS content_length,
-         |    substring(rec, length(hdr) + 5) AS block
-         |  FROM sp)
+      s"""${warcCtes(WarcFixturePath)}
          |SELECT record_id, warc_type, cast(wd AS timestamp) AS warc_date,
          |  target_uri, content_type, content_length,
          |  (strlen(block) = content_length) AS length_ok, block
          |FROM p""".stripMargin,
+    "warc_gz_ingest" ->
+      s"""${warcCtes(WarcFixturePath)}
+         |SELECT record_id, warc_type, cast(wd AS timestamp) AS warc_date,
+         |  target_uri, content_type, content_length,
+         |  (strlen(block) = content_length) AS length_ok, block
+         |FROM p""".stripMargin,
+    "warc_http" ->
+      s"""${warcCtes(WarcHttpFixturePath)},
+         |hh AS (SELECT p.*,
+         |    CASE WHEN regexp_matches(block, '^HTTP/[0-9.]+ [0-9]{3}')
+         |      THEN string_split(block, chr(13)||chr(10)||chr(13)||chr(10))[1]
+         |      ELSE '' END AS hsec
+         |  FROM p),
+         |hb AS (SELECT hh.*,
+         |    CASE WHEN hsec <> '' THEN substring(block, length(hsec) + 5)
+         |      ELSE block END AS body
+         |  FROM hh)
+         |SELECT record_id, target_uri,
+         |  cast(CASE WHEN regexp_extract(hsec, '^HTTP/[0-9.]+ ([0-9]{3})', 1) = ''
+         |    THEN NULL ELSE regexp_extract(hsec, '^HTTP/[0-9.]+ ([0-9]{3})', 1)
+         |    END AS INTEGER) AS status,
+         |  regexp_extract(hsec, '(?im)^Content-Type:[ \t]*([^\r\n]*)', 1) AS http_content_type,
+         |  cast(CASE WHEN regexp_extract(hsec, '(?im)^Content-Length:[ \t]*([^\r\n]*)', 1) = ''
+         |    THEN NULL ELSE regexp_extract(hsec, '(?im)^Content-Length:[ \t]*([^\r\n]*)', 1)
+         |    END AS BIGINT) AS http_content_length,
+         |  (strlen(body) = cast(regexp_extract(hsec,
+         |    '(?im)^Content-Length:[ \t]*([^\r\n]*)', 1) AS BIGINT)) AS body_ok,
+         |  body
+         |FROM hb""".stripMargin,
     "raw_weather_stats" ->
       s"""WITH w AS (SELECT * FROM read_csv('$RawWeatherPath', header = true,
          |    columns = {'temperature': 'DOUBLE', 'humidity': 'DOUBLE', 'pressure': 'DOUBLE'})),
@@ -884,6 +998,28 @@ object SparkEntry {
         docs.select(col("doc_id"),
           Html.wrapSitemap(col("doc_id"), col("source")).as("xml")),
         "doc_id", "xml")
+    }),
+    // sitemap INDEX resolution (C89): parse the per-host sitemapindex,
+    // broadcast-join each entry to its fetched child sitemap, parse
+    // every child's urlset — the discovery recursion in one plan
+    "sitemap_index" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val childLoc = concat(lit("https://"), col("source"),
+        lit(".example.com/sitemaps/doc"), col("doc_id"), lit(".xml"))
+      val children = docs.select(childLoc.as("sm_loc"),
+        Html.wrapSitemap(col("doc_id"), col("source")).as("sm_xml"))
+      val entryXml = concat(lit("<sitemap><loc>"), childLoc,
+        lit("</loc><lastmod>2026-0"), (col("doc_id") % 9 + 1).cast("string"),
+        lit("-01</lastmod></sitemap>"))
+      val index = docs.select(col("source"), col("doc_id"), entryXml.as("__e"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("__e")))),
+          e => e.getField("__e")), "").as("entries"))
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          concat(lit("<?xml version=\"1.0\"?><sitemapindex>"), col("entries"),
+            lit("</sitemapindex>")).as("xml"))
+      Html.sitemapIndexResolve(index, "host", "xml", children, "sm_loc", "sm_xml")
     }),
     "gopher_repetition" -> ((s, d) =>
       TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")),
@@ -2004,6 +2140,7 @@ object SparkEntry {
     "robots_txt_filter" -> Html.robotsTxtFilterOracleSql,
     "robots_directives" -> Html.robotsDirectivesOracleSql,
     "sitemap_parse" -> Html.sitemapParseOracleSql,
+    "sitemap_index" -> Html.sitemapIndexOracleSql,
     "knn_ivfpq_residual_trained" -> Similarity.knnIvfPqResidualOracleSql(
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
     "knn_ivfpq_refine" -> Similarity.knnIvfPqRefineOracleSql(),

@@ -642,17 +642,20 @@ object Html {
     */
   def sitemapParse(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
     def field(e: Column, pat: String) = regexp_extract(e, pat, 1)
-    df.select(col(idCol),
+    // every non-xml column rides along — provenance (e.g. the index
+    // entry a child sitemap came from) survives the explode
+    val carry = df.columns.filter(_ != xmlCol).map(col).toSeq
+    df.select(carry :+
         posexplode(regexp_extract_all(col(xmlCol), lit(SitemapUrlPat), lit(1)))
-          .as(Seq("entry_no", "__e")))
+          .as(Seq("entry_no", "__e")): _*)
       .filter(field(col("__e"), LocPat) =!= "")
-      .select(col(idCol), col("entry_no"),
+      .select(carry ++ Seq(col("entry_no"),
         field(col("__e"), LocPat).as("loc"),
         field(col("__e"), LastmodPat).as("lastmod"),
         field(col("__e"), ChangefreqPat).as("changefreq"),
         when(field(col("__e"), PriorityPat) === "", lit(0.5))
           .otherwise(field(col("__e"), PriorityPat).cast("double"))
-          .as("priority"))
+          .as("priority")): _*)
   }
 
   /** Deterministic sitemap-XML fixture per document: three entries on
@@ -715,6 +718,47 @@ object Html {
        |'</urlset>' || chr(10)""".stripMargin
   }
 
+  private[graft] val SitemapIdxPat = "(?is)<sitemap>(.*?)</sitemap>"
+
+  /** Parse a sitemapindex file (the sitemaps.org two-level schema —
+    * large sites shard their urlset across child sitemaps and publish
+    * one index): one row per `<sitemap>` entry, (id, sitemap_no,
+    * child_loc, child_lastmod); loc required, entries without one
+    * dropped. Same zero-shuffle regex + posexplode shape as
+    * [[sitemapParse]].
+    */
+  def sitemapIndexParse(df: DataFrame, idCol: String, xmlCol: String): DataFrame = {
+    def field(e: Column, pat: String) = regexp_extract(e, pat, 1)
+    df.select(col(idCol),
+        posexplode(regexp_extract_all(col(xmlCol), lit(SitemapIdxPat), lit(1)))
+          .as(Seq("sitemap_no", "__e")))
+      .filter(field(col("__e"), LocPat) =!= "")
+      .select(col(idCol), col("sitemap_no"),
+        field(col("__e"), LocPat).as("child_loc"),
+        field(col("__e"), LastmodPat).as("child_lastmod"))
+  }
+
+  /** Resolve a sitemap INDEX end-to-end: parse the index, join each
+    * entry to its fetched child sitemap by URL, parse every child's
+    * urlset — the full discovery recursion (index → child sitemaps →
+    * final URLs) in one declarative plan. The parsed index is
+    * BROADCAST to the children join (an index is KB–MB even for a
+    * 50k-file site; the fetched child corpus is the big side and never
+    * shuffles). Children whose URL the index does not list are
+    * dropped — crawl semantics: only indexed sitemaps are authorized
+    * for discovery.
+    */
+  def sitemapIndexResolve(index: DataFrame, idxIdCol: String, idxXmlCol: String,
+                          children: DataFrame, locCol: String,
+                          xmlCol: String): DataFrame = {
+    val entries = sitemapIndexParse(index, idxIdCol, idxXmlCol)
+    val joined = children
+      .join(broadcast(entries), col("child_loc") === col(locCol))
+      .select(col(idxIdCol), col("sitemap_no"), col("child_loc"),
+        col("child_lastmod"), col(xmlCol))
+    sitemapParse(joined, idxIdCol, xmlCol)
+  }
+
   /** DuckDB twin of fixture → [[sitemapParse]] over documents. */
   def sitemapParseOracleSql: String = {
     def qp(p: String) = "'" + p.replace("'", "''") + "'"
@@ -732,6 +776,49 @@ object Html {
        |  CASE WHEN ${field(PriorityPat)} = '' THEN 0.5
        |       ELSE cast(${field(PriorityPat)} AS DOUBLE) END AS priority
        |FROM ent
+       |WHERE ${field(LocPat)} <> ''""".stripMargin
+  }
+
+  /** DuckDB twin of the two-level fixture → [[sitemapIndexResolve]]:
+    * per-host index (entries string_agg'd in doc_id order) over the
+    * per-doc child sitemaps of [[wrapSitemap]].
+    */
+  def sitemapIndexOracleSql: String = {
+    def qp(p: String) = "'" + p.replace("'", "''") + "'"
+    def field(pat: String) = s"regexp_extract(e.x, ${qp(pat)}, 1)"
+    s"""WITH ch AS (SELECT doc_id, source,
+       |    'https://' || source || '.example.com/sitemaps/doc' ||
+       |      cast(doc_id AS varchar) || '.xml' AS sm_loc,
+       |    ${wrapSitemapSql("doc_id", "source")} AS sm_xml
+       |  FROM documents),
+       |ie AS (SELECT source, string_agg('<sitemap><loc>' || sm_loc ||
+       |      '</loc><lastmod>2026-0' || cast(doc_id % 9 + 1 AS varchar) ||
+       |      '-01</lastmod></sitemap>', '' ORDER BY doc_id) AS entries
+       |  FROM ch GROUP BY source),
+       |ix AS (SELECT source || '.example.com' AS host,
+       |    '<?xml version="1.0"?><sitemapindex>' || entries || '</sitemapindex>' AS xml
+       |  FROM ie),
+       |ixe AS (SELECT host, unnest(list_transform(
+       |    regexp_extract_all(xml, ${qp(SitemapIdxPat)}, 1),
+       |    (x, i) -> struct_pack(i := i, x := x))) AS e FROM ix),
+       |ixp AS (SELECT host, cast(e.i - 1 AS INTEGER) AS sitemap_no,
+       |    ${field(LocPat)} AS child_loc,
+       |    ${field(LastmodPat)} AS child_lastmod
+       |  FROM ixe WHERE ${field(LocPat)} <> ''),
+       |j AS (SELECT ixp.host, ixp.sitemap_no, ixp.child_loc,
+       |    ixp.child_lastmod, ch.sm_xml
+       |  FROM ch JOIN ixp ON ixp.child_loc = ch.sm_loc),
+       |ce AS (SELECT host, sitemap_no, child_loc, child_lastmod,
+       |    unnest(list_transform(regexp_extract_all(sm_xml, ${qp(SitemapUrlPat)}, 1),
+       |      (x, i) -> struct_pack(i := i, x := x))) AS e FROM j)
+       |SELECT host, sitemap_no, child_loc, child_lastmod,
+       |  cast(e.i - 1 AS INTEGER) AS entry_no,
+       |  ${field(LocPat)} AS loc,
+       |  ${field(LastmodPat)} AS lastmod,
+       |  ${field(ChangefreqPat)} AS changefreq,
+       |  CASE WHEN ${field(PriorityPat)} = '' THEN 0.5
+       |       ELSE cast(${field(PriorityPat)} AS DOUBLE) END AS priority
+       |FROM ce
        |WHERE ${field(LocPat)} <> ''""".stripMargin
   }
 

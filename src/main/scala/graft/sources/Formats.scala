@@ -115,6 +115,84 @@ object Formats {
         octet_length(col("block")) === col("content_length"))
   }
 
+  /** Parse the embedded HTTP response out of a WARC `response` block
+    * (`application/http; msgtype=response` — the Common-Crawl payload
+    * shape): status line → `status` int, the HTTP header section →
+    * named headers (case-insensitive, same grammar as [[warcParse]]),
+    * the rest → `body`, with `body_ok` cross-checking the HTTP
+    * Content-Length against observed body bytes. Zero shuffle,
+    * composes with [[readWarc]] in the same map pass. A block that is
+    * not an HTTP response (no status line) yields NULL status and the
+    * whole block as body — admit-and-mark, never drop silently.
+    */
+  def httpParse(df: DataFrame, blockCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def hdrVal(name: String) =
+      regexp_extract(col("__hh"), s"(?im)^$name:[ \\t]*([^\r\n]*)", 1)
+    def typed(c: org.apache.spark.sql.Column, t: String) =
+      when(c === "", lit(null)).otherwise(c).cast(t)
+    val isHttp = col(blockCol).rlike("^HTTP/[0-9.]+ [0-9]{3}")
+    df
+      .withColumn("__hh",
+        when(isHttp, substring_index(col(blockCol), "\r\n\r\n", 1))
+          .otherwise(lit("")))
+      .withColumn("status",
+        typed(regexp_extract(col("__hh"), "^HTTP/[0-9.]+ ([0-9]{3})", 1), "int"))
+      .withColumn("http_content_type", hdrVal("Content-Type"))
+      .withColumn("http_content_length", typed(hdrVal("Content-Length"), "long"))
+      .withColumn("body",
+        when(isHttp,
+          col(blockCol).substr(length(col("__hh")) + 5, length(col(blockCol))))
+          .otherwise(col(blockCol)))
+      .withColumn("body_ok",
+        octet_length(col("body")) === col("http_content_length"))
+      .drop("__hh")
+  }
+
+  /** Read gzip-compressed WARC (`.warc.gz` — the Common-Crawl
+    * distribution layout, one gzip MEMBER per record so range requests
+    * can start at any record): `binaryFile` source + per-file
+    * `mapPartitions` decompression (Java's GZIPInputStream reads
+    * concatenated members as one stream), then the same boundary split
+    * + header parse as [[readWarc]].
+    *
+    * Scale shape, stated honestly: gzip is not block-splittable, so
+    * parallelism here is per FILE, not per maxPartitionBytes slice —
+    * which is the real-world contract anyway: the public crawl ships
+    * thousands of ~1 GB .gz segments, and file-granular tasks saturate
+    * a cluster. One multi-TB single .gz file would serialize; re-shard
+    * it first. `binaryFile` also caps single files at
+    * spark.sql.sources.binaryFile.maxLength (Int.MaxValue).
+    */
+  def readWarcGz(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("value", StringType, nullable = false))))
+    val texts = spark.read.format("binaryFile").load(path)
+      .select(col("content"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](65536)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          in.close()
+          Row(new String(out.toByteArray, "UTF-8"))
+        }
+      }(enc)
+    val recs = texts
+      .select(explode(split(col("value"), "\r\n\r\nWARC/1\\.0\r\n")).as("r0"))
+      .select(regexp_replace(
+        regexp_replace(col("r0"), "^WARC/1\\.0\r\n", ""),
+        "[\r\n]+$", "").as("rec"))
+      .filter(col("rec") =!= "")
+    warcParse(recs, "rec")
+  }
+
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
   def readOrc(spark: SparkSession, path: String): DataFrame =

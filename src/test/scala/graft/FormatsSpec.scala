@@ -162,6 +162,55 @@ class FormatsSpec extends AnyFunSuite {
       "a bare \\n\\n inside a block must not split the record")
   }
 
+  test("httpParse: status/headers/body split, non-HTTP blocks admitted and marked") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ok = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: 11\r\n\r\nhello world"
+    val notFound = "HTTP/1.0 404 Not Found\r\ncontent-length: 3\r\n\r\nnope" // wrong length
+    val multi = "HTTP/1.1 200 OK\r\nContent-Length: 16\r\n\r\nbody\r\n\r\nwith gap" // \r\n\r\n INSIDE body
+    val raw = "just bytes, not an http response"
+    val out = Formats.httpParse(
+      Seq((1L, ok), (2L, notFound), (3L, multi), (4L, raw)).toDF("id", "block"),
+      "block").collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("status") == 200)
+    assert(out(1L).getAs[String]("http_content_type") == "text/html")
+    assert(out(1L).getAs[String]("body") == "hello world")
+    assert(out(1L).getAs[Boolean]("body_ok"))
+    assert(out(2L).getAs[Int]("status") == 404)
+    assert(out(2L).getAs[Long]("http_content_length") == 3L,
+      "lowercased content-length did not bind")
+    assert(!out(2L).getAs[Boolean]("body_ok"), "wrong declared length must fail body_ok")
+    assert(out(3L).getAs[String]("body") == "body\r\n\r\nwith gap",
+      "body's own blank line must not truncate it")
+    assert(out(3L).getAs[Boolean]("body_ok"))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("status")),
+      "non-HTTP block must yield NULL status, not drop or throw")
+    assert(out(4L).getAs[String]("body") == raw)
+  }
+
+  test("readWarcGz: per-record gzip members decode to the plain reader's records") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_warcgz")
+    val recs = (0 until 7).map(i => warcRecord(i, s"payload $i " + ("z" * 50)))
+    // plain twin
+    val plain = dir.resolve("corpus.warc")
+    java.nio.file.Files.writeString(plain, recs.mkString(""))
+    // one gzip member per record, two files (file-level parallelism)
+    Seq(0 until 4, 4 until 7).zipWithIndex.foreach { case (range, f) =>
+      val fos = new java.io.FileOutputStream(dir.resolve(s"seg$f.warc.gz").toFile)
+      try range.foreach { i =>
+        val g = new java.util.zip.GZIPOutputStream(fos)
+        g.write(recs(i).getBytes("UTF-8"))
+        g.finish()
+      } finally fos.close()
+    }
+    val viaGz = Formats.readWarcGz(spark, s"$dir/*.warc.gz")
+    val viaPlain = Formats.readWarc(spark, plain.toString)
+    assert(viaGz.count() == 7)
+    assert(viaGz.exceptAll(viaPlain).isEmpty && viaPlain.exceptAll(viaGz).isEmpty,
+      "gz records differ from the plain reader's")
+  }
+
   test("readWarc: records spanning scan-split boundaries stay whole") {
     import org.apache.spark.sql.functions._
     val path = tmp("bigwarc") + ".warc"

@@ -248,6 +248,41 @@ class HtmlSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"sitemap parse shuffled:\n$plan")
   }
 
+  test("sitemap index resolve: recursion, provenance, unindexed children dropped") {
+    val idx =
+      """<?xml version="1.0"?><sitemapindex>
+        |<sitemap><loc>https://a.com/sm/1.xml</loc><lastmod>2026-02-01</lastmod></sitemap>
+        |<sitemap><loc>https://a.com/sm/2.xml</loc></sitemap>
+        |<sitemap><lastmod>2026-03-01</lastmod></sitemap>
+        |</sitemapindex>""".stripMargin
+    val child1 = "<urlset><url><loc>https://a.com/p1</loc><priority>0.9</priority></url>" +
+      "<url><loc>https://a.com/p2</loc></url></urlset>"
+    val child2 = "<urlset><url><loc>https://a.com/p3</loc></url></urlset>"
+    val orphan = "<urlset><url><loc>https://a.com/p9</loc></url></urlset>"
+    val index = Seq(("a.com", idx)).toDF("host", "xml")
+    val children = Seq(
+      ("https://a.com/sm/1.xml", child1),
+      ("https://a.com/sm/2.xml", child2),
+      ("https://a.com/sm/9.xml", orphan) // not in the index → dropped
+    ).toDF("sm_loc", "sm_xml")
+    val got = Html.sitemapIndexResolve(index, "host", "xml",
+        children, "sm_loc", "sm_xml")
+      .orderBy("sitemap_no", "entry_no").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getInt(4), r.getString(5), r.getDouble(8)))
+      .toSeq
+    assert(got == Seq(
+      ("a.com", 0, "https://a.com/sm/1.xml", "2026-02-01", 0, "https://a.com/p1", 0.9),
+      ("a.com", 0, "https://a.com/sm/1.xml", "2026-02-01", 1, "https://a.com/p2", 0.5),
+      ("a.com", 1, "https://a.com/sm/2.xml", "", 0, "https://a.com/p3", 0.5)))
+    // the index side must broadcast; the child corpus never sort-merges
+    val plan = Html.sitemapIndexResolve(index, "host", "xml",
+        children, "sm_loc", "sm_xml")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"children shuffled:\n$plan")
+  }
+
   test("url dedup groups spelling variants under one canonical survivor") {
     val pages = Seq(
       (1L, "https://site.org/a?id=1"),
