@@ -1021,6 +1021,21 @@ object SparkEntry {
             lit("</sitemapindex>")).as("xml"))
       Html.sitemapIndexResolve(index, "host", "xml", children, "sm_loc", "sm_xml")
     }),
+    // politeness scheduling (C90): per-host serial fetch slots under
+    // the crawl-delay each host's robots.txt declares (via the REAL
+    // robotsDirectives parse — the oracle derives delays analytically
+    // from the fixture rule, so parse bugs surface as a mismatch)
+    "politeness_schedule" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val robots = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          Html.wrapRobotsTxt(col("source")).as("content"))
+      Html.politenessSchedule(
+        docs.select(col("doc_id"),
+          Html.wrapUrl(col("doc_id"), col("source")).as("url")),
+        "doc_id", "url",
+        Html.robotsDirectives(robots, "host", "content", "graftbot"))
+    }),
     "gopher_repetition" -> ((s, d) =>
       TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")),
     // CCNet-style bigram-LM perplexity screen: per-doc cross-entropy
@@ -2141,6 +2156,24 @@ object SparkEntry {
     "robots_directives" -> Html.robotsDirectivesOracleSql,
     "sitemap_parse" -> Html.sitemapParseOracleSql,
     "sitemap_index" -> Html.sitemapIndexOracleSql,
+    "politeness_schedule" ->
+      s"""WITH u AS (SELECT doc_id,
+         |    ${Html.urlNormalizeSql(Html.wrapUrlSql("doc_id", "source"))} AS url
+         |  FROM documents),
+         |h AS (SELECT doc_id, url AS canonical_url,
+         |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host
+         |  FROM u),
+         |d AS (SELECT DISTINCT source || '.example.com' AS host,
+         |    CASE WHEN length(source) % 2 = 0 THEN 2.0 ELSE 5.0 END AS delay
+         |  FROM documents),
+         |w AS (SELECT h.doc_id, h.canonical_url, h.host,
+         |    coalesce(d.delay, 1.0) AS delay,
+         |    cast(row_number() OVER (PARTITION BY h.host ORDER BY h.doc_id) - 1
+         |      AS INTEGER) AS slot
+         |  FROM h LEFT JOIN d ON h.host = d.host)
+         |SELECT doc_id, canonical_url, host, slot,
+         |  cast(slot * delay AS DOUBLE) AS fetch_offset_sec
+         |FROM w""".stripMargin,
     "knn_ivfpq_residual_trained" -> Similarity.knnIvfPqResidualOracleSql(
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
     "knn_ivfpq_refine" -> Similarity.knnIvfPqRefineOracleSql(),

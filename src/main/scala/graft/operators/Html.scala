@@ -779,6 +779,36 @@ object Html {
        |WHERE ${field(LocPat)} <> ''""".stripMargin
   }
 
+  /** Politeness scheduling of an admitted frontier: one fetch SLOT per
+    * URL within its host's serial queue (slot = dense position in
+    * id order) and the second offset that slot maps to under the
+    * host's Crawl-delay ([[robotsDirectives]]; hosts without a delay
+    * directive get `defaultDelaySec`). The per-host `row_number` is a
+    * shuffle by host — deliberately: politeness REQUIRES per-host
+    * serialization, so host is the semantically forced partition key.
+    * A mega-host skews its partition by construction; bound it
+    * upstream with a per-host quota (corpus_quota_sample composes)
+    * rather than pretending the schedule can parallelize.
+    */
+  def politenessSchedule(urls: DataFrame, idCol: String, urlCol: String,
+                         directives: DataFrame,
+                         defaultDelaySec: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val canon = urlNormalize(col(urlCol))
+    val u = urls.select(col(idCol),
+      canon.as("canonical_url"),
+      regexp_extract(canon, HostOfUrlPat, 1).as("host"))
+    val delays = directives.select(col("host").as("__dh"),
+      col("crawl_delay_sec").as("__delay"))
+    val slot = row_number().over(
+      Window.partitionBy(col("host")).orderBy(col(idCol))) - 1
+    u.join(broadcast(delays), col("host") === col("__dh"), "left")
+      .withColumn("slot", slot)
+      .select(col(idCol), col("canonical_url"), col("host"), col("slot"),
+        (col("slot") * coalesce(col("__delay"), lit(defaultDelaySec)))
+          .as("fetch_offset_sec"))
+  }
+
   /** DuckDB twin of the two-level fixture → [[sitemapIndexResolve]]:
     * per-host index (entries string_agg'd in doc_id order) over the
     * per-doc child sitemaps of [[wrapSitemap]].

@@ -283,6 +283,23 @@ class HtmlSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"children shuffled:\n$plan")
   }
 
+  test("politeness schedule: per-host serial slots under each host's crawl delay") {
+    val directives = Seq(("a.com", 2.0, 0, ""), ("b.com", 5.0, 0, ""))
+      .toDF("host", "crawl_delay_sec", "n_sitemaps", "sitemaps")
+    val urls = Seq(
+      (1L, "https://a.com/x"), (2L, "https://b.com/y"),
+      (3L, "https://a.com/z"), (4L, "https://c.com/no-robots"),
+      (5L, "https://a.com/w"), (6L, "https://c.com/more")
+    ).toDF("doc_id", "url")
+    val got = Html.politenessSchedule(urls, "doc_id", "url", directives)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getInt(3), r.getDouble(4))))
+      .toMap
+    assert(got == Map(
+      1L -> (("a.com", 0, 0.0)), 3L -> (("a.com", 1, 2.0)), 5L -> (("a.com", 2, 4.0)),
+      2L -> (("b.com", 0, 0.0)),
+      4L -> (("c.com", 0, 0.0)), 6L -> (("c.com", 1, 1.0)))) // default 1s delay
+  }
+
   test("url dedup groups spelling variants under one canonical survivor") {
     val pages = Seq(
       (1L, "https://site.org/a?id=1"),
