@@ -523,6 +523,44 @@ object DocStreams {
         coalesce(col("__w").getField("rtype"), lit("")).as("matched_type"))
   }
 
+  /** Continuous politeness scheduling — the stream twin of
+    * [[graft.operators.Html.politenessSchedule]]: every admitted URL
+    * gets the NEXT serial slot in its host's fetch queue, with the
+    * per-host counter carried ACROSS micro-batches in keyed state
+    * (`flatMapGroupsWithState`, one Long per host — state is
+    * hosts × 8 bytes, never frontier-sized). Within a batch, rows
+    * order by id for determinism; across batches, arrival order
+    * governs (the streaming contract — a replay from the same
+    * checkpoint reproduces the same slots). Input must already carry
+    * the host's crawl delay (join [[graft.operators.Html
+    * .robotsDirectives]] upstream — a static broadcast, as in
+    * [[frontierAdmission]]); emits (id, host, slot, fetch_offset_sec).
+    */
+  def politenessStream(urls: DataFrame, idCol: String, hostCol: String,
+                       delayCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = urls.sparkSession
+    import spark.implicits._
+    urls
+      .select(col(idCol).cast("long"), col(hostCol),
+        col(delayCol).cast("double"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (host, rows, state) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).map { case (id, _, d) =>
+            val slot = n
+            n += 1
+            (id, host, slot, slot * d)
+          }
+          state.update(n)
+          out.iterator
+      }
+      .toDF(idCol, hostCol, "slot", "fetch_offset_sec")
+  }
+
   def lineCleanAdmission(docs: DataFrame, indexPath: String,
                          idCol: String, textCol: String, tsCol: String,
                          watermark: String = "2 hours",

@@ -453,6 +453,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming politeness: per-host slot counters persist across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Double)]
+    val urls = ms.toDF().toDF("url_id", "host", "delay")
+    val q = graft.streaming.DocStreams
+      .politenessStream(urls, "url_id", "host", "delay")
+      .writeStream.format("memory").queryName("polite")
+      .outputMode("append").start()
+    try {
+      ms.addData((3L, "a.com", 2.0), (1L, "a.com", 2.0), (2L, "b.com", 5.0))
+      q.processAllAvailable()
+      ms.addData((4L, "a.com", 2.0), (5L, "b.com", 5.0)) // counters continue
+      q.processAllAvailable()
+      val got = spark.table("polite")
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == Map(
+        1L -> (("a.com", 0L, 0.0)),  // within-batch order is by id, not arrival
+        3L -> (("a.com", 1L, 2.0)),
+        4L -> (("a.com", 2L, 4.0)),  // batch 2 continues host a's counter
+        2L -> (("b.com", 0L, 0.0)),
+        5L -> (("b.com", 1L, 5.0))))
+    } finally q.stop()
+  }
+
   test("streaming frontier admission: robots deny, seen-index drop, in-stream dedup, restart append") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
