@@ -284,6 +284,54 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: sitemap parse matches an independent structural model") {
+    import spark.implicits._
+    // structured entries rendered to XML with random whitespace noise;
+    // the model evaluates the STRUCTURE — parser parity incl. the
+    // loc-required drop, trimming, and the 0.5 priority default
+    case class E(loc: Option[String], lastmod: Option[String],
+                 cf: Option[String], pr: Option[String])
+    val ws = Gen.oneOf("", " ", "\n", "  ")
+    val genE = for {
+      loc <- Gen.option(Gen.chooseNum(0, 99).map(i => s"https://x.com/p$i"))
+      lm <- Gen.option(Gen.chooseNum(1, 9).map(m => s"2026-0$m-01"))
+      cf <- Gen.option(Gen.oneOf("daily", "weekly", "never"))
+      pr <- Gen.option(Gen.chooseNum(1, 9).map(p => s"0.$p"))
+    } yield E(loc, lm, cf, pr)
+    val genDoc = for {
+      n <- Gen.chooseNum(0, 6)
+      es <- Gen.listOfN(n, genE)
+      pad <- Gen.listOfN(n * 8 + 8, ws)
+    } yield (es, pad)
+    val docs = samples(genDoc, 80, seed = 9500L)
+    def render(es: Seq[E], pad: Seq[String]): String = {
+      val p = pad.iterator
+      def w = if (p.hasNext) p.next() else ""
+      "<urlset>" + es.map { e =>
+        "<url>" +
+          e.loc.map(l => s"<loc>$w$l$w</loc>").getOrElse("") +
+          e.lastmod.map(l => s"<lastmod>$w$l$w</lastmod>").getOrElse("") +
+          e.cf.map(c => s"<changefreq>$w$c$w</changefreq>").getOrElse("") +
+          e.pr.map(v => s"<priority>$w$v$w</priority>").getOrElse("") +
+          "</url>" + w
+      }.mkString + "</urlset>"
+    }
+    val rows = docs.zipWithIndex.map { case ((es, pad), i) =>
+      (i.toLong, render(es, pad), es)
+    }
+    val want = rows.flatMap { case (id, _, es) =>
+      es.zipWithIndex.collect { case (e, no) if e.loc.isDefined =>
+        (id, no, e.loc.get, e.lastmod.getOrElse(""), e.cf.getOrElse(""),
+          e.pr.map(_.toDouble).getOrElse(0.5))
+      }
+    }.toSet
+    val got = graft.operators.Html.sitemapParse(
+        rows.map { case (id, xml, _) => (id, xml) }.toDF("doc_id", "xml"),
+        "doc_id", "xml")
+      .as[(Long, Int, String, String, String, Double)].collect().toSet
+    assert(got == want)
+  }
+
   test("property: robots evaluation matches an independent structural model") {
     import spark.implicits._
     // generate STRUCTURED rule sets, render them to robots.txt text for
