@@ -84,7 +84,7 @@ object SoakBench {
         "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
         "lmscore", "bpe", "mixaudit", "proto", "leakage", "semgate",
         "ingest", "htmlx", "ivfassign", "linededup", "chunks", "shards",
-        "crawlpipe", "warc", "robots"))
+        "crawlpipe", "warc", "robots", "warcgz"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -776,7 +776,7 @@ object SoakBench {
     // per-row "\n" completes the \r\n\r\n terminator), then split +
     // header-parsed inside the scan. Zero shuffle expected; the MB/s
     // line is the ingestion-stage budget for a crawl archive.
-    if (axes("warc")) {
+    if (axes("warc") || axes("warcgz")) {
       val wMult = math.max(1, (targetMb / baseMb).toInt)
       val wPath = "target/soak_warc"
       val rec = concat(
@@ -792,10 +792,31 @@ object SoakBench {
         .select(rec.as("value"))
         .repartition(32).write.mode("overwrite").text(wPath)
       val warcMb = dirBytes(wPath) / 1e6
-      axis("warc_ingest", warcMb) {
+      if (axes("warc")) axis("warc_ingest", warcMb) {
         graft.sources.Formats.readWarc(spark, wPath)
           .select(col("record_id"), col("warc_type"), col("content_length"),
             col("length_ok"), length(col("block")).as("n"))
+      }
+      // gz variant: compress each part file (one member per file — the
+      // decode-cost question is the same as per-record members), then
+      // the binaryFile + per-file decompression path. input_mb is the
+      // UNCOMPRESSED payload so the MB/s compares against plain warc.
+      if (axes("warcgz")) {
+        val gzDir = new java.io.File("target/soak_warc_gz")
+        gzDir.mkdirs()
+        gzDir.listFiles().foreach(_.delete())
+        val parts = new java.io.File(wPath).listFiles()
+          .filter(f => f.getName.startsWith("part") && !f.getName.endsWith(".crc"))
+        java.util.Arrays.stream(parts).parallel().forEach { f =>
+          val out = new java.util.zip.GZIPOutputStream(
+            new java.io.FileOutputStream(new java.io.File(gzDir, f.getName + ".gz")))
+          try java.nio.file.Files.copy(f.toPath, out) finally out.close()
+        }
+        axis("warc_gz_ingest", warcMb) {
+          graft.sources.Formats.readWarcGz(spark, s"$gzDir/*.gz")
+            .select(col("record_id"), col("warc_type"), col("content_length"),
+              col("length_ok"), length(col("block")).as("n"))
+        }
       }
     }
 
