@@ -1036,6 +1036,44 @@ object SparkEntry {
         "doc_id", "url",
         Html.robotsDirectives(robots, "host", "content", "graftbot"))
     }),
+    // the discovery-layer composite (C91): sitemap index → child
+    // sitemaps → distinct discovered URLs → robots gate → politeness
+    // slots, in ONE declarative plan — what a crawler's discovery
+    // cycle actually runs end-to-end, every stage the verified
+    // operator (C89 → C86 → C90)
+    "crawl_discover" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val childLoc = concat(lit("https://"), col("source"),
+        lit(".example.com/sitemaps/doc"), col("doc_id"), lit(".xml"))
+      val children = docs.select(childLoc.as("sm_loc"),
+        Html.wrapSitemap(col("doc_id"), col("source")).as("sm_xml"))
+      val entryXml = concat(lit("<sitemap><loc>"), childLoc,
+        lit("</loc><lastmod>2026-0"), (col("doc_id") % 9 + 1).cast("string"),
+        lit("-01</lastmod></sitemap>"))
+      val index = docs.select(col("source"), col("doc_id"), entryXml.as("__e"))
+        .groupBy(col("source"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("__e")))),
+          e => e.getField("__e")), "").as("entries"))
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          concat(lit("<?xml version=\"1.0\"?><sitemapindex>"), col("entries"),
+            lit("</sitemapindex>")).as("xml"))
+      val robots = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          Html.wrapRobotsTxt(col("source")).as("content"))
+      val locs = Html.sitemapIndexResolve(index, "host", "xml",
+          children, "sm_loc", "sm_xml")
+        .select(col("loc")).distinct()
+      val allowed = Html.robotsFilter(
+          locs.select(col("loc").as("uid"), col("loc").as("url")),
+          "uid", "url", Html.robotsRules(robots, "host", "content"), "graftbot")
+        .filter(col("allowed"))
+        .select(col("uid").as("u2"), col("uid").as("url2"))
+      Html.politenessSchedule(allowed, "u2", "url2",
+          Html.robotsDirectives(robots, "host", "content", "graftbot"))
+        .select(col("canonical_url"), col("host"), col("slot"),
+          col("fetch_offset_sec"))
+    }),
     "gopher_repetition" -> ((s, d) =>
       TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")),
     // CCNet-style bigram-LM perplexity screen: per-doc cross-entropy
@@ -2156,6 +2194,35 @@ object SparkEntry {
     "robots_directives" -> Html.robotsDirectivesOracleSql,
     "sitemap_parse" -> Html.sitemapParseOracleSql,
     "sitemap_index" -> Html.sitemapIndexOracleSql,
+    "crawl_discover" ->
+      s"""WITH disc AS (SELECT DISTINCT loc FROM (
+         |${Html.sitemapIndexOracleSql}
+         |) six),
+         |ap AS (SELECT * FROM (
+         |${Html.robotsApSql}
+         |) rap),
+         |uu AS (SELECT loc,
+         |    regexp_extract(loc, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+         |    regexp_extract(loc, '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+         |  FROM disc),
+         |j AS (SELECT uu.loc, uu.host, uu.path, ap.rpath, ap.rtype,
+         |    CASE WHEN ap.rtype = 'allow' THEN 1 ELSE 0 END AS pref
+         |  FROM uu LEFT JOIN ap ON uu.host = ap.host
+         |    AND starts_with(uu.path, ap.rpath)),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY loc
+         |    ORDER BY len(rpath) DESC, pref DESC, rpath DESC) AS rn FROM j),
+         |alw AS (SELECT loc, host FROM w
+         |  WHERE rn = 1 AND (rpath IS NULL OR rtype = 'allow')),
+         |d AS (SELECT DISTINCT source || '.example.com' AS host,
+         |    CASE WHEN length(source) % 2 = 0 THEN 2.0 ELSE 5.0 END AS delay
+         |  FROM documents),
+         |sch AS (SELECT alw.loc, alw.host, coalesce(d.delay, 1.0) AS delay,
+         |    cast(row_number() OVER (PARTITION BY alw.host ORDER BY alw.loc) - 1
+         |      AS INTEGER) AS slot
+         |  FROM alw LEFT JOIN d ON alw.host = d.host)
+         |SELECT loc AS canonical_url, host, slot,
+         |  cast(slot * delay AS DOUBLE) AS fetch_offset_sec
+         |FROM sch""".stripMargin,
     "politeness_schedule" ->
       s"""WITH u AS (SELECT doc_id,
          |    ${Html.urlNormalizeSql(Html.wrapUrlSql("doc_id", "source"))} AS url

@@ -510,11 +510,13 @@ object Html {
     lit("# robots fixture\n"),
     lit("Sitemap: https://"), src, lit(".example.com/sitemap.xml\n"),
     when(length(src) % 2 === 0,
-      lit("User-agent: graftbot\nDisallow: /articles/item1\nAllow: /articles/item12\nCrawl-delay: 2\n\n"))
+      lit("User-agent: graftbot\nDisallow: /articles/item1\nAllow: /articles/item12\n" +
+        "Disallow: /page/2\nAllow: /page/23\nCrawl-delay: 2\n\n"))
       .otherwise(lit("")),
     lit("User-agent: *\nUser-agent: otherbot\n" +
       "Disallow: /articles/item2\nAllow: /articles/item23\n" +
       "Disallow: /articles/item3\nDisallow: /articles/item4 # seasonal\n" +
+      "Disallow: /page/1\nAllow: /page/13\n" +
       "Disallow:\nCrawl-delay: 5\n"),
     when(length(src) % 3 === 0,
       concat(lit("Sitemap: https://"), src, lit(".example.com/news.xml\n")))
@@ -527,20 +529,24 @@ object Html {
        |'Sitemap: https://' || $srcExpr || '.example.com/sitemap.xml' || chr(10) ||
        |CASE WHEN length($srcExpr) % 2 = 0 THEN ${nl(Seq(
             "User-agent: graftbot", "Disallow: /articles/item1",
-            "Allow: /articles/item12", "Crawl-delay: 2"))} || chr(10) || chr(10) ELSE '' END ||
+            "Allow: /articles/item12", "Disallow: /page/2",
+            "Allow: /page/23", "Crawl-delay: 2"))} || chr(10) || chr(10) ELSE '' END ||
        |${nl(Seq("User-agent: *", "User-agent: otherbot",
             "Disallow: /articles/item2", "Allow: /articles/item23",
             "Disallow: /articles/item3", "Disallow: /articles/item4 # seasonal",
+            "Disallow: /page/1", "Allow: /page/13",
             "Disallow:", "Crawl-delay: 5"))} || chr(10) ||
        |CASE WHEN length($srcExpr) % 3 = 0
        |  THEN 'Sitemap: https://' || $srcExpr || '.example.com/news.xml' || chr(10)
        |  ELSE '' END""".stripMargin
   }
 
-  /** DuckDB twin of the full fixture → parse → filter chain over the
-    * documents table, for agent `graftbot` on the [[wrapUrl]] frontier.
+  /** The fixture's APPLICABLE robots rules for agent graftbot as a
+    * standalone DuckDB query — (host, rtype, rpath) after group
+    * shadowing; embedded as a subquery by the filter and discover
+    * oracles.
     */
-  def robotsTxtFilterOracleSql: String =
+  def robotsApSql: String =
     s"""WITH src AS (SELECT DISTINCT source FROM documents),
        |rb AS (SELECT source || '.example.com' AS host,
        |    ${wrapRobotsTxtSql("source")} AS content FROM src),
@@ -564,9 +570,17 @@ object Html {
        |rr AS (SELECT uas.host, uas.ua, rules.rtype, rules.rpath
        |  FROM uas JOIN rules USING (host, grp)),
        |sp AS (SELECT host, max(CASE WHEN ua = 'graftbot' THEN 1 ELSE 0 END) AS has_spec
-       |  FROM rr GROUP BY host),
-       |ap AS (SELECT rr.host, rtype, rpath FROM rr JOIN sp USING (host)
-       |  WHERE (has_spec = 1 AND ua = 'graftbot') OR (has_spec = 0 AND ua = '*')),
+       |  FROM rr GROUP BY host)
+       |SELECT rr.host, rtype, rpath FROM rr JOIN sp USING (host)
+       |WHERE (has_spec = 1 AND ua = 'graftbot') OR (has_spec = 0 AND ua = '*')""".stripMargin
+
+  /** DuckDB twin of the full fixture → parse → filter chain over the
+    * documents table, for agent `graftbot` on the [[wrapUrl]] frontier.
+    */
+  def robotsTxtFilterOracleSql: String =
+    s"""WITH ap AS (SELECT * FROM (
+       |$robotsApSql
+       |) rap),
        |u0 AS (SELECT doc_id, ${urlNormalizeSql(wrapUrlSql("doc_id", "source"))} AS url
        |  FROM documents),
        |u AS (SELECT doc_id,

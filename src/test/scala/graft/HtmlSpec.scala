@@ -300,6 +300,38 @@ class HtmlSpec extends AnyFunSuite {
       4L -> (("c.com", 0, 0.0)), 6L -> (("c.com", 1, 1.0)))) // default 1s delay
   }
 
+  test("crawl discover composite: robots gate bites on discovered urls, slots contiguous") {
+    val out = SparkEntry.queries("crawl_discover")(spark, sf)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // the robots gate must have BITTEN: no surviving /page/1* URL on an
+    // odd-length host (Disallow: /page/1) except the /page/13* carve-out,
+    // and no /page/2* on an even-length host except /page/23*
+    def path(u: String) = u.replaceAll("^https://[^/]*", "")
+    rows.foreach { case (url, host, _, _) =>
+      val src = host.stripSuffix(".example.com")
+      val p = path(url)
+      if (src.length % 2 == 0)
+        assert(!p.startsWith("/page/2") || p.startsWith("/page/23"),
+          s"graftbot-blocked url admitted: $url")
+      else
+        assert(!p.startsWith("/page/1") || p.startsWith("/page/13"),
+          s"*-blocked url admitted: $url")
+    }
+    // at least one discovered URL was actually dropped by the gate
+    val discovered = SparkEntry.queries("sitemap_index")(spark, sf)
+      .select(col("loc")).distinct().count()
+    assert(rows.length < discovered, "robots gate never fired on the fixture")
+    // slots are contiguous 0..n-1 per host and offsets = slot * delay
+    rows.groupBy(_._2).foreach { case (host, hs) =>
+      val slots = hs.map(_._3).sorted
+      assert(slots.toSeq == (0 until hs.length), s"slot gap on $host")
+      val delay = if (host.stripSuffix(".example.com").length % 2 == 0) 2.0 else 5.0
+      hs.foreach { case (_, _, slot, off) => assert(off == slot * delay) }
+    }
+  }
+
   test("url dedup groups spelling variants under one canonical survivor") {
     val pages = Seq(
       (1L, "https://site.org/a?id=1"),
