@@ -163,35 +163,109 @@ object Formats {
     * a cluster. One multi-TB single .gz file would serialize; re-shard
     * it first. `binaryFile` also caps single files at
     * spark.sql.sources.binaryFile.maxLength (Int.MaxValue).
+    *
+    * Memory shape: decompression is STREAMED record by record — the
+    * task never materializes a file's full decompressed payload (a
+    * typical ~1 GB segment decompresses 3-5× past the 2 GB JVM
+    * array/String ceiling). Peak per-task footprint is the compressed
+    * bytes (binaryFile's row) + the largest single record.
     */
   def readWarcGz(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
-      StructField("value", StringType, nullable = false))))
-    val texts = spark.read.format("binaryFile").load(path)
+      StructField("r0", StringType, nullable = false))))
+    val recs0 = spark.read.format("binaryFile").load(path)
       .select(col("content"))
       .mapPartitions { it =>
-        it.map { r =>
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
-          val out = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](65536)
-          var n = in.read(buf)
-          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          in.close()
-          Row(new String(out.toByteArray, "UTF-8"))
+        it.flatMap { r =>
+          splitWarcRecords(new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+            .map(Row(_))
         }
       }(enc)
-    val recs = texts
-      .select(explode(split(col("value"), "\r\n\r\nWARC/1\\.0\r\n")).as("r0"))
+    val recs = recs0
       .select(regexp_replace(
         regexp_replace(col("r0"), "^WARC/1\\.0\r\n", ""),
         "[\r\n]+$", "").as("rec"))
       .filter(col("rec") =!= "")
     warcParse(recs, "rec")
   }
+
+  // the WARC record boundary: blank line + next record's version line.
+  // Splitting on it (delimiter consumed) reproduces exactly what
+  // split(value, "\r\n\r\nWARC/1\\.0\r\n") yields on the whole file.
+  private val WarcBoundary: Array[Byte] =
+    "\r\n\r\nWARC/1.0\r\n".getBytes("UTF-8")
+
+  /** Lazily split a decompressed WARC stream into record strings
+    * WITHOUT buffering the whole payload: read chunks, scan for the
+    * boundary (pure ASCII, so a byte-level split never lands inside a
+    * multi-byte UTF-8 sequence), emit each complete segment, carry the
+    * remainder. `chunkSize` is a test seam — boundaries spanning chunk
+    * edges must still split.
+    */
+  private[graft] def splitWarcRecords(in: java.io.InputStream,
+                                      chunkSize: Int = 65536): Iterator[String] =
+    new scala.collection.AbstractIterator[String] {
+      private val d = WarcBoundary
+      private var buf = new Array[Byte](math.max(chunkSize * 2, d.length * 2))
+      private var len = 0          // live bytes in buf
+      private var scanned = 0      // prefix of buf already known boundary-free
+      private var eof = false
+      private var nextRec: String = null
+
+      private def indexOfBoundary(): Int = {
+        val last = len - d.length
+        var i = scanned
+        while (i <= last) {
+          if (buf(i) == d(0)) {
+            var j = 1
+            while (j < d.length && buf(i + j) == d(j)) j += 1
+            if (j == d.length) return i
+          }
+          i += 1
+        }
+        // everything before the final d.length-1 bytes can't start a
+        // boundary that completes in a later chunk
+        scanned = math.max(0, len - d.length + 1)
+        -1
+      }
+
+      private def fill(): Unit = {
+        if (len + chunkSize > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + chunkSize))
+        val n = in.read(buf, len, chunkSize)
+        if (n < 0) { eof = true; in.close() } else len += n
+      }
+
+      private def emit(recLen: Int, consume: Int): String = {
+        val s = new String(buf, 0, recLen, "UTF-8")
+        System.arraycopy(buf, consume, buf, 0, len - consume)
+        len -= consume
+        scanned = 0
+        s
+      }
+
+      private def advance(): Unit = {
+        while (nextRec == null) {
+          val i = indexOfBoundary()
+          if (i >= 0) nextRec = emit(i, i + d.length)
+          else if (eof) {
+            if (len > 0) nextRec = emit(len, len)
+            else return
+          } else fill()
+        }
+      }
+
+      override def hasNext: Boolean = { advance(); nextRec != null }
+      override def next(): String = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException("empty stream")
+        val r = nextRec; nextRec = null; r
+      }
+    }
 
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)

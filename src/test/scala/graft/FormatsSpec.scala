@@ -211,6 +211,29 @@ class FormatsSpec extends AnyFunSuite {
       "gz records differ from the plain reader's")
   }
 
+  test("splitWarcRecords: streams record-by-record — chunk-spanning boundaries, " +
+      "records larger than the chunk, no whole-payload buffer") {
+    // records sized around and far past the chunk seam; boundary bytes
+    // will straddle chunk edges at many offsets
+    val recs = (0 until 40).map(i => warcRecord(i, s"r$i " + ("y" * (i * 7 + 1))))
+    val whole = recs.mkString("")
+    // ground truth: the whole-string split the old reader computed
+    val want = whole.split("\r\n\r\nWARC/1\\.0\r\n").toSeq.filter(_.nonEmpty)
+    for (chunk <- Seq(1, 7, 64, 4096)) {
+      val got = Formats.splitWarcRecords(
+        new java.io.ByteArrayInputStream(whole.getBytes("UTF-8")), chunk).toSeq
+      assert(got == want, s"chunkSize=$chunk diverged from whole-string split")
+    }
+    // a single record much larger than the chunk must still come out whole
+    val big = warcRecord(0, "B" * 300000) + warcRecord(1, "small")
+    val gotBig = Formats.splitWarcRecords(
+      new java.io.ByteArrayInputStream(big.getBytes("UTF-8")), 1024).toSeq
+    assert(gotBig.size == 2 && gotBig.head.contains("B" * 300000))
+    // empty stream yields no records
+    assert(Formats.splitWarcRecords(
+      new java.io.ByteArrayInputStream(Array.emptyByteArray)).isEmpty)
+  }
+
   test("readWarc: records spanning scan-split boundaries stay whole") {
     import org.apache.spark.sql.functions._
     val path = tmp("bigwarc") + ".warc"
