@@ -137,7 +137,8 @@ object Html {
   /** Canonicalize a crawl URL — the normalization every crawl dedups
     * on BEFORE fetching content (two spellings of one address must not
     * ingest twice): lowercase the scheme and host, strip a `www.`
-    * prefix and explicit default ports (:80/:443), drop the fragment,
+    * prefix and the scheme's OWN default port (:80 for http, :443 for
+    * https — a non-default port is identity), drop the fragment,
     * remove tracking parameters (utm_*, ref, fbclid, gclid), SORT the
     * surviving query parameters (param order is not identity), and
     * strip one trailing slash from the path. Pure column ops (regex +
@@ -150,8 +151,12 @@ object Html {
   def urlNormalize(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host0 = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = regexp_replace(
-      regexp_replace(host0, "^www\\.", ""), ":(80|443)$", "")
+    // only the scheme's OWN default port is identity-preserving:
+    // http://h:443/x is a different resource from http://h/x
+    val hostW = regexp_replace(host0, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(hostW, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostW, ":443$", ""))
+      .otherwise(hostW)
     // path+query with the fragment dropped
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
     val path0 = regexp_extract(rest, "^([^?]*)", 1)
@@ -169,9 +174,12 @@ object Html {
   /** DuckDB expression computing the identical canonical URL. */
   def urlNormalizeSql(expr: String): String = {
     val scheme = s"lower(regexp_extract($expr, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    val host = "regexp_replace(regexp_replace(" +
+    val hostW = "regexp_replace(" +
       s"lower(regexp_extract($expr, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), " +
-      "'^www\\.', ''), ':(80|443)$', '')"
+      "'^www\\.', '')"
+    val host = s"CASE WHEN $scheme = 'http' THEN regexp_replace($hostW, ':80$$', '') " +
+      s"WHEN $scheme = 'https' THEN regexp_replace($hostW, ':443$$', '') " +
+      s"ELSE $hostW END"
     val rest = s"regexp_extract($expr, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)"
     val path = s"regexp_replace(regexp_extract($rest, '^([^?]*)', 1), '/$$', '')"
     val qs = s"regexp_extract($rest, '^[^?]*\\?(.*)$$', 1)"
@@ -396,7 +404,10 @@ object Html {
         regexp_extract(col("line"), "(?i)^Crawl-delay:[ \\t]*([0-9.]+)", 1).as("__d"))
       .filter(col("__d") =!= "")
       .join(uas, Seq("host", "grp"))
-    val spec = delays.groupBy("host")
+    // shadowing is decided by GROUP presence, not delay presence: an
+    // agent-specific group without a Crawl-delay line shadows '*'
+    // entirely (its delay is the 0.0 default), it does not inherit
+    val spec = uas.groupBy("host")
       .agg(max((col("ua") === agent).cast("int")).as("has_spec"))
     val delayPerHost = delays.join(broadcast(spec), Seq("host"))
       .filter((col("has_spec") === 1 && col("ua") === agent) ||
@@ -510,8 +521,14 @@ object Html {
     lit("# robots fixture\n"),
     lit("Sitemap: https://"), src, lit(".example.com/sitemap.xml\n"),
     when(length(src) % 2 === 0,
-      lit("User-agent: graftbot\nDisallow: /articles/item1\nAllow: /articles/item12\n" +
-        "Disallow: /page/2\nAllow: /page/23\nCrawl-delay: 2\n\n"))
+      concat(
+        lit("User-agent: graftbot\nDisallow: /articles/item1\nAllow: /articles/item12\n" +
+          "Disallow: /page/2\nAllow: /page/23\n"),
+        // delay only on a sub-schedule: a graftbot group WITHOUT a
+        // Crawl-delay exercises shadow-to-0.0 (never inherit *'s 5)
+        when(regexp_extract(src, "([0-9])$", 1).isin("0", "3", "6", "9"),
+          lit("Crawl-delay: 2\n")).otherwise(lit("")),
+        lit("\n")))
       .otherwise(lit("")),
     lit("User-agent: *\nUser-agent: otherbot\n" +
       "Disallow: /articles/item2\nAllow: /articles/item23\n" +
@@ -530,7 +547,9 @@ object Html {
        |CASE WHEN length($srcExpr) % 2 = 0 THEN ${nl(Seq(
             "User-agent: graftbot", "Disallow: /articles/item1",
             "Allow: /articles/item12", "Disallow: /page/2",
-            "Allow: /page/23", "Crawl-delay: 2"))} || chr(10) || chr(10) ELSE '' END ||
+            "Allow: /page/23"))} || chr(10) ||
+       |  CASE WHEN regexp_extract($srcExpr, '([0-9])$$', 1) IN ('0','3','6','9')
+       |    THEN 'Crawl-delay: 2' || chr(10) ELSE '' END || chr(10) ELSE '' END ||
        |${nl(Seq("User-agent: *", "User-agent: otherbot",
             "Disallow: /articles/item2", "Allow: /articles/item23",
             "Disallow: /articles/item3", "Disallow: /articles/item4 # seasonal",
@@ -621,7 +640,7 @@ object Html {
        |dl AS (SELECT host, grp, d FROM g2 WHERE d <> ''),
        |dj AS (SELECT dl.host, uas.ua, d FROM dl JOIN uas USING (host, grp)),
        |spd AS (SELECT host, max(CASE WHEN ua = 'graftbot' THEN 1 ELSE 0 END) AS has_spec
-       |  FROM dj GROUP BY host),
+       |  FROM uas GROUP BY host),
        |dph AS (SELECT dj.host, min(cast(d AS DOUBLE)) AS crawl_delay_sec
        |  FROM dj JOIN spd USING (host)
        |  WHERE (has_spec = 1 AND ua = 'graftbot') OR (has_spec = 0 AND ua = '*')

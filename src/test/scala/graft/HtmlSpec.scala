@@ -93,6 +93,11 @@ class HtmlSpec extends AnyFunSuite {
       "http://www.site.org:80/x" -> "http://site.org/x",
       // non-default port survives
       "http://site.org:8080/x" -> "http://site.org:8080/x",
+      // the OTHER scheme's default port is not this scheme's default:
+      // http://h:443 and https://h:80 are distinct resources
+      "http://site.org:443/x" -> "http://site.org:443/x",
+      "https://site.org:80/x" -> "https://site.org:80/x",
+      "ftp://site.org:80/x" -> "ftp://site.org:80/x",
       // trailing slash, fragment
       "https://site.org/path/" -> "https://site.org/path",
       "https://site.org/path#frag" -> "https://site.org/path",
@@ -208,7 +213,12 @@ class HtmlSpec extends AnyFunSuite {
           "User-agent: *\nCrawl-delay: 9\n" +
           "Sitemap: https://a.com/s1.xml\n"),      // global even inside a group
       ("b.com", "User-agent: *\nCrawl-delay: 7\n"), // no graftbot group: * applies
-      ("c.com", "User-agent: *\nDisallow: /x\n")    // no delay, no sitemap
+      ("c.com", "User-agent: *\nDisallow: /x\n"),   // no delay, no sitemap
+      // a graftbot group WITHOUT a delay shadows * entirely — the
+      // delay is the 0.0 default, NOT inherited from *'s 7
+      ("d.com",
+        "User-agent: graftbot\nDisallow: /y\n\n" +
+          "User-agent: *\nCrawl-delay: 7\n")
     ).toDF("host", "content")
     val got = Html.robotsDirectives(robots, "host", "content", "graftbot")
       .collect()
@@ -218,6 +228,7 @@ class HtmlSpec extends AnyFunSuite {
       ((2.0, 2, "https://a.com/s1.xml,https://a.com/s2.xml")))
     assert(got("b.com") == ((7.0, 0, "")))
     assert(got("c.com") == ((0.0, 0, "")))
+    assert(got("d.com") == ((0.0, 0, "")))
   }
 
   test("sitemap parse: loc required, optional defaults, whitespace padding, zero shuffle") {
@@ -327,7 +338,15 @@ class HtmlSpec extends AnyFunSuite {
     rows.groupBy(_._2).foreach { case (host, hs) =>
       val slots = hs.map(_._3).sorted
       assert(slots.toSeq == (0 until hs.length), s"slot gap on $host")
-      val delay = if (host.stripSuffix(".example.com").length % 2 == 0) 2.0 else 5.0
+      // fixture schedule: even-length hosts have a graftbot group,
+      // whose Crawl-delay: 2 appears only when the source's last digit
+      // is divisible by 3 — a delay-less graftbot group SHADOWS *'s 5
+      // and yields the 0.0 default; odd-length hosts fall to *'s 5
+      val src = host.stripSuffix(".example.com")
+      val delay =
+        if (src.length % 2 == 0)
+          (if ("0369".contains(src.last)) 2.0 else 0.0)
+        else 5.0
       hs.foreach { case (_, _, slot, off) => assert(off == slot * delay) }
     }
   }
