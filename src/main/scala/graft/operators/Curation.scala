@@ -399,6 +399,30 @@ object Curation {
         .otherwise(lit("train")).as("split"))
   }
 
+  /** GROUP-keyed split assignment: every row sharing `keyCol` (a host,
+    * a domain, a source feed) lands in the SAME split — the standard
+    * leakage guard [[splitAssign]]'s per-doc bucket cannot give: two
+    * near-identical pages from one site hash to different id buckets
+    * and straddle the train/eval boundary, but they never straddle a
+    * HOST bucket. The cost is coarser proportions (split sizes track
+    * the key distribution, not the row count — a mega-host moves its
+    * whole mass into one split), which is exactly the trade every
+    * production crawl split makes. Same pure map-side md5 math, no
+    * shuffle, no RNG.
+    */
+  def splitAssignByKey(df: DataFrame, idCol: String, keyCol: Column,
+                       valPermille: Int = 100,
+                       testPermille: Int = 100): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000)
+    val b = phash(concat(lit("ksplit|"), keyCol.cast("string"))) % 1000
+    df.select(col(idCol).as("doc_id"), keyCol.as("split_key"),
+      b.as("bucket"),
+      when(b < testPermille, lit("test"))
+        .when(b < testPermille + valPermille, lit("val"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** C71: split-hygiene audit — [[splitAssign]] composed with the
     * [[decontaminate]] gram screen, run ACROSS the split boundary: a
     * held-out (val/test) document sharing any distinct word `n`-gram

@@ -192,6 +192,55 @@ object Graph {
     out
   }
 
+  /** PageRank over a DIRECTED edge list (`src`, `dst` — deduplicated
+    * by the caller or here via distinct): the host-graph form (crawl
+    * frontier prioritization / host reputation), where endorsement
+    * flows one way. Same integer fixed-point recipe as [[pagerank]]
+    * (scale micro-units, 0.85 damping, integer division — bit-exact
+    * vs the DuckDB twin in any execution order), minus the
+    * symmetrization. Dangling vertices (no outlinks) keep their base
+    * mass and redistribute nothing — the documented simplification
+    * (full dangling-mass redistribution needs a per-round global sum;
+    * for crawl prioritization the ordering it changes is negligible
+    * and the fixed recurrence keeps the oracle expressible).
+    *
+    * Scale shape: identical to [[pagerank]] — edges checkpointed once
+    * pre-partitioned on src, one co-partitioned join + one dst-keyed
+    * agg shuffle per round; for a HOST graph the whole thing is
+    * hosts-sized, orders of magnitude below the page table.
+    */
+  def pagerankDirected(edgesIn: DataFrame, iters: Int = 4,
+                       scale: Long = 1000000L): DataFrame = {
+    val uniq = edgesIn.select(col("src"), col("dst")).distinct().materialized
+    val deg = uniq.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edges = checkpointNoStats(uniq.join(deg, Seq("src"))
+      .repartition(col("src")))
+    val verts = checkpointNoStats(
+      uniq.select(col("src").as("host"))
+        .unionByName(uniq.select(col("dst").as("host"))).distinct()
+        .repartition(col("host")))
+    val base = 15L * scale / 100L
+    var ranks = checkpointNoStats(verts.select(col("host"), lit(scale).as("rank"))
+      .repartition(col("host")))
+    var it = 0
+    while (it < iters) {
+      val sums = edges.join(ranks, edges("src") === ranks("host"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      val prev = ranks
+      ranks = checkpointNoStats(verts.join(sums, verts("host") === sums("dst"), "left")
+        .select(col("host"),
+          (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("rank"))
+        .repartition(col("host")))
+      checkpointRdd(prev).foreach(_.unpersist(blocking = false))
+      it += 1
+    }
+    val out = ranks.select(col("host"), col("rank").as("rank_fp"))
+    checkpointRdd(verts).foreach(_.unpersist(blocking = false))
+    checkpointRdd(edges).foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** C38: PageRank over the minhash-LSH near-duplicate graph (pairs
     * with estimated Jaccard ≥ `minEst`) — the ranking twin of
     * [[Dedup.dedupClusters]].

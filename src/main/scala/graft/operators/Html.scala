@@ -183,9 +183,12 @@ object Html {
     val rest = s"regexp_extract($expr, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)"
     val path = s"regexp_replace(regexp_extract($rest, '^([^?]*)', 1), '/$$', '')"
     val qs = s"regexp_extract($rest, '^[^?]*\\?(.*)$$', 1)"
-    val params = "array_to_string(list_sort(list_filter(" +
+    // coalesce: DuckDB's array_to_string of an EMPTY list is NULL where
+    // Spark's array_join is '' — a query-less URL must not normalize
+    // to NULL
+    val params = "coalesce(array_to_string(list_sort(list_filter(" +
       s"string_split($qs, '&'), " +
-      "p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))), '&')"
+      "p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)='))), '&'), '')"
     s"""CASE WHEN $scheme = '' THEN regexp_replace($expr, '#.*$$', '')
        |ELSE $scheme || '://' || $host || $path ||
        |  CASE WHEN $params = '' THEN '' ELSE '?' || $params END END""".stripMargin

@@ -1,0 +1,288 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The LINK layer of a crawl corpus — anchors, the host graph, and the
+  * signals derived from them. Between container ingestion (WARC,
+  * [[graft.sources.Formats]]) and text curation sits the web's link
+  * structure: every production crawl extracts `<a href>` edges to
+  * (a) seed the frontier, (b) rank hosts for crawl priority and
+  * quality weighting (PageRank over hosts — Page et al. 1999, the
+  * public formulation), and (c) build the anchor-text corpus (anchor
+  * text describing a target page is classic retrieval/labeling signal
+  * — Craswell et al. 2001).
+  *
+  * Scale shape: link extraction is ONE zero-shuffle map pass (regex +
+  * posexplode — a generate, not an exchange) over pages; the host
+  * graph aggregates (src_host, dst_host) — a shuffle whose key space
+  * is hosts, orders of magnitude smaller than pages; host PageRank
+  * iterates on that host graph, never on pages. Nothing in this file
+  * shuffles page payloads.
+  *
+  * Reference scope note: the reference engine ships no crawl layer
+  * (`/root/reference/src` is a MapReduce runtime on pre-cleaned text);
+  * this extends the library toward the 100 TB crawl-pipeline brief,
+  * composing with [[Html.urlNormalize]] (link targets dedupe on
+  * canonical URLs) and [[Graph]] (the same integer fixed-point
+  * PageRank engine as the dup graph).
+  */
+object Links {
+
+  // pattern constants — RE2-safe, shared Spark/DuckDB byte-for-byte
+  private[graft] val AnchorTagPat = "(?is)<a[ \\t\\r\\n][^>]*>.*?</a>"
+  private[graft] val AnchorInnerPat = "(?is)<a[^>]*>(.*?)</a>"
+  private[graft] val HrefAttrPat = "(?i)href[ \\t]*=[ \\t]*[\"']([^\"'>]*)[\"']"
+  private[graft] val RelNofollowPat = "(?i)rel[ \\t]*=[ \\t]*[\"'][^\"']*nofollow"
+  private[graft] val AbsUrlPat = "^[A-Za-z][A-Za-z0-9+.-]*://"
+  private[graft] val SkipHrefPat = "^(#|mailto:|javascript:)"
+  private[graft] val NormHostPat = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+
+  private def qp(p: String) = "'" + p.replace("'", "''") + "'"
+
+  /** Extract every `<a href>` anchor from an HTML column and resolve
+    * it against the page's own URL (RFC 3986 merge, the three shapes
+    * that dominate real markup: absolute, root-relative `/p`,
+    * document-relative `p` resolved against the base path's
+    * directory; scheme-relative `//h/p` inherits the page scheme).
+    * Fragment-only, `mailto:` and `javascript:` pseudo-links are
+    * dropped — they are not fetchable frontier candidates. One output
+    * row per surviving anchor:
+    * (id, link_no — the anchor's 0-based position in the page,
+    * href — as written, anchor_text — inner HTML tag-stripped and
+    * whitespace-collapsed, target_url — resolved AND canonicalized
+    * via [[Html.urlNormalize]], target_host, page_host — canonical
+    * host of the page itself, nofollow — rel contains nofollow,
+    * internal — target_host == page_host).
+    *
+    * Scale shape: regex extraction + posexplode + per-row CASE
+    * resolution — a generate plus map, zero shuffle, no UDF; composes
+    * with [[Html.htmlExtract]] in the same scan.
+    */
+  def linkExtract(pages: DataFrame, idCol: String, urlCol: String,
+                  htmlCol: String): DataFrame = {
+    val scheme = lower(regexp_extract(col(urlCol), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost = regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val pagePath = regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    // base directory of the page path (everything up to the last '/')
+    val dir = regexp_replace(pagePath, "/[^/]*$", "")
+    val pageHost = regexp_extract(Html.urlNormalize(col(urlCol)), NormHostPat, 1)
+    val href = regexp_extract(col("__tag"), HrefAttrPat, 1)
+    val resolved =
+      when(href.rlike(AbsUrlPat), href)
+        .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+        .when(href.startsWith("/"), concat(scheme, lit("://"), rawHost, href))
+        .otherwise(concat(scheme, lit("://"), rawHost, dir, lit("/"), href))
+    val anchor = trim(regexp_replace(regexp_replace(
+      regexp_extract(col("__tag"), AnchorInnerPat, 1),
+      Html.TagPat, " "), Html.WsPat, " "))
+    pages
+      .select(col(idCol), col(urlCol),
+        posexplode(regexp_extract_all(col(htmlCol), lit(AnchorTagPat), lit(0)))
+          .as(Seq("link_no", "__tag")))
+      .withColumn("href", href)
+      .filter(col("href") =!= "" && !col("href").rlike(SkipHrefPat))
+      .select(col(idCol), col("link_no"), col("href"),
+        anchor.as("anchor_text"),
+        Html.urlNormalize(resolved).as("target_url"),
+        col("__tag").rlike(RelNofollowPat).as("nofollow"),
+        pageHost.as("page_host"))
+      .withColumn("target_host", regexp_extract(col("target_url"), NormHostPat, 1))
+      .withColumn("internal", col("target_host") === col("page_host"))
+      .select(col(idCol), col("link_no"), col("href"), col("anchor_text"),
+        col("target_url"), col("target_host"), col("page_host"),
+        col("nofollow"), col("internal"))
+  }
+
+  /** Aggregate extracted links into the host→host graph: one row per
+    * (src_host, dst_host) with edge weight (n_links), distinct linking
+    * pages and distinct target URLs. `rel=nofollow` links are excluded
+    * — they are the publisher's explicit "don't count this as an
+    * endorsement" bit, the public convention every link-graph builder
+    * honors. The shuffle key space is hosts² at worst, in practice the
+    * sparse host adjacency — page payloads never move.
+    */
+  def linkGraph(links: DataFrame): DataFrame =
+    links.filter(!col("nofollow"))
+      .groupBy(col("page_host").as("src_host"), col("target_host").as("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(links.columns.head).as("n_pages"),
+        countDistinct(col("target_url")).as("n_urls"))
+
+  /** Anchor-text corpus: per canonical target URL, how many anchors
+    * point at it, from how many distinct hosts, and the sorted set of
+    * distinct anchor texts (pipe-joined — the portable no-list-column
+    * output convention). Nofollow anchors COUNT here: anchor text
+    * describes the target regardless of endorsement semantics.
+    */
+  def anchorCorpus(links: DataFrame): DataFrame =
+    links
+      .groupBy(col("target_url"))
+      .agg(count(lit(1)).as("n_refs"),
+        countDistinct(col("page_host")).as("n_src_hosts"),
+        array_join(array_sort(collect_set(col("anchor_text"))), "|").as("anchors"))
+
+  // ---------------------------------------------------------------
+  // fixture: a deterministic linked-page body around each document —
+  // every resolution hazard on a doc_id schedule, reproduced
+  // character-for-character by wrapLinksHtmlSql
+  // ---------------------------------------------------------------
+
+  /** Deterministic HTML page body with anchors: always a nav of
+    * root-relative links, an absolute cross-source link and a
+    * fragment-only link (must drop); on schedules — an uppercase
+    * single-quoted absolute with www./:443/trailing-slash hazards and
+    * nested-tag anchor text (%2), a document-relative sibling link
+    * (%3), a nofollow ad link (%4), a mailto (%5, must drop), a
+    * scheme-relative CDN link (%6).
+    */
+  def wrapLinksHtml(idCol: Column, srcCol: Column): Column = concat(
+    lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a></nav>"),
+    lit("<p>Read <a href=\"https://src"), ((idCol + 1) % 20).cast("string"),
+    lit(".example.com/page/"), (idCol % 7).cast("string"),
+    lit("\">next source "), (idCol % 7).cast("string"), lit("</a> now.</p>"),
+    when(idCol % 2 === 0, concat(
+      lit("<p><a HREF='HTTPS://WWW.src"), ((idCol * 3 + 2) % 20).cast("string"),
+      lit(".example.com:443/page/"), (idCol % 11).cast("string"),
+      lit("/'>alt <b>mirror</b></a></p>"))).otherwise(lit("")),
+    when(idCol % 3 === 0, concat(
+      lit("<p><a href=\"item"), (idCol % 5).cast("string"),
+      lit(".html\">sibling doc "), (idCol % 5).cast("string"),
+      lit("</a></p>"))).otherwise(lit("")),
+    when(idCol % 4 === 0, concat(
+      lit("<p><a href=\"https://ads.example.net/track?id="), idCol.cast("string"),
+      lit("\" rel=\"nofollow\">sponsored</a></p>"))).otherwise(lit("")),
+    when(idCol % 6 === 0, concat(
+      lit("<p><a href=\"//cdn"), ((idCol + 7) % 20).cast("string"),
+      lit(".example.net/asset/9\">cdn asset</a></p>"))).otherwise(lit("")),
+    lit("<a href=\"#top\">top</a>"),
+    when(idCol % 5 === 0,
+      lit("<a href=\"mailto:ops@example.com\">mail</a>")).otherwise(lit("")),
+    lit("</body></html>"))
+
+  /** DuckDB twin of [[wrapLinksHtml]]. */
+  def wrapLinksHtmlSql(idExpr: String, srcExpr: String): String =
+    s"""'<html><body><nav><a href="/">Home</a> <a href="/about">About us</a></nav>' ||
+       |'<p>Read <a href="https://src' || cast(($idExpr + 1) % 20 AS varchar) ||
+       |'.example.com/page/' || cast($idExpr % 7 AS varchar) ||
+       |'">next source ' || cast($idExpr % 7 AS varchar) || '</a> now.</p>' ||
+       |CASE WHEN $idExpr % 2 = 0 THEN
+       |  '<p><a HREF=''HTTPS://WWW.src' || cast(($idExpr * 3 + 2) % 20 AS varchar) ||
+       |  '.example.com:443/page/' || cast($idExpr % 11 AS varchar) ||
+       |  '/''>alt <b>mirror</b></a></p>' ELSE '' END ||
+       |CASE WHEN $idExpr % 3 = 0 THEN
+       |  '<p><a href="item' || cast($idExpr % 5 AS varchar) ||
+       |  '.html">sibling doc ' || cast($idExpr % 5 AS varchar) ||
+       |  '</a></p>' ELSE '' END ||
+       |CASE WHEN $idExpr % 4 = 0 THEN
+       |  '<p><a href="https://ads.example.net/track?id=' || cast($idExpr AS varchar) ||
+       |  '" rel="nofollow">sponsored</a></p>' ELSE '' END ||
+       |CASE WHEN $idExpr % 6 = 0 THEN
+       |  '<p><a href="//cdn' || cast(($idExpr + 7) % 20 AS varchar) ||
+       |  '.example.net/asset/9">cdn asset</a></p>' ELSE '' END ||
+       |'<a href="#top">top</a>' ||
+       |CASE WHEN $idExpr % 5 = 0
+       |  THEN '<a href="mailto:ops@example.com">mail</a>' ELSE '' END ||
+       |'</body></html>'""".stripMargin
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles — one shared extraction CTE, composed per query
+  // ---------------------------------------------------------------
+
+  /** CTE chain over `documents` ending in table
+    * `links(doc_id, link_no, href, anchor_text, target_url,
+    * target_host, page_host, nofollow, internal)` — the twin of
+    * [[linkExtract]] fed by the [[Html.wrapUrl]]/[[wrapLinksHtml]]
+    * fixtures. WITH-body fragment (no leading WITH).
+    */
+  def linkCteSql: String = {
+    val resolved =
+      s"""CASE WHEN regexp_matches(href, ${qp(AbsUrlPat)}) THEN href
+         |      WHEN starts_with(href, '//') THEN scheme || ':' || href
+         |      WHEN starts_with(href, '/') THEN scheme || '://' || rawhost || href
+         |      ELSE scheme || '://' || rawhost || dir || '/' || href END""".stripMargin
+    s"""pg AS (SELECT doc_id,
+       |    ${Html.wrapUrlSql("doc_id", "source")} AS url,
+       |    ${wrapLinksHtmlSql("doc_id", "source")} AS html
+       |  FROM documents),
+       |pg2 AS (SELECT doc_id, url, html,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS rawhost,
+       |    regexp_replace(regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/[^/]*$$', '') AS dir,
+       |    regexp_extract(${Html.urlNormalizeSql("url")},
+       |      ${qp(NormHostPat)}, 1) AS page_host
+       |  FROM pg),
+       |tg AS (SELECT doc_id, scheme, rawhost, dir, page_host,
+       |    unnest(list_transform(regexp_extract_all(html, ${qp(AnchorTagPat)}, 0),
+       |      (x, i) -> struct_pack(i := i, t := x))) AS e
+       |  FROM pg2),
+       |lk0 AS (SELECT doc_id, scheme, rawhost, dir, page_host,
+       |    cast(e.i - 1 AS INTEGER) AS link_no,
+       |    regexp_extract(e.t, ${qp(HrefAttrPat)}, 1) AS href,
+       |    trim(regexp_replace(regexp_replace(
+       |      regexp_extract(e.t, ${qp(AnchorInnerPat)}, 1),
+       |      ${qp(Html.TagPat)}, ' ', 'g'), ${qp(Html.WsPat)}, ' ', 'g')) AS anchor_text,
+       |    regexp_matches(e.t, ${qp(RelNofollowPat)}) AS nofollow
+       |  FROM tg),
+       |lk1 AS (SELECT *, $resolved AS resolved FROM lk0
+       |  WHERE href <> '' AND NOT regexp_matches(href, ${qp(SkipHrefPat)})),
+       |lk2 AS (SELECT doc_id, link_no, href, anchor_text, nofollow, page_host,
+       |    ${Html.urlNormalizeSql("resolved")} AS target_url
+       |  FROM lk1),
+       |links AS (SELECT doc_id, link_no, href, anchor_text, target_url,
+       |    regexp_extract(target_url, ${qp(NormHostPat)}, 1) AS target_host,
+       |    page_host, nofollow,
+       |    regexp_extract(target_url, ${qp(NormHostPat)}, 1) = page_host AS internal
+       |  FROM lk2)""".stripMargin
+  }
+
+  def linkExtractOracleSql: String =
+    s"""WITH $linkCteSql
+       |SELECT doc_id, link_no, href, anchor_text, target_url, target_host,
+       |  page_host, nofollow, internal
+       |FROM links""".stripMargin
+
+  def linkGraphOracleSql: String =
+    s"""WITH $linkCteSql
+       |SELECT page_host AS src_host, target_host AS dst_host,
+       |  count(*) AS n_links,
+       |  count(DISTINCT doc_id) AS n_pages,
+       |  count(DISTINCT target_url) AS n_urls
+       |FROM links WHERE NOT nofollow
+       |GROUP BY 1, 2""".stripMargin
+
+  def anchorCorpusOracleSql: String =
+    s"""WITH $linkCteSql
+       |SELECT target_url, count(*) AS n_refs,
+       |  count(DISTINCT page_host) AS n_src_hosts,
+       |  array_to_string(list_sort(list_distinct(list(anchor_text))), '|') AS anchors
+       |FROM links
+       |GROUP BY 1""".stripMargin
+
+  /** Twin of host_rank: the CROSS-host edge set (distinct followed
+    * src→dst, self-edges out) then [[Graph.pagerankDirected]]'s
+    * integer recurrence unrolled one CTE per iteration.
+    */
+  def hostRankOracleSql(iters: Int = 4, scale: Long = 1000000L): String = {
+    val base = 15L * scale / 100L
+    val steps = (0 until iters).map { i =>
+      s"""r${i + 1} AS (SELECT v.host,
+         |    cast($base + (85 * coalesce(s.m, 0)) // 100 AS bigint) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT e.dst AS host, sum(r.rank // d.outdeg) AS m
+         |    FROM edges e JOIN r$i r ON e.src = r.host
+         |      JOIN deg d ON d.src = e.src
+         |    GROUP BY e.dst) s ON v.host = s.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkCteSql,
+       |edges AS (SELECT DISTINCT page_host AS src, target_host AS dst
+       |  FROM links WHERE NOT nofollow AND NOT internal),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |verts AS (SELECT DISTINCT h AS host FROM (
+       |  SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
+       |r0 AS (SELECT host, cast($scale AS bigint) AS rank FROM verts),
+       |$steps
+       |SELECT host, rank AS rank_fp FROM r$iters""".stripMargin
+  }
+}

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Curation, Graph, Links}
+
+class LinksSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val pageUrl = "https://www.Site.example.com:443/blog/post7?id=3#frag"
+
+  test("linkExtract: resolution shapes, drops, nofollow, anchor text, internal flag") {
+    val html =
+      """<html><body>
+        |<a href="https://other.example.net/x?utm_source=a&q=1">abs <b>bold</b> link</a>
+        |<a href="/root/page">root rel</a>
+        |<a href="sibling.html">doc rel</a>
+        |<a href="//cdn.example.net/a">scheme rel</a>
+        |<a HREF='HTTPS://WWW.other.example.net:443/y/'>caps quoted</a>
+        |<a href="https://ads.example.net/t" rel="nofollow">sponsored</a>
+        |<a href="#top">frag only</a>
+        |<a href="mailto:x@y.z">mail</a>
+        |<a href="javascript:void(0)">js</a>
+        |</body></html>""".stripMargin
+    val out = Links.linkExtract(
+        Seq((1L, pageUrl, html)).toDF("doc_id", "url", "html"),
+        "doc_id", "url", "html")
+      .orderBy("link_no").collect()
+    // fragment/mailto/javascript dropped: 6 survivors of 9 anchors
+    assert(out.length == 6)
+    val byHref = out.map(r => r.getAs[String]("href") -> r).toMap
+    // absolute: kept as-is then normalized (utm stripped, params sorted)
+    assert(byHref("https://other.example.net/x?utm_source=a&q=1")
+      .getAs[String]("target_url") == "https://other.example.net/x?q=1")
+    // root-relative: page scheme+host, then normalization strips www/:443
+    assert(byHref("/root/page").getAs[String]("target_url") ==
+      "https://site.example.com/root/page")
+    // document-relative: resolved against the base path's directory
+    assert(byHref("sibling.html").getAs[String]("target_url") ==
+      "https://site.example.com/blog/sibling.html")
+    // scheme-relative inherits the page scheme
+    assert(byHref("//cdn.example.net/a").getAs[String]("target_url") ==
+      "https://cdn.example.net/a")
+    // uppercase single-quoted absolute normalizes case/www/port/slash
+    assert(byHref("HTTPS://WWW.other.example.net:443/y/")
+      .getAs[String]("target_url") == "https://other.example.net/y")
+    // nofollow binds only where rel says so
+    assert(byHref("https://ads.example.net/t").getAs[Boolean]("nofollow"))
+    assert(!byHref("/root/page").getAs[Boolean]("nofollow"))
+    // internal = canonical host equality (www/port hazards collapse)
+    assert(byHref("/root/page").getAs[Boolean]("internal"))
+    assert(byHref("sibling.html").getAs[Boolean]("internal"))
+    assert(!byHref("https://ads.example.net/t").getAs[Boolean]("internal"))
+    // anchor text: inner tags stripped, whitespace collapsed
+    assert(byHref("https://other.example.net/x?utm_source=a&q=1")
+      .getAs[String]("anchor_text") == "abs bold link")
+    // page_host is the canonical page host
+    assert(out.forall(_.getAs[String]("page_host") == "site.example.com"))
+    // link_no is the anchor's position among ALL anchors (pre-drop)
+    assert(byHref("/root/page").getAs[Int]("link_no") == 1)
+  }
+
+  test("linkExtract is one zero-shuffle map pass (no Exchange in the plan)") {
+    val df = Links.linkExtract(
+      Seq((1L, pageUrl, "<a href=\"/x\">x</a>")).toDF("doc_id", "url", "html"),
+      "doc_id", "url", "html")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"link extraction shuffled:\n$plan")
+  }
+
+  test("linkGraph: host adjacency, nofollow excluded, distinct counts") {
+    val links = Links.linkExtract(Seq(
+        (1L, "https://a.com/p1", "<a href=\"https://b.com/x\">t</a>" +
+          "<a href=\"https://b.com/y\">u</a><a href=\"/local\">v</a>" +
+          "<a href=\"https://c.com/z\" rel=\"nofollow\">ad</a>"),
+        (2L, "https://a.com/p2", "<a href=\"https://b.com/x\">t2</a>")
+      ).toDF("doc_id", "url", "html"), "doc_id", "url", "html")
+    val g = Links.linkGraph(links).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(g(("a.com", "b.com")) == ((3L, 2L, 2L))) // 3 links, 2 pages, 2 urls
+    assert(g(("a.com", "a.com")) == ((1L, 1L, 1L))) // the internal link
+    assert(!g.contains(("a.com", "c.com")), "nofollow edge must not count")
+  }
+
+  test("anchorCorpus: distinct sorted anchors per canonical target") {
+    val links = Links.linkExtract(Seq(
+        (1L, "https://a.com/p", "<a href=\"https://t.com/page\">Alpha</a>"),
+        (2L, "https://b.com/p", "<a href=\"https://t.com/page/\">beta</a>" +
+          "<a href=\"https://t.com/page#sec\">Alpha</a>")
+      ).toDF("doc_id", "url", "html"), "doc_id", "url", "html")
+    val out = Links.anchorCorpus(links).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // trailing slash + fragment normalize into ONE target
+    assert(out == Map("https://t.com/page" -> ((3L, 2L, "Alpha|beta"))))
+  }
+
+  test("pagerankDirected: integer fixed-point matches the hand recurrence; " +
+      "dangling vertices keep base mass") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c")).toDF("src", "dst")
+    val got = Graph.pagerankDirected(edges, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // r0 = 1000000 each; base = 150000
+    // it1: m(b)=500000, m(c)=1500000 -> b=575000, c=1425000, a=150000
+    // it2: m(b)=75000,  m(c)=650000  -> b=213750, c=702500,  a=150000
+    assert(got == Map("a" -> 150000L, "b" -> 213750L, "c" -> 702500L))
+  }
+
+  test("splitAssignByKey: every row of one key lands in ONE split; " +
+      "proportions track keys, not rows") {
+    val df = (0L until 600L).map(i => (i, s"host${i % 30}"))
+      .toDF("doc_id", "host")
+    val out = Curation.splitAssignByKey(df, "doc_id", col("host"))
+    assert(out.count() == 600)
+    val perKey = out.groupBy("split_key")
+      .agg(countDistinct(col("split")).as("n")).collect()
+    assert(perKey.forall(_.getLong(1) == 1L),
+      "a key straddled the split boundary")
+    // deterministic: same key -> same split on a re-run
+    val again = Curation.splitAssignByKey(df, "doc_id", col("host"))
+    assert(out.exceptAll(again).isEmpty)
+  }
+
+  test("frontier_budget query: per-host entry count capped, top entries kept") {
+    val out = SparkEntry.queries("frontier_budget")(spark, sf)
+    val perHost = out.groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perHost.nonEmpty)
+    assert(perHost.values.forall(_ <= 25), "budget exceeded")
+    // the kept set per host must be the TOP of the (priority, lastmod,
+    // loc) order: max dropped <= min kept under the same ordering
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val entries = graft.operators.Html.sitemapParse(
+      docs.select(concat(col("source"), lit(".example.com")).as("host"),
+        col("doc_id"),
+        graft.operators.Html.wrapSitemap(col("doc_id"), col("source")).as("xml")),
+      "doc_id", "xml")
+      .select(col("host"), col("loc"), col("lastmod"), col("priority"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = entries.withColumn("rn",
+      row_number().over(Window.partitionBy("host")
+        .orderBy(col("priority").desc, col("lastmod").desc, col("loc").desc)))
+    val wantTop = ranked.filter(col("rn") <= 25).drop("rn")
+    assert(out.exceptAll(wantTop).isEmpty && wantTop.exceptAll(out).isEmpty,
+      "TopKPerKey kept a non-top entry")
+  }
+}

@@ -391,4 +391,25 @@ class PlanAuditSpec extends AnyFunSuite {
         s"line text crossed a shuffle:\n${exchanges.mkString("\n")}")
     }
   }
+
+  test("link_graph: page html never crosses an exchange — hosts-keyed agg only") {
+    noAutoBroadcast {
+      val plan = SparkEntry.queries("link_graph")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val exchanges = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty, plan)
+      assert(!exchanges.exists(l => l.contains("html#") || l.contains("__tag#")),
+        s"page payload crossed a shuffle:\n${exchanges.mkString("\n")}")
+    }
+  }
+
+  test("frontier_budget: per-host cut is TopKPerKey, never a full window sort") {
+    val plan = SparkEntry.queries("frontier_budget")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"frontier budget fell back to a window sort:\n$plan")
+    assert(!plan.contains("Window"), s"window sort in frontier budget:\n$plan")
+  }
+
 }
