@@ -561,6 +561,41 @@ object DocStreams {
       .toDF(idCol, hostCol, "slot", "fetch_offset_sec")
   }
 
+  /** Continuous per-host frontier budget — the stream complement of
+    * the batch frontier_budget cut: TopKPerKey picks the top-K by
+    * (priority, lastmod) when the whole frontier is visible, but a
+    * stream must decide on ARRIVAL, so the budget admits the first `k`
+    * URLs per host and suppresses the rest — the per-host admitted
+    * count carried across micro-batches in keyed state (one Long per
+    * host, never frontier-sized). Within a batch, rows order by id for
+    * determinism; across batches, arrival order governs (the streaming
+    * contract, same as [[politenessStream]]). Emits admitted rows only:
+    * (id, host, host_seq — the 0-based admission index, < k).
+    */
+  def hostBudgetStream(urls: DataFrame, idCol: String, hostCol: String,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k > 0, "budget must be positive")
+    val spark = urls.sparkSession
+    import spark.implicits._
+    urls
+      .select(col(idCol).cast("long"), col(hostCol))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (host, rows, state) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_._1).flatMap { case (id, _) =>
+            if (n < k) { val seq = n; n += 1; Some((id, host, seq)) }
+            else None
+          }
+          state.update(n)
+          out.iterator
+      }
+      .toDF(idCol, hostCol, "host_seq")
+  }
+
   def lineCleanAdmission(docs: DataFrame, indexPath: String,
                          idCol: String, textCol: String, tsCol: String,
                          watermark: String = "2 hours",

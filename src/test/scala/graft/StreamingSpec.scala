@@ -479,6 +479,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming host budget: first-k admission per host persists across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val urls = ms.toDF().toDF("url_id", "host")
+    val q = graft.streaming.DocStreams
+      .hostBudgetStream(urls, "url_id", "host", k = 2)
+      .writeStream.format("memory").queryName("hbudget")
+      .outputMode("append").start()
+    try {
+      ms.addData((3L, "a.com"), (1L, "a.com"), (2L, "b.com"))
+      q.processAllAvailable()
+      // host a is now full (2 admitted); b has one slot left
+      ms.addData((4L, "a.com"), (5L, "b.com"), (6L, "b.com"))
+      q.processAllAvailable()
+      val got = spark.table("hbudget")
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == Map(
+        1L -> (("a.com", 0L)), // within-batch order is by id
+        3L -> (("a.com", 1L)),
+        2L -> (("b.com", 0L)),
+        5L -> (("b.com", 1L)))) // 4 and 6 suppressed: budgets exhausted
+    } finally q.stop()
+  }
+
   test("streaming frontier admission: robots deny, seen-index drop, in-stream dedup, restart append") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
