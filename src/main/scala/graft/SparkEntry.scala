@@ -129,6 +129,18 @@ object SparkEntry {
           col("http_content_type"), col("http_content_length"),
           col("body_ok"), col("body"))
     }),
+    // fetch-layer snapshot dedup (A15): the WARC revisit mechanic —
+    // classify every URI across two crawl snapshots by payload digest
+    // (new / unchanged / changed / gone); snapshot B mutates, drops,
+    // and adds records on a deterministic schedule. The oracle
+    // re-parses BOTH generated files with the shared WARC SQL chain.
+    "warc_revisit" -> ((s, _) => {
+      buildWarcFixture()
+      buildWarcBFixture()
+      graft.sources.Formats.revisitClassify(
+        graft.sources.Formats.readWarc(s, WarcFixturePath),
+        graft.sources.Formats.readWarc(s, WarcBFixturePath))
+    }),
   )
 
   private val WarcFixturePath = "/root/repo/target/warc_ingest/corpus.warc"
@@ -215,6 +227,42 @@ object SparkEntry {
   }
   private def buildWarcGzFixture(): Unit = { buildWarcFixture(); warcGzFixtureBuilt }
 
+  private val WarcBFixturePath = "/root/repo/target/warc_revisit/corpus_b.warc"
+
+  /** Snapshot B of the WARC fixture — the SAME uris/types/blocks as
+    * [[warcRecords]] except: records dropped where i%11==0 (`gone`),
+    * blocks edited where i%5==0 (`changed`), three fresh uris appended
+    * (`new`); dates/ids advanced to the February recrawl.
+    */
+  private lazy val warcBFixtureBuilt: Unit = {
+    val raw = java.nio.file.Files.readString(java.nio.file.Paths.get(RawStoryPath))
+    val blocks = raw.split("\n", -1).grouped(100).map(_.mkString("\n")).toSeq
+    val types = Seq("response", "request", "metadata")
+    val recs = blocks.zipWithIndex.filter(_._2 % 11 != 0).map { case (b0, i) =>
+      val b = if (i % 5 == 0) b0 + "\n[edited in snapshot B]" else b0
+      s"WARC/1.0\r\n" +
+        f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0003-${i}%012d>\r\n" +
+        s"WARC-Type: ${types(i % 3)}\r\n" +
+        f"WARC-Date: 2026-02-01T${i / 60}%02d:${i % 60}%02d:00Z\r\n" +
+        s"WARC-Target-URI: https://crawl.example.com/page/$i\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${b.getBytes("UTF-8").length}\r\n" +
+        s"\r\n$b\r\n\r\n"
+    } ++ (0 until 3).map { j =>
+      val b = s"fresh page $j from snapshot B"
+      "WARC/1.0\r\n" +
+        f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0004-${j}%012d>\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Date: 2026-02-01T12:0$j:00Z\r\n" +
+        s"WARC-Target-URI: https://crawl.example.com/page/new$j\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${b.getBytes("UTF-8").length}\r\n" +
+        s"\r\n$b\r\n\r\n"
+    }
+    writeFixtureAtomic(WarcBFixturePath, recs.mkString("").getBytes("UTF-8"))
+  }
+  private def buildWarcBFixture(): Unit = warcBFixtureBuilt
+
   private val WarcHttpFixturePath = "/root/repo/target/warc_http/corpus.warc"
 
   /** WARC/1.0 fixture whose blocks are real HTTP responses: status
@@ -248,20 +296,21 @@ object SparkEntry {
   private def tok = TextFunctions.tokensSql("text")
 
   /** The WARC split + header-parse chain as a WITH-prefix ending in a
-    * `p` CTE (record_id, warc_type, wd, target_uri, content_type,
-    * content_length, block) — shared by the warc_ingest and warc_http
-    * oracles; reserved CTE names f/recs/norm/sp/p.
+    * `<prefix>p` CTE (record_id, warc_type, wd, target_uri,
+    * content_type, content_length, block) — shared by the warc_ingest
+    * and warc_http oracles; reserved CTE names {prefix}f/recs/norm/sp/p
+    * (pass a prefix to compose two snapshots in one query).
     */
-  private def warcCtes(path: String): String =
-    s"""WITH f AS (SELECT content FROM read_text('$path')),
-       |recs AS (SELECT unnest(string_split(content,
-       |    chr(13)||chr(10)||chr(13)||chr(10)||'WARC/1.0'||chr(13)||chr(10))) AS r0 FROM f),
-       |norm AS (SELECT regexp_replace(regexp_replace(r0,
-       |    '^WARC/1\\.0\r\n', ''), '[\r\n]+$$', '') AS rec FROM recs),
-       |sp AS (SELECT rec,
+  private def warcCtes(path: String, prefix: String = ""): String =
+    s"""WITH ${prefix}f AS (SELECT content FROM read_text('$path')),
+       |${prefix}recs AS (SELECT unnest(string_split(content,
+       |    chr(13)||chr(10)||chr(13)||chr(10)||'WARC/1.0'||chr(13)||chr(10))) AS r0 FROM ${prefix}f),
+       |${prefix}norm AS (SELECT regexp_replace(regexp_replace(r0,
+       |    '^WARC/1\\.0\r\n', ''), '[\r\n]+$$', '') AS rec FROM ${prefix}recs),
+       |${prefix}sp AS (SELECT rec,
        |    string_split(rec, chr(13)||chr(10)||chr(13)||chr(10))[1] AS hdr
-       |  FROM norm WHERE rec <> ''),
-       |p AS (SELECT
+       |  FROM ${prefix}norm WHERE rec <> ''),
+       |${prefix}p AS (SELECT
        |    regexp_extract(hdr, '(?im)^WARC-Record-ID:[ \t]*([^\r\n]*)', 1) AS record_id,
        |    regexp_extract(hdr, '(?im)^WARC-Type:[ \t]*([^\r\n]*)', 1) AS warc_type,
        |    regexp_extract(hdr, '(?im)^WARC-Date:[ \t]*([^\r\n]*)', 1) AS wd,
@@ -269,7 +318,7 @@ object SparkEntry {
        |    regexp_extract(hdr, '(?im)^Content-Type:[ \t]*([^\r\n]*)', 1) AS content_type,
        |    cast(regexp_extract(hdr, '(?im)^Content-Length:[ \t]*([^\r\n]*)', 1) AS bigint) AS content_length,
        |    substring(rec, length(hdr) + 5) AS block
-       |  FROM sp)""".stripMargin
+       |  FROM ${prefix}sp)""".stripMargin
 
   private val aOracles: Map[String, String] = Map(
     "mr_wordcount" ->
@@ -377,6 +426,23 @@ object SparkEntry {
          |    '(?im)^Content-Length:[ \t]*([^\r\n]*)', 1) AS BIGINT)) AS body_ok,
          |  body
          |FROM hb""".stripMargin,
+    "warc_revisit" ->
+      s"""${warcCtes(WarcFixturePath, "a")},
+         |${warcCtes(WarcBFixturePath, "b").stripPrefix("WITH ")},
+         |pa AS (SELECT target_uri,
+         |    max(struct_pack(wd := wd, d := md5(block))) AS m
+         |  FROM ap WHERE warc_type = 'response' GROUP BY 1),
+         |pb AS (SELECT target_uri,
+         |    max(struct_pack(wd := wd, d := md5(block))) AS m
+         |  FROM bp WHERE warc_type = 'response' GROUP BY 1)
+         |SELECT coalesce(pa.target_uri, pb.target_uri) AS target_uri,
+         |  CASE WHEN pa.target_uri IS NULL THEN 'new'
+         |       WHEN pb.target_uri IS NULL THEN 'gone'
+         |       WHEN pa.m.d = pb.m.d THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  coalesce(pa.m.d, '') AS prev_digest,
+         |  coalesce(pb.m.d, '') AS cur_digest
+         |FROM pa FULL OUTER JOIN pb ON pa.target_uri = pb.target_uri""".stripMargin,
     "raw_weather_stats" ->
       s"""WITH w AS (SELECT * FROM read_csv('$RawWeatherPath', header = true,
          |    columns = {'temperature': 'DOUBLE', 'humidity': 'DOUBLE', 'pressure': 'DOUBLE'})),

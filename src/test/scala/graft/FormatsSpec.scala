@@ -234,6 +234,33 @@ class FormatsSpec extends AnyFunSuite {
       new java.io.ByteArrayInputStream(Array.emptyByteArray)).isEmpty)
   }
 
+  test("revisitClassify: new/unchanged/changed/gone; latest capture represents a uri; " +
+      "non-response records ignored") {
+    import spark.implicits._
+    def snap(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("target_uri", "warc_type", "warc_date", "block")
+    val prev = snap(Seq(
+      ("u/1", "response", "2026-01-01T00:00:00Z", "alpha"),
+      ("u/1", "response", "2026-01-01T09:00:00Z", "alpha-v2"), // latest wins
+      ("u/2", "response", "2026-01-01T00:00:00Z", "beta"),
+      ("u/3", "response", "2026-01-01T00:00:00Z", "gamma"),
+      ("u/9", "request",  "2026-01-01T00:00:00Z", "not a payload")))
+    val cur = snap(Seq(
+      ("u/1", "response", "2026-02-01T00:00:00Z", "alpha-v2"),  // == latest prev
+      ("u/2", "response", "2026-02-01T00:00:00Z", "beta EDITED"),
+      ("u/4", "response", "2026-02-01T00:00:00Z", "delta")))
+    val got = Formats.revisitClassify(prev, cur).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("u/1" -> "unchanged", "u/2" -> "changed",
+      "u/3" -> "gone", "u/4" -> "new"))
+    // blocks must not cross the join: each side reduces to uri+digest
+    val plan = Formats.revisitClassify(prev, cur)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("block#")),
+      s"payload crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("readWarc: records spanning scan-split boundaries stay whole") {
     import org.apache.spark.sql.functions._
     val path = tmp("bigwarc") + ".warc"
