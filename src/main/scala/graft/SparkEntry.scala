@@ -1354,6 +1354,18 @@ object SparkEntry {
     // anchor texts pointing at it — retrieval/labeling signal
     "anchor_corpus" -> ((s, d) => Links.anchorCorpus(Links.linkExtract(
       linkPages(Tables.documents(s, d)), "doc_id", "url", "html"))),
+    // inbound-anchor enrichment (C98): each doc joined with what OTHER
+    // pages' anchors say about its canonical URL — label/relevance
+    // signal for training; docs nobody cites get 0/''
+    "doc_anchors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Links.docAnchors(
+        docs.select(col("doc_id"),
+          Html.urlNormalize(Html.wrapUrl(col("doc_id"), col("source")))
+            .as("page_url")),
+        "doc_id", "page_url",
+        Links.linkExtract(linkPages(docs), "doc_id", "url", "html"))
+    }),
     // host-keyed split (C96): all docs of one host share a split — the
     // leakage guard a per-doc id bucket cannot give (C71 measures the
     // leak; this prevents the host-local share of it)
@@ -2343,6 +2355,7 @@ object SparkEntry {
     "link_graph" -> Links.linkGraphOracleSql,
     "host_rank" -> Links.hostRankOracleSql(),
     "anchor_corpus" -> Links.anchorCorpusOracleSql,
+    "doc_anchors" -> Links.docAnchorsOracleSql,
     "host_split" ->
       s"""SELECT doc_id, source || '.example.com' AS split_key, bucket,
          |  CASE WHEN bucket < 100 THEN 'test'

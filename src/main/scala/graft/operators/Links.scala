@@ -122,6 +122,22 @@ object Links {
         countDistinct(col("page_host")).as("n_src_hosts"),
         array_join(array_sort(collect_set(col("anchor_text"))), "|").as("anchors"))
 
+  /** Inbound-anchor enrichment of a document table: left-join each
+    * page's canonical URL against the [[anchorCorpus]] of a link set —
+    * what other pages SAY about this document (anchor text is classic
+    * relevance/label signal; a page nobody links to gets 0/''). One
+    * URL-keyed shuffle join; anchors were already reduced per target.
+    */
+  def docAnchors(pages: DataFrame, idCol: String, urlCol: String,
+                 links: DataFrame): DataFrame = {
+    val ac = anchorCorpus(links)
+    pages.join(ac, pages(urlCol) === ac("target_url"), "left")
+      .select(pages(idCol), pages(urlCol),
+        coalesce(col("n_refs"), lit(0L)).as("n_refs"),
+        coalesce(col("n_src_hosts"), lit(0L)).as("n_src_hosts"),
+        coalesce(col("anchors"), lit("")).as("anchors"))
+  }
+
   // ---------------------------------------------------------------
   // fixture: a deterministic linked-page body around each document —
   // every resolution hazard on a doc_id schedule, reproduced
@@ -141,6 +157,12 @@ object Links {
     lit("<p>Read <a href=\"https://src"), ((idCol + 1) % 20).cast("string"),
     lit(".example.com/page/"), (idCol % 7).cast("string"),
     lit("\">next source "), (idCol % 7).cast("string"), lit("</a> now.</p>"),
+    // a citation of the NEXT document's canonical [[Html.wrapUrl]]
+    // address — the inbound-anchor signal doc_anchors joins on
+    lit("<p>See also <a href=\"https://src"), ((idCol + 1) % 20).cast("string"),
+    lit(".example.com/articles/item"), ((idCol + 1) % 40).cast("string"),
+    lit("?id="), ((idCol + 1) % 20).cast("string"),
+    lit("\">cited doc "), ((idCol + 1) % 40).cast("string"), lit("</a>.</p>"),
     when(idCol % 2 === 0, concat(
       lit("<p><a HREF='HTTPS://WWW.src"), ((idCol * 3 + 2) % 20).cast("string"),
       lit(".example.com:443/page/"), (idCol % 11).cast("string"),
@@ -166,6 +188,10 @@ object Links {
        |'<p>Read <a href="https://src' || cast(($idExpr + 1) % 20 AS varchar) ||
        |'.example.com/page/' || cast($idExpr % 7 AS varchar) ||
        |'">next source ' || cast($idExpr % 7 AS varchar) || '</a> now.</p>' ||
+       |'<p>See also <a href="https://src' || cast(($idExpr + 1) % 20 AS varchar) ||
+       |'.example.com/articles/item' || cast(($idExpr + 1) % 40 AS varchar) ||
+       |'?id=' || cast(($idExpr + 1) % 20 AS varchar) ||
+       |'">cited doc ' || cast(($idExpr + 1) % 40 AS varchar) || '</a>.</p>' ||
        |CASE WHEN $idExpr % 2 = 0 THEN
        |  '<p><a HREF=''HTTPS://WWW.src' || cast(($idExpr * 3 + 2) % 20 AS varchar) ||
        |  '.example.com:443/page/' || cast($idExpr % 11 AS varchar) ||
@@ -259,6 +285,21 @@ object Links {
        |  array_to_string(list_sort(list_distinct(list(anchor_text))), '|') AS anchors
        |FROM links
        |GROUP BY 1""".stripMargin
+
+  def docAnchorsOracleSql: String =
+    s"""WITH $linkCteSql,
+       |ac AS (SELECT target_url, count(*) AS n_refs,
+       |    count(DISTINCT page_host) AS n_src_hosts,
+       |    array_to_string(list_sort(list_distinct(list(anchor_text))), '|') AS anchors
+       |  FROM links GROUP BY 1),
+       |pgu AS (SELECT doc_id,
+       |    ${Html.urlNormalizeSql(Html.wrapUrlSql("doc_id", "source"))} AS page_url
+       |  FROM documents)
+       |SELECT pgu.doc_id, pgu.page_url,
+       |  coalesce(ac.n_refs, 0) AS n_refs,
+       |  coalesce(ac.n_src_hosts, 0) AS n_src_hosts,
+       |  coalesce(ac.anchors, '') AS anchors
+       |FROM pgu LEFT JOIN ac ON pgu.page_url = ac.target_url""".stripMargin
 
   /** Twin of host_rank: the CROSS-host edge set (distinct followed
     * src→dst, self-edges out) then [[Graph.pagerankDirected]]'s

@@ -84,7 +84,7 @@ object SoakBench {
         "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
         "lmscore", "bpe", "mixaudit", "proto", "leakage", "semgate",
         "ingest", "htmlx", "ivfassign", "linededup", "chunks", "shards",
-        "crawlpipe", "warc", "robots", "warcgz"))
+        "crawlpipe", "warc", "robots", "warcgz", "links"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -694,6 +694,35 @@ object SoakBench {
       val htmlMb = html.agg(sum(length(col("html")))).collect()(0).getLong(0) / 1e6
       axis("html_extract", htmlMb) {
         graft.operators.Html.htmlExtract(html, "doc_id", "html")
+      }
+    }
+
+    // ---- axis: link extraction + host graph over linked pages -------
+    // distinct page ids so every page's anchor schedule varies; checks
+    // (a) extraction is scan-rate zero-shuffle and (b) the host-graph
+    // agg's shuffle tracks the HOST adjacency, not page bytes
+    if (axes("links")) {
+      val kMult = math.max(1, (targetMb / baseMb).toInt)
+      val lkPath = "target/soak_links"
+      docs.select(explode(sequence(lit(1), lit(kMult))).as("copy"),
+          col("doc_id"), col("text"), col("source"))
+        .select((col("doc_id") * kMult + col("copy")).as("doc_id"),
+          col("source"), col("text"))
+        .select(col("doc_id"),
+          graft.operators.Html.wrapUrl(col("doc_id"), col("source")).as("url"),
+          concat(
+            graft.operators.Links.wrapLinksHtml(col("doc_id"), col("source")),
+            col("text")).as("html"))
+        .repartition(32).write.mode("overwrite").parquet(lkPath)
+      val pages = spark.read.parquet(lkPath)
+      val pagesMb = pages.agg(sum(length(col("html")) + length(col("url"))))
+        .collect()(0).getLong(0) / 1e6
+      axis("link_extract", pagesMb) {
+        graft.operators.Links.linkExtract(pages, "doc_id", "url", "html")
+      }
+      axis("link_graph", pagesMb) {
+        graft.operators.Links.linkGraph(
+          graft.operators.Links.linkExtract(pages, "doc_id", "url", "html"))
       }
     }
 
