@@ -1041,6 +1041,13 @@ object SparkEntry {
     // NFC + control-strip + whitespace-collapse canonicalization (C60)
     "text_normalize" -> ((s, d) =>
       TextAnalysis.textNormalize(Tables.documents(s, d), "doc_id", "text")),
+    // C4/RefinedWeb-style lexicon + domain blocklist gate (C99):
+    // drop on blocked domain or when blocked tokens exceed 3% per mille
+    // threshold of the doc's tokens — integer comparison, float-free
+    "blocklist_filter" -> ((s, d) =>
+      TextAnalysis.blocklistGate(Tables.documents(s, d), "doc_id", "text",
+        concat(col("source"), lit(".example.com")),
+        BlockTerms, BlockDomains)),
     // crawl-ingestion stage 0 (C76): HTML → clean text with
     // link-density boilerplate filtering, on the deterministic
     // page fixture around each document
@@ -1500,6 +1507,11 @@ object SparkEntry {
 
   private def ph(expr: String): String =
     s"cast('0x' || substr(md5($expr), 1, 15) as bigint)"
+  // blocklist_filter fixture params: terms present in the synthetic
+  // vocabulary at a frequency that makes the 3% threshold bite both
+  // ways; two blocked source domains
+  private val BlockTerms = Seq("spark", "vector")
+  private val BlockDomains = Seq("src3.example.com", "src17.example.com")
   /** The link-layer page fixture: each document as a page at its
     * [[Html.wrapUrl]] address with a [[Links.wrapLinksHtml]] body.
     */
@@ -2161,6 +2173,20 @@ object SparkEntry {
          |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
          |      '[\\x00-\\x08\\x0b-\\x1f\\x7f]', '', 'g'), '[ \\t]+', ' ', 'g')) AS norm
          |  FROM documents)""".stripMargin,
+    "blocklist_filter" ->
+      s"""WITH t AS (SELECT doc_id, source || '.example.com' AS host,
+         |    $tok AS toks FROM documents),
+         |b AS (SELECT doc_id, host, toks,
+         |    list_filter(toks, x -> x IN (${BlockTerms.map(t => s"'$t'").mkString(", ")})) AS bad
+         |  FROM t)
+         |SELECT doc_id, host,
+         |  cast(len(toks) AS integer) AS n_tokens,
+         |  cast(len(bad) AS integer) AS n_bad,
+         |  coalesce(array_to_string(list_sort(list_distinct(bad)), ','), '') AS bad_terms,
+         |  host IN (${BlockDomains.map(d => s"'$d'").mkString(", ")}) AS domain_blocked,
+         |  (NOT host IN (${BlockDomains.map(d => s"'$d'").mkString(", ")}))
+         |    AND len(bad) * 1000 <= len(toks) * 30 AS keep
+         |FROM b""".stripMargin,
     // every ratio is an IEEE division of exact integers — bit-portable
     "gopher_rules" ->
       s"""WITH base AS (SELECT doc_id, text, $tok AS t,

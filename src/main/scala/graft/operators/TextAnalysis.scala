@@ -808,4 +808,34 @@ object TextAnalysis {
       .withColumn("cum_types", sum(col("n_types")).over(w))
       .withColumn("cum_mass", sum(col("mass")).over(w))
   }
+
+  /** Blocklist gate — the C4/RefinedWeb-style lexicon-and-domain
+    * filter every public crawl pipeline runs early: drop a document
+    * when its host is on the domain blocklist, or when blocked-lexicon
+    * tokens exceed `maxBadPerMille` of its tokens (the fraction form —
+    * C4's any-hit rule collapses to maxBadPerMille = 0). The threshold
+    * compares INTEGERS (n_bad * 1000 <= n_tokens * permille), so
+    * keep/drop never sits on a float grid and the DuckDB twin is
+    * bit-exact. Emits per doc: (id, host, n_tokens, n_bad,
+    * bad_terms — distinct sorted comma-joined, domain_blocked, keep).
+    *
+    * Scale shape: the lexicon and domain list travel as expression
+    * literals (KB-scale, the codebook-scalar convention) — pure
+    * map-side column ops, zero shuffle, scan-rate at 100 TB.
+    */
+  def blocklistGate(docs: DataFrame, idCol: String, textCol: String,
+                    hostCol: Column, terms: Seq[String],
+                    domains: Seq[String],
+                    maxBadPerMille: Int = 30): DataFrame = {
+    require(terms.nonEmpty && maxBadPerMille >= 0)
+    val toks = tokens(col(textCol))
+    val bad = filter(toks, t => t.isin(terms: _*))
+    docs.select(col(idCol), hostCol.as("host"),
+        size(toks).as("n_tokens"), size(bad).as("n_bad"),
+        array_join(array_sort(array_distinct(bad)), ",").as("bad_terms"),
+        hostCol.isin(domains: _*).as("domain_blocked"))
+      .withColumn("keep",
+        !col("domain_blocked") &&
+          col("n_bad") * 1000 <= col("n_tokens") * maxBadPerMille)
+  }
 }

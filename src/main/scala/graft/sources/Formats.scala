@@ -285,16 +285,32 @@ object Formats {
     * digest) before the URI-keyed aggregation and join; at 100 TB the
     * exchanged bytes are a fixed ~100 B per capture.
     */
-  def revisitClassify(prev: DataFrame, cur: DataFrame): DataFrame = {
+  /** One (target_uri, digest) row per URI — the latest response
+    * capture (max WARC-Date, digest tiebreak) represents it. The
+    * reduction [[revisitClassify]] runs on both sides and
+    * [[buildRevisitIndex]] persists.
+    */
+  def latestDigests(warc: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    def latest(df: DataFrame) = df
+    warc
       .filter(col("warc_type") === "response")
       .select(col("target_uri"),
         struct(col("warc_date"), md5(col("block")).as("d")).as("__m"))
       .groupBy(col("target_uri"))
       .agg(max(col("__m")).getField("d").as("digest"))
-    val a = latest(prev).withColumnRenamed("digest", "prev_digest")
-    val b = latest(cur).withColumnRenamed("digest", "cur_digest")
+  }
+
+  /** Persist a snapshot's digest index — the static side
+    * [[graft.streaming.DocStreams.fetchDedupStream]] probes per batch
+    * (the fetch-layer analog of the frontier/bm25/ann index builders).
+    */
+  def buildRevisitIndex(prev: DataFrame, path: String): Unit =
+    latestDigests(prev).write.mode("overwrite").parquet(path)
+
+  def revisitClassify(prev: DataFrame, cur: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = latestDigests(prev).withColumnRenamed("digest", "prev_digest")
+    val b = latestDigests(cur).withColumnRenamed("digest", "cur_digest")
     a.join(b, Seq("target_uri"), "full_outer")
       .select(col("target_uri"),
         when(col("prev_digest").isNull, lit("new"))

@@ -561,6 +561,33 @@ object DocStreams {
       .toDF(idCol, hostCol, "slot", "fetch_offset_sec")
   }
 
+  /** Continuous fetch-layer dedup — the stream twin of
+    * [[graft.sources.Formats.revisitClassify]], probing the persisted
+    * previous-snapshot digest index
+    * ([[graft.sources.Formats.buildRevisitIndex]]) as each fetch
+    * arrives: `new` (URI not in the index), `unchanged` (digest equal —
+    * write a revisit pointer, skip the payload downstream), `changed`.
+    * `gone` has no stream analog (absence is not an event). Stateless
+    * per batch — a stream-static left join against the broadcast-able
+    * index; payload bytes never shuffle (the digest is computed
+    * map-side and the block column is dropped before the join).
+    */
+  def fetchDedupStream(fetches: DataFrame, uriCol: String,
+                       blockCol: String, indexPath: String): DataFrame = {
+    val idx = fetches.sparkSession.read.parquet(indexPath)
+      .select(col("target_uri").as("__iu"), col("digest").as("prev_digest"))
+    val carry = fetches.columns.filter(c => c != blockCol && c != uriCol).map(col)
+    fetches
+      .select(Seq(col(uriCol), md5(col(blockCol)).as("cur_digest")) ++ carry: _*)
+      .join(idx, col(uriCol) === col("__iu"), "left")
+      .select(Seq(col(uriCol),
+        when(col("prev_digest").isNull, lit("new"))
+          .when(col("prev_digest") === col("cur_digest"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        coalesce(col("prev_digest"), lit("")).as("prev_digest"),
+        col("cur_digest")) ++ carry: _*)
+  }
+
   /** Continuous per-host frontier budget — the stream complement of
     * the batch frontier_budget cut: TopKPerKey picks the top-K by
     * (priority, lastmod) when the whole frontier is visible, but a

@@ -479,6 +479,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming fetch dedup equals batch revisitClassify on the shared index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_revisit").toString
+    def snap(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("target_uri", "warc_type", "warc_date", "block")
+    val prev = snap(Seq(
+      ("u/1", "response", "2026-01-01T00:00:00Z", "alpha"),
+      ("u/1", "response", "2026-01-01T09:00:00Z", "alpha-v2"),
+      ("u/2", "response", "2026-01-01T00:00:00Z", "beta"),
+      ("u/3", "response", "2026-01-01T00:00:00Z", "gamma")))
+    graft.sources.Formats.buildRevisitIndex(prev, dir)
+    val curRows = Seq(
+      ("u/1", "alpha-v2"),    // == latest prev -> unchanged
+      ("u/2", "beta EDITED"), // changed
+      ("u/4", "delta"))       // new
+    val ms = MemoryStream[(String, String)]
+    val cur = ms.toDF().toDF("target_uri", "block")
+    val q = graft.streaming.DocStreams
+      .fetchDedupStream(cur, "target_uri", "block", dir)
+      .writeStream.format("memory").queryName("fetchdedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(curRows(0), curRows(1))
+      q.processAllAvailable()
+      ms.addData(curRows(2)) // second batch probes the same index
+      q.processAllAvailable()
+      val got = spark.table("fetchdedup")
+        .select("target_uri", "status").as[(String, String)].collect().toMap
+      // batch twin minus 'gone' (absence is not a stream event)
+      val batch = graft.sources.Formats.revisitClassify(prev,
+          snap(curRows.map { case (u, b) => (u, "response", "2026-02-01T00:00:00Z", b) }))
+        .filter(org.apache.spark.sql.functions.col("status") =!= "gone")
+        .select("target_uri", "status").as[(String, String)].collect().toMap
+      assert(got == batch)
+      assert(got == Map("u/1" -> "unchanged", "u/2" -> "changed", "u/4" -> "new"))
+    } finally q.stop()
+  }
+
   test("streaming host budget: first-k admission per host persists across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
