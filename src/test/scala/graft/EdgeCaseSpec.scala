@@ -226,4 +226,49 @@ class EdgeCaseSpec extends AnyFunSuite {
       Curation.trainingShards(blank, "doc_id", "text", 0L)
     }
   }
+
+  test("link layer degrades cleanly: empty/malformed html, empty corpus, " +
+      "blocklist on empty text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // no anchors, empty html, unclosed/malformed anchors, href-less <a>
+    val pages = Seq(
+      (1L, "https://a.com/p", ""),
+      (2L, "https://a.com/p", "<p>no links at all</p>"),
+      (3L, "https://a.com/p", "<a href=\"/x\">unclosed"),
+      (4L, "https://a.com/p", "<a name=\"anchor-only\">no href</a>"),
+      (5L, "not a url", "<a href=\"/y\">base has no scheme</a>")
+    ).toDF("doc_id", "url", "html")
+    val links = operators.Links.linkExtract(pages, "doc_id", "url", "html")
+    // 1-3 yield nothing (no complete anchor tag); 4 drops (empty href);
+    // 5 survives with a degenerate resolution (scheme-less base)
+    assert(links.filter(col("doc_id") <= 4).count() == 0)
+    assert(links.filter(col("doc_id") === 5).count() == 1)
+    val emptyPages = pages.filter(col("doc_id") < 0)
+    assert(operators.Links.linkExtract(emptyPages, "doc_id", "url", "html").count() == 0)
+    assert(operators.Links.linkGraph(links.filter(col("doc_id") < 0)).count() == 0)
+    assert(operators.Links.anchorCorpus(links.filter(col("doc_id") < 0)).count() == 0)
+    // directed pagerank on an empty edge set: no vertices, no rows
+    assert(operators.Graph.pagerankDirected(
+      Seq.empty[(String, String)].toDF("src", "dst")).count() == 0)
+    // blocklist gate: empty text keeps (0*1000 <= 0*30), empty corpus empty
+    val bl = TextAnalysis.blocklistGate(docsOf((1L, "")), "doc_id", "text",
+      lit("h.example.com"), Seq("bad"), Seq("blocked.example.com"))
+    val r = bl.head()
+    assert(r.getAs[Boolean]("keep") && r.getAs[Int]("n_tokens") == 0 &&
+      r.getAs[String]("bad_terms") == "")
+    assert(TextAnalysis.blocklistGate(empty, "doc_id", "text",
+      lit("h"), Seq("bad"), Seq.empty).count() == 0)
+    // empty lexicon fails fast
+    intercept[IllegalArgumentException] {
+      TextAnalysis.blocklistGate(empty, "doc_id", "text", lit("h"),
+        Seq.empty, Seq.empty)
+    }
+    // revisit classify: both snapshots empty -> empty
+    assert(graft.sources.Formats.revisitClassify(
+      Seq.empty[(String, String, String, String)]
+        .toDF("target_uri", "warc_type", "warc_date", "block"),
+      Seq.empty[(String, String, String, String)]
+        .toDF("target_uri", "warc_type", "warc_date", "block")).count() == 0)
+  }
 }

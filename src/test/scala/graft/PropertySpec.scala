@@ -387,4 +387,37 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
     assert(got == want)
   }
+
+  test("property: urlNormalize is idempotent and canonical on random urls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val genUrl: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS", "ftp")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("a.com", "b.example.org", "X.Y.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      segs <- Gen.choose(0, 3)
+      path <- Gen.listOfN(segs, Gen.oneOf("p", "Q", "r2")).map(s =>
+        if (s.isEmpty) "" else s.mkString("/", "/", ""))
+      slash <- Gen.oneOf("", "/")
+      qs <- Gen.oneOf("", "?id=3", "?utm_source=x", "?b=2&a=1&utm_c=9", "?ref=r&z=")
+      frag <- Gen.oneOf("", "#top")
+    } yield s"$scheme://$www$host$path$slash$qs$frag"
+    val urls = samples(genUrl, 300, seed = 77L).distinct
+    val once = urls.toDF("u")
+      .select(graft.operators.Html.urlNormalize(col("u")).as("n"))
+      .as[String].collect().toSeq
+    val twice = once.toDF("u")
+      .select(graft.operators.Html.urlNormalize(col("u")).as("n"))
+      .as[String].collect().toSeq
+    assert(once == twice, "normalization must be idempotent")
+    once.foreach { n =>
+      assert(!n.contains("#"), s"fragment survived: $n")
+      assert(!n.contains("utm_") && !n.contains("ref="), s"tracking param survived: $n")
+      val host = n.replaceAll("^[a-z+.0-9-]+://", "").takeWhile(c => c != '/' && c != '?')
+      assert(host == host.toLowerCase && !host.startsWith("www."), s"host not canonical: $n")
+      assert(!(n.startsWith("http://") && host.endsWith(":80")), s"http default port survived: $n")
+      assert(!(n.startsWith("https://") && host.endsWith(":443")), s"https default port survived: $n")
+    }
+  }
 }
