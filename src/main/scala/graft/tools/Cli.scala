@@ -227,9 +227,15 @@ object Cli {
             .select(graft.operators.Html.wrapUrl(col("doc_id"), col("source"))
               .as("url")),
           "url", path)
+      // previous-snapshot payload-digest index for the streaming
+      // fetch-layer revisit dedup (A15's continuous twin); here sfDir
+      // is a WARC path, not a table directory
+      case "revisit" =>
+        graft.sources.Formats.buildRevisitIndex(
+          graft.sources.Formats.readWarc(spark, sfDir), path)
       case other =>
         System.err.println(
-          s"unknown index kind '$other' (minhash|lsh|cdc|bm25|pq|ivfpq|ivfpq-trained|line|nbmodel|lmmodel|frontier)")
+          s"unknown index kind '$other' (minhash|lsh|cdc|bm25|pq|ivfpq|ivfpq-trained|line|nbmodel|lmmodel|frontier|revisit)")
         sys.exit(1)
     }
     println(f"index=$kind path=$path sec=${(System.nanoTime() - t0) / 1e9}%.2f")
