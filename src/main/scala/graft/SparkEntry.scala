@@ -1394,6 +1394,19 @@ object SparkEntry {
         entries.select(col("host"), col("loc"), col("lastmod"), col("priority")),
         Seq("host"), Seq("priority", "lastmod", "loc"), 25)
     }),
+    // changefreq-driven recrawl scheduling (C100): age each sitemap
+    // entry's lastmod against a fixed reference date under its
+    // declared frequency; emits the due bit per entry
+    "recrawl_schedule" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val entries = Html.sitemapParse(
+        docs.select(concat(col("source"), lit(".example.com")).as("host"),
+          col("doc_id"), Html.wrapSitemap(col("doc_id"), col("source")).as("xml")),
+        "doc_id", "xml")
+      Html.recrawlSchedule(entries, "lastmod", "changefreq", RecrawlAsOf)
+        .select(col("host"), col("loc"), col("lastmod"), col("changefreq"),
+          col("interval_days"), col("age_days"), col("due"))
+    }),
     // the full stage-0 composite in ONE declarative plan: HTML extract
     // → token gate → exact dedup → shard manifest. Pages wrapped under
     // a CONSTANT title so replicated texts are exact page duplicates
@@ -1512,6 +1525,9 @@ object SparkEntry {
   // ways; two blocked source domains
   private val BlockTerms = Seq("spark", "vector")
   private val BlockDomains = Seq("src3.example.com", "src17.example.com")
+  // fixed recrawl reference date — sits between the fixture's lastmod
+  // grid (2026-01..09-15) so monthly/weekly/daily classes all split
+  private val RecrawlAsOf = "2026-03-01"
   /** The link-layer page fixture: each document as a page at its
     * [[Html.wrapUrl]] address with a [[Links.wrapLinksHtml]] body.
     */
@@ -2390,6 +2406,32 @@ object SparkEntry {
          |FROM (SELECT doc_id, source,
          |    ${ph("concat('ksplit|', source || '.example.com')")} % 1000 AS bucket
          |  FROM documents)""".stripMargin,
+    "recrawl_schedule" ->
+      s"""WITH sm AS (SELECT source || '.example.com' AS host, doc_id,
+         |    ${Html.wrapSitemapSql("doc_id", "source")} AS xml FROM documents),
+         |ent AS (SELECT host,
+         |    unnest(list_transform(regexp_extract_all(xml, '${Html.SitemapUrlPat}', 1),
+         |      (x, i) -> struct_pack(i := i, x := x))) AS e
+         |  FROM sm),
+         |fx AS (SELECT host,
+         |    regexp_extract(e.x, '${Html.LocPat}', 1) AS loc,
+         |    regexp_extract(e.x, '${Html.LastmodPat}', 1) AS lastmod,
+         |    regexp_extract(e.x, '${Html.ChangefreqPat}', 1) AS changefreq
+         |  FROM ent WHERE regexp_extract(e.x, '${Html.LocPat}', 1) <> ''),
+         |m AS (SELECT *,
+         |    CASE WHEN changefreq IN ('always', 'hourly', 'daily') THEN 1
+         |         WHEN changefreq = 'weekly' THEN 7
+         |         WHEN changefreq = 'monthly' THEN 30
+         |         WHEN changefreq = 'yearly' THEN 365
+         |         WHEN changefreq = 'never' THEN -1
+         |         ELSE 7 END AS interval_days,
+         |    CASE WHEN lastmod = '' THEN 99999
+         |         ELSE date_diff('day', cast(lastmod AS date), DATE '$RecrawlAsOf')
+         |         END AS age_days
+         |  FROM fx)
+         |SELECT host, loc, lastmod, changefreq, interval_days, age_days,
+         |  interval_days >= 0 AND age_days >= interval_days AS due
+         |FROM m""".stripMargin,
     "frontier_budget" ->
       s"""WITH sm AS (SELECT source || '.example.com' AS host, doc_id,
          |    ${Html.wrapSitemapSql("doc_id", "source")} AS xml FROM documents),

@@ -694,6 +694,36 @@ object Html {
           .as("priority")): _*)
   }
 
+  /** Recrawl scheduling from sitemap freshness hints — the refresh
+    * policy stage between discovery (sitemapParse) and the frontier
+    * budget: map each entry's `changefreq` to a recrawl interval in
+    * days (always/hourly→1-day floor at batch granularity, daily→1,
+    * weekly→7, monthly→30, yearly→365, never→-1 = never due; missing →
+    * the 7-day default), age it against `asOf` (a FIXED reference date
+    * — determinism: re-running the plan never flips `due`), and emit
+    * the due bit. Entries without a `lastmod` have never been crawled
+    * on record: age 99999, due whenever the interval allows. Pure
+    * map-side date math, zero shuffle; rows stay per-ENTRY (a URL
+    * listed twice schedules twice — dedupe upstream with url_dedup).
+    */
+  def recrawlSchedule(entries: DataFrame, lastmodCol: String,
+                      changefreqCol: String, asOf: String): DataFrame = {
+    val interval =
+      when(col(changefreqCol).isin("always", "hourly", "daily"), 1)
+        .when(col(changefreqCol) === "weekly", 7)
+        .when(col(changefreqCol) === "monthly", 30)
+        .when(col(changefreqCol) === "yearly", 365)
+        .when(col(changefreqCol) === "never", -1)
+        .otherwise(7)
+    val age = when(col(lastmodCol) === "", 99999)
+      .otherwise(datediff(lit(asOf).cast("date"), col(lastmodCol).cast("date")))
+    entries
+      .withColumn("interval_days", interval)
+      .withColumn("age_days", age)
+      .withColumn("due",
+        col("interval_days") >= 0 && col("age_days") >= col("interval_days"))
+  }
+
   /** Deterministic sitemap-XML fixture per document: three entries on
     * a doc_id schedule — optional lastmod on %2, changefreq cycling,
     * priority on %3 (else the 0.5 default path), one loc-less entry

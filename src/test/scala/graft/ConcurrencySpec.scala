@@ -34,4 +34,29 @@ class ConcurrencySpec extends AnyFunSuite {
         assert(rows == sequential(n), s"$n diverged under concurrency")
     } finally pool.shutdown()
   }
+
+  test("warc fixture queries are stable under concurrent rebuild " +
+      "(atomic-publish latch — Bench's pool runs both at once)") {
+    // both query lambdas rebuild the SAME corpus.warc before reading;
+    // pre-fix, a reader could catch the file mid-truncation. Hammer the
+    // pair in parallel and require every run to see all 240 records.
+    val names = Seq("warc_ingest", "warc_gz_ingest", "warc_revisit", "warc_http")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (1 to 3).flatMap(_ => names).map { n =>
+        scala.concurrent.Future {
+          n -> SparkEntry.queries(n)(spark, sf).count()
+        }
+      }
+      val results = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration(300, "s"))
+      val want = Map("warc_ingest" -> 240L, "warc_gz_ingest" -> 240L,
+        "warc_revisit" -> 83L, "warc_http" -> 240L)
+      for ((n, c) <- results)
+        assert(c == want(n), s"$n saw a torn fixture: $c rows")
+    } finally pool.shutdown()
+  }
 }

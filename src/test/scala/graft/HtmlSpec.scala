@@ -351,6 +351,28 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("recrawl schedule: frequency intervals, never-crawled due, never not due, " +
+      "future lastmod not due") {
+    val entries = Seq(
+      ("h", "u1", "2026-01-15", "daily"),   // age 45 >= 1: due
+      ("h", "u2", "2026-02-25", "weekly"),  // age 4 < 7: not due
+      ("h", "u3", "2026-01-15", "monthly"), // age 45 >= 30: due
+      ("h", "u4", "2026-02-15", "monthly"), // age 14 < 30: not due
+      ("h", "u5", "", "daily"),             // never crawled: due
+      ("h", "u6", "2026-01-15", "never"),   // never recrawl: not due
+      ("h", "u7", "2026-05-15", "daily"),   // future lastmod: not due
+      ("h", "u8", "2026-01-15", "always"),  // 1-day floor: due
+      ("h", "u9", "2026-01-15", "")         // default 7: due
+    ).toDF("host", "loc", "lastmod", "changefreq")
+    val got = Html.recrawlSchedule(entries, "lastmod", "changefreq", "2026-03-01")
+      .collect().map(r => r.getAs[String]("loc") ->
+        ((r.getAs[Int]("interval_days"), r.getAs[Boolean]("due")))).toMap
+    assert(got == Map(
+      "u1" -> ((1, true)), "u2" -> ((7, false)), "u3" -> ((30, true)),
+      "u4" -> ((30, false)), "u5" -> ((1, true)), "u6" -> ((-1, false)),
+      "u7" -> ((1, false)), "u8" -> ((1, true)), "u9" -> ((7, true))))
+  }
+
   test("url dedup groups spelling variants under one canonical survivor") {
     val pages = Seq(
       (1L, "https://site.org/a?id=1"),
