@@ -84,7 +84,7 @@ object SoakBench {
         "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
         "lmscore", "bpe", "mixaudit", "proto", "leakage", "semgate",
         "ingest", "htmlx", "ivfassign", "linededup", "chunks", "shards",
-        "crawlpipe", "warc", "robots", "warcgz", "links"))
+        "crawlpipe", "warc", "robots", "warcgz", "links", "revisit"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -805,7 +805,7 @@ object SoakBench {
     // per-row "\n" completes the \r\n\r\n terminator), then split +
     // header-parsed inside the scan. Zero shuffle expected; the MB/s
     // line is the ingestion-stage budget for a crawl archive.
-    if (axes("warc") || axes("warcgz")) {
+    if (axes("warc") || axes("warcgz") || axes("revisit")) {
       val wMult = math.max(1, (targetMb / baseMb).toInt)
       val wPath = "target/soak_warc"
       val rec = concat(
@@ -845,6 +845,35 @@ object SoakBench {
           graft.sources.Formats.readWarcGz(spark, s"$gzDir/*.gz")
             .select(col("record_id"), col("warc_type"), col("content_length"),
               col("length_ok"), length(col("block")).as("n"))
+        }
+      }
+      // snapshot-B recrawl of the same corpus: blocks edited on %5,
+      // records dropped on %11 — timing the two-snapshot digest
+      // classify; shuffle must track (uri, digest) rows, never blocks
+      if (axes("revisit")) {
+        val bPath = "target/soak_warc_b"
+        val bodyB = when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("\n[edited in snapshot B]")))
+          .otherwise(col("text"))
+        val recB = concat(
+          lit("WARC/1.0\r\nWARC-Record-ID: <urn:uuid:b"), col("doc_id"),
+          lit(">\r\nWARC-Type: response\r\nWARC-Date: 2026-02-01T00:00:00Z\r\n"),
+          lit("WARC-Target-URI: https://crawl.example.com/page/"), col("doc_id"),
+          lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+          octet_length(col("__b")),
+          lit("\r\n\r\n"), col("__b"), lit("\r\n\r"))
+        docs.select(explode(sequence(lit(1), lit(wMult))).as("copy"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") * wMult + col("copy")).as("doc_id"), col("text"))
+          .filter(col("doc_id") % 11 =!= 0)
+          .withColumn("__b", bodyB)
+          .select(recB.as("value"))
+          .repartition(32).write.mode("overwrite").text(bPath)
+        val bMb = dirBytes(bPath) / 1e6
+        axis("warc_revisit", warcMb + bMb) {
+          graft.sources.Formats.revisitClassify(
+            graft.sources.Formats.readWarc(spark, wPath),
+            graft.sources.Formats.readWarc(spark, bPath))
         }
       }
     }

@@ -544,6 +544,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming host budget: keyed state survives a query RESTART from checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_hb_ck")
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    val ms = MemoryStream[(Long, String)]
+    def start() = graft.streaming.DocStreams
+      .hostBudgetStream(ms.toDF().toDF("url_id", "host"), "url_id", "host", k = 2)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      ms.addData((1L, "a.com"), (2L, "a.com"), (3L, "b.com"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart a NEW query from the same checkpoint: host a's budget is
+    // already exhausted in recovered state, b has one slot left
+    val q2 = start()
+    try {
+      ms.addData((4L, "a.com"), (5L, "b.com"), (6L, "b.com"))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out)
+        .as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == Map(
+        1L -> (("a.com", 0L)), 2L -> (("a.com", 1L)),
+        3L -> (("b.com", 0L)), 5L -> (("b.com", 1L))),
+        s"state did not survive the restart: $got")
+    } finally q2.stop()
+  }
+
   test("streaming frontier admission: robots deny, seen-index drop, in-stream dedup, restart append") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
