@@ -129,6 +129,16 @@ object SparkEntry {
           col("http_content_type"), col("http_content_length"),
           col("body_ok"), col("body"))
     }),
+    // redirect-chain resolution (A16): follow 3xx Location targets
+    // to each URI's final address (the canonicalization step BEFORE
+    // url_dedup); fixture plants 1/2-hop chains, a 5-hop run, a self
+    // loop, and a dangling external target — every resolution class
+    "redirect_resolve" -> ((s, _) => {
+      buildWarcRedirectFixture()
+      val fetches = graft.sources.Formats.httpParse(
+        graft.sources.Formats.readWarc(s, WarcRedirectFixturePath), "block")
+      Links.redirectResolve(fetches, "target_uri", "status", "http_location")
+    }),
     // fetch-layer snapshot dedup (A15): the WARC revisit mechanic —
     // classify every URI across two crawl snapshots by payload digest
     // (new / unchanged / changed / gone); snapshot B mutates, drops,
@@ -262,6 +272,52 @@ object SparkEntry {
     writeFixtureAtomic(WarcBFixturePath, recs.mkString("").getBytes("UTF-8"))
   }
   private def buildWarcBFixture(): Unit = warcBFixtureBuilt
+
+  private val WarcRedirectFixturePath = "/root/repo/target/warc_redirect/corpus.warc"
+
+  /** Fetch-log fixture for redirect resolution: 240 HTTP responses at
+    * /page/i with a deterministic redirect schedule — i==36 self-loop
+    * (302), i==72 dangling external 301, i in [200,216]∩4Z a 301 run
+    * (200/204 exceed 4 hops, 208 resolves at exactly 4), other
+    * multiples of 4 redirect 1-2 hops with the status cycling
+    * 301/302/307/308 by i%16, everything else 200-terminal.
+    */
+  private lazy val warcRedirectFixtureBuilt: Unit = {
+    def page(n: Int) = s"https://crawl.example.com/page/$n"
+    val recs = (0 until 240).map { i =>
+      val loc: Option[String] =
+        if (i == 36) Some(page(36))
+        else if (i == 72) Some(page(9999))
+        else if (i % 4 == 0 && i >= 200 && i <= 216) Some(page(i + 4))
+        else if (i % 4 == 0) Some(page(i + (if (i % 8 == 0) 4 else 2)))
+        else None
+      val (status, reason) = loc match {
+        case None => (200, "OK")
+        case Some(_) => (i % 16) match {
+          case 0  => (301, "Moved Permanently")
+          case 8  => (307, "Temporary Redirect")
+          case 12 => (308, "Permanent Redirect")
+          case _  => (302, "Found")
+        }
+      }
+      val b = if (loc.isDefined) "moved" else s"content of page $i"
+      val http = s"HTTP/1.1 $status $reason\r\n" +
+        loc.map(l => s"Location: $l\r\n").getOrElse("") +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${b.getBytes("UTF-8").length}\r\n" +
+        s"\r\n$b"
+      s"WARC/1.0\r\n" +
+        f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0005-${i}%012d>\r\n" +
+        "WARC-Type: response\r\n" +
+        f"WARC-Date: 2026-01-03T${i / 60}%02d:${i % 60}%02d:00Z\r\n" +
+        s"WARC-Target-URI: ${page(i)}\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.getBytes("UTF-8").length}\r\n" +
+        s"\r\n$http\r\n\r\n"
+    }
+    writeFixtureAtomic(WarcRedirectFixturePath, recs.mkString("").getBytes("UTF-8"))
+  }
+  private def buildWarcRedirectFixture(): Unit = warcRedirectFixtureBuilt
 
   private val WarcHttpFixturePath = "/root/repo/target/warc_http/corpus.warc"
 
@@ -426,6 +482,37 @@ object SparkEntry {
          |    '(?im)^Content-Length:[ \t]*([^\r\n]*)', 1) AS BIGINT)) AS body_ok,
          |  body
          |FROM hb""".stripMargin,
+    "redirect_resolve" -> {
+      val loc = "regexp_extract(hsec, '(?im)^Location:[ \\t]*([^\\r\\n]*)', 1)"
+      val hops = (0 until 4).map { h =>
+        s"""r${h + 1} AS (SELECT start_uri,
+           |    CASE WHEN nxt IS NOT NULL THEN nxt ELSE final_uri END AS final_uri,
+           |    CASE WHEN nxt IS NOT NULL THEN rn END AS nxt,
+           |    n_hops + CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS n_hops
+           |  FROM r$h LEFT JOIN red ON r$h.nxt = red.ru)""".stripMargin
+      }.mkString(",\n")
+      s"""${warcCtes(WarcRedirectFixturePath)},
+         |hh AS (SELECT target_uri,
+         |    CASE WHEN regexp_matches(block, '^HTTP/[0-9.]+ [0-9]{3}')
+         |      THEN string_split(block, chr(13)||chr(10)||chr(13)||chr(10))[1]
+         |      ELSE '' END AS hsec
+         |  FROM p),
+         |m AS (SELECT target_uri AS u,
+         |    CASE WHEN try_cast(regexp_extract(hsec, '^HTTP/[0-9.]+ ([0-9]{3})', 1)
+         |            AS INTEGER) IN (301, 302, 303, 307, 308)
+         |          AND $loc <> ''
+         |      THEN $loc END AS n
+         |  FROM hh),
+         |red AS (SELECT u AS ru, n AS rn FROM m WHERE n IS NOT NULL),
+         |r0 AS (SELECT u AS start_uri, u AS final_uri, n AS nxt, 0 AS n_hops FROM m),
+         |$hops
+         |SELECT r4.start_uri, r4.final_uri, r4.n_hops,
+         |  CASE WHEN n_hops = 0 THEN 'direct'
+         |       WHEN nxt IS NOT NULL THEN 'exceeded'
+         |       ELSE 'resolved' END AS resolution,
+         |  c.u IS NOT NULL AS final_in_corpus
+         |FROM r4 LEFT JOIN (SELECT DISTINCT u FROM m) c ON r4.final_uri = c.u""".stripMargin
+    },
     "warc_revisit" ->
       s"""${warcCtes(WarcFixturePath, "a")},
          |${warcCtes(WarcBFixturePath, "b").stripPrefix("WITH ")},

@@ -138,6 +138,58 @@ object Links {
         coalesce(col("anchors"), lit("")).as("anchors"))
   }
 
+  /** Resolve HTTP redirect chains in a fetch log — the canonicalization
+    * every crawler runs before URL dedup (a page fetched at its old
+    * address must count as its final address): follow
+    * 301/302/303/307/308 `Location` targets up to `maxHops`, emitting
+    * per start URI the final URI, hop count, and resolution class —
+    * `direct` (no redirect), `resolved` (chain ended at a terminal
+    * target within the budget — `final_in_corpus` distinguishes a
+    * fetched terminal from an external/dangling Location), `exceeded`
+    * (still redirecting after maxHops — covers loops, which never
+    * terminate by construction).
+    *
+    * Scale shape: the per-hop join's BUILD side is only the redirect
+    * SUBSET (3xx rows — a small fraction of any healthy fetch log),
+    * re-rooted once; terminal rows carry through with a null key. A
+    * fixed unrolled hop count (not a driver loop over convergence)
+    * keeps the plan static and the oracle expressible; production
+    * crawlers cap redirect chains the same way (the public convention
+    * is 5-10 hops).
+    */
+  def redirectResolve(fetches: DataFrame, uriCol: String, statusCol: String,
+                      locCol: String, maxHops: Int = 4): DataFrame = {
+    import graft.Materialize.MaterializeOps
+    require(maxHops >= 1)
+    val isRedirect = col(statusCol).isin(301, 302, 303, 307, 308) &&
+      col(locCol).isNotNull && col(locCol) =!= ""
+    val m = fetches.select(col(uriCol).as("__u"),
+      when(isRedirect, col(locCol)).as("__n"))
+    val red = m.filter(col("__n").isNotNull)
+      .select(col("__u").as("__ru"), col("__n").as("__rn"))
+      .materialized
+    var r = m.select(col("__u").as("start_uri"), col("__u").as("final_uri"),
+      col("__n").as("__nxt"), lit(0).as("n_hops"))
+    for (_ <- 1 to maxHops) {
+      r = r.join(red, r("__nxt") === red("__ru"), "left")
+        .select(col("start_uri"),
+          coalesce(col("__nxt"), col("final_uri")).as("final_uri"),
+          // advancing: matched -> the target's own next (null if the
+          // target is terminal or outside the log); parked -> stays null
+          when(col("__nxt").isNotNull, col("__rn"))
+            .otherwise(lit(null)).as("__nxt"),
+          (col("n_hops") +
+            when(col("__nxt").isNotNull, 1).otherwise(0)).as("n_hops"))
+    }
+    val uris = m.select(col("__u").as("__cu")).distinct().materialized
+    r.join(uris, r("final_uri") === uris("__cu"), "left")
+      .select(col("start_uri"), col("final_uri"), col("n_hops"),
+        when(col("n_hops") === 0, lit("direct"))
+          .when(col("__nxt").isNotNull, lit("exceeded"))
+          .otherwise(lit("resolved")).as("resolution"),
+        col("__cu").isNotNull.as("final_in_corpus"))
+  }
+
   // ---------------------------------------------------------------
   // fixture: a deterministic linked-page body around each document —
   // every resolution hazard on a doc_id schedule, reproduced

@@ -140,6 +140,7 @@ object Formats {
         typed(regexp_extract(col("__hh"), "^HTTP/[0-9.]+ ([0-9]{3})", 1), "int"))
       .withColumn("http_content_type", hdrVal("Content-Type"))
       .withColumn("http_content_length", typed(hdrVal("Content-Length"), "long"))
+      .withColumn("http_location", hdrVal("Location"))
       .withColumn("body",
         when(isHttp,
           col(blockCol).substr(length(col("__hh")) + 5, length(col(blockCol))))

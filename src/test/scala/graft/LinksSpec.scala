@@ -123,6 +123,33 @@ class LinksSpec extends AnyFunSuite {
     assert(out.exceptAll(again).isEmpty)
   }
 
+  test("redirectResolve: chains, loop exceeds, dangling external, hop budget") {
+    val fetches = Seq(
+      ("u/a", 301, "u/b"),   // a -> b -> c: 2 hops
+      ("u/b", 302, "u/c"),
+      ("u/c", 200, ""),      // terminal
+      ("u/d", 200, ""),      // direct
+      ("u/e", 307, "u/e"),   // self loop: exceeded
+      ("u/f", 308, "u/x"),   // dangling external target
+      ("u/g", 301, ""),      // 3xx WITHOUT location: treated terminal
+      ("u/h", 301, "u/a")    // h -> a -> b -> c: 3 hops
+    ).toDF("uri", "status", "loc")
+    val got = operators.Links
+      .redirectResolve(fetches, "uri", "status", "loc", maxHops = 4)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getString(1), r.getInt(2), r.getString(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      "u/a" -> (("u/c", 2, "resolved", true)),
+      "u/b" -> (("u/c", 1, "resolved", true)),
+      "u/c" -> (("u/c", 0, "direct", true)),
+      "u/d" -> (("u/d", 0, "direct", true)),
+      "u/e" -> (("u/e", 4, "exceeded", true)),
+      "u/f" -> (("u/x", 1, "resolved", false)),
+      "u/g" -> (("u/g", 0, "direct", true)),
+      "u/h" -> (("u/c", 3, "resolved", true))))
+  }
+
   test("frontier_budget query: per-host entry count capped, top entries kept") {
     val out = SparkEntry.queries("frontier_budget")(spark, sf)
     val perHost = out.groupBy("host").count().collect()
