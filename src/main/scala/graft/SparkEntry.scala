@@ -139,6 +139,33 @@ object SparkEntry {
         graft.sources.Formats.readWarc(s, WarcRedirectFixturePath), "block")
       Links.redirectResolve(fetches, "target_uri", "status", "http_location")
     }),
+    // the fetch-layer COMPOSITE (A17) in one declarative plan: parse
+    // the WARC fetch log → split out HTTP → resolve redirect chains →
+    // keep in-corpus landings → collapse onto canonical FINAL urls
+    // (first-seen source survives, as url_dedup) → rejoin each
+    // landing page's own fetch for its status and payload size. What
+    // a crawler's post-fetch canonicalization actually runs end-to-end
+    "fetch_pipeline" -> ((s, _) => {
+      buildWarcRedirectFixture()
+      val fetches = graft.sources.Formats.httpParse(
+        graft.sources.Formats.readWarc(s, WarcRedirectFixturePath), "block")
+      val res = Links.redirectResolve(fetches, "target_uri", "status",
+        "http_location")
+      val landed = res.filter(col("resolution") =!= "exceeded" &&
+        col("final_in_corpus"))
+      val collapsed = landed
+        .groupBy(Html.urlNormalize(col("final_uri")).as("canonical_url"),
+          col("final_uri"))
+        .agg(count(lit(1)).as("n_sources"),
+          min(col("start_uri")).as("first_source"),
+          max(col("n_hops")).as("max_hops"))
+      val pages = fetches.select(col("target_uri").as("__fu"),
+        col("status").as("landing_status"),
+        octet_length(col("body")).as("body_bytes"))
+      collapsed.join(pages, col("final_uri") === col("__fu"))
+        .select(col("canonical_url"), col("n_sources"), col("first_source"),
+          col("max_hops"), col("landing_status"), col("body_bytes"))
+    }),
     // fetch-layer snapshot dedup (A15): the WARC revisit mechanic —
     // classify every URI across two crawl snapshots by payload digest
     // (new / unchanged / changed / gone); snapshot B mutates, drops,
@@ -376,6 +403,42 @@ object SparkEntry {
        |    substring(rec, length(hdr) + 5) AS block
        |  FROM ${prefix}sp)""".stripMargin
 
+  /** Redirect-resolution oracle chain over the A16 fixture, ending in
+    * `res(start_uri, final_uri, n_hops, resolution, final_in_corpus)`;
+    * `hh` keeps the raw block for the fetch_pipeline landing join.
+    */
+  private def redirectResolveCtes: String = {
+    val loc = "regexp_extract(hsec, '(?im)^Location:[ \\t]*([^\\r\\n]*)', 1)"
+    val hops = (0 until 4).map { h =>
+      s"""r${h + 1} AS (SELECT start_uri,
+         |    CASE WHEN nxt IS NOT NULL THEN nxt ELSE final_uri END AS final_uri,
+         |    CASE WHEN nxt IS NOT NULL THEN rn END AS nxt,
+         |    n_hops + CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS n_hops
+         |  FROM r$h LEFT JOIN red ON r$h.nxt = red.ru)""".stripMargin
+    }.mkString(",\n")
+    s"""${warcCtes(WarcRedirectFixturePath)},
+       |hh AS (SELECT target_uri, block,
+       |    CASE WHEN regexp_matches(block, '^HTTP/[0-9.]+ [0-9]{3}')
+       |      THEN string_split(block, chr(13)||chr(10)||chr(13)||chr(10))[1]
+       |      ELSE '' END AS hsec
+       |  FROM p),
+       |m AS (SELECT target_uri AS u,
+       |    CASE WHEN try_cast(regexp_extract(hsec, '^HTTP/[0-9.]+ ([0-9]{3})', 1)
+       |            AS INTEGER) IN (301, 302, 303, 307, 308)
+       |          AND $loc <> ''
+       |      THEN $loc END AS n
+       |  FROM hh),
+       |red AS (SELECT u AS ru, n AS rn FROM m WHERE n IS NOT NULL),
+       |r0 AS (SELECT u AS start_uri, u AS final_uri, n AS nxt, 0 AS n_hops FROM m),
+       |$hops,
+       |res AS (SELECT r4.start_uri, r4.final_uri, r4.n_hops,
+       |    CASE WHEN n_hops = 0 THEN 'direct'
+       |         WHEN nxt IS NOT NULL THEN 'exceeded'
+       |         ELSE 'resolved' END AS resolution,
+       |    c.u IS NOT NULL AS final_in_corpus
+       |  FROM r4 LEFT JOIN (SELECT DISTINCT u FROM m) c ON r4.final_uri = c.u)""".stripMargin
+  }
+
   private val aOracles: Map[String, String] = Map(
     "mr_wordcount" ->
       s"""SELECT word, count(*) AS cnt
@@ -482,37 +545,30 @@ object SparkEntry {
          |    '(?im)^Content-Length:[ \t]*([^\r\n]*)', 1) AS BIGINT)) AS body_ok,
          |  body
          |FROM hb""".stripMargin,
-    "redirect_resolve" -> {
-      val loc = "regexp_extract(hsec, '(?im)^Location:[ \\t]*([^\\r\\n]*)', 1)"
-      val hops = (0 until 4).map { h =>
-        s"""r${h + 1} AS (SELECT start_uri,
-           |    CASE WHEN nxt IS NOT NULL THEN nxt ELSE final_uri END AS final_uri,
-           |    CASE WHEN nxt IS NOT NULL THEN rn END AS nxt,
-           |    n_hops + CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS n_hops
-           |  FROM r$h LEFT JOIN red ON r$h.nxt = red.ru)""".stripMargin
-      }.mkString(",\n")
-      s"""${warcCtes(WarcRedirectFixturePath)},
-         |hh AS (SELECT target_uri,
-         |    CASE WHEN regexp_matches(block, '^HTTP/[0-9.]+ [0-9]{3}')
-         |      THEN string_split(block, chr(13)||chr(10)||chr(13)||chr(10))[1]
-         |      ELSE '' END AS hsec
-         |  FROM p),
-         |m AS (SELECT target_uri AS u,
-         |    CASE WHEN try_cast(regexp_extract(hsec, '^HTTP/[0-9.]+ ([0-9]{3})', 1)
-         |            AS INTEGER) IN (301, 302, 303, 307, 308)
-         |          AND $loc <> ''
-         |      THEN $loc END AS n
-         |  FROM hh),
-         |red AS (SELECT u AS ru, n AS rn FROM m WHERE n IS NOT NULL),
-         |r0 AS (SELECT u AS start_uri, u AS final_uri, n AS nxt, 0 AS n_hops FROM m),
-         |$hops
-         |SELECT r4.start_uri, r4.final_uri, r4.n_hops,
-         |  CASE WHEN n_hops = 0 THEN 'direct'
-         |       WHEN nxt IS NOT NULL THEN 'exceeded'
-         |       ELSE 'resolved' END AS resolution,
-         |  c.u IS NOT NULL AS final_in_corpus
-         |FROM r4 LEFT JOIN (SELECT DISTINCT u FROM m) c ON r4.final_uri = c.u""".stripMargin
-    },
+    "redirect_resolve" ->
+      s"""$redirectResolveCtes
+         |SELECT start_uri, final_uri, n_hops, resolution, final_in_corpus
+         |FROM res""".stripMargin,
+    "fetch_pipeline" ->
+      s"""$redirectResolveCtes,
+         |landed AS (SELECT * FROM res
+         |  WHERE resolution <> 'exceeded' AND final_in_corpus),
+         |collapsed AS (SELECT
+         |    ${Html.urlNormalizeSql("final_uri")} AS canonical_url,
+         |    final_uri,
+         |    count(*) AS n_sources,
+         |    min(start_uri) AS first_source,
+         |    max(n_hops) AS max_hops
+         |  FROM landed GROUP BY 1, 2),
+         |pg AS (SELECT target_uri AS fu,
+         |    try_cast(regexp_extract(hsec, '^HTTP/[0-9.]+ ([0-9]{3})', 1)
+         |      AS INTEGER) AS landing_status,
+         |    strlen(CASE WHEN hsec <> '' THEN substring(block, length(hsec) + 5)
+         |      ELSE block END) AS body_bytes
+         |  FROM hh)
+         |SELECT canonical_url, n_sources, first_source, max_hops,
+         |  landing_status, body_bytes
+         |FROM collapsed JOIN pg ON collapsed.final_uri = pg.fu""".stripMargin,
     "warc_revisit" ->
       s"""${warcCtes(WarcFixturePath, "a")},
          |${warcCtes(WarcBFixturePath, "b").stripPrefix("WITH ")},
