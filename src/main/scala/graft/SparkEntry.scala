@@ -1522,6 +1522,30 @@ object SparkEntry {
     "host_split" -> ((s, d) => Curation.splitAssignByKey(
       Tables.documents(s, d), "doc_id",
       concat(col("source"), lit(".example.com")))),
+    // host reputation (C101): the table a crawler sets per-host
+    // budgets from — link signal (directed host PageRank) × content
+    // signal (mean heuristic quality of the host's docs, decimal-exact
+    // mean) × policy (domain blocklist), one row per doc host
+    "host_reputation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rank = operators.Graph.pagerankDirected(
+        Links.linkExtract(linkPages(docs), "doc_id", "url", "html")
+          .filter(!col("nofollow") && !col("internal"))
+          .select(col("page_host").as("src"), col("target_host").as("dst")))
+      val q = TextAnalysis.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality_score"))
+      val perHost = docs
+        .select(col("doc_id"), concat(col("source"), lit(".example.com")).as("host"))
+        .join(q, Seq("doc_id"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("quality_score").cast("decimal(18,4)")).cast("double") /
+            count(lit(1))).as("mean_quality"))
+      perHost.join(rank, Seq("host"), "left")
+        .select(col("host"), col("n_docs"), col("mean_quality"),
+          coalesce(col("rank_fp"), lit(0L)).as("rank_fp"),
+          col("host").isin(BlockDomains: _*).as("blocked"))
+    }),
     // per-host frontier budget (C97): keep the top-K sitemap entries
     // per host by (priority, lastmod, loc) via the bounded TopKPerKey
     // physical operator — heap-bounded per partition, never a full
@@ -2541,6 +2565,28 @@ object SparkEntry {
     "host_rank" -> Links.hostRankOracleSql(),
     "anchor_corpus" -> Links.anchorCorpusOracleSql,
     "doc_anchors" -> Links.docAnchorsOracleSql,
+    "host_reputation" -> {
+      val sw = TextFunctions.stopwordsSql
+      val score =
+        s"""cast((CASE WHEN len(t) >= 5 THEN 4 ELSE 0 END)
+           |  + (CASE WHEN cast(len(list_filter(t, x -> x IN $sw)) AS double)
+           |            / greatest(len(t), 1) > 0.05 THEN 3 ELSE 0 END)
+           |  + (CASE WHEN cast(list_sum(list_transform(t, x -> length(x))) AS double)
+           |            / greatest(len(t), 1)
+           |            BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END) AS double)
+           | / cast(10.0 AS double)""".stripMargin
+      s"""WITH ${Links.hostRankCtes()},
+         |q AS (SELECT doc_id, $score AS s
+         |  FROM (SELECT doc_id, $tok AS t FROM documents)),
+         |hd AS (SELECT doc_id, source || '.example.com' AS host FROM documents),
+         |ph AS (SELECT host, count(*) AS n_docs,
+         |    cast(sum(cast(s AS decimal(18,4))) AS double) / count(*) AS mean_quality
+         |  FROM hd JOIN q USING (doc_id) GROUP BY 1)
+         |SELECT ph.host, n_docs, mean_quality,
+         |  coalesce(r4.rank, 0) AS rank_fp,
+         |  ph.host IN (${BlockDomains.map(d => s"'$d'").mkString(", ")}) AS blocked
+         |FROM ph LEFT JOIN r4 ON ph.host = r4.host""".stripMargin
+    },
     "host_split" ->
       s"""SELECT doc_id, source || '.example.com' AS split_key, bucket,
          |  CASE WHEN bucket < 100 THEN 'test'

@@ -353,11 +353,12 @@ object Links {
        |  coalesce(ac.anchors, '') AS anchors
        |FROM pgu LEFT JOIN ac ON pgu.page_url = ac.target_url""".stripMargin
 
-  /** Twin of host_rank: the CROSS-host edge set (distinct followed
-    * src→dst, self-edges out) then [[Graph.pagerankDirected]]'s
-    * integer recurrence unrolled one CTE per iteration.
+  /** WITH-body fragment for host PageRank over the link CTE: the
+    * CROSS-host edge set (distinct followed src→dst, self-edges out)
+    * then [[Graph.pagerankDirected]]'s integer recurrence unrolled one
+    * CTE per iteration, ending in `r<iters>(host, rank)`.
     */
-  def hostRankOracleSql(iters: Int = 4, scale: Long = 1000000L): String = {
+  def hostRankCtes(iters: Int = 4, scale: Long = 1000000L): String = {
     val base = 15L * scale / 100L
     val steps = (0 until iters).map { i =>
       s"""r${i + 1} AS (SELECT v.host,
@@ -368,14 +369,18 @@ object Links {
          |      JOIN deg d ON d.src = e.src
          |    GROUP BY e.dst) s ON v.host = s.host)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $linkCteSql,
+    s"""$linkCteSql,
        |edges AS (SELECT DISTINCT page_host AS src, target_host AS dst
        |  FROM links WHERE NOT nofollow AND NOT internal),
        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
        |verts AS (SELECT DISTINCT h AS host FROM (
        |  SELECT src AS h FROM edges UNION SELECT dst FROM edges)),
        |r0 AS (SELECT host, cast($scale AS bigint) AS rank FROM verts),
-       |$steps
-       |SELECT host, rank AS rank_fp FROM r$iters""".stripMargin
+       |$steps""".stripMargin
   }
+
+  /** Twin of host_rank. */
+  def hostRankOracleSql(iters: Int = 4, scale: Long = 1000000L): String =
+    s"""WITH ${hostRankCtes(iters, scale)}
+       |SELECT host, rank AS rank_fp FROM r$iters""".stripMargin
 }
