@@ -1522,6 +1522,11 @@ object SparkEntry {
     "host_split" -> ((s, d) => Curation.splitAssignByKey(
       Tables.documents(s, d), "doc_id",
       concat(col("source"), lit(".example.com")))),
+    // rel=canonical hints (C102): the page's self-declared canonical
+    // address — duplicate BY DECLARATION, honored alongside C83's
+    // syntactic normalization; first hint wins, resolved + normalized
+    "canonical_hint" -> ((s, d) => Links.canonicalHint(
+      linkPages(Tables.documents(s, d)), "doc_id", "url", "html")),
     // host reputation (C101): the table a crawler sets per-host
     // budgets from — link signal (directed host PageRank) × content
     // signal (mean heuristic quality of the host's docs, decimal-exact
@@ -2565,6 +2570,7 @@ object SparkEntry {
     "host_rank" -> Links.hostRankOracleSql(),
     "anchor_corpus" -> Links.anchorCorpusOracleSql,
     "doc_anchors" -> Links.docAnchorsOracleSql,
+    "canonical_hint" -> Links.canonicalHintOracleSql,
     "host_reputation" -> {
       val sw = TextFunctions.stopwordsSql
       val score =

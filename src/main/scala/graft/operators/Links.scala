@@ -37,6 +37,8 @@ object Links {
   private[graft] val AbsUrlPat = "^[A-Za-z][A-Za-z0-9+.-]*://"
   private[graft] val SkipHrefPat = "^(#|mailto:|javascript:)"
   private[graft] val NormHostPat = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+  private[graft] val LinkTagPat = "(?is)<link[ \\t\\r\\n][^>]*>"
+  private[graft] val RelCanonicalPat = "(?i)rel[ \\t]*=[ \\t]*[\"']canonical[\"']"
 
   private def qp(p: String) = "'" + p.replace("'", "''") + "'"
 
@@ -59,20 +61,27 @@ object Links {
     * resolution — a generate plus map, zero shuffle, no UDF; composes
     * with [[Html.htmlExtract]] in the same scan.
     */
-  def linkExtract(pages: DataFrame, idCol: String, urlCol: String,
-                  htmlCol: String): DataFrame = {
+  /** RFC 3986 merge of an href against a base-URL column: absolute
+    * passes through, `//h` inherits the base scheme, `/p` the base
+    * authority, a bare path resolves against the base path's directory.
+    */
+  private def resolveAgainst(href: Column, urlCol: String): Column = {
     val scheme = lower(regexp_extract(col(urlCol), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rawHost = regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     val pagePath = regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     // base directory of the page path (everything up to the last '/')
     val dir = regexp_replace(pagePath, "/[^/]*$", "")
+    when(href.rlike(AbsUrlPat), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(scheme, lit("://"), rawHost, href))
+      .otherwise(concat(scheme, lit("://"), rawHost, dir, lit("/"), href))
+  }
+
+  def linkExtract(pages: DataFrame, idCol: String, urlCol: String,
+                  htmlCol: String): DataFrame = {
     val pageHost = regexp_extract(Html.urlNormalize(col(urlCol)), NormHostPat, 1)
     val href = regexp_extract(col("__tag"), HrefAttrPat, 1)
-    val resolved =
-      when(href.rlike(AbsUrlPat), href)
-        .when(href.startsWith("//"), concat(scheme, lit(":"), href))
-        .when(href.startsWith("/"), concat(scheme, lit("://"), rawHost, href))
-        .otherwise(concat(scheme, lit("://"), rawHost, dir, lit("/"), href))
+    val resolved = resolveAgainst(href, urlCol)
     val anchor = trim(regexp_replace(regexp_replace(
       regexp_extract(col("__tag"), AnchorInnerPat, 1),
       Html.TagPat, " "), Html.WsPat, " "))
@@ -121,6 +130,36 @@ object Links {
       .agg(count(lit(1)).as("n_refs"),
         countDistinct(col("page_host")).as("n_src_hosts"),
         array_join(array_sort(collect_set(col("anchor_text"))), "|").as("anchors"))
+
+  /** `rel="canonical"` hints — the page's SELF-declared canonical
+    * address (the public REP-ecosystem convention every crawler's URL
+    * dedup honors alongside C83's syntactic normalization: a page that
+    * declares a different canonical is a duplicate BY DECLARATION,
+    * whatever its bytes say). Per page: the FIRST canonical `<link>`
+    * tag's href, resolved against the page URL and normalized;
+    * `has_hint`, and `is_self` (declared == own canonical — the
+    * no-action case). Zero shuffle, composes with [[linkExtract]] and
+    * [[Html.robotsGate]] in the same scan.
+    */
+  def canonicalHint(pages: DataFrame, idCol: String, urlCol: String,
+                    htmlCol: String): DataFrame = {
+    val tags = regexp_extract_all(col(htmlCol), lit(LinkTagPat), lit(0))
+    val canon = filter(tags, t => t.rlike(RelCanonicalPat))
+    // first hint wins (slice-join: '' when none — never an OOB access)
+    val declaredRaw = array_join(
+      slice(transform(canon, t => regexp_extract(t, HrefAttrPat, 1)), 1, 1), "")
+    pages
+      .select(col(idCol), col(urlCol),
+        Html.urlNormalize(col(urlCol)).as("page_url"),
+        declaredRaw.as("__d"))
+      .select(col(idCol), col("page_url"),
+        when(col("__d") === "", lit(""))
+          .otherwise(Html.urlNormalize(resolveAgainst(col("__d"), urlCol)))
+          .as("declared_canonical"))
+      .withColumn("has_hint", col("declared_canonical") =!= "")
+      .withColumn("is_self",
+        col("has_hint") && col("declared_canonical") === col("page_url"))
+  }
 
   /** Inbound-anchor enrichment of a document table: left-join each
     * page's canonical URL against the [[anchorCorpus]] of a link set —
@@ -205,7 +244,22 @@ object Links {
     * scheme-relative CDN link (%6).
     */
   def wrapLinksHtml(idCol: Column, srcCol: Column): Column = concat(
-    lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a></nav>"),
+    lit("<html><head>"),
+    // rel=canonical schedule: self-declaration on even ids (absolute,
+    // matching the page's own canonical wrapUrl form), a NON-self
+    // root-relative declaration on id%6==3, none otherwise
+    when(idCol % 2 === 0, concat(
+      lit("<link rel=\"canonical\" href=\"https://src"),
+      (idCol % 20).cast("string"),
+      lit(".example.com/articles/item"), (idCol % 40).cast("string"),
+      lit("?id="), (idCol % 20).cast("string"), lit("\">")))
+      .otherwise(lit("")),
+    when(idCol % 6 === 3, concat(
+      lit("<link rel=\"canonical\" href=\"/articles/item"),
+      ((idCol + 1) % 40).cast("string"),
+      lit("?id="), ((idCol + 1) % 20).cast("string"), lit("\">")))
+      .otherwise(lit("")),
+    lit("</head><body><nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a></nav>"),
     lit("<p>Read <a href=\"https://src"), ((idCol + 1) % 20).cast("string"),
     lit(".example.com/page/"), (idCol % 7).cast("string"),
     lit("\">next source "), (idCol % 7).cast("string"), lit("</a> now.</p>"),
@@ -236,7 +290,15 @@ object Links {
 
   /** DuckDB twin of [[wrapLinksHtml]]. */
   def wrapLinksHtmlSql(idExpr: String, srcExpr: String): String =
-    s"""'<html><body><nav><a href="/">Home</a> <a href="/about">About us</a></nav>' ||
+    s"""'<html><head>' ||
+       |CASE WHEN $idExpr % 2 = 0 THEN
+       |  '<link rel="canonical" href="https://src' || cast($idExpr % 20 AS varchar) ||
+       |  '.example.com/articles/item' || cast($idExpr % 40 AS varchar) ||
+       |  '?id=' || cast($idExpr % 20 AS varchar) || '">' ELSE '' END ||
+       |CASE WHEN $idExpr % 6 = 3 THEN
+       |  '<link rel="canonical" href="/articles/item' || cast(($idExpr + 1) % 40 AS varchar) ||
+       |  '?id=' || cast(($idExpr + 1) % 20 AS varchar) || '">' ELSE '' END ||
+       |'</head><body><nav><a href="/">Home</a> <a href="/about">About us</a></nav>' ||
        |'<p>Read <a href="https://src' || cast(($idExpr + 1) % 20 AS varchar) ||
        |'.example.com/page/' || cast($idExpr % 7 AS varchar) ||
        |'">next source ' || cast($idExpr % 7 AS varchar) || '</a> now.</p>' ||
@@ -273,12 +335,17 @@ object Links {
     * [[linkExtract]] fed by the [[Html.wrapUrl]]/[[wrapLinksHtml]]
     * fixtures. WITH-body fragment (no leading WITH).
     */
+  /** SQL twin of [[resolveAgainst]] over an href expression, against
+    * the scheme/rawhost/dir columns the caller's CTE provides.
+    */
+  private def resolveSql(h: String): String =
+    s"""CASE WHEN regexp_matches($h, ${qp(AbsUrlPat)}) THEN $h
+       |      WHEN starts_with($h, '//') THEN scheme || ':' || $h
+       |      WHEN starts_with($h, '/') THEN scheme || '://' || rawhost || $h
+       |      ELSE scheme || '://' || rawhost || dir || '/' || $h END""".stripMargin
+
   def linkCteSql: String = {
-    val resolved =
-      s"""CASE WHEN regexp_matches(href, ${qp(AbsUrlPat)}) THEN href
-         |      WHEN starts_with(href, '//') THEN scheme || ':' || href
-         |      WHEN starts_with(href, '/') THEN scheme || '://' || rawhost || href
-         |      ELSE scheme || '://' || rawhost || dir || '/' || href END""".stripMargin
+    val resolved = resolveSql("href")
     s"""pg AS (SELECT doc_id,
        |    ${Html.wrapUrlSql("doc_id", "source")} AS url,
        |    ${wrapLinksHtmlSql("doc_id", "source")} AS html
@@ -337,6 +404,34 @@ object Links {
        |  array_to_string(list_sort(list_distinct(list(anchor_text))), '|') AS anchors
        |FROM links
        |GROUP BY 1""".stripMargin
+
+  def canonicalHintOracleSql: String =
+    s"""WITH pg AS (SELECT doc_id,
+       |    ${Html.wrapUrlSql("doc_id", "source")} AS url,
+       |    ${wrapLinksHtmlSql("doc_id", "source")} AS html
+       |  FROM documents),
+       |pg2 AS (SELECT doc_id, url, html,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS rawhost,
+       |    regexp_replace(regexp_extract(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/[^/]*$$', '') AS dir,
+       |    ${Html.urlNormalizeSql("url")} AS page_url
+       |  FROM pg),
+       |c AS (SELECT doc_id, page_url, scheme, rawhost, dir,
+       |    coalesce(array_to_string(
+       |      list_transform(
+       |        list_filter(regexp_extract_all(html, ${qp(LinkTagPat)}, 0),
+       |          t -> regexp_matches(t, ${qp(RelCanonicalPat)})),
+       |        t -> regexp_extract(t, ${qp(HrefAttrPat)}, 1))[1:1], ''), '') AS d
+       |  FROM pg2),
+       |r AS (SELECT doc_id, page_url,
+       |    CASE WHEN d = '' THEN ''
+       |         ELSE ${Html.urlNormalizeSql(resolveSql("d"))} END AS declared_canonical
+       |  FROM c)
+       |SELECT doc_id, page_url, declared_canonical,
+       |  declared_canonical <> '' AS has_hint,
+       |  declared_canonical <> '' AND declared_canonical = page_url AS is_self
+       |FROM r""".stripMargin
 
   def docAnchorsOracleSql: String =
     s"""WITH $linkCteSql,

@@ -123,6 +123,30 @@ class LinksSpec extends AnyFunSuite {
     assert(out.exceptAll(again).isEmpty)
   }
 
+  test("canonicalHint: first hint wins, relative resolution, self detection, no hint") {
+    val pages = Seq(
+      // self-declared (spelling variant of own url -> same canonical)
+      (1L, "https://www.a.com/x/?utm_source=f", "<head><link rel=\"canonical\" " +
+        "href=\"https://a.com/x\"></head>"),
+      // relative declaration pointing elsewhere on the same host
+      (2L, "https://a.com/dir/page", "<link rel='canonical' href='/other'>"),
+      // two hints: the FIRST wins
+      (3L, "https://a.com/p", "<link rel=\"canonical\" href=\"https://a.com/first\">" +
+        "<link rel=\"canonical\" href=\"https://a.com/second\">"),
+      // stylesheet link is not a canonical hint
+      (4L, "https://a.com/q", "<link rel=\"stylesheet\" href=\"/s.css\">")
+    ).toDF("doc_id", "url", "html")
+    val got = operators.Links.canonicalHint(pages, "doc_id", "url", "html")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      1L -> (("https://a.com/x", true, true)),
+      2L -> (("https://a.com/other", true, false)),
+      3L -> (("https://a.com/first", true, false)),
+      4L -> (("", false, false))))
+  }
+
   test("redirectResolve: chains, loop exceeds, dangling external, hop budget") {
     val fetches = Seq(
       ("u/a", 301, "u/b"),   // a -> b -> c: 2 hops
