@@ -153,16 +153,21 @@ object SparkEntry {
         "http_location")
       val landed = res.filter(col("resolution") =!= "exceeded" &&
         col("final_in_corpus"))
+      // TRUE canonical collapse: group by canonical_url ALONE — two
+      // distinct final URIs that normalize to the same canonical (the
+      // fixture plants the :443/page/77 port variant) fold into ONE
+      // row; the landing fetch joins through the min(final_uri)
+      // representative, matching url_dedup's first-survivor policy.
       val collapsed = landed
-        .groupBy(Html.urlNormalize(col("final_uri")).as("canonical_url"),
-          col("final_uri"))
+        .groupBy(Html.urlNormalize(col("final_uri")).as("canonical_url"))
         .agg(count(lit(1)).as("n_sources"),
           min(col("start_uri")).as("first_source"),
-          max(col("n_hops")).as("max_hops"))
+          max(col("n_hops")).as("max_hops"),
+          min(col("final_uri")).as("__rep"))
       val pages = fetches.select(col("target_uri").as("__fu"),
         col("status").as("landing_status"),
         octet_length(col("body")).as("body_bytes"))
-      collapsed.join(pages, col("final_uri") === col("__fu"))
+      collapsed.join(pages, col("__rep") === col("__fu"))
         .select(col("canonical_url"), col("n_sources"), col("first_source"),
           col("max_hops"), col("landing_status"), col("body_bytes"))
     }),
@@ -302,19 +307,27 @@ object SparkEntry {
 
   private val WarcRedirectFixturePath = "/root/repo/target/warc_redirect/corpus.warc"
 
-  /** Fetch-log fixture for redirect resolution: 240 HTTP responses at
+  /** Fetch-log fixture for redirect resolution: 241 HTTP responses at
     * /page/i with a deterministic redirect schedule — i==36 self-loop
-    * (302), i==72 dangling external 301, i in [200,216]∩4Z a 301 run
-    * (200/204 exceed 4 hops, 208 resolves at exactly 4), other
-    * multiples of 4 redirect 1-2 hops with the status cycling
-    * 301/302/307/308 by i%16, everything else 200-terminal.
+    * (302), i==72 dangling external 307 (72%16==8 in the status
+    * cycle), i==76 a 308 onto the :443 port-variant of page/77 (two
+    * distinct final URIs normalizing to ONE canonical — keeps
+    * fetch_pipeline's canonical collapse live at oracle level; record
+    * 240 is that variant's own 200 fetch so it lands in-corpus), i in
+    * [200,216]∩4Z a 301 run (200/204 exceed 4 hops, 208 resolves at
+    * exactly 4), other multiples of 4 redirect 1-2 hops with the
+    * status cycling 301/302/307/308 by i%16, everything else
+    * 200-terminal.
     */
   private lazy val warcRedirectFixtureBuilt: Unit = {
     def page(n: Int) = s"https://crawl.example.com/page/$n"
-    val recs = (0 until 240).map { i =>
+    val portVariant = "https://crawl.example.com:443/page/77"
+    val recs = (0 to 240).map { i =>
       val loc: Option[String] =
         if (i == 36) Some(page(36))
         else if (i == 72) Some(page(9999))
+        else if (i == 76) Some(portVariant)
+        else if (i == 240) None
         else if (i % 4 == 0 && i >= 200 && i <= 216) Some(page(i + 4))
         else if (i % 4 == 0) Some(page(i + (if (i % 8 == 0) 4 else 2)))
         else None
@@ -337,7 +350,7 @@ object SparkEntry {
         f"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0005-${i}%012d>\r\n" +
         "WARC-Type: response\r\n" +
         f"WARC-Date: 2026-01-03T${i / 60}%02d:${i % 60}%02d:00Z\r\n" +
-        s"WARC-Target-URI: ${page(i)}\r\n" +
+        s"WARC-Target-URI: ${if (i == 240) portVariant else page(i)}\r\n" +
         "Content-Type: application/http; msgtype=response\r\n" +
         s"Content-Length: ${http.getBytes("UTF-8").length}\r\n" +
         s"\r\n$http\r\n\r\n"
@@ -555,11 +568,11 @@ object SparkEntry {
          |  WHERE resolution <> 'exceeded' AND final_in_corpus),
          |collapsed AS (SELECT
          |    ${Html.urlNormalizeSql("final_uri")} AS canonical_url,
-         |    final_uri,
          |    count(*) AS n_sources,
          |    min(start_uri) AS first_source,
-         |    max(n_hops) AS max_hops
-         |  FROM landed GROUP BY 1, 2),
+         |    max(n_hops) AS max_hops,
+         |    min(final_uri) AS rep
+         |  FROM landed GROUP BY 1),
          |pg AS (SELECT target_uri AS fu,
          |    try_cast(regexp_extract(hsec, '^HTTP/[0-9.]+ ([0-9]{3})', 1)
          |      AS INTEGER) AS landing_status,
@@ -568,7 +581,7 @@ object SparkEntry {
          |  FROM hh)
          |SELECT canonical_url, n_sources, first_source, max_hops,
          |  landing_status, body_bytes
-         |FROM collapsed JOIN pg ON collapsed.final_uri = pg.fu""".stripMargin,
+         |FROM collapsed JOIN pg ON collapsed.rep = pg.fu""".stripMargin,
     "warc_revisit" ->
       s"""${warcCtes(WarcFixturePath, "a")},
          |${warcCtes(WarcBFixturePath, "b").stripPrefix("WITH ")},
@@ -2620,8 +2633,10 @@ object SparkEntry {
          |         WHEN changefreq = 'yearly' THEN 365
          |         WHEN changefreq = 'never' THEN -1
          |         ELSE 7 END AS interval_days,
-         |    CASE WHEN lastmod = '' THEN 99999
-         |         ELSE date_diff('day', cast(lastmod AS date), DATE '$RecrawlAsOf')
+         |    CASE WHEN try_cast(substring(lastmod, 1, 10) AS date) IS NULL
+         |         THEN 99999
+         |         ELSE date_diff('day', try_cast(substring(lastmod, 1, 10) AS date),
+         |           DATE '$RecrawlAsOf')
          |         END AS age_days
          |  FROM fx)
          |SELECT host, loc, lastmod, changefreq, interval_days, age_days,

@@ -705,6 +705,15 @@ object Html {
     * on record: age 99999, due whenever the interval allows. Pure
     * map-side date math, zero shuffle; rows stay per-ENTRY (a URL
     * listed twice schedules twice — dedupe upstream with url_dedup).
+    *
+    * Lastmod parsing is ANSI-crash-proof: sitemaps in the wild carry
+    * W3C datetimes with timezone suffixes ('2026-01-15+02:00'), junk
+    * text, or nothing at all — a bare cast("date") under Spark 4 ANSI
+    * mode throws on the first malformed value and kills the whole
+    * job. We take the leading yyyy-MM-dd through try_to_timestamp
+    * (NULL on failure, never a throw): tz-suffixed dates age by their
+    * date part; NULL / empty / unparseable all take the never-crawled
+    * 99999 path.
     */
   def recrawlSchedule(entries: DataFrame, lastmodCol: String,
                       changefreqCol: String, asOf: String): DataFrame = {
@@ -715,8 +724,10 @@ object Html {
         .when(col(changefreqCol) === "yearly", 365)
         .when(col(changefreqCol) === "never", -1)
         .otherwise(7)
-    val age = when(col(lastmodCol) === "", 99999)
-      .otherwise(datediff(lit(asOf).cast("date"), col(lastmodCol).cast("date")))
+    val lastmodDate = try_to_timestamp(
+      substring(col(lastmodCol), 1, 10), lit("yyyy-MM-dd")).cast("date")
+    val age = when(lastmodDate.isNull, 99999)
+      .otherwise(datediff(lit(asOf).cast("date"), lastmodDate))
     entries
       .withColumn("interval_days", interval)
       .withColumn("age_days", age)
@@ -725,10 +736,12 @@ object Html {
   }
 
   /** Deterministic sitemap-XML fixture per document: three entries on
-    * a doc_id schedule — optional lastmod on %2, changefreq cycling,
-    * priority on %3 (else the 0.5 default path), one loc-less entry
-    * on %5 (must drop), whitespace padding inside tags throughout.
-    * [[wrapSitemapSql]] is the DuckDB twin.
+    * a doc_id schedule — optional lastmod on %2 (tz-suffixed
+    * '+02:00' on %10==4, junk 'pending' on %10==6 — keeps
+    * recrawlSchedule's malformed-lastmod paths live at oracle level),
+    * changefreq cycling, priority on %3 (else the 0.5 default path),
+    * one loc-less entry on %5 (must drop), whitespace padding inside
+    * tags throughout. [[wrapSitemapSql]] is the DuckDB twin.
     */
   def wrapSitemap(idCol: Column, srcCol: Column): Column = {
     val base = concat(lit("https://"), srcCol, lit(".example.com/page/"))
@@ -736,8 +749,12 @@ object Html {
       lit("<url>\n  <loc> "), base, ((idCol * 3 + lit(k)) % 1000).cast("string"),
       lit(" </loc>\n"),
       when(idCol % 2 === 0,
-        concat(lit("  <lastmod>2026-0"), (idCol % 9 + 1).cast("string"),
-          lit("-15</lastmod>\n"))).otherwise(lit("")),
+        concat(lit("  <lastmod>"),
+          when(idCol % 10 === 6, lit("pending"))
+            .otherwise(concat(lit("2026-0"), (idCol % 9 + 1).cast("string"),
+              lit("-15"),
+              when(idCol % 10 === 4, lit("+02:00")).otherwise(lit("")))),
+          lit("</lastmod>\n"))).otherwise(lit("")),
       lit("  <changefreq>"),
       when((idCol + lit(k)) % 3 === 0, lit("daily"))
         .when((idCol + lit(k)) % 3 === 1, lit("weekly"))
@@ -763,8 +780,11 @@ object Html {
     def entry(k: Int): String =
       s"""'<url>' || chr(10) || '  <loc> ' || $base ||
          |cast(($idExpr * 3 + $k) % 1000 AS varchar) || ' </loc>' || chr(10) ||
-         |CASE WHEN $idExpr % 2 = 0 THEN '  <lastmod>2026-0' ||
-         |  cast($idExpr % 9 + 1 AS varchar) || '-15</lastmod>' || chr(10)
+         |CASE WHEN $idExpr % 2 = 0 THEN '  <lastmod>' ||
+         |  CASE WHEN $idExpr % 10 = 6 THEN 'pending'
+         |       ELSE '2026-0' || cast($idExpr % 9 + 1 AS varchar) || '-15' ||
+         |         CASE WHEN $idExpr % 10 = 4 THEN '+02:00' ELSE '' END
+         |       END || '</lastmod>' || chr(10)
          |  ELSE '' END ||
          |'  <changefreq>' ||
          |CASE WHEN ($idExpr + $k) % 3 = 0 THEN 'daily'

@@ -110,13 +110,21 @@ object Links {
     * endorsement" bit, the public convention every link-graph builder
     * honors. The shuffle key space is hosts² at worst, in practice the
     * sparse host adjacency — page payloads never move.
+    *
+    * `idCol` names the page-id column from [[linkExtract]] (its
+    * idCol passthrough) — addressed BY NAME like every other column
+    * here, so a projected/reordered links frame can't silently feed a
+    * wrong distinct-page count.
     */
-  def linkGraph(links: DataFrame): DataFrame =
+  def linkGraph(links: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    require(links.columns.contains(idCol),
+      s"linkGraph: page-id column '$idCol' not in ${links.columns.mkString(",")}")
     links.filter(!col("nofollow"))
       .groupBy(col("page_host").as("src_host"), col("target_host").as("dst_host"))
       .agg(count(lit(1)).as("n_links"),
-        countDistinct(links.columns.head).as("n_pages"),
+        countDistinct(col(idCol)).as("n_pages"),
         countDistinct(col("target_url")).as("n_urls"))
+  }
 
   /** Anchor-text corpus: per canonical target URL, how many anchors
     * point at it, from how many distinct hosts, and the sorted set of

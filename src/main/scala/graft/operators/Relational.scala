@@ -60,13 +60,17 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** Q3-style: revenue of BUILDING-segment orders, top 10. Only the
-    * filtered customer dimension is broadcast; orders⋈lineitem is a
-    * shuffle join on the order key (the session's runtime bloom filter
-    * prunes lineitem's scan from the selective orders side, and AQE may
-    * still upgrade to broadcast when the runtime size allows — a hint
-    * here would force a fact-table broadcast at 100 TB). The top-10
-    * compiles to TakeOrderedAndProject (no global sort).
+  /** Q3-style: revenue of BUILDING-segment orders, top 10. NO
+    * compile-time broadcast hint anywhere: customer — even filtered to
+    * one mktsegment — is ~1/5 of ALL customers and grows linearly with
+    * the scale factor, so a forced broadcast is a driver-OOM /
+    * broadcast-timeout class failure at the 100 TB target. Both joins
+    * are key-partitioned shuffle joins; AQE upgrades them to broadcast
+    * at runtime when the actual post-filter size permits (which it does
+    * at driver SFs), which is the scale-safe direction for the hint to
+    * flow — the same rule q5RegionRevenue documents for its SF-growing
+    * sides. The top-10 compiles to TakeOrderedAndProject (no global
+    * sort).
     */
   def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -74,7 +78,7 @@ object Relational {
     val li   = Tables.lineitem(spark, dir)
     val rev  = (col("l_extendedprice").cast("decimal(18,2)") *
                 (lit(1) - col("l_discount")).cast("decimal(8,2)"))
-    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(rev).cast("double").as("revenue"))

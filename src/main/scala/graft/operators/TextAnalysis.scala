@@ -835,7 +835,11 @@ object TextAnalysis {
         array_join(array_sort(array_distinct(bad)), ",").as("bad_terms"),
         hostCol.isin(domains: _*).as("domain_blocked"))
       .withColumn("keep",
+        // long arithmetic: size() is IntegerType, and Int overflow at
+        // ~2.1M blocked tokens / ~71M tokens is a job-killing
+        // ARITHMETIC_OVERFLOW under ANSI mode, not a keep/drop bit
         !col("domain_blocked") &&
-          col("n_bad") * 1000 <= col("n_tokens") * maxBadPerMille)
+          col("n_bad").cast("long") * 1000 <=
+            col("n_tokens").cast("long") * maxBadPerMille)
   }
 }

@@ -352,7 +352,7 @@ class HtmlSpec extends AnyFunSuite {
   }
 
   test("recrawl schedule: frequency intervals, never-crawled due, never not due, " +
-      "future lastmod not due") {
+      "future lastmod not due, malformed/null/tz lastmod never throws") {
     val entries = Seq(
       ("h", "u1", "2026-01-15", "daily"),   // age 45 >= 1: due
       ("h", "u2", "2026-02-25", "weekly"),  // age 4 < 7: not due
@@ -362,15 +362,21 @@ class HtmlSpec extends AnyFunSuite {
       ("h", "u6", "2026-01-15", "never"),   // never recrawl: not due
       ("h", "u7", "2026-05-15", "daily"),   // future lastmod: not due
       ("h", "u8", "2026-01-15", "always"),  // 1-day floor: due
-      ("h", "u9", "2026-01-15", "")         // default 7: due
+      ("h", "u9", "2026-01-15", ""),        // default 7: due
+      ("h", "u10", null, "daily"),          // NULL lastmod: never crawled, due
+      ("h", "u11", "not-a-date", "never"),  // junk: 99999 path, never wins
+      ("h", "u12", "2026-01-15+02:00", "daily"),          // tz suffix: ages by date part
+      ("h", "u13", "2026-02-25T10:00:00Z", "weekly")      // W3C datetime: age 4 < 7
     ).toDF("host", "loc", "lastmod", "changefreq")
     val got = Html.recrawlSchedule(entries, "lastmod", "changefreq", "2026-03-01")
       .collect().map(r => r.getAs[String]("loc") ->
-        ((r.getAs[Int]("interval_days"), r.getAs[Boolean]("due")))).toMap
+        ((r.getAs[Int]("interval_days"), r.getAs[Int]("age_days"), r.getAs[Boolean]("due")))).toMap
     assert(got == Map(
-      "u1" -> ((1, true)), "u2" -> ((7, false)), "u3" -> ((30, true)),
-      "u4" -> ((30, false)), "u5" -> ((1, true)), "u6" -> ((-1, false)),
-      "u7" -> ((1, false)), "u8" -> ((1, true)), "u9" -> ((7, true))))
+      "u1" -> ((1, 45, true)), "u2" -> ((7, 4, false)), "u3" -> ((30, 45, true)),
+      "u4" -> ((30, 14, false)), "u5" -> ((1, 99999, true)), "u6" -> ((-1, 45, false)),
+      "u7" -> ((1, -75, false)), "u8" -> ((1, 45, true)), "u9" -> ((7, 45, true)),
+      "u10" -> ((1, 99999, true)), "u11" -> ((-1, 99999, false)),
+      "u12" -> ((1, 45, true)), "u13" -> ((7, 4, false))))
   }
 
   test("url dedup groups spelling variants under one canonical survivor") {

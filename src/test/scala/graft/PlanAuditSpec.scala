@@ -30,10 +30,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"$name: fact join should be a shuffle join:\n$plan")
   }
 
-  test("q3_top_orders broadcasts only the filtered customer dim") {
+  test("q3_top_orders has no compile-time broadcasts (customer grows with SF)") {
     noAutoBroadcast {
-      audit(Relational.q3TopOrders(spark, sf), 1, "q3")
+      audit(Relational.q3TopOrders(spark, sf), 0, "q3")
     }
+  }
+
+  // The hint-policy guard: a compile-time broadcast() hint is a HARD
+  // directive Spark obeys regardless of runtime size — attached to a
+  // table that grows with the scale factor (customer / supplier /
+  // orders / lineitem at row granularity) it is a guaranteed driver-OOM
+  // at the 100 TB target. Scan the ANALYZED plan of every registered
+  // query for ResolvedHint(BROADCAST) whose subtree still carries an
+  // SF-growing table's primary key (a row-granularity slice of it;
+  // bounded-cardinality aggregates derived FROM those tables alias
+  // their outputs and group by non-key columns, so they pass).
+  test("hint policy: no compile-time broadcast hint on any SF-growing table, all queries") {
+    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, BROADCAST}
+    val growKeys = Set("c_custkey", "s_suppkey", "o_orderkey", "l_orderkey")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf).queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+          val hit = h.child.output.map(_.name).toSet.intersect(growKeys)
+          if (hit.nonEmpty) Some(s"$name: broadcast hint on subtree carrying ${hit.mkString(",")}")
+          else None
+      }.flatten
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
   test("q5_region_revenue broadcasts only nation and region") {
