@@ -1149,6 +1149,10 @@ object SparkEntry {
           col("recon_err").cast("double").as("recon_err"))),
     "knn_pq" -> ((s, d) =>
       Similarity.knnPq(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
+    // PQ with Lloyd-trained subspace codebooks — the production
+    // configuration; sampled codebooks are only the init (C103)
+    "knn_pq_trained" -> ((s, d) =>
+      Similarity.knnPqTrained(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     // IVF cells restrict the candidates, PQ codes score them (C59)
     "knn_ivfpq" -> ((s, d) =>
       Similarity.knnIvfPq(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
@@ -2568,6 +2572,7 @@ object SparkEntry {
     "embedding_quantize" -> Similarity.quantizeInt8OracleSql(),
     "embedding_pq" -> Similarity.pqEncodeOracleSql(),
     "knn_pq" -> Similarity.knnPqOracleSql(),
+    "knn_pq_trained" -> Similarity.knnPqTrainedOracleSql(),
     "knn_ivfpq" -> Similarity.knnIvfPqOracleSql(),
     "knn_ivfpq_residual" -> Similarity.knnIvfPqResidualOracleSql(),
     "knn_ivf_trained" -> Similarity.knnIvfOracleSql(

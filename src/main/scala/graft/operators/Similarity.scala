@@ -1022,6 +1022,58 @@ object Similarity {
     Array.tabulate(m)(mi => vecs.map(v => v.slice(mi * dsub, (mi + 1) * dsub)))
   }
 
+  /** [[pqCodebooks]] refined with per-subspace Lloyd — the TRAINED
+    * configuration (Jégou et al. 2011 §III.A: PQ codebooks are k-means
+    * codebooks per subspace; the sampled form above is only the init).
+    * Each iteration assigns every training vector's m subspace slices
+    * to their nearest code in ONE kernel scan (graft.plans.PqEncodeExpr
+    * — the same codegen'd argmin the encode stage runs, so training
+    * and encoding can never disagree on assignment), then recomputes
+    * each (subspace, code) mean on the 2^-20 fixed-point grid exactly
+    * like [[kmeansCentroids]] (per-component longs summed — exact in
+    * any order, engine-portable; empty codes keep their previous
+    * entry). Scale shape: one partial-agg'd shuffle of at most
+    * m×ksub×dsub rows per partition per iteration; driver state stays
+    * m×ksub×dsub doubles — broadcast-sized at any corpus size.
+    * `trainMod` strides the training sample like
+    * [[trainedCentroidTable]] (codebook quality needs only a sample).
+    */
+  private[graft] def pqCodebooksTrained(emb: DataFrame, idCol: String, vecCol: String,
+                                        m: Int = 16, ksub: Int = 32,
+                                        iters: Int = 2,
+                                        trainMod: Int = 1): Array[Array[Array[Double]]] = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftFunctions.register(emb.sparkSession)
+    val train = if (trainMod == 1) emb else emb.filter(col(idCol) % trainMod === 0)
+    var cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
+    val dsub = cbs.head.head.length
+    val Q = 1048576.0 // 2^20, the kmeansCentroids fixed-point grid
+    var it = 0
+    while (it < iters) {
+      val enc = GraftPlanFactory.column(graft.plans.PqEncodeExpr(
+        GraftPlanFactory.expression(col(vecCol)), cbs))
+      val mi = floor(col("pos") / dsub).cast("int")
+      val sums = train
+        .select(enc.getField("codes").as("__codes"),
+          posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .select(mi.as("mi"),
+          element_at(col("__codes"), mi + 1).as("code"),
+          (col("pos") % dsub).as("spos"),
+          floor(col("v").cast("double") * Q + lit(0.5)).cast("long").as("q"))
+        .groupBy(col("mi"), col("code"), col("spos"))
+        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cbs.map(_.map(_.clone()))
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getLong(3).toDouble / Q / r.getLong(4)
+      }
+      cbs = next
+      it += 1
+    }
+    cbs
+  }
+
   /** Nearest codebook entry for one subspace slice as a (score, code)
     * struct — `least()` over (‖c‖² − 2·v_m·c, j) structs, the exact
     * [[kmeansAssignExpr]] argmin shape (score omits the constant
@@ -1129,6 +1181,26 @@ object Similarity {
     // ksub=32). The cut caps plan size AND is the production shape:
     // encode once, search the code table many times ([[pqEncode]]'s
     // output is what a store would persist).
+    val codes = pqEncodeWith(emb, idCol, vecCol, cbs).materialized
+      .select(col("vec_id").as("neighbor_id"), col("codes"))
+    adcTopK(codes, emb.filter(col(idCol) < nQueries), idCol, vecCol, cbs, k)
+  }
+
+  /** [[knnPq]] with Lloyd-TRAINED subspace codebooks
+    * ([[pqCodebooksTrained]]) — the production PQ configuration: the
+    * sampled codebook is only the k-means init, and two refinement
+    * rounds cut reconstruction MSE and lift ADC recall (both
+    * spec-pinned against the sampled form). Search shape is identical
+    * to [[knnPq]] — encode once through the kernel, broadcast the
+    * per-query distance tables, TopKPerKey cut — only the codebook
+    * literals differ, so everything the plan audit proves about the
+    * sampled path holds here too.
+    */
+  def knnPqTrained(emb: DataFrame, idCol: String, vecCol: String,
+                   nQueries: Int = 10, k: Int = 5,
+                   m: Int = 16, ksub: Int = 32, iters: Int = 2): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val cbs = pqCodebooksTrained(emb, idCol, vecCol, m, ksub, iters)
     val codes = pqEncodeWith(emb, idCol, vecCol, cbs).materialized
       .select(col("vec_id").as("neighbor_id"), col("codes"))
     adcTopK(codes, emb.filter(col(idCol) < nQueries), idCol, vecCol, cbs, k)
@@ -1857,12 +1929,12 @@ object Similarity {
        |FROM per GROUP BY vec_id""".stripMargin
   }
 
-  /** DuckDB twin of [[knnPq]]. */
-  def knnPqOracleSql(nQueries: Int = 10, k: Int = 5,
-                     m: Int = 16, ksub: Int = 32, dims: Int = 64): String = {
+  /** The exhaustive ADC tail shared by the sampled and trained PQ
+    * twins — expects `sub` / `cb` / `enc` from the prefix.
+    */
+  private def adcTailSql(nQueries: Int, k: Int): String = {
     def dot(a: String, b: String) = VectorFunctions.dotSql(a, b)
-    s"""WITH ${pqCtePrefix(m, ksub, dims)},
-       |q AS (SELECT vec_id AS query_id, m, vm FROM sub WHERE vec_id < $nQueries),
+    s"""q AS (SELECT vec_id AS query_id, m, vm FROM sub WHERE vec_id < $nQueries),
        |dtab AS (
        |  SELECT q.query_id, q.m, c.code,
        |    cast(round((${dot("c.cv", "c.cv")} - (2.0 * ${dot("q.vm", "c.cv")}))
@@ -1880,6 +1952,80 @@ object Similarity {
        |      ORDER BY adist ASC, neighbor_id) AS integer) AS rnk
        |  FROM scored) WHERE rnk <= $k""".stripMargin
   }
+
+  /** DuckDB twin of [[knnPq]]. */
+  def knnPqOracleSql(nQueries: Int = 10, k: Int = 5,
+                     m: Int = 16, ksub: Int = 32, dims: Int = 64): String =
+    s"""WITH ${pqCtePrefix(m, ksub, dims)},
+       |${adcTailSql(nQueries, k)}""".stripMargin
+
+  /** Trained-codebook WITH-chain for the PQ twins — [[pqCtePrefix]]'s
+    * hash-ordered seed slices as the round-0 codebooks, then `iters`
+    * per-subspace Lloyd rounds replaying [[pqCodebooksTrained]]
+    * bit-exactly (same (score, code) argmin struct, same 2^-20
+    * fixed-point long-sum means, same empty-code carry via LEFT JOIN +
+    * coalesce — the kmeansCtePrefix pattern per subspace). Ends in the
+    * same `sub` / `cb` / `enc` names as the sampled prefix so
+    * [[adcTailSql]] splices unchanged.
+    */
+  private def pqTrainedCtePrefix(m: Int = 16, ksub: Int = 32, iters: Int = 2,
+                                 dims: Int = 64): String = {
+    val dsub = dims / m
+    val ph = graft.functions.PortableHash.duckdb("cast(vec_id AS varchar)")
+    def dot(a: String, b: String) = VectorFunctions.dotSql(a, b)
+    def step(i: Int): String =
+      s"""a$i AS (
+         |  SELECT s.vec_id, s.m,
+         |    min(struct_pack(s := ${dot("c.cv", "c.cv")} - (2.0 * ${dot("s.vm", "c.cv")}),
+         |                    c := c.code)).c AS code
+         |  FROM sub s JOIN cb$i c ON c.m = s.m
+         |  GROUP BY s.vec_id, s.m),
+         |m$i AS (
+         |  SELECT a.m, a.code, t.pos,
+         |    sum(cast(floor(((s.vm[t.pos])::DOUBLE) * 1048576.0 + 0.5) AS bigint)) AS s,
+         |    count(*) AS n
+         |  FROM sub s JOIN a$i a ON a.vec_id = s.vec_id AND a.m = s.m,
+         |    range(1, ${dsub + 1}) t(pos)
+         |  GROUP BY a.m, a.code, t.pos),
+         |cb${i + 1}l AS (
+         |  SELECT p.m, p.code, p.pos,
+         |    coalesce((cast(mm.s AS double) / 1048576.0) / mm.n, p.cval) AS cval
+         |  FROM cb${i}l p LEFT JOIN m$i mm
+         |    ON p.m = mm.m AND p.code = mm.code AND p.pos = mm.pos),
+         |cb${i + 1} AS (
+         |  SELECT m, code, list(cval ORDER BY pos) AS cv
+         |  FROM cb${i + 1}l GROUP BY m, code)""".stripMargin
+    val steps = (0 until iters).map(step).mkString(",\n")
+    s"""seeds AS (
+       |  SELECT vec_id, embedding,
+       |    row_number() OVER (ORDER BY $ph, vec_id) AS rn
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT e.vec_id, t.m,
+       |    list_transform(e.embedding[t.m*$dsub+1 : t.m*$dsub+$dsub], x -> x::DOUBLE) AS vm
+       |  FROM embeddings e CROSS JOIN range(0, $m) t(m)),
+       |cb0 AS (
+       |  SELECT t.m, cast(s.rn - 1 AS integer) AS code,
+       |    list_transform(s.embedding[t.m*$dsub+1 : t.m*$dsub+$dsub], x -> x::DOUBLE) AS cv
+       |  FROM seeds s CROSS JOIN range(0, $m) t(m) WHERE s.rn <= $ksub),
+       |cb0l AS (SELECT m, code, pos, cv[pos] AS cval
+       |         FROM cb0, range(1, ${dsub + 1}) t(pos)),
+       |$steps,
+       |cb AS (SELECT m, code, cv FROM cb$iters),
+       |enc AS (
+       |  SELECT s.vec_id, s.m,
+       |    min(struct_pack(s := ${dot("c.cv", "c.cv")} - (2.0 * ${dot("s.vm", "c.cv")}),
+       |                    c := c.code)) AS st
+       |  FROM sub s JOIN cb c ON c.m = s.m
+       |  GROUP BY s.vec_id, s.m)""".stripMargin
+  }
+
+  /** DuckDB twin of [[knnPqTrained]]. */
+  def knnPqTrainedOracleSql(nQueries: Int = 10, k: Int = 5,
+                            m: Int = 16, ksub: Int = 32, iters: Int = 2,
+                            dims: Int = 64): String =
+    s"""WITH ${pqTrainedCtePrefix(m, ksub, iters, dims)},
+       |${adcTailSql(nQueries, k)}""".stripMargin
 
   // ---- Persisted ANN index -------------------------------------------------
 
@@ -1954,9 +2100,15 @@ object Similarity {
     * after it, probes never touch a float vector again.
     */
   def buildPqIndex(emb: DataFrame, idCol: String, vecCol: String, path: String,
-                   m: Int = 16, ksub: Int = 32): Unit = {
+                   m: Int = 16, ksub: Int = 32, trainIters: Int = 0): Unit = {
     val spark = emb.sparkSession
-    val cbs = pqCodebooks(emb, idCol, vecCol, m, ksub)
+    // trainIters > 0 refines the sampled seeds with per-subspace Lloyd
+    // ([[pqCodebooksTrained]]) before anything is encoded — the stored
+    // codebook IS the probe codebook either way, so a trained index
+    // stays self-consistent without the probe side knowing
+    val cbs =
+      if (trainIters > 0) pqCodebooksTrained(emb, idCol, vecCol, m, ksub, trainIters)
+      else pqCodebooks(emb, idCol, vecCol, m, ksub)
     pqEncodeWith(emb, idCol, vecCol, cbs)
       .write.mode("overwrite").parquet(s"$path/codes")
     import spark.implicits._

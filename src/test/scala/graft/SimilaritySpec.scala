@@ -114,6 +114,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.size == truth.size, "ADC must return a full top-k per query")
   }
 
+  test("trained PQ codebooks: Lloyd refinement cuts reconstruction MSE and lifts ADC recall") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val emb = Tables.embeddings(spark, sf)
+    val sampled = Similarity.pqCodebooks(emb, "vec_id", "embedding")
+    val trained = Similarity.pqCodebooksTrained(emb, "vec_id", "embedding")
+    def totalErr(cbs: Array[Array[Array[Double]]]): Double =
+      Similarity.pqEncodeWith(emb, "vec_id", "embedding", cbs)
+        .agg(sum(col("recon_err").cast("double"))).collect()(0).getDouble(0)
+    val (e0, e1) = (totalErr(sampled), totalErr(trained))
+    info(f"PQ total recon error: sampled $e0%.2f -> trained $e1%.2f " +
+      f"(${(1 - e1 / e0) * 100}%.1f%% lower)")
+    assert(e1 < e0,
+      f"Lloyd refinement must cut reconstruction error: $e1%.2f !< $e0%.2f")
+    val truth = Similarity.knnBruteForce(emb, "vec_id", "embedding", 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val rSampled = recall(Similarity.knnPq(emb, "vec_id", "embedding", 10, 5))
+    val rTrained = recall(Similarity.knnPqTrained(emb, "vec_id", "embedding", 10, 5))
+    info(f"ADC recall@5: sampled $rSampled%.3f -> trained $rTrained%.3f")
+    assert(rTrained >= rSampled,
+      f"trained recall $rTrained%.3f fell below sampled $rSampled%.3f")
+  }
+
   test("PQ kernels are bit-identical to the composed expression forms") {
     // the >64KB least()-tree forms run interpreted (janino rejects the
     // stage); the kernels replace them on the hot path — parity here is
@@ -237,6 +263,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("codes"), s"probe should scan the persisted code table:\n$plan")
     assert(!plan.contains("embeddings.parquet"),
       s"probe re-read the corpus vectors:\n$plan")
+  }
+
+  test("persisted PQ index built with trainIters: probe equals ad-hoc knnPqTrained") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqidx_t").toString
+    Similarity.buildPqIndex(emb, "vec_id", "embedding", dir, trainIters = 2)
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toSeq.toDF("vec_id", "embedding")
+    val got = Similarity.knnPqProbe(spark, dir, queries, "vec_id", "embedding", k = 5)
+    val want = Similarity.knnPqTrained(emb, "vec_id", "embedding", nQueries = 10, k = 5)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "trained-index probe diverged from ad-hoc trained ADC")
   }
 
   test("PQ index append encodes with the STORED codebook, not a re-sampled one") {
