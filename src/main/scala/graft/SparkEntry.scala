@@ -1547,13 +1547,17 @@ object SparkEntry {
     // host reputation (C101): the table a crawler sets per-host
     // budgets from — link signal (directed host PageRank) × content
     // signal (mean heuristic quality of the host's docs, decimal-exact
-    // mean) × policy (domain blocklist), one row per doc host
+    // mean) × policy (domain blocklist), one row per doc host. Ranks
+    // use the DANGLING-MASS-corrected PageRank: budget tables consume
+    // absolute rank mass, not just ordering, so dangling hosts'
+    // retained mass would skew every downstream budget ratio
     "host_reputation" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val rank = operators.Graph.pagerankDirected(
         Links.linkExtract(linkPages(docs), "doc_id", "url", "html")
           .filter(!col("nofollow") && !col("internal"))
-          .select(col("page_host").as("src"), col("target_host").as("dst")))
+          .select(col("page_host").as("src"), col("target_host").as("dst")),
+        redistributeDangling = true)
       val q = TextAnalysis.quality(docs, "doc_id", "text")
         .select(col("doc_id"), col("quality_score"))
       val perHost = docs
@@ -2599,7 +2603,7 @@ object SparkEntry {
            |            / greatest(len(t), 1)
            |            BETWEEN 3.0 AND 10.0 THEN 3 ELSE 0 END) AS double)
            | / cast(10.0 AS double)""".stripMargin
-      s"""WITH ${Links.hostRankCtes()},
+      s"""WITH ${Links.hostRankCtes(redistributeDangling = true)},
          |q AS (SELECT doc_id, $score AS s
          |  FROM (SELECT doc_id, $tok AS t FROM documents)),
          |hd AS (SELECT doc_id, source || '.example.com' AS host FROM documents),

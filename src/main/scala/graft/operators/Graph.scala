@@ -198,19 +198,30 @@ object Graph {
     * flows one way. Same integer fixed-point recipe as [[pagerank]]
     * (scale micro-units, 0.85 damping, integer division — bit-exact
     * vs the DuckDB twin in any execution order), minus the
-    * symmetrization. Dangling vertices (no outlinks) keep their base
-    * mass and redistribute nothing — the documented simplification
-    * (full dangling-mass redistribution needs a per-round global sum;
-    * for crawl prioritization the ordering it changes is negligible
-    * and the fixed recurrence keeps the oracle expressible).
+    * symmetrization. Dangling vertices (no outlinks): by default they
+    * keep their base mass and redistribute nothing — the documented
+    * simplification (for crawl prioritization the ORDERING it changes
+    * is negligible and the fixed recurrence keeps the oracle cheap).
+    * With `redistributeDangling = true` each round adds the standard
+    * correction: the dangling vertices' total rank is split evenly
+    * across ALL vertices (integer `danglingSum div n` per vertex,
+    * folded into the damped term — still bit-exact vs the DuckDB
+    * twin). The cost is one scalar aggregation per round, exactly what
+    * the connectedComponents convergence check already pays. Use the
+    * corrected form wherever ABSOLUTE rank mass feeds a downstream
+    * number (budget tables — host_reputation C101); the cheap form
+    * where only ordering matters (frontier prioritization — host_rank
+    * C94).
     *
     * Scale shape: identical to [[pagerank]] — edges checkpointed once
     * pre-partitioned on src, one co-partitioned join + one dst-keyed
-    * agg shuffle per round; for a HOST graph the whole thing is
-    * hosts-sized, orders of magnitude below the page table.
+    * agg shuffle per round (plus the scalar dangling sum when
+    * enabled); for a HOST graph the whole thing is hosts-sized, orders
+    * of magnitude below the page table.
     */
   def pagerankDirected(edgesIn: DataFrame, iters: Int = 4,
-                       scale: Long = 1000000L): DataFrame = {
+                       scale: Long = 1000000L,
+                       redistributeDangling: Boolean = false): DataFrame = {
     val uniq = edgesIn.select(col("src"), col("dst")).distinct().materialized
     val deg = uniq.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edges = checkpointNoStats(uniq.join(deg, Seq("src"))
@@ -219,18 +230,31 @@ object Graph {
       uniq.select(col("src").as("host"))
         .unionByName(uniq.select(col("dst").as("host"))).distinct()
         .repartition(col("host")))
+    // dangling = vertices with no outgoing edge (never a `src`)
+    lazy val dangling = checkpointNoStats(
+      verts.join(uniq.select(col("src").as("host")).distinct(),
+        Seq("host"), "left_anti"))
+    lazy val nVerts = verts.count()
     val base = 15L * scale / 100L
     var ranks = checkpointNoStats(verts.select(col("host"), lit(scale).as("rank"))
       .repartition(col("host")))
     var it = 0
     while (it < iters) {
+      // per-vertex share of the dangling mass this round (0 when the
+      // correction is off or no vertex dangles); integer division —
+      // the sub-n remainder is the same truncation the recurrence
+      // already applies everywhere
+      val share: Long =
+        if (!redistributeDangling) 0L
+        else ranks.join(dangling, Seq("host"))
+          .agg(coalesce(sum(col("rank")), lit(0L))).collect()(0).getLong(0) / nVerts
       val sums = edges.join(ranks, edges("src") === ranks("host"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
       val prev = ranks
       ranks = checkpointNoStats(verts.join(sums, verts("host") === sums("dst"), "left")
         .select(col("host"),
-          (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("rank"))
+          (lit(base) + expr(s"(85 * (coalesce(m, 0L) + $share)) div 100")).as("rank"))
         .repartition(col("host")))
       checkpointRdd(prev).foreach(_.unpersist(blocking = false))
       it += 1
@@ -238,6 +262,8 @@ object Graph {
     val out = ranks.select(col("host"), col("rank").as("rank_fp"))
     checkpointRdd(verts).foreach(_.unpersist(blocking = false))
     checkpointRdd(edges).foreach(_.unpersist(blocking = false))
+    if (redistributeDangling)
+      checkpointRdd(dangling).foreach(_.unpersist(blocking = false))
     out
   }
 

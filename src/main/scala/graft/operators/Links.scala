@@ -460,12 +460,21 @@ object Links {
     * CROSS-host edge set (distinct followed src→dst, self-edges out)
     * then [[Graph.pagerankDirected]]'s integer recurrence unrolled one
     * CTE per iteration, ending in `r<iters>(host, rank)`.
+    * `redistributeDangling` mirrors the Spark option: each round's
+    * dangling mass (ranks of hosts never appearing as `src`) is
+    * integer-split across all vertices inside the damped term.
     */
-  def hostRankCtes(iters: Int = 4, scale: Long = 1000000L): String = {
+  def hostRankCtes(iters: Int = 4, scale: Long = 1000000L,
+                   redistributeDangling: Boolean = false): String = {
     val base = 15L * scale / 100L
     val steps = (0 until iters).map { i =>
+      val share =
+        if (!redistributeDangling) "0"
+        else s"""(SELECT coalesce(sum(r.rank), 0) // (SELECT count(*) FROM verts)
+                 |      FROM r$i r LEFT JOIN deg d ON r.host = d.src
+                 |      WHERE d.src IS NULL)""".stripMargin
       s"""r${i + 1} AS (SELECT v.host,
-         |    cast($base + (85 * coalesce(s.m, 0)) // 100 AS bigint) AS rank
+         |    cast($base + (85 * (coalesce(s.m, 0) + $share)) // 100 AS bigint) AS rank
          |  FROM verts v LEFT JOIN (
          |    SELECT e.dst AS host, sum(r.rank // d.outdeg) AS m
          |    FROM edges e JOIN r$i r ON e.src = r.host

@@ -108,6 +108,28 @@ class LinksSpec extends AnyFunSuite {
     assert(got == Map("a" -> 150000L, "b" -> 213750L, "c" -> 702500L))
   }
 
+  test("pagerankDirected with dangling redistribution: hand recurrence, mass conserved") {
+    // a -> b, b dangling; n = 2, scale 1e6, base 150000
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    val got = Graph.pagerankDirected(edges, iters = 2, redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // it1: share = 1000000/2 = 500000; m(b) = 1000000
+    //   a = 150000 + 85*(0 + 500000)/100       = 575000
+    //   b = 150000 + 85*(1000000 + 500000)/100 = 1425000
+    // it2: share = 1425000/2 = 712500; m(b) = 575000
+    //   a = 150000 + 85*712500/100            = 755625
+    //   b = 150000 + 85*(575000 + 712500)/100 = 1244375
+    assert(got == Map("a" -> 755625L, "b" -> 1244375L))
+    // the corrected form conserves total mass (up to the integer
+    // truncations, which only ever LOSE sub-unit remainders)
+    assert(got.values.sum == 2000000L)
+    // without the correction the dangling vertex soaks mass out of
+    // circulation: the same graph leaks to less than 1/4 of the total
+    val cheap = Graph.pagerankDirected(edges, iters = 2).collect()
+      .map(_.getLong(1)).sum
+    assert(cheap < 500000L, s"expected mass leak without correction, got $cheap")
+  }
+
   test("splitAssignByKey: every row of one key lands in ONE split; " +
       "proportions track keys, not rows") {
     val df = (0L until 600L).map(i => (i, s"host${i % 30}"))
