@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[ImageIoCodec]], [[decodeImageMeta]] and
   * [[resizeImages]] run `javax.imageio` (PNG/JPEG/GIF/BMP ship in the
   * JDK — no external dependency) through the same batched
-  * per-partition shape. Audio/video codecs are NOT available in this
-  * environment, so [[FakeCodec]] remains the deterministic stand-in
-  * for those modalities; everything Spark-side — schema, binary
-  * column handling, batching, partitioning — is shared with the real
-  * image path.
+  * per-partition shape. AUDIO decode is REAL for integer-PCM WAV:
+  * [[WavCodec]] / [[decodeWavMeta]] hand-parse the RIFF chunk list
+  * and decode 8/16-bit PCM on the JVM (spec cross-validated against
+  * `javax.sound.sampled`'s independent WAV writer). Only VIDEO has no
+  * JDK decoder, so [[FakeCodec]] remains its deterministic stand-in;
+  * everything Spark-side — schema, binary column handling, batching,
+  * partitioning — is shared with the real paths.
   */
 object Multimodal {
 
@@ -76,10 +78,11 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** STUB codec for the modalities with no JDK decoder (audio PCM,
-    * video): derives deterministic "features" from the raw payload
-    * bytes so the distributed plumbing stays testable. For images use
-    * [[ImageIoCodec]], which decodes for real.
+  /** STUB codec for the one modality with no JDK decoder (video):
+    * derives deterministic "features" from the raw payload bytes so
+    * the distributed plumbing stays testable. For images use
+    * [[ImageIoCodec]], for WAV audio [[WavCodec]] — both decode for
+    * real.
     */
   object FakeCodec extends FeatureCodec {
     override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -120,6 +123,150 @@ object Multimodal {
           "screen undecodables with decodeImageMeta first)")
       lumaGrid(img, dim)
     }
+  }
+
+  /** Parsed WAV layout: PCM format, data-chunk location, and the
+    * sample geometry everything downstream derives from.
+    */
+  private[graft] case class WavInfo(sampleRate: Int, channels: Int,
+                                    bits: Int, dataOffset: Int, dataLen: Int) {
+    def nFrames: Int = dataLen / ((bits / 8) * channels)
+    def durationSec: Double = nFrames.toDouble / sampleRate
+  }
+
+  /** Hand-rolled RIFF/WAVE header parse — integer-PCM WAV (8-bit
+    * unsigned / 16-bit signed little-endian, any channel count), the
+    * interchange format every audio pipeline's first hop produces.
+    * Returns None on anything that isn't such a file (wrong magic,
+    * truncated chunks, compressed/float formats) — the mark-don't-throw
+    * screen [[decodeWavMeta]] builds on. Walks the chunk list properly
+    * (chunks are even-padded; fmt/data order is not guaranteed), so
+    * files with LIST/fact/cue chunks parse fine.
+    */
+  private[graft] def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    def tag(o: Int): String =
+      if (o + 4 > b.length) "" else new String(b, o, 4, "US-ASCII")
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long = (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    var data: Option[(Int, Int)] = None     // (offset, len)
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(off)
+      val size = u32(off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      val sz = size.toInt
+      if (id == "fmt " && sz >= 16) {
+        val audioFormat = u16(off + 8)
+        val channels = u16(off + 10)
+        val rate = u32(off + 12)
+        val bits = u16(off + 22)
+        if (audioFormat != 1 || channels < 1 || rate <= 0 ||
+            (bits != 8 && bits != 16)) return None
+        fmt = Some((channels, rate.toInt, bits))
+      } else if (id == "data") {
+        data = Some((off + 8, sz))
+      }
+      off += 8 + sz + (sz & 1) // chunks are padded to even length
+    }
+    for ((ch, rate, bits) <- fmt; (dOff, dLen) <- data
+         if dLen >= (bits / 8) * ch)
+      yield WavInfo(rate, ch, bits, dOff, dLen - dLen % ((bits / 8) * ch))
+  }
+
+  /** One PCM frame's channel-mean amplitude in [-1, 1] — 16-bit
+    * signed LE scaled by 2^15, 8-bit unsigned re-centered at 128.
+    */
+  private def wavFrameAmp(b: Array[Byte], info: WavInfo, frame: Int): Double = {
+    val bytesPer = info.bits / 8
+    var c = 0
+    var acc = 0.0
+    while (c < info.channels) {
+      val o = info.dataOffset + (frame * info.channels + c) * bytesPer
+      acc += (if (info.bits == 16)
+                ((b(o) & 0xff) | (b(o + 1) << 8)).toShort / 32768.0
+              else ((b(o) & 0xff) - 128) / 128.0)
+      c += 1
+    }
+    acc / info.channels
+  }
+
+  /** REAL audio codec for integer-PCM WAV — pure JVM, no native libs.
+    * Features are the RMS energy envelope: the decoded frame sequence
+    * is cut into `dim` contiguous windows and each feature is that
+    * window's root-mean-square amplitude in [0, 1] — the classic
+    * first-hop audio signature (silence/clipping screens, near-dup
+    * cosine, energy-based segmentation all read straight off it), and
+    * the time-domain analogue of [[ImageIoCodec]]'s luma grid.
+    * Stateless, safe as an `object`. Payloads that aren't integer-PCM
+    * WAV throw with the payload size (same contract as
+    * [[ImageIoCodec]]); screen with [[decodeWavMeta]] first when the
+    * corpus isn't known-clean.
+    */
+  object WavCodec extends FeatureCodec {
+    override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val info = parseWav(payload).getOrElse(throw new IllegalArgumentException(
+        s"payload is not integer-PCM WAV (${payload.length} bytes; " +
+          "screen undecodables with decodeWavMeta first)"))
+      rmsEnvelope(payload, info, dim)
+    }
+  }
+
+  private[graft] def rmsEnvelope(b: Array[Byte], info: WavInfo,
+                                 dim: Int): Array[Float] = {
+    val n = info.nFrames
+    val sum = new Array[Double](dim)
+    val cnt = new Array[Long](dim)
+    var f = 0
+    while (f < n) {
+      val a = wavFrameAmp(b, info, f)
+      // same bin rule as lumaGrid rows: frame f of n -> window f*dim/n
+      val w = math.min(dim - 1, (f.toLong * dim / n).toInt)
+      sum(w) += a * a
+      cnt(w) += 1
+      f += 1
+    }
+    val out = new Array[Float](dim)
+    var w = 0
+    while (w < dim) {
+      out(w) = if (cnt(w) == 0) 0f else math.sqrt(sum(w) / cnt(w)).toFloat
+      w += 1
+    }
+    out
+  }
+
+  /** Decode-and-mark WAV metadata scan: (doc_id, sample_rate,
+    * channels, bits, n_frames, duration_sec, rms) per payload, with
+    * non-WAV payloads emitted as null-rate rows rather than dropped or
+    * thrown — the admit-unknown-and-mark contract, exactly
+    * [[decodeImageMeta]]'s shape for the audio modality; this is the
+    * screen that makes the throwing [[WavCodec]] safe to run after it.
+    */
+  def decodeWavMeta(ingested: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("bits", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("duration_sec", DoubleType, nullable = true),
+      StructField("rms", DoubleType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ingested.select(col("doc_id"), col("payload")).mapPartitions { it =>
+      it.map { r =>
+        val b = r.getAs[Array[Byte]](1)
+        parseWav(b) match {
+          case None => Row(r.getLong(0), null, null, null, null, null, null)
+          case Some(info) =>
+            // dim=1 envelope = whole-file RMS in one pass
+            val rms = rmsEnvelope(b, info, 1)(0).toDouble
+            Row(r.getLong(0), info.sampleRate, info.channels, info.bits,
+              info.nFrames, info.durationSec, rms)
+        }
+      }
+    }(enc)
   }
 
   /** One pass over the pixels, binned into a rows×cols grid (rows =
