@@ -576,6 +576,124 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  // ---- kill-and-restart soaks: every keyed-state op must carry its
+  // counters/sessions across >= 3 micro-batches with a query KILL and
+  // checkpoint-only recovery between each — state continuity must come
+  // from the state store alone, never from JVM memory.
+
+  test("restart soak: politenessStream slot counters continue across 3 killed generations") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_pol_ck")
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    val ms = MemoryStream[(Long, String, Double)]
+    def start() = graft.streaming.DocStreams
+      .politenessStream(ms.toDF().toDF("url_id", "host", "delay"),
+        "url_id", "host", "delay")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    def gen(data: (Long, String, Double)*): Unit = {
+      val q = start()
+      try { ms.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    }
+    gen((1L, "a.com", 2.0), (2L, "b.com", 5.0))
+    gen((3L, "a.com", 2.0), (4L, "a.com", 2.0), (5L, "b.com", 5.0))
+    gen((6L, "a.com", 2.0), (7L, "b.com", 5.0))
+    val got = spark.read.parquet(out)
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((0L, 0.0)), 3L -> ((1L, 2.0)), 4L -> ((2L, 4.0)), 6L -> ((3L, 6.0)),
+      2L -> ((0L, 0.0)), 5L -> ((1L, 5.0)), 7L -> ((2L, 10.0))),
+      s"slot continuity broke across restarts: $got")
+  }
+
+  test("restart soak: tokenBudgetAdmission budgets continue across 3 killed generations") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_tba_ck")
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    val ms = MemoryStream[(Long, String, String)]
+    def start() = graft.streaming.DocStreams
+      .tokenBudgetAdmission(ms.toDF().toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", 10L)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    def gen(data: (Long, String, String)*): Unit = {
+      val q = start()
+      try { ms.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    }
+    val six = "one two three four five six"
+    gen((1L, "a", six), (2L, "b", six))           // a: 6, b: 6
+    gen((3L, "a", six), (4L, "b", six))           // 6 < 10 -> admit; a,b at 12
+    gen((5L, "a", six), (6L, "b", six), (7L, "c", six)) // a,b exhausted; c admits
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L, 4L, 7L),
+      s"budget continuity broke across restarts: $ids")
+  }
+
+  test("restart soak: hostBudgetStream admission counts continue across 3 killed generations") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_hb3_ck")
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    val ms = MemoryStream[(Long, String)]
+    def start() = graft.streaming.DocStreams
+      .hostBudgetStream(ms.toDF().toDF("url_id", "host"), "url_id", "host", k = 2)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    def gen(data: (Long, String)*): Unit = {
+      val q = start()
+      try { ms.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    }
+    gen((1L, "a.com"), (2L, "b.com"))               // a: 1/2, b: 1/2
+    gen((3L, "a.com"), (4L, "a.com"), (5L, "b.com")) // a fills at 3, 4 suppressed
+    gen((6L, "a.com"), (7L, "b.com"), (8L, "c.com")) // a,b full; c admits
+    val got = spark.read.parquet(out)
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 0L, 3L -> 1L, 2L -> 0L, 5L -> 1L, 8L -> 0L),
+      s"admission-count continuity broke across restarts: $got")
+  }
+
+  test("restart soak: sessionize carries an OPEN session across 3 killed generations") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_sess_ck")
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    val ms = MemoryStream[Event]
+    def start() = {
+      val watermarked = ms.toDS()
+        .withColumn("event_time", timestamp_micros(col("ts")))
+        .withWatermark("event_time", "10 minutes")
+        .as[Event]
+      EventStreams.sessionize(watermarked)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").start()
+    }
+    def gen(data: Event*): Unit = {
+      val q = start()
+      try { ms.addData(data: _*); q.processAllAvailable() } finally q.stop()
+    }
+    val M = 1000000L
+    val B = 3600L
+    // one user's session grows across three generations (each event
+    // within the 30-min gap of the last), then a far-future event
+    // closes it — the recovered state must carry start AND count
+    gen(Event(1, B * M, 1, "click", 1.0))
+    gen(Event(2, (B + 600) * M, 1, "click", 1.0))
+    gen(Event(3, (B + 1200) * M, 1, "click", 1.0),
+        Event(4, (B + 7800) * M, 1, "click", 1.0)) // 110 min after e3: closes
+    val closed = spark.read.parquet(out).as[Session].collect().toSeq
+    assert(closed == Seq(Session(1, B * M, 3, 1200.0)),
+      s"session continuity broke across restarts: $closed")
+  }
+
   test("streaming frontier admission: robots deny, seen-index drop, in-stream dedup, restart append") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
