@@ -159,12 +159,19 @@ def main(sf_dir, out_dir, skip=()):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # optional machine-readable results (GRAFT_SELFCHECK_JSON=path):
+    # {query: {"pass": bool, "rows": int, "detail": str}} — the sf1
+    # sweep assembles CORRECTNESS_sf1.json from this
+    results = {}
+    def record(name, ok, rows=None, detail=""):
+        results[name] = {"pass": ok, "rows": rows, "detail": detail}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
         if name in skip:
             print(f"  SKIP {name}: oracle infeasible at this scale (structural check instead)")
+            record(name, None, detail="skipped: structural check")
             continue
         files = glob.glob(f"{d}/*.parquet")
         got_cols = [r[0] for r in con.execute(
@@ -173,6 +180,7 @@ def main(sf_dir, out_dir, skip=()):
             f"SELECT * FROM read_parquet({files!r})").fetchall()
         if name not in oracle:
             print(f"  rows-only {name}: rows={len(got)}")
+            record(name, len(got) > 0, len(got), "rows-only")
             continue
         res = con.execute(oracle[name])
         exp_cols = [c[0] for c in res.description]
@@ -200,6 +208,7 @@ def main(sf_dir, out_dir, skip=()):
         if dtype_err:
             n_fail += 1
             print(f"  FAIL {name}: {dtype_err}")
+            record(name, False, len(got), dtype_err)
             continue
         # sort columns by name, then rows
         gidx = [got_cols.index(c) for c in sorted(got_cols)]
@@ -211,8 +220,11 @@ def main(sf_dir, out_dir, skip=()):
         if ok:
             n_pass += 1
             print(f"  PASS {name}: rows={len(got)}")
+            record(name, True, len(got))
         else:
             n_fail += 1
+            record(name, False, len(got),
+                   f"rows {len(got)} vs {len(exp)}; schema_ok={ok_schema}")
             print(f"  FAIL {name}: rows {len(got)} vs {len(exp)}; "
                   f"schema {sorted(got_cols)} vs {sorted(exp_cols)}")
             if ok_schema:
@@ -224,6 +236,10 @@ def main(sf_dir, out_dir, skip=()):
                 if only_g: print(f"    only-in-got: {only_g}")
                 if only_e: print(f"    only-in-exp: {only_e}")
     print(f"== {n_pass} pass, {n_fail} fail")
+    jout = os.environ.get("GRAFT_SELFCHECK_JSON")
+    if jout:
+        with open(jout, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     return n_fail
 
 if __name__ == "__main__":

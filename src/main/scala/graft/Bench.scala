@@ -58,8 +58,44 @@ object Bench {
     // per-query engine metrics (rows / scanned bytes / listener time)
     Files.writeString(Paths.get("target/bench_metrics.json"), listener.json)
     System.err.println("[bench] metrics: " + listener.json)
+    // Isolated pass over the slowest pooled spans: pooled numbers carry
+    // up-to-6-way pool contention (doc_fingerprint measured 4.4 s
+    // pooled vs 0.22 s isolated in round 10), so the artifact records
+    // BOTH — pooled for the wall-clock story, isolated as each query's
+    // real cost. Serial, same session, after the pool has drained.
+    // Regression pins for the iterative tails that dominate every
+    // pooled run: warm isolated baselines measured r11 at sf0.1
+    // (IsolatedBench second run: knn_ivf_trained 4.1 s,
+    // semantic_clusters 5.9 s) + 25% headroom. A breach means the
+    // honest-cost queries absorbed new waste — it must fail loudly in
+    // the artifact, not drown in pool noise.
+    val isolatedPins: Map[String, Double] =
+      if (sfDir.endsWith("sf0.1"))
+        Map("knn_ivf_trained" -> 5.2, "semantic_clusters" -> 7.4)
+      else Map.empty
+    val topN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "8").toInt
+    val ok = results.filter(_._3)
+    val isoNames = (ok.sortBy(-_._2).take(topN).map(_._1) ++
+      isolatedPins.keys.filter(k => ok.exists(_._1 == k))).distinct
+    val isolated = isoNames.map { name =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] isolated FAILED $name: ${e.getMessage}") }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] isolated $name%-22s $sec%8.2fs")
+      (name, sec)
+    }
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val regressions = isolated.collect {
+      case (k, v) if isolatedPins.get(k).exists(v > _) =>
+        System.err.println(f"[bench] REGRESSION $k isolated $v%.2fs > pin ${isolatedPins(k)}%.2fs")
+        "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"regressions":$regressions,"failed":$failed,"sf":"$sfDir"}"""
     // durable copies of the SAME line: one under target/, one at the
     // repo root (BENCH_full_latest.json) so every per-query timing is
     // machine-readable even if the stdout capture truncates
@@ -74,7 +110,7 @@ object Bench {
     // whole (BENCH_r08 parsed:null). End stdout with a SHORT summary
     // line that always fits the tail intact: total + failures +
     // where the complete per-query map lives.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries_file":"BENCH_full_latest.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"n_queries":${results.size},"isolated":$iso,"regressions":$regressions,"failed":$failed,"sf":"$sfDir","queries_file":"BENCH_full_latest.json"}""")
     spark.stop()
   }
 }

@@ -210,10 +210,24 @@ object Links {
     require(maxHops >= 1)
     val isRedirect = col(statusCol).isin(301, 302, 303, 307, 308) &&
       col(locCol).isNotNull && col(locCol) =!= ""
+    // (uri -> next-hop) is consumed by THREE plan branches (the
+    // resolution seed, the redirect map, and the in-corpus URI set) —
+    // materialize it once so the fetch-log scan (payload-sized) runs
+    // ONCE, not per consumer; the cut rows are two URI strings per
+    // fetch, url-table-sized at any corpus scale (soak-measured: the
+    // unmaterialized form re-scanned 3.7 GB per branch).
     val m = fetches.select(col(uriCol).as("__u"),
       when(isRedirect, col(locCol)).as("__n"))
+      .materialized
+    // The redirect map joins once per unrolled hop; materialize it
+    // PRE-PARTITIONED on its join key so the checkpoint's preserved
+    // hash partitioning keeps every hop's map side exchange-free when
+    // the hops plan as shuffle joins (the pagerank edge-checkpoint
+    // pattern) — only the advancing resolution side shuffles per hop,
+    // and it carries URI strings only, never payloads.
     val red = m.filter(col("__n").isNotNull)
       .select(col("__u").as("__ru"), col("__n").as("__rn"))
+      .repartition(col("__ru"))
       .materialized
     var r = m.select(col("__u").as("start_uri"), col("__u").as("final_uri"),
       col("__n").as("__nxt"), lit(0).as("n_hops"))

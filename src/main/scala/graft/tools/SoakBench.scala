@@ -84,7 +84,8 @@ object SoakBench {
         "bm25zipf", "winnow", "cdc", "sigagree", "pq", "gramstats",
         "lmscore", "bpe", "mixaudit", "proto", "leakage", "semgate",
         "ingest", "htmlx", "ivfassign", "linededup", "chunks", "shards",
-        "crawlpipe", "warc", "robots", "warcgz", "links", "revisit"))
+        "crawlpipe", "warc", "robots", "warcgz", "links", "revisit",
+        "fetch"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -899,6 +900,79 @@ object SoakBench {
       val rules = graft.operators.Html.robotsRules(robots, "host", "content")
       axis("robots_filter", urlMb) {
         graft.operators.Html.robotsFilter(urls, "doc_id", "url", rules, "graftbot")
+      }
+    }
+
+    // ---- axis: fetch layer — redirect-heavy WARC fetch log -----------
+    // GB-scale fetch log with every resolution class planted on a dense
+    // id schedule (chains running INTO the 4-hop budget around id%1000
+    // in [200,216], self-loops at %1000==36, dangling externals at
+    // %1000==72, 1-2 hop redirects on other multiples of 4, 200-terminal
+    // bulk carrying the doc text): the 4-unrolled redirect join must
+    // shuffle (uri, target) string pairs only — page payloads stay out
+    // of every exchange — and fetch_pipeline stacks the canonical
+    // collapse + landing join on top of the same scan.
+    if (axes("fetch")) {
+      val fMult = math.max(1, (targetMb / baseMb).toInt)
+      val fPath = "target/soak_fetch"
+      val id = col("doc_id") * fMult + col("copy") // dense in [1, n*fMult]
+      val kilo = id % 1000
+      val page = concat(lit("https://crawl.example.com/page/"), id)
+      val loc =
+        when(kilo === 36, page)
+          .when(kilo === 72, lit("https://elsewhere.example.org/gone"))
+          .when(id % 4 === 0 && kilo >= 200 && kilo <= 216,
+            concat(lit("https://crawl.example.com/page/"), id + 4))
+          .when(id % 4 === 0, concat(lit("https://crawl.example.com/page/"),
+            id + when(id % 8 === 0, 4).otherwise(2)))
+      val status = when(loc.isNull, lit("200 OK"))
+        .when(id % 16 === 0, lit("301 Moved Permanently"))
+        .when(id % 16 === 8, lit("307 Temporary Redirect"))
+        .when(id % 16 === 12, lit("308 Permanent Redirect"))
+        .otherwise(lit("302 Found"))
+      val body = when(loc.isNotNull, lit("moved")).otherwise(col("text"))
+      val http = concat(lit("HTTP/1.1 "), status, lit("\r\n"),
+        when(loc.isNotNull, concat(lit("Location: "), loc, lit("\r\n")))
+          .otherwise(lit("")),
+        lit("Content-Type: text/plain\r\nContent-Length: "),
+        octet_length(body), lit("\r\n\r\n"), body)
+      val rec = concat(
+        lit("WARC/1.0\r\nWARC-Record-ID: <urn:uuid:f"), id,
+        lit(">\r\nWARC-Type: response\r\nWARC-Date: 2026-01-03T00:00:00Z\r\n"),
+        lit("WARC-Target-URI: "), page,
+        lit("\r\nContent-Type: application/http; msgtype=response\r\n"),
+        lit("Content-Length: "), octet_length(http),
+        lit("\r\n\r\n"), http, lit("\r\n\r"))
+      docs.select(explode(sequence(lit(1), lit(fMult))).as("copy"),
+          col("doc_id"), col("text"))
+        .select(rec.as("value"))
+        .repartition(32).write.mode("overwrite").text(fPath)
+      val fetchMb = dirBytes(fPath) / 1e6
+      def fetchParsed = graft.sources.Formats.httpParse(
+        graft.sources.Formats.readWarc(spark, fPath), "block")
+      axis("redirect_resolve", fetchMb) {
+        graft.operators.Links.redirectResolve(
+          fetchParsed, "target_uri", "status", "http_location")
+      }
+      axis("fetch_pipeline", fetchMb) {
+        val fetches = fetchParsed
+        val res = graft.operators.Links.redirectResolve(
+          fetches, "target_uri", "status", "http_location")
+        val landed = res.filter(col("resolution") =!= "exceeded" &&
+          col("final_in_corpus"))
+        val collapsed = landed
+          .groupBy(graft.operators.Html.urlNormalize(col("final_uri"))
+            .as("canonical_url"))
+          .agg(count(lit(1)).as("n_sources"),
+            min(col("start_uri")).as("first_source"),
+            max(col("n_hops")).as("max_hops"),
+            min(col("final_uri")).as("__rep"))
+        val pages = fetches.select(col("target_uri").as("__fu"),
+          col("status").as("landing_status"),
+          octet_length(col("body")).as("body_bytes"))
+        collapsed.join(pages, col("__rep") === col("__fu"))
+          .select(col("canonical_url"), col("n_sources"), col("first_source"),
+            col("max_hops"), col("landing_status"), col("body_bytes"))
       }
     }
 

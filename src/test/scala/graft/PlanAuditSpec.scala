@@ -427,6 +427,28 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  // The fetch-log scan is payload-sized; the (uri -> next) map it
+  // derives is url-table-sized. redirectResolve materializes that map
+  // once, so the resolution plan must read ONLY the materialized cut —
+  // a raw fetch-log scan inside it means a branch re-derived its input
+  // (3 full re-scans at the 3.7 GB soak before the guard).
+  test("redirect_resolve: fetch-log scanned once into the materialized map, never per branch") {
+    val plan = SparkEntry.queries("redirect_resolve")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan text"),
+      s"a branch re-scanned the raw fetch log:\n$plan")
+    assert("Scan ExistingRDD".r.findAllMatchIn(plan).length >= 3,
+      s"materialized (uri, next) map not shared across branches:\n$plan")
+  }
+
+  test("fetch_pipeline: exactly one raw fetch-log scan (the landing-page byte branch)") {
+    val plan = SparkEntry.queries("fetch_pipeline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val rawScans = "Scan text".r.findAllMatchIn(plan).length
+    assert(rawScans == 1,
+      s"expected 1 raw scan (landing bytes), got $rawScans:\n$plan")
+  }
+
   test("frontier_budget: per-host cut is TopKPerKey, never a full window sort") {
     val plan = SparkEntry.queries("frontier_budget")(spark, sf)
       .queryExecution.executedPlan.toString
