@@ -1,0 +1,110 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, File}
+import java.net.URLClassLoader
+import java.nio.file.{Files, Path, Paths}
+import java.util.jar.{JarEntry, JarOutputStream}
+import javax.tools.ToolProvider
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A user-supplied job: the runtime-pluggable unit of work. The
+  * reference accepts an arbitrary `map_fn`/`reduce_fn` Python file at
+  * submit time (cooler-MapReduce src/client/client.py:27-63,
+  * src/worker/task_executor.py:103-260); the Spark-native equivalent of
+  * "ship me code, I'll run it on the cluster" is a jar exposing a class
+  * with a well-known entry point that receives the live SparkSession
+  * and returns a DataFrame plan. `java.util.Map` keeps the contract
+  * implementable from plain Java with no Scala stdlib on the job
+  * author's side.
+  */
+trait GraftJob {
+  def run(spark: SparkSession, args: java.util.Map[String, String]): DataFrame
+}
+
+/** Runtime job submission — closes the reference's "submit a user code
+  * file with the job" surface ([[GraftJob]] doc) without giving up the
+  * declarative engine: the submitted class BUILDS a plan against the
+  * session (so Catalyst still optimizes it end to end), it does not
+  * hand-schedule tasks.
+  *
+  * Scale shape: `sc.addJar` ships the jar once per executor via the
+  * file server (the same mechanism spark-submit --jars uses on a
+  * 1000-executor cluster), so closures/lambdas inside the job class
+  * deserialize executor-side; the driver loads the entry class from an
+  * isolated child classloader so two submitted jobs can't collide on
+  * class names.
+  */
+object JobRunner {
+
+  /** Load `className` from `jarPath`, ship the jar to executors, run
+    * the job. The classloader is parent-FIRST (graft/Spark classes
+    * resolve from the application, only job classes come from the jar)
+    * and never installed as the thread context loader — Spark session
+    * state is untouched.
+    */
+  def submit(spark: SparkSession, jarPath: String, className: String,
+             args: Map[String, String] = Map.empty): DataFrame = {
+    val jar = new File(jarPath)
+    require(jar.isFile, s"JobRunner: no such jar: $jarPath")
+    spark.sparkContext.addJar(jar.getAbsolutePath)
+    val loader = new URLClassLoader(Array(jar.toURI.toURL), getClass.getClassLoader)
+    val cls = Class.forName(className, true, loader)
+    require(classOf[GraftJob].isAssignableFrom(cls),
+      s"JobRunner: $className does not implement graft.GraftJob")
+    val job = cls.getDeclaredConstructor().newInstance().asInstanceOf[GraftJob]
+    val jargs = new java.util.HashMap[String, String]()
+    args.foreach { case (k, v) => jargs.put(k, v) }
+    job.run(spark, jargs)
+  }
+
+  /** Compile a single Java source implementing [[GraftJob]] and pack it
+    * into a jar — the "job file in, runnable job out" path for users
+    * who want the reference's submit-a-source-file ergonomics. Uses the
+    * JDK's in-process compiler; the compile classpath is the current
+    * JVM's classpath plus every jar visible to this classloader chain
+    * (covers both forked and in-process sbt layouts).
+    */
+  def compileJavaJob(source: String, className: String, workDir: Path): Path = {
+    val compiler = ToolProvider.getSystemJavaCompiler
+    require(compiler != null, "JobRunner: JDK compiler unavailable (JRE-only JVM?)")
+    Files.createDirectories(workDir)
+    val srcFile = workDir.resolve(className + ".java")
+    Files.write(srcFile, source.getBytes("UTF-8"))
+    val cp = classpathEntries().mkString(File.pathSeparator)
+    val err = new ByteArrayOutputStream()
+    val rc = compiler.run(null, null, err,
+      "-cp", cp, "-d", workDir.toString, srcFile.toString)
+    require(rc == 0, s"JobRunner: javac failed:\n${err.toString("UTF-8")}")
+    val jarPath = workDir.resolve(className + ".jar")
+    val jos = new JarOutputStream(Files.newOutputStream(jarPath))
+    try {
+      // pack every class compiled from this source (inner classes too)
+      val classes = Files.list(workDir).iterator()
+      while (classes.hasNext) {
+        val p = classes.next()
+        val n = p.getFileName.toString
+        if (n.endsWith(".class") &&
+            (n == className + ".class" || n.startsWith(className + "$"))) {
+          jos.putNextEntry(new JarEntry(n))
+          jos.write(Files.readAllBytes(p))
+          jos.closeEntry()
+        }
+      }
+    } finally jos.close()
+    jarPath
+  }
+
+  private def classpathEntries(): Seq[String] = {
+    val fromProp = sys.props.getOrElse("java.class.path", "")
+      .split(File.pathSeparatorChar).filter(_.nonEmpty).toSeq
+    val fromLoaders = Iterator.iterate(getClass.getClassLoader)(_.getParent)
+      .takeWhile(_ != null).flatMap {
+        case u: URLClassLoader => u.getURLs.toSeq.flatMap { url =>
+          if (url.getProtocol == "file") Some(Paths.get(url.toURI).toString) else None
+        }
+        case _ => Nil
+      }.toSeq
+    (fromProp ++ fromLoaders).distinct
+  }
+}

@@ -671,6 +671,10 @@ object SparkEntry {
     "q17_small_quantity"     -> (Relational.q17SmallQuantity _),
     "q_grouping_sets"        -> (Relational.qGroupingSets _),
     "q_lead_lag"             -> (Relational.qLeadLag _),
+    "q2_min_cost_supplier"   -> (Relational.q2MinCostSupplier _),
+    "q11_important_parts"    -> (Relational.q11ImportantParts _),
+    "q12_ship_priority"      -> (Relational.q12ShipPriority _),
+    "q20_dominant_supplier"  -> (Relational.q20DominantSupplier _),
   )
 
   private val bOracles: Map[String, String] = Map(
@@ -1083,6 +1087,66 @@ object SparkEntry {
         |JOIN part ON l_partkey = p_partkey
         |JOIN q17pp ON l_partkey = t_partkey
         |WHERE p_brand = 'Brand#1' AND l_quantity < threshold""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH q2cost AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS supply_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |q2offers AS (
+        |  SELECT p_partkey, p_name, s.s_suppkey, s_name, s_acctbal, n_name,
+        |    supply_cost
+        |  FROM q2cost
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier s ON l_suppkey = s.s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE p_type = 'STANDARD' AND p_size % 5 = 0 AND r_name = 'AFRICA'),
+        |q2min AS (
+        |  SELECT p_partkey AS mk, min(supply_cost) AS min_cost
+        |  FROM q2offers GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+        |FROM q2offers JOIN q2min ON p_partkey = mk AND supply_cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q11_important_parts" ->
+      """WITH q11v AS (
+        |  SELECT l_partkey,
+        |    cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(1 - l_discount AS decimal(8,2))) AS decimal(18,4)) AS val
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    WHERE n_name = 'NATION_3')
+        |  GROUP BY 1),
+        |q11t AS (SELECT cast(sum(val) AS decimal(28,4)) AS total,
+        |  count(*) AS n FROM q11v)
+        |SELECT l_partkey, cast(val AS double) AS part_value
+        |FROM q11v, q11t
+        |WHERE val * n > total * 2""".stripMargin,
+    "q12_ship_priority" ->
+      """SELECT l_linestatus,
+        |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+        |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS bigint) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate >= o_orderdate + INTERVAL 45 DAY
+        |GROUP BY l_linestatus""".stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH q20li AS (
+        |  SELECT l_partkey, l_suppkey, cast(l_quantity AS decimal(18,4)) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |q20pair AS (
+        |  SELECT l_partkey, l_suppkey, sum(q) AS pair_qty FROM q20li GROUP BY 1, 2),
+        |q20part AS (
+        |  SELECT l_partkey AS pk, sum(q) AS part_qty FROM q20li GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM q20pair JOIN q20part ON l_partkey = pk
+        |  WHERE pair_qty * 2 > part_qty
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'))""".stripMargin,
   )
 
   /** Shared decimal revenue fragment for the TPC-H-style oracles —
@@ -1201,6 +1265,14 @@ object SparkEntry {
     // NFC + control-strip + whitespace-collapse canonicalization (C60)
     "text_normalize" -> ((s, d) =>
       TextAnalysis.textNormalize(Tables.documents(s, d), "doc_id", "text")),
+    // mojibake repair (C103, the ftfy core case): Windows-1252
+    // double-decode artifacts planted deterministically on doc_id%5==2
+    // (two in-word artifacts + one trailing triple), then reversed by
+    // the fixed public repair table — the untouched 4/5 of the corpus
+    // pins the no-op path (n_artifacts=0, changed=false)
+    "encoding_repair" -> ((s, d) =>
+      TextAnalysis.encodingRepair(
+        mojibakeFixture(Tables.documents(s, d)), "doc_id", "text")),
     // C4/RefinedWeb-style lexicon + domain blocklist gate (C99):
     // drop on blocked domain or when blocked tokens exceed 3% per mille
     // threshold of the doc's tokens — integer comparison, float-free
@@ -1782,7 +1854,50 @@ object SparkEntry {
        |  FROM proj GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Mojibake fixture for C103: docs with doc_id%5==2 get two in-word
+    * Windows-1252 double-decode artifacts (mangled e-acute / a-umlaut)
+    * plus a trailing mangled-ellipsis triple; all other docs pass
+    * through untouched. Deterministic, planted inside the query (the
+    * synthetic corpus is pure ASCII, so without the plant the repair
+    * path would be vacuously untested).
+    */
+  private def mojibakeFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 2,
+        concat(
+          replace(replace(col("text"),
+            lit("value"), lit("valu\u00c3\u00a9")),
+            lit("part"), lit("p\u00c3\u00a4rt")),
+          lit(" \u00e2\u20ac\u00a6")))
+        .otherwise(col("text")).as("text"))
+
+  /** Oracle twin of [[mojibakeFixture]] — identical corruption in SQL. */
+  private def mojibakeCorruptSql: String =
+    "CASE WHEN doc_id % 5 = 2 THEN replace(replace(text, 'value', " +
+      "'valu\u00c3\u00a9'), 'part', 'p\u00c3\u00a4rt') || ' \u00e2\u20ac\u00a6' ELSE text END"
+
+  /** Chained-replace repair expression over [[TextAnalysis.MojibakeRepairs]]. */
+  private def mojibakeRepairSql(inner: String): String =
+    TextAnalysis.MojibakeRepairs.foldLeft(inner) { case (e, (bad, good)) =>
+      s"replace($e, '$bad', '$good')"
+    }
+
+  /** Per-pattern exact integer artifact count, mirroring the Spark side:
+    * (len − len(without)) / patlen per pattern, cast bigint, summed.
+    */
+  private def mojibakeCountSql(inner: String): String =
+    TextAnalysis.MojibakeRepairs.map { case (bad, _) =>
+      s"cast((length($inner) - length(replace($inner, '$bad', ''))) / ${bad.length} AS bigint)"
+    }.mkString("(", " + ", ")")
+
   private val cOracles: Map[String, String] = Map(
+    "encoding_repair" ->
+      s"""WITH enc_src AS (SELECT doc_id, $mojibakeCorruptSql AS text FROM documents)
+         |SELECT doc_id,
+         |  ${mojibakeRepairSql("text")} AS repaired,
+         |  ${mojibakeCountSql("text")} AS n_artifacts,
+         |  ${mojibakeRepairSql("text")} <> text AS changed
+         |FROM enc_src""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, min(doc_id) AS survivor_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,

@@ -894,4 +894,123 @@ object Relational {
       .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
         lit(7.0)).as("avg_yearly"))
   }
+
+  /** Q2-style minimum-cost supplier, ADAPTED: the star schema has no
+    * partsupp, so the part↔supplier offer relation is derived from
+    * lineitem — supply cost per (part, supplier) is the min observed
+    * `l_extendedprice` (exact under min, no division). Q2's genuine
+    * shape survives intact: a region-restricted supplier dimension, a
+    * per-part correlated MIN over only those suppliers, and the
+    * join-back on cost equality, topped by the deterministic
+    * acctbal-ordered limit. Supplier grows with SF → both fact-side
+    * joins are shuffle joins; only nation/region (fixed 25/5 rows)
+    * broadcast.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val regSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "AFRICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("supply_cost"))
+      .join(Tables.part(spark, dir)
+          .filter(col("p_type") === "STANDARD" && col("p_size") % 5 === 0),
+        col("l_partkey") === col("p_partkey"))
+      .join(regSupp, col("l_suppkey") === col("s_suppkey"))
+      .materialized // feeds both the per-part MIN and the join-back
+    val minCost = offers.groupBy(col("p_partkey").as("__mk"))
+      .agg(min(col("supply_cost")).as("__min_cost"))
+    offers
+      .join(minCost,
+        col("p_partkey") === col("__mk") && col("supply_cost") === col("__min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100) // unique (s_name, p_partkey) total order → deterministic set
+  }
+
+  /** Q11-style important-part identification, ADAPTED: part "value held
+    * by a nation" is the revenue its suppliers shipped (no partsupp →
+    * no availqty × supplycost), filtered to one supplier nation. The
+    * Q11 shape is the point: a grouped decimal value per part, HAVING
+    * it exceed a global scalar riding a one-row broadcast cross join.
+    * Q11's fixed fraction-of-total goes VACUOUS as the part count grows
+    * with SF (every share shrinks below any constant), so the cut is
+    * the SF-invariant form — value × n_parts > 2 × total, i.e. twice
+    * the mean part value — in exact decimal × integer arithmetic (never
+    * a double threshold, so the HAVING cut is bit-portable).
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val vals = Tables.lineitem(spark, dir)
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      // re-round the exact sum to decimal(18,4) so the multiplies below
+      // fit BOTH engines' decimal widening rules without overflow
+      .agg(sum(revExpr).cast("decimal(18,4)").as("__val"))
+      .materialized // feeds the global total AND the HAVING filter
+    val total = vals.agg(
+      sum(col("__val")).cast("decimal(28,4)").as("__total"),
+      count(lit(1)).as("__n"))
+    vals.join(broadcast(total)) // one row
+      .filter(col("__val") * col("__n") > col("__total") * lit(2))
+      .select(col("l_partkey"), col("__val").cast("double").as("part_value"))
+  }
+
+  /** Q12-style shipping-priority report, ADAPTED: lineitem carries no
+    * l_shipmode / l_commitdate / l_receiptdate, so the mode dimension is
+    * l_linestatus and "late" is shipped ≥ 45 days after the order date.
+    * The genuine Q12 plan shape: one year's lineitem joined to orders,
+    * late filter, CASE-split priority counts per mode — a single
+    * shuffle join + partial-agg'd CASE sums, no window, no sort.
+    */
+  def q12ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** Q20-style supplier shortlist, ADAPTED: no partsupp availqty, so
+    * "holds excess stock of a promotable part" becomes "shipped MORE
+    * THAN HALF of a small-part's total 1996 volume" — a dominant-
+    * supplier cut with the same nested-subquery chain Q20 runs: an
+    * inner per-(part, supplier) aggregate compared against a per-part
+    * aggregate, a name-LIKE part semi-join, then a supplier semi-join.
+    * Quantity sums stay decimal end-to-end; the half test is
+    * `2 × pair > total` (exact, no double division).
+    */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li96 = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("decimal(18,4)").as("__q"))
+      .materialized // one scan feeds both granularities
+    val pairQty = li96.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("__q")).as("__pair_qty"))
+    val partQty = li96.groupBy(col("l_partkey").as("__pk"))
+      .agg(sum(col("__q")).as("__part_qty"))
+    val dominant = pairQty
+      .join(partQty, col("l_partkey") === col("__pk"))
+      .filter(col("__pair_qty") * 2 > col("__part_qty"))
+      .join(Tables.part(spark, dir).filter(col("p_name").startsWith("small")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    Tables.supplier(spark, dir)
+      .join(dominant.select(col("l_suppkey")),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
 }

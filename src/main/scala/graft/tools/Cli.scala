@@ -48,6 +48,7 @@ object Cli {
       shards(sfDir, path, rest.headOption.map(_.toLong).getOrElse(1000000L))
     case "imagedemo" :: rest                         => imageDemo(rest.headOption.map(_.toLong).getOrElse(500L))
     case "audit" :: rest                             => audit(rest.headOption.getOrElse(DefaultSf))
+    case "job" :: jarPath :: className :: rest       => job(jarPath, className, rest)
     case _                                           => usage()
   }
 
@@ -263,8 +264,34 @@ object Cli {
         |                                          resize, feature cosine)
         |  audit [sfDir]                           corpus health report: composition,
         |                                          source KL, split leakage, Gopher
-        |                                          keep rate (one JSON line each)""".stripMargin)
+        |                                          keep rate (one JSON line each)
+        |  job <jar> <class> [sfDir] [k=v ...] [--out=dir]
+        |                                          submit a runtime job jar (a class
+        |                                          implementing graft.GraftJob); args
+        |                                          reach the job with dir=sfDir preset""".stripMargin)
     sys.exit(2)
+  }
+
+  /** Runtime job submission (the reference client's submit-a-code-file
+    * path): `job <jar> <class> [sfDir] [k=v ...] [--out dir]` — loads
+    * the GraftJob implementation from the jar, ships the jar to
+    * executors, runs the returned plan. `dir` is preset to sfDir.
+    */
+  private def job(jarPath: String, className: String, rest: List[String]): Unit = {
+    val (flags, pos) = rest.partition(_.startsWith("--out="))
+    val sfDir = pos.headOption.filterNot(_.contains("=")).getOrElse(DefaultSf)
+    val kvs = pos.filter(_.contains("=")).map { s =>
+      val i = s.indexOf('='); s.substring(0, i) -> s.substring(i + 1)
+    }.toMap
+    val spark = session()
+    val df = graft.JobRunner.submit(spark, jarPath, className,
+      Map("dir" -> sfDir) ++ kvs)
+    flags.headOption.map(_.stripPrefix("--out=")) match {
+      case Some(out) =>
+        df.write.mode("overwrite").parquet(out)
+        println(s"wrote ${spark.read.parquet(out).count()} rows to $out")
+      case None => df.show(20, false)
+    }
   }
 
   private def session(): SparkSession = {

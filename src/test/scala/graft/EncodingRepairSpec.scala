@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** C103 encoding repair: the repair table must invert a REAL UTF-8 →
+  * Windows-1252 double-decode (computed with the JDK codecs here, not
+  * with the table itself), and its patterns must be mutually safe for
+  * sequential full-string replacement.
+  */
+class EncodingRepairSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** What a cp1252 decoder makes of the UTF-8 bytes — the actual
+    * corruption, independent of MojibakeRepairs.
+    */
+  private def mangle(s: String): String =
+    new String(s.getBytes("UTF-8"), "windows-1252")
+
+  test("every repair-table key IS the JDK double-decode of its value") {
+    for ((bad, good) <- TextAnalysis.MojibakeRepairs)
+      assert(mangle(good) == bad,
+        s"key for '$good' should be '${mangle(good)}', table has '$bad'")
+  }
+
+  test("keys are mutually substring-safe and replacements reintroduce no key") {
+    val keys = TextAnalysis.MojibakeRepairs.map(_._1)
+    for (a <- keys; b <- keys if a != b)
+      assert(!a.contains(b), s"'$a' contains '$b' — replacement order would matter")
+    for ((_, good) <- TextAnalysis.MojibakeRepairs; k <- keys)
+      assert(!good.contains(k), s"replacement '$good' contains key '$k'")
+  }
+
+  test("repair(mangle(x)) == x for text over the mapped alphabet") {
+    // every non-ASCII char below has its artifact in the 16-entry table
+    val originals = Seq(
+      "café niño — “gürtel” style ’quote’".replace("”", "\""),
+      "résumé · 20° … zürich façade mötley",
+      "plain ascii stays plain ascii",
+      "")
+    val df = originals.zipWithIndex
+      .map { case (t, i) => (i.toLong, mangle(t)) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.encodingRepair(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    for ((orig, i) <- originals.zipWithIndex) {
+      assert(got(i).getAs[String]("repaired") == orig, s"row $i")
+      val expectedArtifacts = orig.count(_ > 127)
+      assert(got(i).getAs[Long]("n_artifacts") == expectedArtifacts, s"row $i count")
+      assert(got(i).getAs[Boolean]("changed") == (expectedArtifacts > 0), s"row $i changed")
+    }
+  }
+
+  test("ascii corpus is untouched at zero cost to semantics") {
+    val df = Seq((1L, "the quick brown fox 123 !?")).toDF("doc_id", "text")
+    val r = TextAnalysis.encodingRepair(df, "doc_id", "text").head()
+    assert(r.getAs[String]("repaired") == "the quick brown fox 123 !?")
+    assert(r.getAs[Long]("n_artifacts") == 0L)
+    assert(!r.getAs[Boolean]("changed"))
+  }
+}
