@@ -359,4 +359,82 @@ object GraftText {
     else UTF8String.fromString(
       java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
   }
+
+  /** The canonical Windows-1252 mojibake table (C104): what the UTF-8
+    * bytes of the RIGHT value look like after a decoder mistakes them
+    * for Latin-1/cp1252 — each key spec-PROVEN equal to the JDK
+    * double-decode of its value (EncodingRepairSpec). Keys are
+    * mutually substring-safe and no replacement contains a key, so one
+    * left-to-right pass is exact. Lives here (not in the operator
+    * layer) because the kernel below consumes it.
+    */
+  val MojibakeRepairs: Seq[(String, String)] = Seq(
+    "\u00e2\u20ac\u2122" -> "\u2019", // mangled U+2019 right quote
+    "\u00e2\u20ac\u0153" -> "\u201c", // mangled U+201C left dquote
+    "\u00e2\u20ac\u201c" -> "\u2013", // mangled U+2013 en dash
+    "\u00e2\u20ac\u201d" -> "\u2014", // mangled U+2014 em dash
+    "\u00e2\u20ac\u00a6" -> "\u2026", // mangled U+2026 ellipsis
+    "\u00c3\u00a9" -> "\u00e9", // mangled e-acute
+    "\u00c3\u00a8" -> "\u00e8", // mangled e-grave
+    "\u00c3\u00a1" -> "\u00e1", // mangled a-acute
+    "\u00c3\u00b3" -> "\u00f3", // mangled o-acute
+    "\u00c3\u00b1" -> "\u00f1", // mangled n-tilde
+    "\u00c3\u00bc" -> "\u00fc", // mangled u-umlaut
+    "\u00c3\u00b6" -> "\u00f6", // mangled o-umlaut
+    "\u00c3\u00a4" -> "\u00e4", // mangled a-umlaut
+    "\u00c3\u00a7" -> "\u00e7", // mangled c-cedilla
+    "\u00c2\u00b7" -> "\u00b7", // mangled middle dot
+    "\u00c2\u00b0" -> "\u00b0") // mangled degree sign
+
+  // first-char dispatch table, longest key first per bucket — built
+  // once from MojibakeRepairs so kernel and table can never diverge
+  private val mojiByFirst: java.util.HashMap[Character, Array[(String, String)]] = {
+    val m = new java.util.HashMap[Character, Array[(String, String)]]()
+    MojibakeRepairs.groupBy(_._1.charAt(0)).foreach { case (c, entries) =>
+      m.put(Character.valueOf(c), entries.sortBy(-_._1.length).toArray)
+    }
+    m
+  }
+
+  /** Single-pass mojibake repair (the fused form of C104's 16 chained
+    * replaces + 16 length-census scans — one walk instead of 32):
+    * returns (repaired, n_artifacts). ASCII-only text short-circuits on
+    * the UTF8String byte length (no chars above 0x7F ⇒ no artifact
+    * can match) and returns the input buffer unchanged, no allocation.
+    */
+  def mojibakeFix(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    // all-ASCII fast path: numBytes == numChars ⇔ no multi-byte char
+    if (text.numBytes == text.numChars)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](text, 0L))
+    val s = text.toString
+    val len = s.length
+    val sb = new java.lang.StringBuilder(len)
+    var i = 0
+    var n = 0L
+    while (i < len) {
+      val c = s.charAt(i)
+      var advanced = false
+      if (c >= '\u00c2') { // cheapest pre-screen: all keys start ≥ U+00C2
+        val entries = mojiByFirst.get(Character.valueOf(c))
+        if (entries != null) {
+          var e = 0
+          while (!advanced && e < entries.length) {
+            val key = entries(e)._1
+            if (i + key.length <= len && s.startsWith(key, i)) {
+              sb.append(entries(e)._2)
+              i += key.length
+              n += 1L
+              advanced = true
+            }
+            e += 1
+          }
+        }
+      }
+      if (!advanced) { sb.append(c); i += 1 }
+    }
+    val repaired = if (n == 0L) text else UTF8String.fromString(sb.toString)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](repaired, n))
+  }
 }

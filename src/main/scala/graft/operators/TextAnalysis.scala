@@ -849,39 +849,40 @@ object TextAnalysis {
     * web crawl text — the core case of the public `ftfy` fixer). Each
     * LEFT key is the UTF-8 bytes of the RIGHT value re-decoded as
     * Latin-1; keys are mutually prefix-free, so replacement order
-    * cannot cascade (spec-pinned). Escaped literals keep the source
-    * file encoding-proof.
+    * cannot cascade (spec-pinned). Canonical copy lives next to the
+    * kernel that consumes it ([[graft.functions.GraftText]]).
     */
-  val MojibakeRepairs: Seq[(String, String)] = Seq(
-    "\u00e2\u20ac\u2122" -> "\u2019", // mangled U+2019 right quote
-    "\u00e2\u20ac\u0153" -> "\u201c", // mangled U+201C left dquote
-    "\u00e2\u20ac\u201c" -> "\u2013", // mangled U+2013 en dash
-    "\u00e2\u20ac\u201d" -> "\u2014", // mangled U+2014 em dash
-    "\u00e2\u20ac\u00a6" -> "\u2026", // mangled U+2026 ellipsis
-    "\u00c3\u00a9" -> "\u00e9", // mangled e-acute
-    "\u00c3\u00a8" -> "\u00e8", // mangled e-grave
-    "\u00c3\u00a1" -> "\u00e1", // mangled a-acute
-    "\u00c3\u00b3" -> "\u00f3", // mangled o-acute
-    "\u00c3\u00b1" -> "\u00f1", // mangled n-tilde
-    "\u00c3\u00bc" -> "\u00fc", // mangled u-umlaut
-    "\u00c3\u00b6" -> "\u00f6", // mangled o-umlaut
-    "\u00c3\u00a4" -> "\u00e4", // mangled a-umlaut
-    "\u00c3\u00a7" -> "\u00e7", // mangled c-cedilla
-    "\u00c2\u00b7" -> "\u00b7", // mangled middle dot
-    "\u00c2\u00b0" -> "\u00b0") // mangled degree sign
+  val MojibakeRepairs: Seq[(String, String)] =
+    graft.functions.GraftText.MojibakeRepairs
 
-  /** C103: encoding repair — reverse UTF-8-decoded-as-Latin-1 mojibake
+  /** C104: encoding repair — reverse UTF-8-decoded-as-Latin-1 mojibake
     * (the `ftfy` core case) over a fixed public artifact table.
     * Emits per doc: the repaired text, the artifact count found
-    * (`n_artifacts`, summed per pattern via exact integer
-    * length-difference counting — no regex, no floats), and a `changed`
-    * bit. Pure map-side chained literal replaces over one scan: zero
-    * shuffle, codegen-friendly, linear at 100 TB. The table handles
-    * only prefix-free two/three-char artifacts, so a single
-    * left-to-right pass per pattern is exact and order-independent
-    * across patterns.
+    * (`n_artifacts`, exact integer count), and a `changed` bit.
+    * ONE native kernel call per row (graft.plans.MojibakeFixExpr →
+    * GraftText.mojibakeFix — a single first-char-dispatched walk;
+    * all-ASCII rows short-circuit on byte-vs-char length with zero
+    * allocation) instead of the 16 chained replaces + 16 length-census
+    * scans of the HOF form, which is kept as [[encodingRepairChained]]
+    * and pinned bit-identical by EncodingRepairSpec. Zero shuffle,
+    * scan-rate at 100 TB.
     */
   def encodingRepair(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    val fix = GraftPlanFactory.column(
+      graft.plans.MojibakeFixExpr(GraftPlanFactory.expression(col(textCol))))
+    docs.select(col(idCol).as("doc_id"), fix.as("__f"))
+      .select(col("doc_id"),
+        col("__f").getField("repaired").as("repaired"),
+        col("__f").getField("n_artifacts").as("n_artifacts"),
+        (col("__f").getField("n_artifacts") > 0L).as("changed"))
+  }
+
+  /** Reference implementation of [[encodingRepair]] from built-in
+    * chained replaces — for the parity spec only (32 full-string scans
+    * per row; NOT for hot paths).
+    */
+  def encodingRepairChained(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val nArtifacts = MojibakeRepairs.map { case (bad, _) =>
       ((length(t) - length(replace(t, lit(bad), lit("")))) / bad.length)

@@ -220,3 +220,26 @@ case class GramStatsExpr(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.GraftText.gramStats($c);")
 }
+
+/** Single-pass mojibake repair struct over raw text
+  * (GraftText.mojibakeFix): (repaired, n_artifacts) — the fused form of
+  * C104's 16 chained replaces + 16 length-census scans. ASCII rows
+  * (byte length == char length) return the input buffer unchanged.
+  */
+case class MojibakeFixExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("repaired", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_artifacts",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "graft_mojibake_fix"
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    graft.functions.GraftText.mojibakeFix(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GraftText.mojibakeFix($c);")
+}

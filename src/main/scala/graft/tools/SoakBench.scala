@@ -85,7 +85,7 @@ object SoakBench {
         "lmscore", "bpe", "mixaudit", "proto", "leakage", "semgate",
         "ingest", "htmlx", "ivfassign", "linededup", "chunks", "shards",
         "crawlpipe", "warc", "robots", "warcgz", "links", "revisit",
-        "fetch"))
+        "fetch", "encfix"))
 
     def axis(name: String, inputMb: Double)(body: => DataFrame): Unit = {
       // warm-up run then timed run, like ThroughputBench; gc between
@@ -973,6 +973,33 @@ object SoakBench {
         collapsed.join(pages, col("__rep") === col("__fu"))
           .select(col("canonical_url"), col("n_sources"), col("first_source"),
             col("max_hops"), col("landing_status"), col("body_bytes"))
+      }
+    }
+
+    // ---- axis: mojibake-planted flood → encoding_repair -------------
+    // Every 5th replica gets the three planted Windows-1252 artifacts
+    // (same plant as the C104 fixture) so the repair path is LIVE at
+    // GB scale, not a no-op sweep over clean ASCII. Expectation: pure
+    // map pass — zero shuffle, scan-rate MB/s.
+    if (axes("encfix")) {
+      val eMult = math.max(1, (targetMb / baseMb).toInt)
+      val ePath = "target/soak_encfix"
+      val id = col("doc_id") * eMult + col("copy")
+      docs.select(explode(sequence(lit(1), lit(eMult))).as("copy"),
+          col("doc_id"), col("text"))
+        .select(id.as("doc_id"),
+          when(id % 5 === 2,
+            concat(
+              regexp_replace(regexp_replace(col("text"),
+                "value", "valu\u00c3\u00a9"),
+                "part", "p\u00c3\u00a4rt"),
+              lit(" \u00e2\u20ac\u00a6")))
+            .otherwise(col("text")).as("text"))
+        .repartition(32).write.mode("overwrite").parquet(ePath)
+      val planted = spark.read.parquet(ePath)
+      val eMb = baseMb * eMult
+      axis("encoding_repair", eMb) {
+        graft.operators.TextAnalysis.encodingRepair(planted, "doc_id", "text")
       }
     }
 

@@ -53,6 +53,28 @@ class EncodingRepairSpec extends AnyFunSuite {
     }
   }
 
+  test("kernel form is bit-identical to the chained-replace reference") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .limit(300)
+      .select(col("doc_id"),
+        // plant artifacts on a third so the parity check exercises both
+        // the repair path and the ASCII fast path
+        when(col("doc_id") % 3 === 0,
+          concat(lit("caf"), lit(mangle("é")), col("text"),
+            lit(" "), lit(mangle("— …"))))
+          .otherwise(col("text")).as("text"))
+    val kernel = TextAnalysis.encodingRepair(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val chained = TextAnalysis.encodingRepairChained(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(kernel.length == chained.length)
+    kernel.zip(chained).foreach { case (k, c) =>
+      assert(k.getAs[String]("repaired") == c.getAs[String]("repaired"))
+      assert(k.getAs[Long]("n_artifacts") == c.getAs[Long]("n_artifacts"))
+      assert(k.getAs[Boolean]("changed") == c.getAs[Boolean]("changed"))
+    }
+  }
+
   test("ascii corpus is untouched at zero cost to semantics") {
     val df = Seq((1L, "the quick brown fox 123 !?")).toDF("doc_id", "text")
     val r = TextAnalysis.encodingRepair(df, "doc_id", "text").head()
