@@ -78,11 +78,13 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** STUB codec for the one modality with no JDK decoder (video):
+  /** STUB codec for the payload classes with no pure-JDK decoder
+    * (compressed video/audio codecs: H.264/VP9/AAC containers):
     * derives deterministic "features" from the raw payload bytes so
     * the distributed plumbing stays testable. For images use
-    * [[ImageIoCodec]], for WAV audio [[WavCodec]] — both decode for
-    * real.
+    * [[ImageIoCodec]], for WAV audio [[WavCodec]], for GIF frame
+    * sequences (the video-pipeline shape) [[GifFrameCodec]] — all
+    * three decode for real.
     */
   object FakeCodec extends FeatureCodec {
     override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -425,4 +427,98 @@ object Multimodal {
       posexplode(split(col("payload").cast("string"), s"(?<=\\G.{$frameBytes})"))
         .as(Seq("frame_no", "frame")))
       .filter(col("frame_no") % stride === 0 && length(col("frame")) > 0)
+
+  /** All stored frames of a multi-frame image container (animated GIF —
+    * the one frame-sequence format the JDK decodes natively). Frames
+    * are returned as STORED: GIF inter-frame disposal/compositing is
+    * deliberately not applied (frame features feed near-dup/sampling
+    * signals, not playback). Returns empty for undecodable payloads.
+    */
+  private[graft] def readGifFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return IndexedSeq.empty
+    val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false)
+      val n = try reader.getNumImages(true)
+      catch { case _: Exception => 0 }
+      (0 until n).flatMap { i =>
+        try Some(reader.read(i)) catch { case _: Exception => None }
+      }
+    } catch {
+      case _: Exception => IndexedSeq.empty
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** REAL frame-sequence ("video-pipeline") codec over the JDK GIF
+    * reader: decode every stored frame, feature = the per-cell MEAN of
+    * each frame's luma grid across the sequence — a temporal thumbnail
+    * signature (two clips differing only in frame rate or a few frames
+    * stay near-dup under cosine; [[FakeCodec]]'s byte features cannot
+    * claim that). Throws on undecodable payloads like [[ImageIoCodec]];
+    * screen with [[decodeVideoFrames]] (admit-and-mark) first when the
+    * corpus isn't known-clean. FakeCodec now stands in ONLY for true
+    * compressed video codecs (H.264/VP9 containers), which no pure-JDK
+    * decoder exists for.
+    */
+  object GifFrameCodec extends FeatureCodec {
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val frames = readGifFrames(payload)
+      require(frames.nonEmpty,
+        s"payload is not a decodable GIF frame sequence (${payload.length} bytes; " +
+          "screen undecodables with decodeVideoFrames first)")
+      val acc = new Array[Float](dim)
+      frames.foreach { img =>
+        val g = lumaGrid(img, dim)
+        var i = 0
+        while (i < dim) { acc(i) += g(i); i += 1 }
+      }
+      var i = 0
+      while (i < dim) { acc(i) /= frames.length; i += 1 }
+      acc
+    }
+  }
+
+  /** Decode-and-mark FRAME scan — the real form of [[sampleFrames]]:
+    * every `stride`-th stored frame of each payload as its own row
+    * (doc_id, frame_no, n_frames, width, height, luma features), so
+    * downstream near-dup/sampling sees a per-frame corpus exactly like
+    * the per-image one. UNDECODABLE payloads emit ONE null-marked row
+    * (n_frames = 0) rather than dropping or throwing — the same
+    * admit-unknown-and-mark contract as [[decodeImageMeta]]. Scale
+    * shape: one mapPartitions scan, frames never leave their partition
+    * until downstream asks.
+    */
+  def decodeVideoFrames(ingested: DataFrame, dim: Int = 16,
+                        stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    ingested.select(col("doc_id"), col("payload")).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val frames = readGifFrames(r.getAs[Array[Byte]](1))
+        if (frames.isEmpty) Iterator(Row(id, null, 0, null, null, null))
+        else frames.iterator.zipWithIndex
+          .filter { case (_, i) => i % stride == 0 }
+          .map { case (img, i) =>
+            Row(id, i, frames.length, img.getWidth, img.getHeight,
+              lumaGrid(img, dim).toSeq)
+          }
+      }
+    }(enc)
+  }
 }

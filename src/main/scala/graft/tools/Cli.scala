@@ -47,6 +47,7 @@ object Cli {
     case "shards" :: sfDir :: path :: rest           =>
       shards(sfDir, path, rest.headOption.map(_.toLong).getOrElse(1000000L))
     case "imagedemo" :: rest                         => imageDemo(rest.headOption.map(_.toLong).getOrElse(500L))
+    case "videodemo" :: rest                         => videoDemo(rest.headOption.map(_.toLong).getOrElse(200L))
     case "audit" :: rest                             => audit(rest.headOption.getOrElse(DefaultSf))
     case "job" :: jarPath :: className :: rest       => job(jarPath, className, rest)
     case _                                           => usage()
@@ -172,6 +173,80 @@ object Cli {
     spark.stop()
   }
 
+  /** Real-video-path demo: n generated animated GIFs (4-10 gray-ramp
+    * frames each, 10% garbage payloads) → decode-and-mark frame scan →
+    * stride sampling → GifFrameCodec temporal-mean features, with the
+    * frame-drop near-dup check (full clip vs every-other-frame clip
+    * under cosine) as the printed verdict.
+    */
+  private def videoDemo(n: Long): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val spark = session()
+    val enc = org.apache.spark.sql.Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("dropped", BinaryType, nullable = true))))
+    val clips = spark.range(n).mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      def gif(frames: Seq[Int], w: Int): Array[Byte] = {
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          frames.foreach { lvl =>
+            val img = new java.awt.image.BufferedImage(w, w,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            try { g.setColor(new java.awt.Color(lvl, lvl, lvl)); g.fillRect(0, 0, w, w) }
+            finally g.dispose()
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        bos.toByteArray
+      }
+      it.map { idL =>
+        val id = idL.longValue()
+        if (id % 10 == 9) // garbage payload: must be MARKED, not thrown
+          Row(id, Array.tabulate[Byte](64)(i => ((id + i) % 251).toByte), null)
+        else {
+          val nf = 4 + (id % 7).toInt // 4..10 frames
+          val levels = (0 until nf).map(f => ((id * 31 + f * 23) % 256).toInt)
+          val w = 16 + (id % 3).toInt * 16
+          Row(id, gif(levels, w), gif(levels.zipWithIndex.collect {
+            case (l, i) if i % 2 == 0 => l
+          }, w))
+        }
+      }
+    }(enc)
+
+    val frames = graft.operators.Multimodal.decodeVideoFrames(
+      clips.select(col("doc_id"), col("payload")), dim = 4, stride = 2)
+    frames.groupBy((col("n_frames") > 0).as("decodable"))
+      .agg(countDistinct(col("doc_id")).as("clips"), count(lit(1)).as("frame_rows"),
+        max(col("n_frames")).as("max_frames"))
+      .orderBy(col("decodable")).show(truncate = false)
+
+    val codec = graft.operators.Multimodal.GifFrameCodec
+    val ok = clips.filter(col("doc_id") % 10 =!= 9)
+    val fa = graft.operators.Multimodal.extractFeatures(
+      ok.select(col("doc_id"), col("payload")), 4, codec)
+      .withColumnRenamed("features", "fa")
+    val fb = graft.operators.Multimodal.extractFeatures(
+      ok.select(col("doc_id"), col("dropped").as("payload")), 4, codec)
+      .withColumnRenamed("features", "fb")
+    val cos = fa.join(fb, "doc_id").select(
+        graft.functions.VectorFunctions.cosine(col("fa"), col("fb")).as("cos"))
+      .agg(round(min("cos"), 4).as("min_cos"), round(avg("cos"), 4).as("avg_cos"))
+      .collect()(0)
+    println(s"""{"metric":"videodemo","n":$n,"min_cos_full_vs_framedrop":${cos.get(0)},"avg_cos":${cos.get(1)}}""")
+    spark.stop()
+  }
+
   /** Build a persisted index from the catalog tables — the production
     * build-once-probe-cheap entry points (minhash / LSH / CDC / BM25).
     */
@@ -262,6 +337,10 @@ object Cli {
         |  imagedemo [n]                           real-image-path demo over n
         |                                          generated PNGs (decode screen,
         |                                          resize, feature cosine)
+        |  videodemo [n]                           real-video-path demo over n
+        |                                          generated animated GIFs (frame
+        |                                          scan, stride sampling, temporal
+        |                                          features, frame-drop cosine)
         |  audit [sfDir]                           corpus health report: composition,
         |                                          source KL, split leakage, Gopher
         |                                          keep rate (one JSON line each)

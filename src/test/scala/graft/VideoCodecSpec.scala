@@ -1,0 +1,110 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Multimodal
+
+/** Real frame-sequence ("video-pipeline") decode over the JDK GIF
+  * reader: animated GIFs are generated IN-TEST with the JDK GIF writer
+  * (no fixtures, no native libs), so the round trip exercises genuine
+  * encode → container bytes → multi-frame decode.
+  */
+class VideoCodecSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  /** A w×h frame of constant gray level (0-255). Gray is preserved by
+    * GIF palette quantization (the 256-entry palette holds every gray
+    * exactly), so per-frame luma is assertable to tight tolerance.
+    */
+  private def grayFrame(w: Int, h: Int, level: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      g.setColor(new java.awt.Color(level, level, level))
+      g.fillRect(0, 0, w, h)
+    } finally g.dispose()
+    img
+  }
+
+  private def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  // chosen so the even-index half {40,120,200} has the SAME mean (120)
+  // as the full sequence — the frame-drop invariance test needs a clip
+  // whose temporal mean a uniform subsample preserves
+  private val levels = Seq(40, 200, 120, 120, 200, 40)
+  private val clip = animatedGif(levels.map(grayFrame(20, 12, _)))
+
+  test("readGifFrames returns every stored frame with true dimensions") {
+    val frames = Multimodal.readGifFrames(clip)
+    assert(frames.length == levels.length)
+    assert(frames.forall(f => f.getWidth == 20 && f.getHeight == 12))
+  }
+
+  test("decodeVideoFrames: one row per stride-th frame, luma tracks the encoded gray") {
+    val df = Seq((7L, clip)).toDF("doc_id", "payload")
+    val rows = Multimodal.decodeVideoFrames(df, dim = 1, stride = 2)
+      .orderBy("frame_no").collect()
+    assert(rows.length == 3) // frames 0, 2, 4 of 6
+    assert(rows.map(_.getAs[Int]("frame_no")).toSeq == Seq(0, 2, 4))
+    assert(rows.forall(_.getAs[Int]("n_frames") == 6))
+    val lumas = rows.map(_.getAs[Seq[Float]]("features").head)
+    val want = Seq(40, 120, 200).map(_ / 255.0f)
+    lumas.zip(want).foreach { case (got, w) =>
+      assert(math.abs(got - w) < 0.02, s"luma $got vs encoded $w")
+    }
+  }
+
+  test("undecodable payload admits one null-marked row, never throws") {
+    val df = Seq((1L, clip), (2L, "not a gif".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeVideoFrames(df, dim = 1)
+      .orderBy("doc_id", "frame_no").collect()
+    val bad = rows.filter(_.getLong(0) == 2L)
+    assert(bad.length == 1)
+    assert(bad.head.getAs[Int]("n_frames") == 0)
+    assert(bad.head.isNullAt(bad.head.fieldIndex("frame_no")))
+    assert(rows.count(_.getLong(0) == 1L) == levels.length)
+  }
+
+  test("GifFrameCodec features = per-cell mean over the sequence; cosine survives frame drops") {
+    val full = Multimodal.GifFrameCodec.decode(clip, 1)
+    val meanWant = levels.map(_ / 255.0f).sum / levels.length
+    assert(math.abs(full(0) - meanWant) < 0.02)
+    // drop every other frame: the temporal-mean signature barely moves
+    val dropped = animatedGif(Seq(40, 120, 200).map(grayFrame(20, 12, _)))
+    val d = Multimodal.GifFrameCodec.decode(dropped, 1)
+    assert(math.abs(full(0) - d(0)) < 0.05)
+    // via extractFeatures: the codec rides the standard per-partition path
+    val df = Seq((1L, clip)).toDF("doc_id", "payload")
+    val feats = Multimodal.extractFeatures(df, dim = 1,
+      codec = Multimodal.GifFrameCodec).head()
+      .getAs[collection.Seq[Float]]("features")
+    assert(math.abs(feats.head - full(0)) < 1e-6)
+  }
+
+  test("GifFrameCodec throws on undecodable payloads with a screening hint") {
+    val e = intercept[Exception] {
+      Multimodal.GifFrameCodec.decode(Array[Byte](1, 2, 3), 4)
+    }
+    assert(e.getMessage.contains("decodeVideoFrames"))
+  }
+}
