@@ -47,7 +47,28 @@ object JobRunner {
              args: Map[String, String] = Map.empty): DataFrame = {
     val jar = new File(jarPath)
     require(jar.isFile, s"JobRunner: no such jar: $jarPath")
-    spark.sparkContext.addJar(jar.getAbsolutePath)
+    // SparkSession.addArtifact, not sc.addJar: Spark 4 SQL tasks
+    // resolve classes through the SESSION's artifact state, so a jar
+    // added only at the context level is invisible to executor-side
+    // deserialization of a SQL plan that references its classes
+    // (symptom: SerializedLambda ClassCastException mid-task).
+    // Artifacts are keyed by FILE NAME session-wide and can never be
+    // overwritten, so ship under a content-hash name: distinct jars
+    // that happen to share a file name can't collide, and resubmitting
+    // the same bytes is a clean no-op (the already-exists error is
+    // only ever thrown for content we know is identical).
+    val bytes = Files.readAllBytes(jar.toPath)
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+    val shipDir = Files.createTempDirectory("graft-job-ship")
+    val shipped = shipDir.resolve(s"graft-job-$md5.jar")
+    Files.copy(jar.toPath, shipped)
+    try spark.addArtifact(shipped.toString)
+    catch {
+      case e: Exception
+        if e.getMessage != null && e.getMessage.contains("ARTIFACT_ALREADY_EXISTS") =>
+        () // same content already registered in this session
+    }
     val loader = new URLClassLoader(Array(jar.toURI.toURL), getClass.getClassLoader)
     val cls = Class.forName(className, true, loader)
     require(classOf[GraftJob].isAssignableFrom(cls),
