@@ -420,4 +420,31 @@ class PropertySpec extends AnyFunSuite {
       assert(!(n.startsWith("https://") && host.endsWith(":443")), s"https default port survived: $n")
     }
   }
+
+  test("mojibake kernel: round-trip + count + parity with chained replaces, 400 random strings") {
+    // alphabet: ASCII + every char the 16-entry repair table can emit
+    val mapped = graft.functions.GraftText.MojibakeRepairs.map(_._2.charAt(0))
+    val genStr = for {
+      n <- Gen.choose(0, 60)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.choose(' ', '~'),
+        1 -> Gen.oneOf(mapped)))
+    } yield cs.mkString
+    // the REAL corruption, independent of the repair table
+    def mangle(s: String) = new String(s.getBytes("UTF-8"), "windows-1252")
+    // independent model: plain chained String.replace over the table
+    def modelRepair(s: String) =
+      graft.functions.GraftText.MojibakeRepairs.foldLeft(s) {
+        case (acc, (bad, good)) => acc.replace(bad, good)
+      }
+    samples(genStr, 400, seed = 91L).foreach { s =>
+      val m = mangle(s)
+      val row = graft.functions.GraftText.mojibakeFix(UTF8String.fromString(m))
+      val repaired = row.getUTF8String(0).toString
+      val nArtifacts = row.getLong(1)
+      assert(repaired == s, s"round-trip failed for '$s' (mangled '$m')")
+      assert(nArtifacts == s.count(_ > 127).toLong, s"count for '$s'")
+      assert(repaired == modelRepair(m), s"kernel vs chained model for '$m'")
+    }
+  }
 }
