@@ -99,9 +99,10 @@ object JobRunner {
     require(rc == 0, s"JobRunner: javac failed:\n${err.toString("UTF-8")}")
     val jarPath = workDir.resolve(className + ".jar")
     val jos = new JarOutputStream(Files.newOutputStream(jarPath))
+    val listing = Files.list(workDir)
     try {
       // pack every class compiled from this source (inner classes too)
-      val classes = Files.list(workDir).iterator()
+      val classes = listing.iterator()
       while (classes.hasNext) {
         val p = classes.next()
         val n = p.getFileName.toString
@@ -112,7 +113,10 @@ object JobRunner {
           jos.closeEntry()
         }
       }
-    } finally jos.close()
+    } finally {
+      listing.close()
+      jos.close()
+    }
     jarPath
   }
 

@@ -1265,6 +1265,17 @@ object SparkEntry {
     // NFC + control-strip + whitespace-collapse canonicalization (C60)
     "text_normalize" -> ((s, d) =>
       TextAnalysis.textNormalize(Tables.documents(s, d), "doc_id", "text")),
+    // C4 §2.2 cleaning-rule bundle (C105, Raffel et al. 2020): line
+    // punctuation/length/javascript filters + page brace/lorem/lexicon
+    // gates, on the deterministic multi-line page fixture (every rule
+    // class live on an id schedule)
+    "c4_rules" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.c4Rules(
+        docs.select(col("doc_id"),
+          TextAnalysis.wrapC4Page(col("doc_id"), col("text")).as("text")),
+        "doc_id", "text", Seq("badterm"))
+    }),
     // mojibake repair (C103, the ftfy core case): Windows-1252
     // double-decode artifacts planted deterministically on doc_id%5==2
     // (two in-word artifacts + one trailing triple), then reversed by
@@ -1891,6 +1902,29 @@ object SparkEntry {
     }.mkString("(", " + ", ")")
 
   private val cOracles: Map[String, String] = Map(
+    "c4_rules" ->
+      s"""WITH c4fx AS (SELECT doc_id,
+         |    ${TextAnalysis.wrapC4PageSql("doc_id", "text")} AS text
+         |  FROM documents),
+         |c4l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM c4fx),
+         |c4k AS (SELECT doc_id, text, lines,
+         |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$$')
+         |      AND len(string_split(x, ' ')) >= 5
+         |      AND NOT contains(lower(x), 'javascript')) AS kept,
+         |    len(list_filter(${graft.functions.TextFunctions.tokensSql("text")},
+         |      x -> x IN ('badterm'))) > 0 AS has_badword
+         |  FROM c4l)
+         |SELECT doc_id,
+         |  cast(len(lines) AS integer) AS n_lines,
+         |  cast(len(kept) AS integer) AS n_kept,
+         |  contains(text, '{') AS has_brace,
+         |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+         |  has_badword,
+         |  len(kept) >= 3 AND NOT contains(text, '{')
+         |    AND NOT contains(lower(text), 'lorem ipsum')
+         |    AND NOT has_badword AS keep,
+         |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+         |FROM c4k""".stripMargin,
     "encoding_repair" ->
       s"""WITH enc_src AS (SELECT doc_id, $mojibakeCorruptSql AS text FROM documents)
          |SELECT doc_id,

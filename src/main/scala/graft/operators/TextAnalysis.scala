@@ -843,6 +843,109 @@ object TextAnalysis {
             col("n_tokens").cast("long") * maxBadPerMille)
   }
 
+  /** C105: the C4 cleaning-rule bundle (Raffel et al. 2020, "Exploring
+    * the Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", §2.2 — the heuristics behind the public C4 corpus),
+    * reported per page as raw counts + gate bits so a pipeline can
+    * re-threshold without re-scanning:
+    *
+    *   - line retained only if it ends in terminal punctuation
+    *     (`[.!?"]`), has ≥ 5 words, and does not contain "javascript";
+    *   - page dropped when fewer than 3 lines survive, or the page
+    *     contains `{`, or "lorem ipsum", or any lexicon word
+    *     (`badWords` — the paper uses the public "List of Dirty ..."
+    *     lexicon; callers pass their own, same convention as
+    *     [[blocklistGate]]).
+    *
+    * Emits (n_lines, n_kept, has_brace, has_lorem, has_badword, keep,
+    * clean_text — the surviving lines rejoined). `keep` is the paper's
+    * conjunction. Pure map-side line algebra over one scan: zero
+    * shuffle, scan-rate at 100 TB; every decision is a string/integer
+    * predicate (no floats), so the DuckDB twin is bit-identical. The
+    * span-level "three-sentence dedup" half of C4 §2.2 is the
+    * exact-substring family (C53/C54), not re-implemented here.
+    */
+  def c4Rules(docs: DataFrame, idCol: String, textCol: String,
+              badWords: Seq[String]): DataFrame = {
+    require(badWords.nonEmpty, "c4Rules: badWords lexicon must be non-empty")
+    val lines = split(col(textCol), "\n")
+    val keptPred = (l: Column) =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, " ")) >= 5 &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, keptPred)
+    val badHits = filter(tokens(col(textCol)), t => t.isin(badWords: _*))
+    docs.select(col(idCol).as("doc_id"),
+        size(lines).as("n_lines"),
+        size(kept).as("n_kept"),
+        col(textCol).contains("{").as("has_brace"),
+        lower(col(textCol)).contains("lorem ipsum").as("has_lorem"),
+        (size(badHits) > 0).as("has_badword"),
+        array_join(kept, "\n").as("clean_text"))
+      .withColumn("keep",
+        col("n_kept") >= 3 && !col("has_brace") && !col("has_lorem") &&
+          !col("has_badword"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("has_brace"), col("has_lorem"), col("has_badword"),
+        col("keep"), col("clean_text"))
+  }
+
+  /** C4-page fixture: rebuild a token-soup doc as a multi-line page
+    * with every C4 §2.2 rule class LIVE on a deterministic id schedule
+    * — 8-token lines; line (id+i)%3==0 loses its terminal period;
+    * line i%7==3 is cut to 3 words (under the 5-word bar even when
+    * punctuated); line (id+i)%11==0 gains a "javascript" prefix;
+    * page id%13==0 gains a `{` line, id%17==0 a "lorem ipsum" line
+    * (5 words + punct — the LINE survives, the PAGE dies), id%19==0 a
+    * planted lexicon-word line. Same bind-tokens-once shape as
+    * [[Dedup.wrapLines]] (a twice-referenced Column re-tokenizes per
+    * line).
+    */
+  def wrapC4Page(id: Column, text: Column): Column =
+    element_at(transform(array(tokens(text)), t => {
+      val n = size(t)
+      val body = when(n > 0,
+        transform(sequence(lit(0), ((n - 1) / 8).cast("int")), i => {
+          val lineToks = when(i % 7 === 3, slice(t, i * 8 + 1, lit(3)))
+            .otherwise(slice(t, i * 8 + 1, lit(8)))
+          val base = array_join(lineToks, " ")
+          val withJs = when((id + i) % 11 === 0,
+            concat(lit("javascript "), base)).otherwise(base)
+          when((id + i) % 3 =!= 0, concat(withJs, lit("."))).otherwise(withJs)
+        }))
+        .otherwise(array(lit("empty page marker line here.")))
+      val brace = when(id % 13 === 0, array(lit("function() {")))
+        .otherwise(array().cast("array<string>"))
+      val lorem = when(id % 17 === 0, array(lit("lorem ipsum dolor sit amet.")))
+        .otherwise(array().cast("array<string>"))
+      val bad = when(id % 19 === 0, array(lit("badterm appears right here today.")))
+        .otherwise(array().cast("array<string>"))
+      concat_ws("\n", concat(body, brace, lorem, bad))
+    }), 1)
+
+  /** DuckDB twin of [[wrapC4Page]] from column expressions. */
+  def wrapC4PageSql(idExpr: String, textExpr: String): String = {
+    val t = graft.functions.TextFunctions.tokensSql(textExpr)
+    s"""array_to_string(list_concat(list_concat(list_concat(
+       |  CASE WHEN len($t) > 0 THEN
+       |    list_transform(generate_series(0, (len($t) - 1) // 8), i ->
+       |      CASE WHEN ($idExpr + i) % 3 <> 0 THEN
+       |        (CASE WHEN ($idExpr + i) % 11 = 0 THEN 'javascript ' ELSE '' END ||
+       |         CASE WHEN i % 7 = 3
+       |           THEN array_to_string(list_slice($t, i * 8 + 1, i * 8 + 3), ' ')
+       |           ELSE array_to_string(list_slice($t, i * 8 + 1, i * 8 + 8), ' ') END) || '.'
+       |      ELSE
+       |        (CASE WHEN ($idExpr + i) % 11 = 0 THEN 'javascript ' ELSE '' END ||
+       |         CASE WHEN i % 7 = 3
+       |           THEN array_to_string(list_slice($t, i * 8 + 1, i * 8 + 3), ' ')
+       |           ELSE array_to_string(list_slice($t, i * 8 + 1, i * 8 + 8), ' ') END)
+       |      END)
+       |  ELSE ['empty page marker line here.'] END,
+       |  CASE WHEN $idExpr % 13 = 0 THEN ['function() {'] ELSE []::VARCHAR[] END),
+       |  CASE WHEN $idExpr % 17 = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END),
+       |  CASE WHEN $idExpr % 19 = 0 THEN ['badterm appears right here today.'] ELSE []::VARCHAR[] END), chr(10))""".stripMargin
+  }
+
   /** The classic Windows-1252/Latin-1 mojibake table: what a UTF-8
     * byte pair/triple for the RIGHT column looks like after a decoder
     * mistakes it for Latin-1 (the single most common encoding defect in
