@@ -53,8 +53,6 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
     // per-query engine metrics (rows / scanned bytes / listener time)
     Files.writeString(Paths.get("target/bench_metrics.json"), listener.json)
     System.err.println("[bench] metrics: " + listener.json)
@@ -73,11 +71,16 @@ object Bench {
     // spuriously when the build moved to a slower VM mid-round-11, so
     // each pin is a multiple of a deterministic calibration span
     // (32-way range + xxhash64 sum — codegen'd CPU-bound work, measured
-    // warm in the same fresh session). Baseline ratios measured round
-    // 11 at sf0.1 (cal 0.40 s, semantic_clusters ≈ 17× cal,
-    // knn_ivf_trained ≈ 13× cal); pins carry ~25% headroom. A breach
-    // means the honest-cost queries absorbed new waste — it must fail
-    // loudly in the artifact, not drown in pool noise.
+    // warm in the same fresh session). Pins compare against the
+    // query's ENGINE span (the QueryExecutionListener's measure of the
+    // action, which excludes driver-side plan construction and harness
+    // overhead) — round 11 showed wall and cal_sec moving in OPPOSITE
+    // directions across identical runs on this VM class, so wall-ratio
+    // pins are ±2× noise while engine-span ratios track the plan.
+    // A breach means the honest-cost queries absorbed new waste — it
+    // must fail loudly in the artifact, not drown in pool noise. A
+    // pinned query that CRASHES isolated is a breach too (ADVICE:
+    // timing the failed attempt read as a speedup).
     spark.stop()
     val iSpark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     iSpark.sparkContext.setLogLevel("WARN")
@@ -101,28 +104,61 @@ object Bench {
     val ok = results.filter(_._3)
     val isoNames = (ok.sortBy(-_._2).take(topN).map(_._1) ++
       isolatedPins.keys.filter(k => ok.exists(_._1 == k))).distinct
+    // engine span = SUM of every action's engine duration inside the
+    // attempt (not just the tagged final save): iterative queries do
+    // most of their engine work in per-round untagged actions, and the
+    // isolated pass is sequential so the accumulator is unambiguous
+    val isoSpans = Monitoring.installSpans(iSpark)
     val isolated = isoNames.map { name =>
-      val runs = (1 to 2).map { _ =>
+      // each attempt yields Some((wall, engineSpan)) or None on crash —
+      // a failed attempt must never be timed as the query's "real cost"
+      val attempts = (1 to 2).map { _ =>
+        org.apache.spark.sql.classic.GraftPlanFactory.flushListeners(iSpark)
+        isoSpans.reset()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(iSpark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] isolated FAILED $name: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          Monitoring.tag(SparkEntry.queries(name)(iSpark, sfDir), name)
+            .write.format("noop").mode("overwrite").save()
+          val wall = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.sql.classic.GraftPlanFactory.flushListeners(iSpark)
+          val eng = Some(isoSpans.totalSec).filter(_ > 0.0)
+          Some((wall, eng))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] isolated FAILED $name: " +
+              s"${e.getClass.getName}: ${e.getMessage}")
+            None
+        }
       }
-      val sec = runs.min
-      System.err.println(f"[bench] isolated $name%-22s $sec%8.2fs (runs: ${runs.map(r => f"$r%.2f").mkString("/")})")
-      (name, sec)
+      val okRuns = attempts.flatten
+      val sec = okRuns.map(_._1).minOption
+      val eng = okRuns.flatMap(_._2).minOption
+      System.err.println(f"[bench] isolated $name%-22s " +
+        s"${sec.fold("FAILED")(s => f"$s%8.2fs")} engine " +
+        s"${eng.fold("n/a")(s => f"$s%.2fs")} " +
+        s"(runs: ${attempts.map(_.fold("fail")(r => f"${r._1}%.2f")).mkString("/")})")
+      (name, sec, eng, okRuns.size == attempts.size)
     }
-    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    def optNum(v: Option[Double]): String = v.fold("null")(fmt)
+    val iso = isolated.map { case (k, v, _, _) => "\"" + k + "\":" + optNum(v) }
       .mkString("{", ",", "}")
+    val engJson = isolated.map { case (k, _, e, _) => "\"" + k + "\":" + optNum(e) }
+      .mkString("{", ",", "}")
+    val isoFailedNames = isolated.collect { case (k, _, _, false) => k }
     val regressions = isolated.collect {
-      case (k, v) if isolatedPins.get(k).exists(v > _) =>
-        System.err.println(f"[bench] REGRESSION $k isolated $v%.2fs > pin ${isolatedPins(k)}%.2fs")
+      // breach = pinned query crashed isolated, lost its engine span,
+      // or its engine span exceeds the pin
+      case (k, _, e, okAll) if isolatedPins.contains(k) &&
+          (!okAll || e.isEmpty || e.exists(_ > isolatedPins(k))) =>
+        System.err.println(s"[bench] REGRESSION $k engine " +
+          s"${e.fold("FAILED")(s => f"$s%.2fs")} vs pin " +
+          f"${isolatedPins(k)}%.2fs")
         "\"" + k + "\""
     }.mkString("[", ",", "]")
+    val failedAll = (results.collect { case (k, _, false) => k } ++ isoFailedNames)
+      .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"engine":$engJson,"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir"}"""
     // durable copies of the SAME line: one under target/, one at the
     // repo root (BENCH_full_latest.json) so every per-query timing is
     // machine-readable even if the stdout capture truncates
@@ -137,7 +173,7 @@ object Bench {
     // whole (BENCH_r08 parsed:null). End stdout with a SHORT summary
     // line that always fits the tail intact: total + failures +
     // where the complete per-query map lives.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"n_queries":${results.size},"isolated":$iso,"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failed,"sf":"$sfDir","queries_file":"BENCH_full_latest.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"n_queries":${results.size},"isolated":$iso,"engine":$engJson,"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir","queries_file":"BENCH_full_latest.json"}""")
     iSpark.stop()
   }
 }

@@ -28,12 +28,28 @@ trait GraftJob {
   * session (so Catalyst still optimizes it end to end), it does not
   * hand-schedule tasks.
   *
-  * Scale shape: `sc.addJar` ships the jar once per executor via the
-  * file server (the same mechanism spark-submit --jars uses on a
-  * 1000-executor cluster), so closures/lambdas inside the job class
-  * deserialize executor-side; the driver loads the entry class from an
-  * isolated child classloader so two submitted jobs can't collide on
-  * class names.
+  * Scale shape: the session artifact mechanism ships the jar once per
+  * executor via the file server (the same mechanism spark-submit
+  * --jars uses on a 1000-executor cluster), so closures/lambdas inside
+  * the job class deserialize executor-side. Class-name isolation is
+  * DRIVER-side only: each submit loads its entry class from a fresh
+  * child classloader, so two submitted jobs may reuse a class name as
+  * long as nothing of that name executes on the cluster — but every
+  * shipped jar joins the session's single artifact classloader, so
+  * executor-side classes (UDFs, closures, helpers serialized into
+  * tasks) from different jobs share one namespace and MUST use
+  * distinct fully-qualified names. That is the caller's
+  * responsibility, same as with spark-submit --jars.
+  *
+  * Session hygiene: artifacts are SESSION-keyed, sticky for the
+  * session's lifetime, and copied into every session clone (each
+  * streaming query clones its session). A long-lived interactive
+  * session that interleaves submits with unrelated work therefore
+  * carries the jars everywhere; the recommended pattern is to submit
+  * through a dedicated `spark.newSession()` (shares the SparkContext
+  * and catalog, isolates artifact state) unless the job must see the
+  * caller's temp views. The test suite pins this pattern
+  * (JobRunnerSpec) including a post-submit streaming regression.
   */
 object JobRunner {
 
@@ -52,6 +68,18 @@ object JobRunner {
     // added only at the context level is invisible to executor-side
     // deserialization of a SQL plan that references its classes
     // (symptom: SerializedLambda ClassCastException mid-task).
+    //
+    // Ship BYTES Spark owns — the in-memory addArtifact(bytes, target)
+    // overload writes them into the session artifact manager's own
+    // directory and serves them from there. The earlier form (stage a
+    // copy in an unmanaged temp dir, addArtifact(path)) left the served
+    // stream tied to lifecycle Spark doesn't control: once an artifact
+    // becomes unservable, EVERY later task in the session that syncs
+    // artifacts dies ("Stream /artifacts/<uuid>/jars/... was not
+    // found") — a poison-the-session failure observed as a 1/561 suite
+    // flake in round 11. In-memory shipping also leaves no temp file to
+    // leak.
+    //
     // Artifacts are keyed by FILE NAME session-wide and can never be
     // overwritten, so ship under a content-hash name: distinct jars
     // that happen to share a file name can't collide, and resubmitting
@@ -60,23 +88,25 @@ object JobRunner {
     val bytes = Files.readAllBytes(jar.toPath)
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
-    val shipDir = Files.createTempDirectory("graft-job-ship")
-    val shipped = shipDir.resolve(s"graft-job-$md5.jar")
-    Files.copy(jar.toPath, shipped)
-    try spark.addArtifact(shipped.toString)
+    try spark.addArtifact(bytes, s"graft-job-$md5.jar")
     catch {
       case e: Exception
         if e.getMessage != null && e.getMessage.contains("ARTIFACT_ALREADY_EXISTS") =>
         () // same content already registered in this session
     }
     val loader = new URLClassLoader(Array(jar.toURI.toURL), getClass.getClassLoader)
-    val cls = Class.forName(className, true, loader)
-    require(classOf[GraftJob].isAssignableFrom(cls),
-      s"JobRunner: $className does not implement graft.GraftJob")
-    val job = cls.getDeclaredConstructor().newInstance().asInstanceOf[GraftJob]
-    val jargs = new java.util.HashMap[String, String]()
-    args.foreach { case (k, v) => jargs.put(k, v) }
-    job.run(spark, jargs)
+    try {
+      val cls = Class.forName(className, true, loader)
+      require(classOf[GraftJob].isAssignableFrom(cls),
+        s"JobRunner: $className does not implement graft.GraftJob")
+      val job = cls.getDeclaredConstructor().newInstance().asInstanceOf[GraftJob]
+      val jargs = new java.util.HashMap[String, String]()
+      args.foreach { case (k, v) => jargs.put(k, v) }
+      // run() must finish all driver-side loading from the jar (it
+      // builds the plan; classes it touched stay loaded after close).
+      // Executor-side resolution goes through the session artifact.
+      job.run(spark, jargs)
+    } finally loader.close()
   }
 
   /** Compile a single Java source implementing [[GraftJob]] and pack it

@@ -65,6 +65,30 @@ object Monitoring {
     l
   }
 
+  /** Engine-span accumulator: sums the engine duration of EVERY action
+    * on the session, tagged or not. Iterative operators (connected
+    * components, Lloyd training) spend most of their engine time in
+    * per-round collect() actions that carry no observation tag, so the
+    * per-query [[Listener]] under-attributes them; Bench's isolated
+    * pass runs one query at a time and brackets it with reset()/
+    * totalSec to get the query's FULL engine cost.
+    */
+  final class EngineSpans extends QueryExecutionListener {
+    private val ns = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      ns.addAndGet(durationNs)
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    def reset(): Unit = ns.set(0L)
+    def totalSec: Double = ns.get() / 1e9
+  }
+
+  /** Register an engine-span accumulator on the session. */
+  def installSpans(spark: SparkSession): EngineSpans = {
+    val l = new EngineSpans
+    spark.listenerManager.register(l)
+    l
+  }
+
   // ---- Job control: cancellation + live progress ---------------------------
   //
   // The analog of the reference client's cancel_job / monitor_job_progress

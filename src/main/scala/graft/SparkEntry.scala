@@ -1909,7 +1909,7 @@ object SparkEntry {
          |c4l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM c4fx),
          |c4k AS (SELECT doc_id, text, lines,
          |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$$')
-         |      AND len(string_split(x, ' ')) >= 5
+         |      AND len(regexp_split_to_array(trim(x), '\\s+')) >= 5
          |      AND NOT contains(lower(x), 'javascript')) AS kept,
          |    len(list_filter(${graft.functions.TextFunctions.tokensSql("text")},
          |      x -> x IN ('badterm'))) > 0 AS has_badword

@@ -364,14 +364,22 @@ object GraftText {
     * bytes of the RIGHT value look like after a decoder mistakes them
     * for Latin-1/cp1252 — each key spec-PROVEN equal to the JDK
     * double-decode of its value (EncodingRepairSpec). Keys are
-    * mutually substring-safe and no replacement contains a key, so one
-    * left-to-right pass is exact. Lives here (not in the operator
-    * layer) because the kernel below consumes it.
+    * mutually substring-safe, and the SEQUENCE ORDER is load-bearing
+    * for the chained/oracle twins: on dirty text a dangling '\u00e2\u20ac'
+    * (truncated artifact) followed by a replacement char can re-form a
+    * key, so an earlier entry's replacement must never complete a
+    * later entry's key \u2014 concretely, the en-dash key ends in U+201C,
+    * which is the left-dquote entry's REPLACEMENT, so en dash must be
+    * applied first (EncodingRepairSpec pins the no-reform invariant
+    * pairwise and chained==kernel on dangling-prefix inputs). The
+    * single-pass kernel is immune by construction; the order makes the
+    * 16 chained replaces match it exactly. Lives here (not in the
+    * operator layer) because the kernel below consumes it.
     */
   val MojibakeRepairs: Seq[(String, String)] = Seq(
     "\u00e2\u20ac\u2122" -> "\u2019", // mangled U+2019 right quote
-    "\u00e2\u20ac\u0153" -> "\u201c", // mangled U+201C left dquote
     "\u00e2\u20ac\u201c" -> "\u2013", // mangled U+2013 en dash
+    "\u00e2\u20ac\u0153" -> "\u201c", // mangled U+201C left dquote
     "\u00e2\u20ac\u201d" -> "\u2014", // mangled U+2014 em dash
     "\u00e2\u20ac\u00a6" -> "\u2026", // mangled U+2026 ellipsis
     "\u00c3\u00a9" -> "\u00e9", // mangled e-acute

@@ -435,6 +435,10 @@ object Multimodal {
     * signals, not playback). Returns empty for undecodable payloads.
     */
   private[graft] def readGifFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+    // null payload = undecodable, not a crash (admit-and-mark: the
+    // caller emits the null-marked row) — ByteArrayInputStream(null)
+    // would NPE at construction, before any catch below
+    if (payload == null) return IndexedSeq.empty
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     if (!readers.hasNext) return IndexedSeq.empty
     val reader = readers.next()
@@ -471,7 +475,8 @@ object Multimodal {
     override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
       val frames = readGifFrames(payload)
       require(frames.nonEmpty,
-        s"payload is not a decodable GIF frame sequence (${payload.length} bytes; " +
+        s"payload is not a decodable GIF frame sequence (" +
+          s"${if (payload == null) "null" else s"${payload.length} bytes"}; " +
           "screen undecodables with decodeVideoFrames first)")
       val acc = new Array[Float](dim)
       frames.foreach { img =>

@@ -869,9 +869,11 @@ object TextAnalysis {
               badWords: Seq[String]): DataFrame = {
     require(badWords.nonEmpty, "c4Rules: badWords lexicon must be non-empty")
     val lines = split(col(textCol), "\n")
+    // word bar counts WHITESPACE RUNS after trim (not single spaces —
+    // "a  b  c." is 3 words, not 5: empty segments are not words)
     val keptPred = (l: Column) =>
       l.rlike("[.!?\"]$") &&
-        size(split(l, " ")) >= 5 &&
+        size(split(trim(l), "\\s+")) >= 5 &&
         !lower(l).contains("javascript")
     val kept = filter(lines, keptPred)
     val badHits = filter(tokens(col(textCol)), t => t.isin(badWords: _*))
@@ -897,7 +899,10 @@ object TextAnalysis {
     * punctuated); line (id+i)%11==0 gains a "javascript" prefix;
     * page id%13==0 gains a `{` line, id%17==0 a "lorem ipsum" line
     * (5 words + punct — the LINE survives, the PAGE dies), id%19==0 a
-    * planted lexicon-word line. Same bind-tokens-once shape as
+    * planted lexicon-word line; id%23==0 a DOUBLE-SPACED 3-word line
+    * (punctuated — it passes the word bar iff words are counted as
+    * single-space segments, so the oracle catches any regression of
+    * the whitespace-run word count). Same bind-tokens-once shape as
     * [[Dedup.wrapLines]] (a twice-referenced Column re-tokenizes per
     * line).
     */
@@ -920,13 +925,15 @@ object TextAnalysis {
         .otherwise(array().cast("array<string>"))
       val bad = when(id % 19 === 0, array(lit("badterm appears right here today.")))
         .otherwise(array().cast("array<string>"))
-      concat_ws("\n", concat(body, brace, lorem, bad))
+      val wide = when(id % 23 === 0, array(lit("three  spaced  words.")))
+        .otherwise(array().cast("array<string>"))
+      concat_ws("\n", concat(body, brace, lorem, bad, wide))
     }), 1)
 
   /** DuckDB twin of [[wrapC4Page]] from column expressions. */
   def wrapC4PageSql(idExpr: String, textExpr: String): String = {
     val t = graft.functions.TextFunctions.tokensSql(textExpr)
-    s"""array_to_string(list_concat(list_concat(list_concat(
+    s"""array_to_string(list_concat(list_concat(list_concat(list_concat(
        |  CASE WHEN len($t) > 0 THEN
        |    list_transform(generate_series(0, (len($t) - 1) // 8), i ->
        |      CASE WHEN ($idExpr + i) % 3 <> 0 THEN
@@ -943,7 +950,8 @@ object TextAnalysis {
        |  ELSE ['empty page marker line here.'] END,
        |  CASE WHEN $idExpr % 13 = 0 THEN ['function() {'] ELSE []::VARCHAR[] END),
        |  CASE WHEN $idExpr % 17 = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE []::VARCHAR[] END),
-       |  CASE WHEN $idExpr % 19 = 0 THEN ['badterm appears right here today.'] ELSE []::VARCHAR[] END), chr(10))""".stripMargin
+       |  CASE WHEN $idExpr % 19 = 0 THEN ['badterm appears right here today.'] ELSE []::VARCHAR[] END),
+       |  CASE WHEN $idExpr % 23 = 0 THEN ['three  spaced  words.'] ELSE []::VARCHAR[] END), chr(10))""".stripMargin
   }
 
   /** The classic Windows-1252/Latin-1 mojibake table: what a UTF-8
@@ -951,9 +959,12 @@ object TextAnalysis {
     * mistakes it for Latin-1 (the single most common encoding defect in
     * web crawl text — the core case of the public `ftfy` fixer). Each
     * LEFT key is the UTF-8 bytes of the RIGHT value re-decoded as
-    * Latin-1; keys are mutually prefix-free, so replacement order
-    * cannot cascade (spec-pinned). Canonical copy lives next to the
-    * kernel that consumes it ([[graft.functions.GraftText]]).
+    * Latin-1; keys are mutually prefix-free, and the sequence is
+    * ordered so no earlier replacement can complete a later key on
+    * dirty text with dangling artifact prefixes (spec-pinned — see
+    * the ordering note on the canonical copy). Canonical copy lives
+    * next to the kernel that consumes it
+    * ([[graft.functions.GraftText]]).
     */
   val MojibakeRepairs: Seq[(String, String)] =
     graft.functions.GraftText.MojibakeRepairs

@@ -51,6 +51,14 @@ object GraftPlanFactory {
     Dataset.ofRows(spark, lr)
   }
 
+  /** Drain the shared listener bus so QueryExecutionListener callbacks
+    * (async by design) have fired before a caller reads their state —
+    * Bench reads per-query engine spans from graft.Monitoring.Listener
+    * immediately after an action returns.
+    */
+  def flushListeners(spark: SparkSession, timeoutMs: Long = 10000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   def addStrategy(spark: SparkSession, s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!cs.experimental.extraStrategies.contains(s)) {

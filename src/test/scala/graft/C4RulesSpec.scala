@@ -50,6 +50,22 @@ class C4RulesSpec extends AnyFunSuite {
     assert(!m(5L).getAs[Boolean]("keep") && m(5L).getAs[Int]("n_kept") == 2)
   }
 
+  test("word bar counts whitespace runs, not single-space segments") {
+    val page = Seq(
+      good,                                   // kept
+      "three  spaced  words.",                // 3 words — doubled spaces
+                                              // must NOT inflate to 5
+      "five  real  words  right  here.",      // 5 words survive doubled
+                                              // spaces
+      "\ttab\tseparated\twords\tcount\ttoo.", // tabs are whitespace
+      good).mkString("\n")
+    val r = run(1L -> page)(1L)
+    assert(r.getAs[Int]("n_lines") == 5)
+    assert(r.getAs[Int]("n_kept") == 4)
+    assert(!r.getAs[String]("clean_text").contains("three  spaced"))
+    assert(r.getAs[String]("clean_text").contains("five  real"))
+  }
+
   test("empty text yields an empty-kept page that is dropped, never a crash") {
     val r = run(9L -> "")(9L)
     assert(r.getAs[Int]("n_kept") == 0)

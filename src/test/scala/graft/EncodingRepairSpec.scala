@@ -33,6 +33,51 @@ class EncodingRepairSpec extends AnyFunSuite {
       assert(!good.contains(k), s"replacement '$good' contains key '$k'")
   }
 
+  test("table order: no earlier replacement re-forms a later key across its boundaries") {
+    // On dirty text a replacement R_i lands between arbitrary dangling
+    // fragments; if proper-prefix(K_j) + R_i + proper-suffix(K_j) ever
+    // contains K_j for an entry j applied AFTER i, the chained form
+    // (and the DuckDB oracle) re-replaces where the single-pass kernel
+    // does not. This is exactly how the pre-round-12 order broke:
+    // left-dquote's replacement U+201C completed the en-dash key.
+    val entries = TextAnalysis.MojibakeRepairs
+    for (i <- entries.indices; j <- entries.indices if i < j) {
+      val r = entries(i)._2
+      val kj = entries(j)._1
+      for (p <- 0 to kj.length - 1; s <- 1 to kj.length) {
+        val window = kj.substring(0, p) + r + kj.substring(s)
+        assert(!window.contains(kj),
+          s"replacement '${r}' (entry $i) re-forms later key '$kj' (entry $j) in '$window'")
+      }
+    }
+  }
+
+  test("dangling artifact prefix: kernel == chained == oracle semantics (ADVICE regression)") {
+    // 'â€' (a truncated artifact) immediately followed by the mangled
+    // left-dquote key: the old table order cascaded 'â€œ'→U+201C into
+    // the en-dash key and chained/oracle emitted U+2013 where the
+    // kernel emitted 'â€'+U+201C.
+    val dirty = Seq(
+      (1L, "â€" + "â€œ"),          // the ADVICE input
+      (2L, "xâ€" + "â€œtail"),
+      (3L, "Ã" + "Â·"),                      // dangling Ã before Â·
+      (4L, "â€" + "â€™" + "â€")) // dangling both sides
+    val df = dirty.toDF("doc_id", "text")
+    val kernel = TextAnalysis.encodingRepair(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val chained = TextAnalysis.encodingRepairChained(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    kernel.zip(chained).foreach { case (k, c) =>
+      assert(k.getAs[String]("repaired") == c.getAs[String]("repaired"),
+        s"doc ${k.getAs[Long]("doc_id")}")
+      assert(k.getAs[Long]("n_artifacts") == c.getAs[Long]("n_artifacts"))
+    }
+    // and the kernel's own semantics on the ADVICE input: the dangling
+    // prefix survives verbatim, the complete key repairs, NO cascade
+    assert(kernel(0).getAs[String]("repaired") == "â€“")
+    assert(kernel(0).getAs[Long]("n_artifacts") == 1L)
+  }
+
   test("repair(mangle(x)) == x for text over the mapped alphabet") {
     // every non-ASCII char below has its artifact in the 16-entry table
     val originals = Seq(

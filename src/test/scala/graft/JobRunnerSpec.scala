@@ -12,7 +12,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * directly.
   */
 class JobRunnerSpec extends AnyFunSuite {
-  import TestSpark._
+  import TestSpark.sf
+
+  // ISOLATED session (own artifact state, shared SparkContext): session
+  // artifacts are sticky for the session's lifetime and a single
+  // unservable artifact poisons every later artifact-syncing task in
+  // that session — submit specs must never add artifacts to the shared
+  // TestSpark session or an artifact-lifecycle hiccup here fails
+  // unrelated suites (round-11 1/561 flake: a StreamingSpec micro-batch
+  // died fetching a graft-job jar).
+  private lazy val spark = TestSpark.spark.newSession()
 
   private val demoSource =
     """import org.apache.spark.sql.Dataset;
@@ -83,5 +92,37 @@ class JobRunnerSpec extends AnyFunSuite {
     val j2 = JobRunner.compileJavaJob(mk("beta"), "GraftTagJob", v2)
     assert(JobRunner.submit(spark, j1.toString, "GraftTagJob").head().getString(0) == "alpha")
     assert(JobRunner.submit(spark, j2.toString, "GraftTagJob").head().getString(0) == "beta")
+  }
+
+  test("streaming micro-batches keep working after a submit in the same session") {
+    // Regression for the round-11 race: once a session has artifacts,
+    // every streaming micro-batch task syncs them — and streaming
+    // clones the session per query, so dead clones' GC-driven artifact
+    // cleanup must not deregister the live session's streams. Submit a
+    // job, then run several streaming-query generations with forced GC
+    // between them (the cleanup is a java.lang.ref.Cleaner) and assert
+    // the artifact-syncing tasks never die.
+    val session = spark.newSession()
+    val work = Files.createTempDirectory("graft-job-stream")
+    val jar = JobRunner.compileJavaJob(demoSource, "GraftDemoCountJob", work)
+    assert(JobRunner.submit(session, jar.toString, "GraftDemoCountJob",
+      Map("dir" -> sf)).count() > 0)
+    for (gen <- 0 until 3) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = session.sqlContext
+      import session.implicits._
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = ms.toDF().toDF("v")
+        .selectExpr("v % 7 AS k", "v")
+        .groupBy("k").count()
+        .writeStream.format("memory").queryName(s"jobrunner_stream_$gen")
+        .outputMode("complete").start()
+      try {
+        ms.addData(0L until 100L: _*)
+        q.processAllAvailable()
+        assert(session.table(s"jobrunner_stream_$gen").count() == 7)
+      } finally q.stop()
+      // make the query's cloned session collectable; push the Cleaner
+      System.gc(); Thread.sleep(50); System.gc()
+    }
   }
 }

@@ -447,4 +447,31 @@ class PropertySpec extends AnyFunSuite {
       assert(repaired == modelRepair(m), s"kernel vs chained model for '$m'")
     }
   }
+
+  test("mojibake kernel == chained model on DIRTY text with dangling artifact fragments") {
+    // The mangle-based property above can never emit a dangling 'â€'
+    // (truncated artifact) — but real crawl text does, and a dangling
+    // prefix followed by a replacement char can re-form a repair key.
+    // Generate strings dense in RAW artifact fragments (key chars and
+    // replacement chars alike, un-mangled) and pin kernel == chained:
+    // this is the exact contract the DuckDB oracle exercises, and the
+    // one the pre-round-12 table order broke on 'â€'+'â€œ'.
+    val frags = (graft.functions.GraftText.MojibakeRepairs.flatMap(_._1.toSeq) ++
+      graft.functions.GraftText.MojibakeRepairs.map(_._2.charAt(0))).distinct
+    val genStr = for {
+      n <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(n, Gen.frequency(
+        1 -> Gen.oneOf(Seq(' ', 'a', 'x')),
+        4 -> Gen.oneOf(frags)))
+    } yield cs.mkString
+    def modelRepair(s: String) =
+      graft.functions.GraftText.MojibakeRepairs.foldLeft(s) {
+        case (acc, (bad, good)) => acc.replace(bad, good)
+      }
+    samples(genStr, 1000, seed = 92L).foreach { s =>
+      val row = graft.functions.GraftText.mojibakeFix(UTF8String.fromString(s))
+      assert(row.getUTF8String(0).toString == modelRepair(s),
+        s"kernel vs chained diverged on dirty '$s'")
+    }
+  }
 }

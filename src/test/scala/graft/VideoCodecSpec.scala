@@ -74,14 +74,20 @@ class VideoCodecSpec extends AnyFunSuite {
   }
 
   test("undecodable payload admits one null-marked row, never throws") {
-    val df = Seq((1L, clip), (2L, "not a gif".getBytes("UTF-8")))
+    // includes a NULL payload: the column is nullable in the demo
+    // schema, and admit-and-mark must hold for it too (ADVICE: the
+    // pre-round-12 path NPE'd in ByteArrayInputStream before the catch)
+    val df = Seq((1L, clip), (2L, "not a gif".getBytes("UTF-8")),
+        (3L, null.asInstanceOf[Array[Byte]]))
       .toDF("doc_id", "payload")
     val rows = Multimodal.decodeVideoFrames(df, dim = 1)
       .orderBy("doc_id", "frame_no").collect()
-    val bad = rows.filter(_.getLong(0) == 2L)
-    assert(bad.length == 1)
-    assert(bad.head.getAs[Int]("n_frames") == 0)
-    assert(bad.head.isNullAt(bad.head.fieldIndex("frame_no")))
+    for (badId <- Seq(2L, 3L)) {
+      val bad = rows.filter(_.getLong(0) == badId)
+      assert(bad.length == 1, s"doc $badId")
+      assert(bad.head.getAs[Int]("n_frames") == 0)
+      assert(bad.head.isNullAt(bad.head.fieldIndex("frame_no")))
+    }
     assert(rows.count(_.getLong(0) == 1L) == levels.length)
   }
 
