@@ -13,9 +13,15 @@ import org.apache.spark.sql.types._
   * per-partition shape. AUDIO decode is REAL for integer-PCM WAV:
   * [[WavCodec]] / [[decodeWavMeta]] hand-parse the RIFF chunk list
   * and decode 8/16-bit PCM on the JVM (spec cross-validated against
-  * `javax.sound.sampled`'s independent WAV writer). Only VIDEO has no
-  * JDK decoder, so [[FakeCodec]] remains its deterministic stand-in;
-  * everything Spark-side — schema, binary column handling, batching,
+  * `javax.sound.sampled`'s independent WAV writer). VIDEO decode is
+  * REAL for two container classes: animated-GIF frame sequences
+  * ([[GifFrameCodec]], JDK GIF reader) and COMPRESSED Motion-JPEG AVI
+  * ([[MjpegAviCodec]]: hand-rolled RIFF/AVI chunk walk — the same
+  * parser family as [[parseWav]] — over the JDK JPEG decoder, no
+  * external dependency). Only inter-frame codecs (H.264/VP9) and
+  * perceptual audio (AAC/Opus) have no pure-JDK decoder; the
+  * spec-only [[FakeCodec]] stands in for those, and everything
+  * Spark-side — schema, binary column handling, batching,
   * partitioning — is shared with the real paths.
   */
 object Multimodal {
@@ -78,13 +84,14 @@ object Multimodal {
     def close(): Unit = ()
   }
 
-  /** STUB codec for the payload classes with no pure-JDK decoder
-    * (compressed video/audio codecs: H.264/VP9/AAC containers):
-    * derives deterministic "features" from the raw payload bytes so
-    * the distributed plumbing stays testable. For images use
-    * [[ImageIoCodec]], for WAV audio [[WavCodec]], for GIF frame
-    * sequences (the video-pipeline shape) [[GifFrameCodec]] — all
-    * three decode for real.
+  /** SPEC-ONLY stub codec for the payload classes with no pure-JDK
+    * decoder (inter-frame video: H.264/VP9; perceptual audio:
+    * AAC/Opus): derives deterministic "features" from the raw payload
+    * bytes so plumbing specs can exercise the codec lifecycle without
+    * a decodable fixture. Not the default anywhere — production paths
+    * use [[ImageIoCodec]] (images), [[WavCodec]] (PCM audio),
+    * [[GifFrameCodec]] (GIF sequences) or [[MjpegAviCodec]]
+    * (compressed Motion-JPEG AVI), all of which decode for real.
     */
   object FakeCodec extends FeatureCodec {
     override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
@@ -388,7 +395,7 @@ object Multimodal {
     * loop), mirroring `mapInPandas` batch semantics on the JVM.
     */
   def extractFeatures(ingested: DataFrame, dim: Int = 16,
-                      codec: FeatureCodec = FakeCodec): DataFrame = {
+                      codec: FeatureCodec = ImageIoCodec): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
@@ -466,9 +473,9 @@ object Multimodal {
     * stay near-dup under cosine; [[FakeCodec]]'s byte features cannot
     * claim that). Throws on undecodable payloads like [[ImageIoCodec]];
     * screen with [[decodeVideoFrames]] (admit-and-mark) first when the
-    * corpus isn't known-clean. FakeCodec now stands in ONLY for true
-    * compressed video codecs (H.264/VP9 containers), which no pure-JDK
-    * decoder exists for.
+    * corpus isn't known-clean. For COMPRESSED clips (Motion-JPEG AVI)
+    * use [[MjpegAviCodec]]; FakeCodec stands in only for inter-frame
+    * codecs (H.264/VP9), which no pure-JDK decoder exists for.
     */
   object GifFrameCodec extends FeatureCodec {
     override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
@@ -478,23 +485,114 @@ object Multimodal {
         s"payload is not a decodable GIF frame sequence (" +
           s"${if (payload == null) "null" else s"${payload.length} bytes"}; " +
           "screen undecodables with decodeVideoFrames first)")
-      val acc = new Array[Float](dim)
-      frames.foreach { img =>
-        val g = lumaGrid(img, dim)
-        var i = 0
-        while (i < dim) { acc(i) += g(i); i += 1 }
-      }
-      var i = 0
-      while (i < dim) { acc(i) /= frames.length; i += 1 }
-      acc
+      temporalMeanLuma(frames, dim)
     }
+  }
+
+  /** Per-cell mean of each frame's luma grid across a sequence — the
+    * temporal thumbnail signature shared by every video codec here.
+    */
+  private def temporalMeanLuma(frames: IndexedSeq[java.awt.image.BufferedImage],
+                               dim: Int): Array[Float] = {
+    val acc = new Array[Float](dim)
+    frames.foreach { img =>
+      val g = lumaGrid(img, dim)
+      var i = 0
+      while (i < dim) { acc(i) += g(i); i += 1 }
+    }
+    var i = 0
+    while (i < dim) { acc(i) /= frames.length; i += 1 }
+    acc
+  }
+
+  /** All video frames of a Motion-JPEG AVI — a genuinely COMPRESSED
+    * video container (each frame is a full JPEG: DCT + quantization +
+    * entropy coding), decoded with zero external dependencies: a
+    * hand-rolled RIFF/AVI chunk walk (same parser family as
+    * [[parseWav]]; AVI nests chunk lists, so the walk recurses into
+    * `LIST` chunks to reach `movi`) feeding the JDK's ImageIO JPEG
+    * reader per `##dc`/`##db` frame chunk. Frame chunks that don't
+    * start with the JPEG SOI marker or fail to decode are skipped;
+    * anything that isn't a RIFF/AVI container returns empty (the
+    * admit-and-mark screens build on that, like [[readGifFrames]]).
+    */
+  private[graft] def readAviMjpegFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+    if (payload == null || payload.length < 12) return IndexedSeq.empty
+    def tag(o: Int): String =
+      if (o + 4 > payload.length) "" else new String(payload, o, 4, "US-ASCII")
+    def u32(o: Int): Long = (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+      ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return IndexedSeq.empty
+    val frames = IndexedSeq.newBuilder[java.awt.image.BufferedImage]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = tag(off)
+        val size = u32(off + 4)
+        if (size < 0 || off + 8 + size > end) return
+        val sz = size.toInt
+        if (id == "LIST" && sz >= 4) {
+          walk(off + 12, off + 8 + sz) // skip the 4-byte list type
+        } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) &&
+                   sz >= 2 && (payload(off + 8) & 0xff) == 0xff &&
+                   (payload(off + 9) & 0xff) == 0xd8) { // JPEG SOI
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(payload, off + 8, sz))
+            if (img != null) frames += img
+          } catch { case _: Exception => () }
+        }
+        off += 8 + sz + (sz & 1) // chunks are padded to even length
+      }
+    }
+    val riffEnd = math.min(payload.length.toLong, 8L + u32(4)).toInt
+    walk(12, riffEnd)
+    frames.result()
+  }
+
+  /** REAL compressed-video codec: Motion-JPEG in AVI over
+    * [[readAviMjpegFrames]], same temporal-mean-luma feature as
+    * [[GifFrameCodec]] (the two are interchangeable signatures for the
+    * near-dup/sampling stages downstream). Pure JVM — the container
+    * walk is hand-rolled and the per-frame JPEG decode is the JDK's.
+    * Throws on undecodable payloads; screen with [[decodeVideoFrames]]
+    * (which sniffs the container and admits-and-marks) first when the
+    * corpus isn't known-clean.
+    */
+  object MjpegAviCodec extends FeatureCodec {
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val frames = readAviMjpegFrames(payload)
+      require(frames.nonEmpty,
+        s"payload is not a decodable Motion-JPEG AVI (" +
+          s"${if (payload == null) "null" else s"${payload.length} bytes"}; " +
+          "screen undecodables with decodeVideoFrames first)")
+      temporalMeanLuma(frames, dim)
+    }
+  }
+
+  /** Container-sniffing frame reader: GIF or Motion-JPEG AVI by magic
+    * bytes, empty for everything else — the one entry point the
+    * admit-and-mark scans use, so a mixed video corpus flows through
+    * one operator.
+    */
+  private[graft] def readVideoFrames(payload: Array[Byte]): IndexedSeq[java.awt.image.BufferedImage] = {
+    if (payload == null || payload.length < 4) IndexedSeq.empty
+    else if (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')
+      readGifFrames(payload)
+    else if (payload(0) == 'R' && payload(1) == 'I' && payload(2) == 'F' &&
+             payload(3) == 'F')
+      readAviMjpegFrames(payload)
+    else IndexedSeq.empty
   }
 
   /** Decode-and-mark FRAME scan — the real form of [[sampleFrames]]:
     * every `stride`-th stored frame of each payload as its own row
     * (doc_id, frame_no, n_frames, width, height, luma features), so
     * downstream near-dup/sampling sees a per-frame corpus exactly like
-    * the per-image one. UNDECODABLE payloads emit ONE null-marked row
+    * the per-image one. Container-sniffing ([[readVideoFrames]]): GIF
+    * sequences and compressed Motion-JPEG AVI decode in one pass over
+    * a mixed corpus. UNDECODABLE payloads emit ONE null-marked row
     * (n_frames = 0) rather than dropping or throwing — the same
     * admit-unknown-and-mark contract as [[decodeImageMeta]]. Scale
     * shape: one mapPartitions scan, frames never leave their partition
@@ -515,7 +613,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       it.flatMap { r =>
         val id = r.getLong(0)
-        val frames = readGifFrames(r.getAs[Array[Byte]](1))
+        val frames = readVideoFrames(r.getAs[Array[Byte]](1))
         if (frames.isEmpty) Iterator(Row(id, null, 0, null, null, null))
         else frames.iterator.zipWithIndex
           .filter { case (_, i) => i % stride == 0 }

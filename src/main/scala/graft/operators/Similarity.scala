@@ -1653,6 +1653,41 @@ object Similarity {
     * [[knnIvfPqResidual]] on identical parameters (spec-pinned);
     * corpus vectors are never read.
     */
+  /** Collect a one-column integral DataFrame of probed cell ids
+    * driver-side (queries × nProbes ints — the codebook-scalar
+    * convention). Generic over the stored integral width.
+    */
+  private[graft] def collectCellIds(cellsDf: DataFrame, caller: String): Array[Long] =
+    cellsDf.distinct().collect().map(_.get(0) match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case s: java.lang.Short => s.longValue
+      case b: java.lang.Byte => b.longValue
+      case other => throw new IllegalArgumentException(
+        s"$caller: stored centroid_id must be integral, got " +
+          (if (other == null) "NULL" else other.getClass.getName))
+    })
+
+  /** Read the persisted PQ code table restricted to `cells` via a
+    * LITERAL isin on the partition column, converted to the SCAN's
+    * inferred partition-column type — an implicit cast on the
+    * partition column itself would defeat the PartitionFilters pruning
+    * this index exists for. Returns (vec_id, centroid_id BIGINT,
+    * codes); only the named cells' directories are ever read.
+    */
+  private[graft] def readCodesPruned(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, cells: Array[Long]): DataFrame = {
+    val codesRaw = spark.read.parquet(s"$path/codes")
+    val cellLits: Seq[Any] = codesRaw.schema("centroid_id").dataType match {
+      case org.apache.spark.sql.types.IntegerType => cells.toIndexedSeq.map(_.toInt)
+      case org.apache.spark.sql.types.ShortType => cells.toIndexedSeq.map(_.toShort)
+      case _ => cells.toIndexedSeq
+    }
+    codesRaw.filter(col("centroid_id").isin(cellLits: _*))
+      .select(col("vec_id"),
+        col("centroid_id").cast("bigint").as("centroid_id"), col("codes"))
+  }
+
   def knnIvfPqProbe(spark: org.apache.spark.sql.SparkSession, path: String,
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, nProbes: Int = 4): DataFrame = {
@@ -1673,31 +1708,11 @@ object Similarity {
     val qdtCol = GraftPlanFactory.column(graft.plans.PqDistTableExpr(
       GraftPlanFactory.expression(col("qrv")), cbs))
     val qTab = probed.select(col("query_id"), col("centroid_id"), qdtCol.as("__dt"))
-    // literal cell list → PartitionFilters on the code scan. Cell ids
-    // are read generically (any integral idCol), and the isin literals
-    // are converted to the SCAN's inferred partition-column type — an
-    // implicit cast on the partition column itself would defeat the
-    // pruning this index exists for.
-    val cells = probed.select(col("centroid_id")).distinct()
-      .collect().map(_.get(0) match {
-        case l: java.lang.Long => l.longValue
-        case i: java.lang.Integer => i.longValue
-        case s: java.lang.Short => s.longValue
-        case b: java.lang.Byte => b.longValue
-        case other => throw new IllegalArgumentException(
-          "knnIvfPqProbe: stored centroid_id must be integral, got " +
-            (if (other == null) "NULL" else other.getClass.getName))
-      })
-    val codesRaw = spark.read.parquet(s"$path/codes")
-    val cellLits: Seq[Any] = codesRaw.schema("centroid_id").dataType match {
-      case org.apache.spark.sql.types.IntegerType => cells.toIndexedSeq.map(_.toInt)
-      case org.apache.spark.sql.types.ShortType => cells.toIndexedSeq.map(_.toShort)
-      case _ => cells.toIndexedSeq
-    }
-    val codes = codesRaw
-      .filter(col("centroid_id").isin(cellLits: _*))
-      .select(col("vec_id").as("neighbor_id"),
-        col("centroid_id").cast("bigint").as("centroid_id"), col("codes"))
+    // literal cell list → PartitionFilters on the code scan (see
+    // collectCellIds / readCodesPruned)
+    val cells = collectCellIds(probed.select(col("centroid_id")), "knnIvfPqProbe")
+    val codes = readCodesPruned(spark, path, cells)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"), col("codes"))
     val adist = GraftPlanFactory.column(graft.plans.AdcSumExpr(
       GraftPlanFactory.expression(col("codes")),
       GraftPlanFactory.expression(col("__dt"))))

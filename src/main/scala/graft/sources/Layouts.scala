@@ -132,6 +132,36 @@ object Layouts {
     (tot.getLong(0), if (tot.isNullAt(1)) 0L else tot.getLong(1))
   }
 
+  /** Reader-side trust check for a [[writeTrainingShards]] directory:
+    * re-derive each shard's (n_docs, n_tokens, digest) from the
+    * WRITTEN data files (token counts recomputed from the text, the
+    * digest through the same [[graft.operators.Curation.shardManifest]]
+    * aggregation) and compare against the committed manifest. Returns
+    * (n_shards, n_mismatched) — a training job refuses the corpus on
+    * any nonzero second component. One manifest-sized join; the data
+    * re-read is the one full scan a verification inherently costs.
+    */
+  def verifyTrainingShards(spark: SparkSession, path: String,
+                           idCol: String, textCol: String): (Long, Long) = {
+    val mani = spark.read.parquet(s"$path/manifest")
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"), col("digest"))
+    val data = spark.read.parquet(s"$path/data")
+    val derived = graft.operators.Curation.shardManifest(
+      data.select(col(idCol),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("n_tokens"),
+        col("shard_id")), idCol)
+      .select(col("shard_id"), col("n_docs").as("d_docs"),
+        col("n_tokens").as("d_tokens"), col("digest").as("d_digest"))
+    val joined = mani.join(derived, Seq("shard_id"), "full_outer")
+    val bad = joined.filter(
+      col("n_docs").isNull || col("d_docs").isNull ||
+        col("n_docs") =!= col("d_docs") ||
+        col("n_tokens") =!= col("d_tokens") ||
+        col("digest") =!= col("d_digest")).count()
+    (mani.count(), bad)
+  }
+
   def compact(spark: SparkSession, src: String, dest: String,
               targetMb: Int = 128): (Int, Int) = {
     require(src != dest, "compact() rewrites into a NEW directory")

@@ -1003,6 +1003,67 @@ object SoakBench {
       }
     }
 
+    // ---- axis: the FULL chain crawl → curation → shards, ONE job ----
+    // The end-to-end story local[32] can tell about the 100 TB run:
+    // a partially-duplicated HTML corpus (even-numbered replicas share
+    // their source text, odd ones get a unique suffix — so the crawl
+    // stage's exact dedup collapses half the volume for real) flows
+    // crawlPipeline's stages → curationPipeline (quality gate →
+    // corpus near-dup → per-stratum quota) → writeTrainingShards, all
+    // one composed lineage with only the operators' own ids-only
+    // materialized cuts between stages. Records wall, shuffle ratio,
+    // doc counts per stage, and the reader-side manifest verification.
+    // Not in the default axis set (it is a dedicated ≥10 GB run):
+    //   sbt "runMain graft.tools.SoakBench 10000 100 0.7 fullchain"
+    if (axes("fullchain")) {
+      val cMult = math.max(2, (targetMb / baseMb).toInt)
+      val cPath = "target/soak_chain_pages"
+      val cid = col("doc_id") * cMult + col("copy")
+      docs.select(explode(sequence(lit(1), lit(cMult))).as("copy"),
+          col("doc_id"), col("text"), col("source"))
+        .select(cid.as("doc_id"),
+          graft.operators.Html.wrapHtml(lit(0),
+            when(col("copy") % 2 === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" uniq"), cid)))
+            .as("html"),
+          col("source").as("stratum"))
+        .repartition(32).write.mode("overwrite").parquet(cPath)
+      val pages = spark.read.parquet(cPath)
+      val pagesMb = pages.agg(sum(length(col("html")))).collect()(0).getLong(0) / 1e6
+      val shardPath = "target/soak_chain_shards"
+      meter.reset()
+      val t0 = System.nanoTime()
+      // stage A (crawl): HTML → clean text → token gate → exact dedup
+      val gated = graft.operators.Html.htmlExtract(pages, "doc_id", "html")
+        .select(col("doc_id"), col("clean_text"))
+        .filter(size(graft.functions.TextFunctions.tokens(col("clean_text")))
+          .between(5, 10000))
+      val crawlSurvivors = graft.operators.Dedup
+        .exact(gated, "doc_id", "clean_text")
+        .select(col("survivor_id").as("__cid"))
+      val crawled = gated
+        .join(crawlSurvivors, col("doc_id") === col("__cid"), "left_semi")
+        .join(pages.select(col("doc_id"), col("stratum")), Seq("doc_id"))
+      // stage B (curation): quality gate → corpus near-dup → quota
+      val curated = graft.operators.Curation.curationPipeline(
+        crawled, "doc_id", "clean_text", "stratum",
+        minQuality = 0.3, quota = 2000)
+      val finalDocs = crawled
+        .join(curated.select(col("doc_id").as("__kid")),
+          col("doc_id") === col("__kid"), "left_semi")
+        .select(col("doc_id"), col("clean_text"))
+      // stage C (sink): token-budgeted shards + committed manifest
+      val (nShards, totTokens) = graft.sources.Layouts.writeTrainingShards(
+        finalDocs, "doc_id", "clean_text", 200000L, shardPath)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nPages = pages.count()
+      val nCrawled = crawled.count()
+      val nFinal = finalDocs.count()
+      val (vShards, vBad) = graft.sources.Layouts.verifyTrainingShards(
+        spark, shardPath, "doc_id", "clean_text")
+      println(f"""{"metric":"soak_fullchain","input_mb":$pagesMb%.0f,"sec":$sec%.1f,"mb_per_sec":${pagesMb / sec}%.1f,"shuffle_write_mb":${meter.total.get / 1e6}%.1f,"shuffle_over_input":${meter.total.get / 1e6 / pagesMb}%.3f,"pages":$nPages,"crawl_survivors":$nCrawled,"final_docs":$nFinal,"shards":$nShards,"tokens":$totTokens,"manifest_shards_verified":$vShards,"manifest_mismatches":$vBad}""")
+    }
+
     spark.stop()
   }
 }

@@ -441,6 +441,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"materialized (uri, next) map not shared across branches:\n$plan")
   }
 
+  // Composite no-rescan guards (generalizing the redirect_resolve one,
+  // which caught a real 2.8× triple-rescan): each composite's FINAL
+  // plan may contain at most its audited number of source scans —
+  // a higher count means some branch re-derived its input from the
+  // raw corpus instead of reading a materialized ids-only cut.
+  test("crawl_pipeline: final plan reads only materialized cuts, zero raw re-scans") {
+    val plan = SparkEntry.queries("crawl_pipeline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val parquetScans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(parquetScans == 0,
+      s"crawl_pipeline: a stage re-derived its input from the corpus scan " +
+        s"($parquetScans parquet scans in the final plan):\n$plan")
+    assert("Scan ExistingRDD".r.findAllMatchIn(plan).length >= 1,
+      s"survivor/assignment cuts not materialized:\n$plan")
+  }
+
+  test("curation_pipeline: at most the four audited pruned corpus re-reads") {
+    // the ids-not-text design: quality/dedup survivors persist IDS
+    // ONLY and each downstream consumer re-reads the corpus PRUNED +
+    // semi-joined (4 audited scan sites). More scans = a new branch
+    // re-derived its input; fewer is an improvement.
+    val plan = SparkEntry.queries("curation_pipeline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val parquetScans = "Scan parquet".r.findAllMatchIn(plan).length
+    assert(parquetScans <= 4,
+      s"curation_pipeline: expected <= 4 pruned corpus reads, got " +
+        s"$parquetScans:\n$plan")
+    assert("Scan ExistingRDD".r.findAllMatchIn(plan).length >= 2,
+      s"survivor id cuts not materialized:\n$plan")
+  }
+
   test("fetch_pipeline: exactly one raw fetch-log scan (the landing-page byte branch)") {
     val plan = SparkEntry.queries("fetch_pipeline")(spark, sf)
       .queryExecution.executedPlan.toString

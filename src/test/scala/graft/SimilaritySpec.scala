@@ -585,6 +585,38 @@ class SimilaritySpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("annAlertsPruned == annAlerts on a fixed query set, scanning ONLY probed cells") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val path = "target/test_ivfpq_idx_alerts_pruned"
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", path, coarseK = 16)
+    val queries = emb.filter(col("vec_id") < 10)
+    val n = emb.count().toInt
+    val all = Similarity.knnIvfPqProbe(spark, path,
+      queries, "vec_id", "embedding", n, nProbes = 4)
+    val maxDist = all.select("adist").as[Double].collect().sorted.apply(30)
+    // annAlerts on a batch frame: the stream-static join collapses to a
+    // plain join over the FULL code table — the semantics reference
+    val full = graft.streaming.DocStreams.annAlerts(
+      queries, "vec_id", "embedding", path, maxDist, nProbes = 4)
+    val pruned = graft.streaming.DocStreams.annAlertsPruned(
+      queries, "vec_id", "embedding", path, maxDist, nProbes = 4)
+    assert(pruned.count() > 0, "pruned alert set is empty")
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      "pruned alert set diverged from annAlerts on the same query set")
+    // the point of the operator: the code scan carries a LITERAL
+    // partition filter on centroid_id (only probed cells' files read)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"),
+      s"code scan not partition-pruned to the probed cells:\n$plan")
+    // isin renders IN (...) below and INSET at-or-above the set-
+    // conversion threshold — either form is the literal cell filter
+    assert(plan.contains("centroid_id#") &&
+      (plan.contains(" IN (") || plan.contains(" INSET ")),
+      s"expected a literal IN/INSET cell filter on the code scan:\n$plan")
+  }
+
   test("ivfAssignCells kernel == window form, incl. NaN zero-vectors and exact ties") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
