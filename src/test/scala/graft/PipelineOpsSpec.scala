@@ -113,12 +113,17 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("multimodal feature extraction is deterministic and shaped [dim]") {
+    // plumbing-only fixture (text bytes, nothing decodable) → the
+    // spec-only FakeCodec, passed EXPLICITLY: the default codec is the
+    // real ImageIoCodec, which rightly throws on these payloads
     val f = Multimodal.extractFeatures(
-      Multimodal.ingest(toy, "doc_id", "text"), dim = 16).collect()
+      Multimodal.ingest(toy, "doc_id", "text"), dim = 16,
+      codec = Multimodal.FakeCodec).collect()
     assert(f.length == 5)
     assert(f.forall(_.getSeq[Float](1).length == 16))
     val f2 = Multimodal.extractFeatures(
-      Multimodal.ingest(toy, "doc_id", "text"), dim = 16).collect()
+      Multimodal.ingest(toy, "doc_id", "text"), dim = 16,
+      codec = Multimodal.FakeCodec).collect()
     assert(f.map(_.getSeq[Float](1)).toSeq == f2.map(_.getSeq[Float](1)).toSeq)
   }
 
