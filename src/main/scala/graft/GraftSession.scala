@@ -28,6 +28,14 @@ object GraftSession {
       // join filters the large side's scan — a pure win at fact-table
       // scale, free when inapplicable
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // Compress cached RDD blocks (off by default in Spark): the
+      // library's materialized cuts are long/digest tables by
+      // convention, which lz4 shrinks 2-4× — at the 10 GB fullchain
+      // soak the LSH shingle cut's on-disk blocks were ~28 GB
+      // uncompressed, the single largest line in the footprint that
+      // ENOSPC'd the run. The decode cost rides the block read, not
+      // the hot loop.
+      .config("spark.rdd.compress", "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(): SparkSession = {

@@ -296,7 +296,8 @@ object Curation {
     */
   def curationPipeline(docs: DataFrame, idCol: String, textCol: String,
                        strataCol: String, minQuality: Double = 0.9,
-                       minEst: Double = 0.5, quota: Int = 10): DataFrame = {
+                       minEst: Double = 0.5, quota: Int = 10,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
     // Materialized (ids only): gdocs is consumed three times inside
     // corpusDedup (fingerprints, signatures, final ids) — without the
     // cut the quality-scoring pipeline (a full tokenize per doc) would
@@ -307,7 +308,9 @@ object Curation {
       .select(col("doc_id").as("__gid"))
       .materialized
     val gdocs = docs.join(good, col(idCol) === col("__gid"), "left_semi")
-    val survivors = Dedup.corpusDedup(gdocs, idCol, textCol, minEst)
+    // maxBucket: the near-dup flood cap for uncurated crawls, default
+    // unbounded (the oracle contract) — rationale at Dedup.corpusDedup
+    val survivors = Dedup.corpusDedup(gdocs, idCol, textCol, minEst, maxBucket)
       .select(col("doc_id").as("__sid"))
     val sampledInput = docs.select(col(idCol), col(strataCol))
       .join(survivors, col(idCol) === col("__sid"), "left_semi")

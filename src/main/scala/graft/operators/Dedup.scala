@@ -227,7 +227,8 @@ object Dedup {
     * for fingerprints, one for signatures, candidate-only verification.
     */
   def corpusDedup(docs: DataFrame, idCol: String, textCol: String,
-                  minEst: Double = 0.5): DataFrame = {
+                  minEst: Double = 0.5,
+                  maxBucket: Int = Int.MaxValue): DataFrame = {
     // Materialize the survivor ID set (a long per unique doc): `kept`
     // is consumed twice (signature build + final id projection), and
     // without the cut the fingerprint groupBy pipeline would run twice.
@@ -239,7 +240,17 @@ object Dedup {
     // no distinct before the anti-join: anti-join semantics ignore
     // right-side duplicates, and the distinct would be one extra
     // shuffle of the drop set
-    val drops = minhashLsh(kept, idCol, textCol)
+    // maxBucket (default unbounded — the oracle contract) rides
+    // through to the LSH band join: exact dedup removes IDENTICAL-text
+    // floods before LSH, but an uncurated crawl also carries
+    // NEAR-identical families (boilerplate with per-page noise) that
+    // survive the fingerprint collapse and still share every band
+    // bucket — a b-member family emits ~b² candidate pairs. The 10 GB
+    // fullchain soak measured that flood directly: ~3300-member
+    // near-dup cliques drove the candidate distinct's external sort
+    // past 70 GB of scratch for a 10 GB corpus. Cap guidance is the
+    // minhashLsh scaladoc's; recall is lost only inside capped buckets.
+    val drops = minhashLsh(kept, idCol, textCol, maxBucket = maxBucket)
       .filter(col("est_jaccard") >= minEst)
       .select(col("doc_b").as("__drop"))
     kept.select(col(idCol).as("doc_id"))

@@ -191,6 +191,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capped.contains((1000L, 1001L)))
   }
 
+  test("corpusDedup maxBucket passthrough: NEAR-identical flood capped, bounded clique still deduped") {
+    import spark.implicits._
+    // exact dedup can't collapse these: every doc is distinct text, but
+    // the 120-member family shares all its band buckets (the
+    // boilerplate-with-noise shape of an uncurated crawl). The
+    // 3-member clique is what the near-dup stage must still catch.
+    val boiler = "boilerplate navigation header footer copyright terms privacy contact about products"
+    val flood = (0 until 120).map(i => (i.toLong, s"$boiler page$i"))
+    val clique = Seq(
+      (2000L, "a carefully written reference article on catalyst optimizer rules and physical planning"),
+      (2001L, "a carefully written reference article on catalyst optimizer rules and physical planning v2"),
+      (2002L, "a carefully written reference article on catalyst optimizer rules and physical planning v3"))
+    val docs = (flood ++ clique).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .corpusDedup(docs, "doc_id", "text", minEst = 0.5, maxBucket = 50)
+      .collect().map(_.getLong(0)).toSet
+    // capped flood: every family member survives (recall forfeited
+    // inside flooded buckets — the documented cap contract)
+    assert((0L until 120L).forall(kept.contains))
+    // the small clique still collapses to its min id
+    assert(kept.contains(2000L) && !kept.contains(2001L) && !kept.contains(2002L))
+    // default (unbounded) still collapses the flood family
+    val unbounded = graft.operators.Dedup
+      .corpusDedup(docs, "doc_id", "text", minEst = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(unbounded.count(_ < 120L) < 120)
+  }
+
   test("persisted LSH index: probe equals the ad-hoc knnLsh answer, corpus not rescanned") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)
