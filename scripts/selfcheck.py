@@ -6,14 +6,106 @@ values (rows sorted, columns sorted by name — like the driver).
 
 Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir> [skipCsv]
 
-skipCsv: comma-separated query names whose DuckDB twins are
-single-node-infeasible at the given scale (the sf>=1 sweep skips
+skipCsv: comma-separated query names whose single-SQL DuckDB twins are
+single-node-infeasible at the given scale (the sf>=1 sweep lists
 semantic_clusters,semantic_dedup,winnow_overlap — their recursive-CTE/
-pair-self-join oracles exceeded 129 GB RSS; those are verified
-structurally instead, SURVEY section 7f round 7).
+pair-self-join oracles exceeded 129 GB RSS in ONE monolithic query;
+SURVEY section 7f round 7). When the Verify dump carries
+oracle_stages.json (SparkEntry.oracleStages), a listed query is
+verified through its PARTITIONED oracle instead of being skipped: the
+same oracle semantics decomposed into per-stage (and per-shard)
+DuckDB invocations, each bounded and parquet-committed, then the
+standard exact rows+schema+hash compare on the final stage. Only a
+listed query with NO stage pipeline falls back to a skip.
 """
 import sys, json, math, glob, os
 import duckdb
+
+# fresh-connection defaults for staged-oracle invocations: each stage
+# (shard) gets its own bounded, spill-enabled connection, so the
+# pipeline's peak memory is one shard's working set
+STAGE_MEM = os.environ.get("GRAFT_STAGE_MEM", "48GB")
+
+
+def _stage_con(sf_dir, views):
+    c = duckdb.connect()
+    c.execute(f"SET memory_limit = '{STAGE_MEM}'")
+    c.execute("SET temp_directory = '/tmp/duckdb_spill'")
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                  f"read_parquet('{sf_dir}/{t}.parquet')")
+    for v, p in views.items():
+        c.execute(f"CREATE VIEW {v} AS SELECT * FROM read_parquet('{p}')")
+    return c
+
+
+def _cc_stage(pairs_view, views, sf_dir, out_path):
+    """Runner-side connected components over (vec_a, vec_b) pairs:
+    iterative min-label propagation with label shortcutting (v also
+    adopts its current label's label — halves the rounds on chains),
+    exactly the recursive-CTE `least(min(reachable), self)` fixpoint
+    without materializing the transitive closure."""
+    c = _stage_con(sf_dir, views)
+    c.execute(f"CREATE TABLE bidir AS SELECT vec_a AS a, vec_b AS b "
+              f"FROM {pairs_view} UNION SELECT vec_b, vec_a FROM {pairs_view}")
+    c.execute("CREATE TABLE lbl AS SELECT DISTINCT a AS v, a AS l FROM bidir")
+    for it in range(200):
+        c.execute("""CREATE OR REPLACE TABLE nl AS
+            SELECT v, min(l) AS l FROM (
+              SELECT v, l FROM lbl
+              UNION ALL
+              SELECT e.a AS v, l2.l AS l
+              FROM bidir e JOIN lbl l2 ON l2.v = e.b
+              UNION ALL
+              SELECT l1.v AS v, l2.l AS l
+              FROM lbl l1 JOIN lbl l2 ON l2.v = l1.l
+            ) GROUP BY v""")
+        changed = c.execute(
+            "SELECT count(*) FROM nl JOIN lbl USING (v) "
+            "WHERE nl.l <> lbl.l").fetchone()[0]
+        c.execute("CREATE OR REPLACE TABLE lbl AS SELECT v, l FROM nl")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("cc stage did not converge in 200 rounds")
+    c.execute(f"COPY (SELECT v AS vec_id, l AS cluster_id FROM lbl "
+              f"ORDER BY vec_id) TO '{out_path}' (FORMAT parquet)")
+    c.close()
+
+
+def run_staged(name, stages, sf_dir, tmp_root):
+    """Execute a partitioned oracle pipeline; returns (glob of the final
+    stage's parquet, #invocations). Every stage commits to parquet and
+    later stages see earlier ones as views over those files."""
+    qdir = os.path.join(tmp_root, name)
+    import shutil
+    shutil.rmtree(qdir, ignore_errors=True)
+    views = {}
+    invocations = 0
+    for st in stages:
+        outdir = os.path.join(qdir, st["name"])
+        os.makedirs(outdir, exist_ok=True)
+        if st["sql"].startswith("@cc "):
+            _cc_stage(st["sql"][4:].strip(), views, sf_dir,
+                      f"{outdir}/s0.parquet")
+            invocations += 1
+        elif st["shards"] > 0:
+            for i in range(st["shards"]):
+                sql = (st["sql"].replace("{NSHARDS}", str(st["shards"]))
+                                .replace("{SHARD}", str(i)))
+                c = _stage_con(sf_dir, views)
+                c.execute(f"COPY ({sql}) TO '{outdir}/s{i}.parquet' "
+                          f"(FORMAT parquet)")
+                c.close()
+                invocations += 1
+        else:
+            c = _stage_con(sf_dir, views)
+            c.execute(f"COPY ({st['sql']}) TO '{outdir}/s0.parquet' "
+                      f"(FORMAT parquet)")
+            c.close()
+            invocations += 1
+        views[st["name"]] = f"{outdir}/*.parquet"
+    return views[stages[-1]["name"]], invocations
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -158,6 +250,9 @@ def main(sf_dir, out_dir, skip=()):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    stages_path = os.path.join(out_dir, "oracle_stages.json")
+    staged = json.load(open(stages_path)) if os.path.exists(stages_path) else {}
+    staged_tmp = os.path.join(out_dir, "_staged_oracle")
     n_pass = n_fail = 0
     # optional machine-readable results (GRAFT_SELFCHECK_JSON=path):
     # {query: {"pass": bool, "rows": int, "detail": str}} — the sf1
@@ -167,12 +262,27 @@ def main(sf_dir, out_dir, skip=()):
         results[name] = {"pass": ok, "rows": rows, "detail": detail}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
+        # "_"-prefixed dirs are runner scratch (the staged-oracle
+        # pipeline outputs), not query dumps
+        if not os.path.isdir(d) or name.startswith("_"):
             continue
+        partitioned = None
         if name in skip:
-            print(f"  SKIP {name}: oracle infeasible at this scale (structural check instead)")
-            record(name, None, detail="skipped: structural check")
-            continue
+            if name in staged:
+                # the single-SQL twin is infeasible here; run the
+                # PARTITIONED pipeline and compare its final stage with
+                # the standard exact machinery below
+                final_glob, ninv = run_staged(name, staged[name], sf_dir,
+                                              staged_tmp)
+                oracle[name] = f"SELECT * FROM read_parquet('{final_glob}')"
+                partitioned = (f"partitioned oracle ({len(staged[name])} "
+                               f"stages, {ninv} invocations)")
+                print(f"  staged {name}: {partitioned}")
+            else:
+                print(f"  SKIP {name}: oracle infeasible at this scale "
+                      f"(structural check instead)")
+                record(name, None, detail="skipped: structural check")
+                continue
         files = glob.glob(f"{d}/*.parquet")
         got_cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()]
@@ -220,7 +330,7 @@ def main(sf_dir, out_dir, skip=()):
         if ok:
             n_pass += 1
             print(f"  PASS {name}: rows={len(got)}")
-            record(name, True, len(got))
+            record(name, True, len(got), partitioned or "")
         else:
             n_fail += 1
             record(name, False, len(got),

@@ -10,11 +10,17 @@ individually verified additions) with a single standing artifact:
      plain java, no sbt lock).
   3. DuckDB-oracle compare via selfcheck.py in describe-dtype mode
      (the execution-free dtype phase; the full phase re-executes every
-     oracle, 2+ CPU-hours at sf1), skipping the three oracles that are
-     single-node-infeasible at sf >= 1 (SURVEY section 7f round 7).
+     oracle, 2+ CPU-hours at sf1). The three oracles whose SINGLE-SQL
+     twins are single-node-infeasible at sf >= 1 (SURVEY section 7f
+     round 7) run through their PARTITIONED pipelines instead
+     (oracle_stages.json, executed stage-by-stage/shard-by-shard in
+     bounded fresh connections) — still an exact rows+schema+hash
+     compare, recorded as mode "oracle".
   4. Structural verification of those three via structcheck_sf1.py
      (generator invariants: intra-copy cliques / one-cluster /
-     one-representative).
+     one-representative) — belt-and-braces on top of the partitioned
+     oracle, and the fallback mode when a dump predates
+     oracle_stages.json.
   5. Assemble CORRECTNESS_sf1.json: per query {pass, rows, mode,
      detail} + a summary header. Exit nonzero on any failure.
 
@@ -79,10 +85,19 @@ def main():
     queries = {}
     for name, res in sorted(oracle_results.items()):
         if name in SKIP:
-            queries[name] = {"pass": structural_ok, "rows": res.get("rows"),
-                             "mode": "structural",
-                             "detail": "generator-invariant check (oracle "
-                                       "single-node-infeasible at sf1)"}
+            det = res.get("detail") or ""
+            if det.startswith("partitioned oracle"):
+                # exact compare through the staged pipeline + the
+                # structural invariants on top
+                queries[name] = {"pass": bool(res["pass"]) and structural_ok,
+                                 "rows": res.get("rows"), "mode": "oracle",
+                                 "detail": det + "; structural invariants "
+                                           "also verified"}
+            else:
+                queries[name] = {"pass": structural_ok, "rows": res.get("rows"),
+                                 "mode": "structural",
+                                 "detail": "generator-invariant check (oracle "
+                                           "single-node-infeasible at sf1)"}
         else:
             mode = "rows-only" if res.get("detail") == "rows-only" else "oracle"
             queries[name] = {"pass": bool(res["pass"]), "rows": res.get("rows"),

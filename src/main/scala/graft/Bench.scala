@@ -11,6 +11,12 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val listener = Monitoring.install(spark)
+    // per-query ENGINE spans for the pooled pass: each query runs in
+    // its own job group; the scheduler listener sums job spans per
+    // group, attributing untagged per-round actions (iterative
+    // queries) that the tagged listener misses — so ALL queries get a
+    // cross-VM-comparable engine number, not just the isolated top-N
+    val groupSpans = Monitoring.installGroupSpans(spark)
     // Queries are independent; run them on a small pool so planning/
     // codegen overheads overlap (Spark schedules the jobs fairly).
     // Per-query numbers are each query's own span; "value" is the
@@ -27,8 +33,9 @@ object Bench {
         // would let Catalyst prune the projected work (regex/md5/token
         // compute) out of map-only queries and under-measure them.
         val err =
-          try { Monitoring.tag(fn(spark, sfDir), name)
-                  .write.format("noop").mode("overwrite").save(); None }
+          try { Monitoring.inGroup(spark, name) {
+                  Monitoring.tag(fn(spark, sfDir), name)
+                    .write.format("noop").mode("overwrite").save() }; None }
           catch { case e: Throwable =>
             System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
             Some(e) }
@@ -53,6 +60,13 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // drain the scheduler bus so every job-end has landed, then emit
+    // the pooled per-query engine spans next to the wall map
+    org.apache.spark.sql.classic.GraftPlanFactory.flushListeners(spark)
+    val pooledEngine = groupSpans.snapshotSec
+    val qsEngine = results.map { case (k, _, _) =>
+      "\"" + k + "\":" + pooledEngine.get(k).fold("null")(fmt)
+    }.mkString("{", ",", "}")
     // per-query engine metrics (rows / scanned bytes / listener time)
     Files.writeString(Paths.get("target/bench_metrics.json"), listener.json)
     System.err.println("[bench] metrics: " + listener.json)
@@ -158,7 +172,7 @@ object Bench {
     val failedAll = (results.collect { case (k, _, false) => k } ++ isoFailedNames)
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"isolated":$iso,"engine":$engJson,"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_engine":$qsEngine,"isolated":$iso,"engine":$engJson,"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir"}"""
     // durable copies of the SAME line: one under target/, one at the
     // repo root (BENCH_full_latest.json) so every per-query timing is
     // machine-readable even if the stdout capture truncates

@@ -88,10 +88,13 @@ object JobRunner {
     val bytes = Files.readAllBytes(jar.toPath)
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
+    // idempotent resubmit: match the TYPED error condition (Spark's
+    // stable error-class name, SparkThrowable.getCondition), not the
+    // rendered message — message text is not a cross-version contract
     try spark.addArtifact(bytes, s"graft-job-$md5.jar")
     catch {
-      case e: Exception
-        if e.getMessage != null && e.getMessage.contains("ARTIFACT_ALREADY_EXISTS") =>
+      case e: org.apache.spark.SparkThrowable
+        if e.getCondition == "ARTIFACT_ALREADY_EXISTS" =>
         () // same content already registered in this session
     }
     val loader = new URLClassLoader(Array(jar.toURI.toURL), getClass.getClassLoader)

@@ -89,6 +89,46 @@ object Monitoring {
     l
   }
 
+  /** Per-QUERY engine spans for a CONCURRENT (pooled) run, where the
+    * single [[EngineSpans]] accumulator can't attribute work: each
+    * query runs inside its own [[inGroup]] job group, and this
+    * scheduler listener sums job start→end spans per group name. The
+    * group id is a thread-local property Spark propagates into AQE
+    * stages and broadcast-exchange threads, so untagged per-round
+    * actions of iterative queries (connected components, Lloyd
+    * training) attribute to their query too — the attribution gap the
+    * tagged [[Listener]] has by design. Within one query AQE may run
+    * independent stages as concurrent jobs, so a query's sum can
+    * exceed its wall span; it is a work measure, not a latency.
+    */
+  final class GroupSpans extends org.apache.spark.scheduler.SparkListener {
+    private val starts = new ConcurrentHashMap[Int, (String, Long)]()
+    private val totalMs = new ConcurrentHashMap[String, java.lang.Long]()
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val g = Option(js.properties)
+        .map(_.getProperty("spark.jobGroup.id")).orNull
+      if (g != null && g.startsWith(Prefix))
+        starts.put(js.jobId, (g.stripPrefix(Prefix), js.time))
+    }
+    override def onJobEnd(
+        je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      val s = starts.remove(je.jobId)
+      if (s != null) totalMs.merge(s._1, je.time - s._2, (a, b) => a + b)
+    }
+    def snapshotSec: Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      totalMs.asScala.map { case (k, v) => k -> v.toDouble / 1e3 }.toMap
+    }
+  }
+
+  /** Register a per-group span listener on the context. */
+  def installGroupSpans(spark: SparkSession): GroupSpans = {
+    val l = new GroupSpans
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+
   // ---- Job control: cancellation + live progress ---------------------------
   //
   // The analog of the reference client's cancel_job / monitor_job_progress

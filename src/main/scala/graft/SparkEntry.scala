@@ -1382,6 +1382,26 @@ object SparkEntry {
         "doc_id", "url",
         Html.robotsDirectives(robots, "host", "content", "graftbot"))
     }),
+    // the quota'd schedule (C90 + C97 composed as ONE parameter):
+    // maxPerHost cuts each host to its first 7 URLs via the bounded
+    // TopKPerKey operator BEFORE the per-host window shuffle — the
+    // measured mega-host skew mitigation (52.4× → 1.1× straggler,
+    // SURVEY §6) as a politenessSchedule argument. The oracle is the
+    // unbounded schedule filtered to slot < 7 (the quota keeps each
+    // host's min-id URLs and slots are assigned in id order, so the
+    // two forms are provably equal — also spec-pinned).
+    "politeness_schedule_quota" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val robots = docs.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example.com")).as("host"),
+          Html.wrapRobotsTxt(col("source")).as("content"))
+      Html.politenessSchedule(
+        docs.select(col("doc_id"),
+          Html.wrapUrl(col("doc_id"), col("source")).as("url")),
+        "doc_id", "url",
+        Html.robotsDirectives(robots, "host", "content", "graftbot"),
+        maxPerHost = 7)
+    }),
     // the discovery-layer composite (C91): sitemap index → child
     // sitemaps → distinct discovered URLs → robots gate → politeness
     // slots, in ONE declarative plan — what a crawler's discovery
@@ -2870,6 +2890,29 @@ object SparkEntry {
          |SELECT doc_id, canonical_url, host, slot,
          |  cast(slot * delay AS DOUBLE) AS fetch_offset_sec
          |FROM w""".stripMargin,
+    // quota'd schedule ≡ unbounded schedule at slot < maxPerHost (the
+    // quota keeps each host's min-id URLs; slots are id-ordered)
+    "politeness_schedule_quota" ->
+      s"""WITH u AS (SELECT doc_id,
+         |    ${Html.urlNormalizeSql(Html.wrapUrlSql("doc_id", "source"))} AS url
+         |  FROM documents),
+         |h AS (SELECT doc_id, url AS canonical_url,
+         |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host
+         |  FROM u),
+         |d AS (SELECT DISTINCT source || '.example.com' AS host,
+         |    CASE WHEN length(source) % 2 = 0 THEN
+         |      CASE WHEN regexp_extract(source, '([0-9])$$', 1) IN ('0','3','6','9')
+         |        THEN 2.0 ELSE 0.0 END
+         |      ELSE 5.0 END AS delay
+         |  FROM documents),
+         |w AS (SELECT h.doc_id, h.canonical_url, h.host,
+         |    coalesce(d.delay, 1.0) AS delay,
+         |    cast(row_number() OVER (PARTITION BY h.host ORDER BY h.doc_id) - 1
+         |      AS INTEGER) AS slot
+         |  FROM h LEFT JOIN d ON h.host = d.host)
+         |SELECT doc_id, canonical_url, host, slot,
+         |  cast(slot * delay AS DOUBLE) AS fetch_offset_sec
+         |FROM w WHERE slot < 7""".stripMargin,
     "knn_ivfpq_residual_trained" -> Similarity.knnIvfPqResidualOracleSql(
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
     "knn_ivfpq_refine" -> Similarity.knnIvfPqRefineOracleSql(),
@@ -3273,4 +3316,114 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     aOracles ++ bOracles ++ cOracles ++ cOracles2
+
+  /** Partitioned (multi-invocation) DuckDB oracle pipelines for the
+    * three queries whose single-SQL twins are single-node-infeasible
+    * at sf ≥ 1 (their quadratic pair stage / transitive-closure CTE
+    * exceeded 129 GB RSS in one monolithic query — SURVEY §7f round
+    * 7): the SAME oracle semantics, decomposed into stages the sweep
+    * runner executes as SEPARATE DuckDB invocations, each writing its
+    * output to parquet — so peak memory is one stage's (one shard's)
+    * working set, not the whole pipeline's.
+    *
+    * Stage contract (consumed by scripts/selfcheck.py):
+    *  - stages run in order; each earlier stage is visible to later
+    *    SQL as a view named by its stage name;
+    *  - `shards` > 0: the SQL contains `{SHARD}`/`{NSHARDS}`
+    *    placeholders and runs once per shard in a FRESH connection
+    *    (shard predicates are on a grouping/join key, so per-shard
+    *    DISTINCT/GROUP BY equals the global form); the stage's output
+    *    is the union of shard outputs;
+    *  - a SQL starting with `@cc <pairsView>` is runner-side
+    *    iterative min-label connected components over (vec_a, vec_b)
+    *    pairs, emitting (vec_id, cluster_id) — every endpoint labeled
+    *    with its component minimum, exactly the recursive CTE's
+    *    `least(min(b), a)` fixpoint without materializing the
+    *    transitive closure;
+    *  - the LAST stage's rows are the oracle result, compared with
+    *    the standard rows+schema+hash convention.
+    *
+    * Values are bit-identical to the single-SQL forms: the stage SQL
+    * reuses the same CTE fragments (lshBucketsCte, kmeansCtePrefix,
+    * tokensSql/shinglesSql, the cosine fold), and the decomposition
+    * only moves set boundaries (DISTINCT / GROUP BY / NOT IN), never
+    * arithmetic. Partial pair counts are summed per (doc_a, doc_b)
+    * across hash shards before the HAVING, and cast back to BIGINT —
+    * DuckDB widens sum() to HUGEINT, which would flip the dtype.
+    */
+  final case class OracleStage(name: String, shards: Int, sql: String)
+
+  def oracleStages: Map[String, Seq[OracleStage]] = Map(
+    "semantic_clusters" -> Seq(
+      OracleStage("sc_buckets", 0,
+        s"""WITH ${lshBucketsCte(nTables = 16)}
+           |SELECT vec_id, tbl, bucket FROM buckets""".stripMargin),
+      OracleStage("sc_cand", 8,
+        // shard on the bucket key: both sides of a colliding pair
+        // share (tbl, bucket), so per-shard DISTINCT is exact
+        s"""SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |FROM sc_buckets a JOIN sc_buckets b
+           |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE a.bucket % {NSHARDS} = {SHARD}""".stripMargin),
+      OracleStage("sc_pairs", 8,
+        // global pair dedup (the same pair collides in many tables,
+        // i.e. many buckets → many shards): shard by vec_a so every
+        // copy of a pair lands in ONE shard and per-shard DISTINCT is
+        // global; then the cosine verify
+        s"""SELECT c.vec_a, c.vec_b
+           |FROM (SELECT DISTINCT vec_a, vec_b FROM sc_cand
+           |      WHERE vec_a % {NSHARDS} = {SHARD}) c
+           |  JOIN embeddings x ON x.vec_id = c.vec_a
+           |  JOIN embeddings y ON y.vec_id = c.vec_b
+           |WHERE round(${cosSql("x.embedding", "y.embedding")}, 6) >= 0.4""".stripMargin),
+      OracleStage("semantic_clusters", 0, "@cc sc_pairs")),
+    "semantic_dedup" -> Seq(
+      OracleStage("sd_assign", 0,
+        Similarity.kmeansCtePrefix(8, 2) + "\nSELECT vec_id, cid FROM afinal"),
+      OracleStage("sd_base", 0,
+        """SELECT e.vec_id, e.embedding, a.cid
+          |FROM embeddings e JOIN sd_assign a USING (vec_id)""".stripMargin),
+      OracleStage("sd_drops", 8,
+        // the quadratic within-cell stage: shard by the dropped id
+        // (per-shard DISTINCT on b.vec_id is exact)
+        s"""SELECT DISTINCT b.vec_id AS d
+           |FROM sd_base a JOIN sd_base b
+           |  ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |WHERE b.vec_id % {NSHARDS} = {SHARD}
+           |  AND round(${VectorFunctions.cosineSql("a.embedding", "b.embedding")}, 6) >= 0.35""".stripMargin),
+      OracleStage("semantic_dedup", 0,
+        """SELECT vec_id, cid AS cluster_id FROM sd_base
+          |WHERE vec_id NOT IN (SELECT d FROM sd_drops)""".stripMargin)),
+    "winnow_overlap" -> Seq(
+      OracleStage("wo_fps", 8,
+        // fingerprint selection is per-document — shard by doc_id
+        s"""WITH wt AS (SELECT doc_id, $tok AS t FROM documents
+           |  WHERE doc_id % {NSHARDS} = {SHARD}),
+           |wsh AS (SELECT doc_id, ${TextFunctions.shinglesSql("t", 4)} AS sh FROM wt),
+           |wg0 AS (SELECT doc_id, len(sh) AS glen,
+           |    unnest(list_transform(sh, (x, i) -> struct_pack(pos := i,
+           |      h := cast('0x' || substr(md5(x), 1, 12) AS bigint)))) AS g
+           |  FROM wsh),
+           |wg AS (SELECT doc_id, glen, g.pos AS pos, g.h AS h FROM wg0),
+           |wsel AS (SELECT g1.doc_id,
+           |    min(struct_pack(h := g2.h, np := -g2.pos)) AS m
+           |  FROM wg g1 JOIN wg g2 ON g1.doc_id = g2.doc_id
+           |    AND g2.pos BETWEEN g1.pos AND g1.pos + 4
+           |  WHERE g1.pos <= g1.glen - 4
+           |  GROUP BY g1.doc_id, g1.pos)
+           |SELECT DISTINCT doc_id, m.h AS h FROM wsel""".stripMargin),
+      OracleStage("wo_keep", 0,
+        """SELECT h FROM (SELECT h, count(*) AS c FROM wo_fps GROUP BY 1)
+          |WHERE c <= 1000""".stripMargin),
+      OracleStage("wo_pairs", 8,
+        // the pair join is per-fingerprint — shard by h; counts are
+        // PARTIAL per shard (a pair shares fps across many h)
+        s"""WITH wk AS (SELECT f.doc_id, f.h FROM wo_fps f
+           |  JOIN wo_keep USING (h) WHERE f.h % {NSHARDS} = {SHARD})
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+           |FROM wk a JOIN wk b ON a.h = b.h AND a.doc_id < b.doc_id
+           |GROUP BY 1, 2""".stripMargin),
+      OracleStage("winnow_overlap", 0,
+        """SELECT doc_a, doc_b, cast(sum(c) AS BIGINT) AS shared_fps
+          |FROM wo_pairs GROUP BY 1, 2 HAVING sum(c) >= 2""".stripMargin)))
 }

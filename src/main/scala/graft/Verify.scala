@@ -64,6 +64,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // partitioned-oracle pipelines (the three sf>=1 single-SQL-infeasible
+    // twins): stage list per query, executed by scripts/selfcheck.py
+    val stages = SparkEntry.oracleStages.map { case (k, ss) =>
+      s"${q(k)}: " + ss.map(s =>
+        s"""{"name": ${q(s.name)}, "shards": ${s.shards}, "sql": ${q(s.sql)}}""")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_stages.json"), stages)
     // per-query monitoring snapshot (rows / scanned bytes / time)
     Files.writeString(Paths.get(s"$outDir/metrics.json"), listener.json)
     spark.stop()

@@ -118,13 +118,7 @@ object Dedup {
     // without the cut the whole signature pipeline runs 2-3x.
     val banded0 = materialize(
       bandRows(minhashSignatures(docs, idCol, textCol, k), bands, rows))
-    val banded = if (maxBucket == Int.MaxValue) banded0 else {
-      val ok = banded0.groupBy(col("band"), col("bkey"))
-        .agg(count(lit(1)).as("__bsz"))
-        .filter(col("__bsz") <= maxBucket)
-        .select(col("band"), col("bkey"))
-      banded0.join(ok, Seq("band", "bkey"), "left_semi")
-    }
+    val banded = capBuckets(banded0, maxBucket)
     val a = banded.select(col("band"), col("bkey"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("bkey"),
@@ -139,6 +133,23 @@ object Dedup {
           / lit(k.toDouble)).as("est_jaccard"))
       .distinct()
   }
+
+  /** Drop (band, bkey) buckets whose membership exceeds `maxBucket` —
+    * the flood guard shared by every band-bucket consumer (see
+    * [[minhashLsh]]'s scaladoc for the contract: default unbounded
+    * keeps oracle parity; the cap bounds worst-case candidate work at
+    * the cost of recall only inside flooded buckets). Unbounded adds
+    * NO plan nodes. The census + semi-join re-scan `banded`, so
+    * callers materialize a computed band table before capping.
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded else {
+      val ok = banded.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("__bsz"))
+        .filter(col("__bsz") <= maxBucket)
+        .select(col("band"), col("bkey"))
+      banded.join(ok, Seq("band", "bkey"), "left_semi")
+    }
 
   /** 60-bit SimHash over (frequency-weighted) tokens. Built as a SQL
     * expression string because the Scala DSL's shift functions only
@@ -275,10 +286,17 @@ object Dedup {
     * score row default to -∞ — the unscored side of a pair loses
     * deterministically instead of the pair silently surviving.
     * Everything else inherits corpusDedup's scale shape.
+    *
+    * `maxBucket` (default unbounded — the oracle contract) rides
+    * through to the LSH band join exactly as in [[corpusDedup]]:
+    * quality-aware dedup is precisely what runs on UNCURATED crawls,
+    * where the 16.6 GB fullchain soak measured ~3300-member near-dup
+    * families flooding the candidate join (~b² pairs per bucket).
     */
   def corpusDedupKeepBest(docs: DataFrame, scores: DataFrame, idCol: String,
                           textCol: String, scoreCol: String,
-                          minEst: Double = 0.5): DataFrame = {
+                          minEst: Double = 0.5,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
     val exactSurvivors = materialize(exact(docs, idCol, textCol)
       .select(col("survivor_id").as("__sid")))
     val kept = docs.join(exactSurvivors, col(idCol) === col("__sid"), "left_semi")
@@ -287,7 +305,7 @@ object Dedup {
     val sa = s.select(col("__qid").as("doc_a"), col("__q").as("__qa"))
     val sb = s.select(col("__qid").as("doc_b"), col("__q").as("__qb"))
     val noScore = lit(Double.MinValue)
-    val drops = minhashLsh(kept, idCol, textCol)
+    val drops = minhashLsh(kept, idCol, textCol, maxBucket = maxBucket)
       .filter(col("est_jaccard") >= minEst)
       .join(sa, Seq("doc_a"), "left").join(sb, Seq("doc_b"), "left")
       .select(when(coalesce(col("__qa"), noScore) < coalesce(col("__qb"), noScore),
@@ -309,10 +327,19 @@ object Dedup {
     * signatures; near-dup candidates come from the same LSH band-bucket
     * equi-join as [[minhashLsh]] — batch docs only ever meet same-bucket
     * reference docs, never the whole corpus.
+    *
+    * `maxBucket` (default unbounded — the oracle contract) caps the
+    * REFERENCE side's band buckets: the probe's per-batch-doc cost is
+    * its bucket's reference membership, and the reference is the
+    * corpus-proportional side where the measured flood families live
+    * (a b-member reference family costs every colliding batch doc b
+    * candidate evaluations per band). Recall is lost only inside
+    * capped buckets, same contract as [[minhashLsh]].
     */
   def incremental(batch: DataFrame, reference: DataFrame, idCol: String,
                   textCol: String, minEst: Double = 0.5,
-                  k: Int = 16, bands: Int = 8): DataFrame = {
+                  k: Int = 16, bands: Int = 8,
+                  maxBucket: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
     require(rows * bands == k)
     // no distinct on the digest set: the anti-join below tolerates
@@ -333,7 +360,11 @@ object Dedup {
     // integer threshold, no floating-point compare on the hot join.
     val minAgree = math.ceil(minEst * k).toInt
     val bBands = bandRows(minhashSignatures(exactKept, idCol, textCol, k), bands, rows)
-    val rBands = bandRows(minhashSignatures(reference, idCol, textCol, k), bands, rows)
+    val rBands0 = bandRows(minhashSignatures(reference, idCol, textCol, k), bands, rows)
+    // cap enabled: materialize first — the bucket census + semi-join
+    // would otherwise run the reference signature pipeline twice
+    val rBands = if (maxBucket == Int.MaxValue) rBands0
+                 else capBuckets(materialize(rBands0), maxBucket)
     val nearDrops = bBands.as("x")
       .join(rBands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
@@ -409,9 +440,15 @@ object Dedup {
     * reference side comes from the prebuilt fingerprint and band tables
     * — only the BATCH is fingerprinted and signed. Equality with the
     * two-corpus form is spec-pinned.
+    *
+    * `maxBucket` (default unbounded) caps the INDEX's band buckets as
+    * [[incremental]] does the reference's; enabling it costs one
+    * (band, bkey) census over the persisted band table — longs only,
+    * no signatures or text — before the probe join.
     */
   def incrementalIndexed(batch: DataFrame, path: String, idCol: String,
-                         textCol: String, minEst: Double = 0.5): DataFrame = {
+                         textCol: String, minEst: Double = 0.5,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
     val spark = batch.sparkSession
     val p = spark.read.parquet(s"$path/params").collect()(0)
     val (k, bands) = (p.getInt(0), p.getInt(1))
@@ -426,7 +463,7 @@ object Dedup {
     val bSigs = materialize(minhashSignatures(exactKept, idCol, textCol, k))
     val bBands = bandRows(bSigs, bands, k / bands)
       .select(col("doc_id"), col("band"), col("bkey"))
-    val rBands = spark.read.parquet(s"$path/bands")
+    val rBands = capBuckets(spark.read.parquet(s"$path/bands"), maxBucket)
     // candidate pairs are ids only (deduped across bands BEFORE the
     // signature fetch, so each pair's agreement is evaluated once)
     val candIds = bBands.as("x")

@@ -872,18 +872,29 @@ object Html {
     * directive get `defaultDelaySec`). The per-host `row_number` is a
     * shuffle by host — deliberately: politeness REQUIRES per-host
     * serialization, so host is the semantically forced partition key.
-    * A mega-host skews its partition by construction; bound it
-    * upstream with a per-host quota (corpus_quota_sample composes)
-    * rather than pretending the schedule can parallelize.
+    * A mega-host skews its partition by construction; bound it with
+    * `maxPerHost` (default unbounded — the oracle contract): at most
+    * that many URLs per host survive, chosen as the host's FIRST
+    * `maxPerHost` in `idCol` order, so the quota'd output is exactly
+    * the unbounded schedule's rows with `slot < maxPerHost`
+    * (spec-pinned). The quota runs through the bounded TopKPerKey
+    * operator BEFORE the window shuffle — each input partition is cut
+    * to ≤ maxPerHost rows per host, so the skewed partition never
+    * forms (measured on the mega-host soak: 52.4× straggler unbounded
+    * → 1.1× under the quota, SURVEY §6).
     */
   def politenessSchedule(urls: DataFrame, idCol: String, urlCol: String,
                          directives: DataFrame,
-                         defaultDelaySec: Double = 1.0): DataFrame = {
+                         defaultDelaySec: Double = 1.0,
+                         maxPerHost: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val canon = urlNormalize(col(urlCol))
-    val u = urls.select(col(idCol),
+    val u0 = urls.select(col(idCol),
       canon.as("canonical_url"),
       regexp_extract(canon, HostOfUrlPat, 1).as("host"))
+    val u = if (maxPerHost == Int.MaxValue) u0
+            else graft.plans.TopK.perKey(u0, Seq("host"), Seq(idCol),
+              maxPerHost, descending = false)
     val delays = directives.select(col("host").as("__dh"),
       col("crawl_delay_sec").as("__delay"))
     val slot = row_number().over(

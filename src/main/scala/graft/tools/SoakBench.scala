@@ -1037,10 +1037,16 @@ object SoakBench {
       val cMult = math.max(2, (targetMb / (1.5 * baseMb)).toInt)
       val cPath = "target/soak_chain_pages"
       val cMark = java.nio.file.Paths.get(cPath, "_TARGETMB")
-      // reuse a complete same-target generation: a failed chain attempt
+      // The reuse marker carries the GENERATION RECIPE alongside the
+      // size target: a corpus also depends on the cMult formula, the
+      // copy-shape whens, and the partner mixing — bump the version
+      // token on ANY recipe change, or a retry would silently soak a
+      // stale corpus that matches on targetMb alone.
+      val cRecipe = s"$targetMb|chain-recipe-v2|cMult=$cMult"
+      // reuse a complete same-recipe generation: a failed chain attempt
       // must not pay the multi-minute corpus rebuild to retry
       if (!(java.nio.file.Files.exists(cMark) &&
-            new String(java.nio.file.Files.readAllBytes(cMark)) == targetMb.toString)) {
+            new String(java.nio.file.Files.readAllBytes(cMark)) == cRecipe)) {
         val cid = col("doc_id") * cMult + col("copy")
         // rotating partner keyed by pmod over the doc count (ids need
         // not be dense: the partner table dedups to one text per key)
@@ -1052,8 +1058,16 @@ object SoakBench {
           .withColumn("__pk", pmod(col("doc_id") + col("copy"), lit(n)))
           // broadcast the n-row partner side explicitly: Catalyst's
           // size estimate for the exploded side ignores multiplicity,
-          // so left alone it picks the cMult-times-larger side
-          .join(org.apache.spark.sql.functions.broadcast(partner), Seq("__pk"))
+          // so left alone it picks the cMult-times-larger side.
+          // LEFT join + coalesce to the page's own text: partner keys
+          // exist only for residues pmod(id, n) of ids actually
+          // PRESENT, so with non-dense ids an inner join would drop
+          // every page landing on an unpopulated residue (skewing
+          // corpus size and dedup ratios); a partnerless page mixes
+          // with itself instead — still a valid below-bar sibling.
+          .join(org.apache.spark.sql.functions.broadcast(partner),
+            Seq("__pk"), "left")
+          .withColumn("__ptext", coalesce(col("__ptext"), col("text")))
           .select(cid.as("doc_id"),
             graft.operators.Html.wrapHtml(lit(0),
               when(col("copy") % 2 === 0, col("text"))
@@ -1064,7 +1078,7 @@ object SoakBench {
               .as("html"),
             col("source").as("stratum"))
           .repartition(32).write.mode("overwrite").parquet(cPath)
-        java.nio.file.Files.write(cMark, targetMb.toString.getBytes)
+        java.nio.file.Files.write(cMark, cRecipe.getBytes)
       }
       val pages = spark.read.parquet(cPath)
       val pagesMb = pages.agg(sum(length(col("html")))).collect()(0).getLong(0) / 1e6
@@ -1081,6 +1095,10 @@ object SoakBench {
         }
       }
       spark.sparkContext.addSparkListener(stageLog)
+      // scope the listener to THIS axis: it is registered on the
+      // shared SparkContext and would keep emitting [chain] lines for
+      // any job run after the axis otherwise
+      try {
       System.gc() // release the generation shuffle before the timed run
       // STAGE-COMMITTED pipeline, the production architecture: each
       // stage durably writes its output (crawl corpus, curated corpus)
@@ -1105,49 +1123,31 @@ object SoakBench {
       val cutPath = "target/soak_chain_curated"
       meter.reset()
       val t0 = System.nanoTime()
-      // stage A (crawl): HTML → clean text → token gate → exact dedup
-      val gated = graft.operators.Html.htmlExtract(pages, "doc_id", "html")
-        .select(col("doc_id"), col("clean_text"))
-        .filter(size(graft.functions.TextFunctions.tokens(col("clean_text")))
-          .between(5, 10000))
-      val crawlSurvivors = graft.operators.Dedup
-        .exact(gated, "doc_id", "clean_text")
-        .select(col("survivor_id").as("__cid"))
-      // broadcast() the id cut EXPLICITLY: Catalyst's size estimate for
-      // an aggregate's output is its child's (the whole corpus), so the
-      // auto threshold never fires and the 10 GB TEXT side pays a full
-      // sort-merge shuffle (measured 5.9 GB write + its sort spill).
-      // The id set is ~16 B/doc — tens of MB here, and the
-      // per-EXECUTOR working set of the same cut on a real cluster.
-      gated
-        .join(org.apache.spark.sql.functions.broadcast(crawlSurvivors),
-          col("doc_id") === col("__cid"), "left_semi")
-        .join(pages.select(col("doc_id"), col("stratum")), Seq("doc_id"))
-        .write.mode("overwrite").parquet(crawlPath)
+      // stage A (crawl): HTML → clean text → token gate → exact dedup.
+      // Stage bodies live in FullChain (shared with ChainResumeSpec's
+      // kill-and-resume proof); the survivor-id cut inside broadcasts
+      // only while its measured count fits (the id set is
+      // corpus-proportional — hundreds of MB as a hash relation at the
+      // 16.6 GB run's 11.2M survivors — so the gate keeps larger soaks
+      // a measurement, not an OOM).
+      FullChain.stageCrawl(pages, crawlPath)
       val tA = System.nanoTime()
       System.gc()
-      val crawled = spark.read.parquet(crawlPath)
       // stage B (curation): quality gate → corpus near-dup → quota.
       // maxBucket=300: the uncurated-crawl flood cap (axis header) —
       // the planted TRUE near-dup cliques are ~35 docs, an order of
       // magnitude under the cap, so capped buckets cost no measured
       // recall; above it only the ~b² flood families live.
-      val curated = graft.operators.Curation.curationPipeline(
-        crawled, "doc_id", "clean_text", "stratum",
+      FullChain.stageCurate(spark, crawlPath, cutPath,
         minQuality = 0.3, quota = 2000, maxBucket = 300)
-      crawled
-        .join(org.apache.spark.sql.functions.broadcast(
-            curated.select(col("doc_id").as("__kid"))),
-          col("doc_id") === col("__kid"), "left_semi")
-        .select(col("doc_id"), col("clean_text"))
-        .write.mode("overwrite").parquet(cutPath)
       val tB = System.nanoTime()
       System.gc()
-      val finalDocs = spark.read.parquet(cutPath)
       // stage C (sink): token-budgeted shards + committed manifest
-      val (nShards, totTokens) = graft.sources.Layouts.writeTrainingShards(
-        finalDocs, "doc_id", "clean_text", 200000L, shardPath)
+      val (nShards, totTokens) =
+        FullChain.stageSink(spark, cutPath, shardPath, 200000L)
       val tC = System.nanoTime()
+      val crawled = spark.read.parquet(crawlPath)
+      val finalDocs = spark.read.parquet(cutPath)
       val sec = (tC - t0) / 1e9
       val nPages = pages.count()
       val nCrawled = crawled.count()
@@ -1155,6 +1155,7 @@ object SoakBench {
       val (vShards, vBad) = graft.sources.Layouts.verifyTrainingShards(
         spark, shardPath, "doc_id", "clean_text")
       println(f"""{"metric":"soak_fullchain","input_mb":$pagesMb%.0f,"sec":$sec%.1f,"mb_per_sec":${pagesMb / sec}%.1f,"crawl_sec":${(tA - t0) / 1e9}%.1f,"curation_sec":${(tB - tA) / 1e9}%.1f,"sink_sec":${(tC - tB) / 1e9}%.1f,"shuffle_write_mb":${meter.total.get / 1e6}%.1f,"shuffle_over_input":${meter.total.get / 1e6 / pagesMb}%.3f,"pages":$nPages,"crawl_survivors":$nCrawled,"final_docs":$nFinal,"shards":$nShards,"tokens":$totTokens,"manifest_shards_verified":$vShards,"manifest_mismatches":$vBad}""")
+      } finally spark.sparkContext.removeSparkListener(stageLog)
     }
 
     spark.stop()

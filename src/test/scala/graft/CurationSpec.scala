@@ -199,6 +199,44 @@ class CurationSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.incrementalIndexed(batch, dir, "doc_id", "text").count() == 0)
   }
 
+  test("incremental maxBucket passthrough: reference flood capped, normal near-dup still dropped; indexed form agrees") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // reference: a 120-copy EXACT flood family (every member shares
+    // every band bucket, so bucket membership is exactly 120 — above
+    // the cap deterministically) + one normal doc
+    val floodText = "boilerplate navigation header footer copyright terms privacy contact about products pages"
+    val refArt = "a carefully written reference article on catalyst optimizer rules and physical planning"
+    val reference = ((0 until 120).map(i => (i.toLong, floodText)) :+
+      (2000L, refArt)).toDF("doc_id", "text")
+    // batch: a near-dup of the flood, a near-dup of the normal doc,
+    // and a genuinely novel doc
+    val batch = Seq(
+      (5000L, floodText + " extra"),
+      (5001L, refArt + " v2"),
+      (5002L, "completely unrelated text about mushroom foraging in temperate forests during autumn rains"))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    // capped: the flood's buckets (membership 120 > 50) are dropped
+    // from the probe, so the flood near-dup survives (the documented
+    // recall forfeit); the small-bucket near-dup is still caught
+    val capped = ids(Dedup.incremental(batch, reference, "doc_id", "text",
+      maxBucket = 50))
+    assert(capped == Set(5000L, 5002L), capped.toString)
+    // unbounded (the oracle contract): the flood near-dup is dropped
+    val unbounded = ids(Dedup.incremental(batch, reference, "doc_id", "text"))
+    assert(unbounded == Set(5002L), unbounded.toString)
+    // the persisted-index probe takes the same cap and agrees exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedupidx_cap").toString
+    Dedup.buildMinhashIndex(reference, "doc_id", "text", dir)
+    val idxCapped = ids(Dedup.incrementalIndexed(batch, dir, "doc_id", "text",
+      maxBucket = 50))
+    assert(idxCapped == capped, idxCapped.toString)
+    val idxUnbounded = ids(Dedup.incrementalIndexed(batch, dir, "doc_id", "text"))
+    assert(idxUnbounded == unbounded, idxUnbounded.toString)
+  }
+
   test("curation pipeline equals its step-by-step composition") {
     import graft.operators.{Dedup, TextAnalysis}
     val docs = Tables.documents(spark, sf)

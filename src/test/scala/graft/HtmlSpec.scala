@@ -311,6 +311,30 @@ class HtmlSpec extends AnyFunSuite {
       4L -> (("c.com", 0, 0.0)), 6L -> (("c.com", 1, 1.0)))) // default 1s delay
   }
 
+  test("politeness schedule maxPerHost: quota'd rows equal the unbounded schedule at slot < quota, planned through TopKPerKey") {
+    val directives = Seq(("a.com", 2.0, 0, ""))
+      .toDF("host", "crawl_delay_sec", "n_sitemaps", "sitemaps")
+    // a.com is the mega-host (5 urls); b.com stays under the quota
+    val urls = Seq(
+      (1L, "https://a.com/1"), (2L, "https://a.com/2"), (3L, "https://a.com/3"),
+      (4L, "https://a.com/4"), (5L, "https://a.com/5"),
+      (6L, "https://b.com/1"), (7L, "https://b.com/2")
+    ).toDF("doc_id", "url")
+    val quotad = Html.politenessSchedule(urls, "doc_id", "url", directives,
+      maxPerHost = 2)
+    val full = Html.politenessSchedule(urls, "doc_id", "url", directives)
+      .filter(col("slot") < 2)
+    // the quota keeps each host's min-id urls and slots are id-ordered,
+    // so quota-then-schedule ≡ schedule-then-filter — exactly
+    assert(quotad.exceptAll(full).isEmpty && full.exceptAll(quotad).isEmpty)
+    assert(quotad.groupBy("host").count()
+      .filter(col("count") > 2).count() == 0)
+    // the cut runs through the bounded TopKPerKey operator BEFORE the
+    // per-host window shuffle (the measured mega-host skew mitigation)
+    val plan = quotad.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"quota fell back to a window sort:\n$plan")
+  }
+
   test("crawl discover composite: robots gate bites on discovered urls, slots contiguous") {
     val out = SparkEntry.queries("crawl_discover")(spark, sf)
     val rows = out.collect().map(r =>

@@ -219,6 +219,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(unbounded.count(_ < 120L) < 120)
   }
 
+  test("corpusDedupKeepBest maxBucket passthrough: flood capped, quality winner still kept") {
+    import spark.implicits._
+    // same corpus shape as the corpusDedup case — keepBest is exactly
+    // the quality-aware dedup an UNCURATED crawl runs, where the
+    // 16.6 GB soak measured the band-bucket flood
+    val boiler = "boilerplate navigation header footer copyright terms privacy contact about products"
+    val flood = (0 until 120).map(i => (i.toLong, s"$boiler page$i"))
+    val clique = Seq(
+      (2000L, "a carefully written reference article on catalyst optimizer rules and physical planning"),
+      (2001L, "a carefully written reference article on catalyst optimizer rules and physical planning v2"))
+    val docs = (flood ++ clique).toDF("doc_id", "text")
+    // 2001 outscores 2000: keepBest must keep the HIGHER-quality id
+    import org.apache.spark.sql.functions.{col, when}
+    val scores = docs.select(col("doc_id"),
+      when(col("doc_id") === 2001L, 9.0).otherwise(1.0).as("q"))
+    val kept = graft.operators.Dedup
+      .corpusDedupKeepBest(docs, scores, "doc_id", "text", "q",
+        minEst = 0.5, maxBucket = 50)
+      .collect().map(_.getLong(0)).toSet
+    // capped flood: every family member survives (the cap contract)
+    assert((0L until 120L).forall(kept.contains))
+    // the near-dup pair still resolves, by QUALITY not id
+    assert(kept.contains(2001L) && !kept.contains(2000L))
+    // default (unbounded) still collapses the flood family
+    val unbounded = graft.operators.Dedup
+      .corpusDedupKeepBest(docs, scores, "doc_id", "text", "q", minEst = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(unbounded.count(_ < 120L) < 120)
+  }
+
   test("persisted LSH index: probe equals the ad-hoc knnLsh answer, corpus not rescanned") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)
