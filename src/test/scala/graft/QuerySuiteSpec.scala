@@ -36,6 +36,30 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("partitioned-oracle pipelines are well-formed") {
+    SparkEntry.oracleStages.foreach { case (query, stages) =>
+      // a staged pipeline must back a registered query that ALSO has
+      // the direct single-SQL twin (the staged form only replaces it
+      // where that twin is infeasible)
+      assert(SparkEntry.queries.contains(query), query)
+      assert(SparkEntry.oracleSql.contains(query), query)
+      // the runner compares the LAST stage's rows as the oracle
+      // result — its name must be the query's (selfcheck reads the
+      // final view by stage name)
+      assert(stages.last.name == query, s"$query final stage ${stages.last.name}")
+      assert(stages.map(_.name).distinct.size == stages.size, query)
+      stages.foreach { s =>
+        if (s.shards > 0) {
+          assert(s.sql.contains("{SHARD}") && s.sql.contains("{NSHARDS}"),
+            s"$query/${s.name}: sharded stage without placeholders")
+        } else if (!s.sql.startsWith("@cc ")) {
+          assert(!s.sql.contains("{SHARD}"),
+            s"$query/${s.name}: placeholder in unsharded stage")
+        }
+      }
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs and is deterministic across two executions") {
       val a = fn(spark, sf)
