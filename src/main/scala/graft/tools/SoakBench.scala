@@ -1031,7 +1031,9 @@ object SoakBench {
     // stage, and the reader-side manifest verification.
     // Not in the default axis set (it is a dedicated ≥10 GB run):
     //   sbt "runMain graft.tools.SoakBench 10000 100 0.7 fullchain"
-    if (axes("fullchain")) {
+    // fullchain-shaped HTML corpus, shared by the fullchain and
+    // fullchainresume axes (generated once, recipe-marked for reuse)
+    def chainCorpus(): DataFrame = {
       // partner-mixed odd copies carry ~2× text, so the average copy is
       // ~1.5× baseMb — fold that into the multiplier to land on target
       val cMult = math.max(2, (targetMb / (1.5 * baseMb)).toInt)
@@ -1080,7 +1082,11 @@ object SoakBench {
           .repartition(32).write.mode("overwrite").parquet(cPath)
         java.nio.file.Files.write(cMark, cRecipe.getBytes)
       }
-      val pages = spark.read.parquet(cPath)
+      spark.read.parquet(cPath)
+    }
+
+    if (axes("fullchain")) {
+      val pages = chainCorpus()
       val pagesMb = pages.agg(sum(length(col("html")))).collect()(0).getLong(0) / 1e6
       val shardPath = "target/soak_chain_shards"
       // per-stage footprint diagnostics (WARN stream): where the bytes
@@ -1156,6 +1162,51 @@ object SoakBench {
         spark, shardPath, "doc_id", "clean_text")
       println(f"""{"metric":"soak_fullchain","input_mb":$pagesMb%.0f,"sec":$sec%.1f,"mb_per_sec":${pagesMb / sec}%.1f,"crawl_sec":${(tA - t0) / 1e9}%.1f,"curation_sec":${(tB - tA) / 1e9}%.1f,"sink_sec":${(tC - tB) / 1e9}%.1f,"shuffle_write_mb":${meter.total.get / 1e6}%.1f,"shuffle_over_input":${meter.total.get / 1e6 / pagesMb}%.3f,"pages":$nPages,"crawl_survivors":$nCrawled,"final_docs":$nFinal,"shards":$nShards,"tokens":$totTokens,"manifest_shards_verified":$vShards,"manifest_mismatches":$vBad}""")
       } finally spark.sparkContext.removeSparkListener(stageLog)
+    }
+
+    // Measured restart proof for the stage-committed chain at soak
+    // scale (ChainResumeSpec pins the same equality at spec scale):
+    // run the chain uninterrupted, then replay the "driver died right
+    // after the crawl commit" state — a fresh composition whose ONLY
+    // input is the committed crawl parquet — and require identical
+    // artifacts (shard manifests exceptAll-equal both ways, resumed
+    // manifest re-verified against its own written data). The resume
+    // wall vs the full wall quantifies what the commit boundary buys
+    // on restart: the crawl stage is never re-paid.
+    //   sbt "runMain graft.tools.SoakBench 4000 100 0.7 fullchainresume"
+    if (axes("fullchainresume")) {
+      val pages = chainCorpus()
+      val pagesMb = pages.agg(sum(length(col("html")))).collect()(0).getLong(0) / 1e6
+      val base = "target/soak_resume"
+      System.gc()
+      // uninterrupted run: A → B → C, stage-committed
+      val t0 = System.nanoTime()
+      FullChain.stageCrawl(pages, s"$base/crawl")
+      val tA = System.nanoTime()
+      System.gc()
+      FullChain.stageCurate(spark, s"$base/crawl", s"$base/cut",
+        minQuality = 0.3, quota = 2000, maxBucket = 300)
+      System.gc()
+      val (uShards, uTokens) =
+        FullChain.stageSink(spark, s"$base/cut", s"$base/shards", 200000L)
+      val tC = System.nanoTime()
+      System.gc()
+      // resume replay: fresh downstream paths, input = crawl parquet only
+      val tR0 = System.nanoTime()
+      FullChain.stageCurate(spark, s"$base/crawl", s"$base/rcut",
+        minQuality = 0.3, quota = 2000, maxBucket = 300)
+      System.gc()
+      val (rShards, rTokens) =
+        FullChain.stageSink(spark, s"$base/rcut", s"$base/rshards", 200000L)
+      val tR1 = System.nanoTime()
+      val mu = spark.read.parquet(s"$base/shards/manifest")
+      val mr = spark.read.parquet(s"$base/rshards/manifest")
+      val maniDiff = mu.exceptAll(mr).count() + mr.exceptAll(mu).count()
+      val (vShards, vBad) = graft.sources.Layouts.verifyTrainingShards(
+        spark, s"$base/rshards", "doc_id", "clean_text")
+      val fullSec = (tC - t0) / 1e9
+      val resumeSec = (tR1 - tR0) / 1e9
+      println(f"""{"metric":"soak_fullchain_resume","input_mb":$pagesMb%.0f,"full_sec":$fullSec%.1f,"crawl_sec":${(tA - t0) / 1e9}%.1f,"resume_sec":$resumeSec%.1f,"restart_saved_frac":${1.0 - resumeSec / fullSec}%.3f,"shards":$uShards,"tokens":$uTokens,"resume_shards":$rShards,"resume_tokens":$rTokens,"manifest_diff_rows":$maniDiff,"resume_manifest_shards_verified":$vShards,"resume_manifest_mismatches":$vBad}""")
     }
 
     spark.stop()
