@@ -66,13 +66,21 @@ def main():
     if r.returncode != 0:
         sys.exit(f"[sf1] graft.Verify failed: {r.returncode}")
 
-    # 3. oracle compare (describe dtype mode), machine-readable results
+    # 3. oracle compare (describe dtype mode), machine-readable results.
+    # Remove any stale results file FIRST: a selfcheck crash mid-loop
+    # (staged-oracle RuntimeError, DuckDB OOM) must abort the sweep,
+    # not silently assemble the artifact from a previous run's json.
     sc_json = os.path.join(REPO, "target/sf1_selfcheck.json")
+    if os.path.exists(sc_json):
+        os.remove(sc_json)
     env = dict(os.environ)
     env["GRAFT_SELFCHECK_DTYPE"] = "describe"
     env["GRAFT_SELFCHECK_JSON"] = sc_json
     r = run([sys.executable, "scripts/selfcheck.py", SF1, OUT, ",".join(SKIP)],
             env=env)
+    if not os.path.exists(sc_json):
+        sys.exit(f"[sf1] selfcheck crashed before writing results "
+                 f"(rc={r.returncode}) — no artifact assembled")
     oracle_results = json.load(open(sc_json))
 
     # 4. structural check for the skipped three
@@ -86,22 +94,36 @@ def main():
     for name, res in sorted(oracle_results.items()):
         if name in SKIP:
             det = res.get("detail") or ""
-            if det.startswith("partitioned oracle"):
-                # exact compare through the staged pipeline + the
-                # structural invariants on top
-                queries[name] = {"pass": bool(res["pass"]) and structural_ok,
-                                 "rows": res.get("rows"), "mode": "oracle",
-                                 "detail": det + "; structural invariants "
-                                           "also verified"}
-            else:
+            if res["pass"] is None:
+                # selfcheck SKIPPED it (no staged pipeline in the dump):
+                # the structural check is the only verification we have
                 queries[name] = {"pass": structural_ok, "rows": res.get("rows"),
                                  "mode": "structural",
                                  "detail": "generator-invariant check (oracle "
                                            "single-node-infeasible at sf1)"}
+            else:
+                # the PARTITIONED exact compare ran: its verdict is THE
+                # verdict — a staged-compare FAIL must never be
+                # reclassified as a structural pass (its detail carries
+                # the mismatch, not the "partitioned oracle" banner)
+                queries[name] = {"pass": bool(res["pass"]) and structural_ok,
+                                 "rows": res.get("rows"), "mode": "oracle",
+                                 "detail": det + "; structural invariants "
+                                           "also verified"}
         else:
             mode = "rows-only" if res.get("detail") == "rows-only" else "oracle"
             queries[name] = {"pass": bool(res["pass"]), "rows": res.get("rows"),
                              "mode": mode, "detail": res.get("detail", "")}
+    # completeness: every registered oracle query must have produced a
+    # compare result — graft.Verify swallows per-query exceptions (no
+    # dump dir), and selfcheck only visits dirs that exist, so a query
+    # that died in the dump phase would otherwise VANISH from the
+    # artifact while n_pass == n_queries still holds.
+    registered = set(json.load(open(os.path.join(OUT, "oracle_sql.json"))))
+    for name in sorted(registered - set(queries)):
+        queries[name] = {"pass": False, "rows": None, "mode": "missing",
+                         "detail": "registered query produced no dump/compare "
+                                   "result (failed in graft.Verify?)"}
     n_pass = sum(1 for q in queries.values() if q["pass"])
     artifact = {
         "sf_dir": SF1,

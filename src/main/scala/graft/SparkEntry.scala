@@ -2890,29 +2890,9 @@ object SparkEntry {
          |SELECT doc_id, canonical_url, host, slot,
          |  cast(slot * delay AS DOUBLE) AS fetch_offset_sec
          |FROM w""".stripMargin,
-    // quota'd schedule ≡ unbounded schedule at slot < maxPerHost (the
-    // quota keeps each host's min-id URLs; slots are id-ordered)
-    "politeness_schedule_quota" ->
-      s"""WITH u AS (SELECT doc_id,
-         |    ${Html.urlNormalizeSql(Html.wrapUrlSql("doc_id", "source"))} AS url
-         |  FROM documents),
-         |h AS (SELECT doc_id, url AS canonical_url,
-         |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host
-         |  FROM u),
-         |d AS (SELECT DISTINCT source || '.example.com' AS host,
-         |    CASE WHEN length(source) % 2 = 0 THEN
-         |      CASE WHEN regexp_extract(source, '([0-9])$$', 1) IN ('0','3','6','9')
-         |        THEN 2.0 ELSE 0.0 END
-         |      ELSE 5.0 END AS delay
-         |  FROM documents),
-         |w AS (SELECT h.doc_id, h.canonical_url, h.host,
-         |    coalesce(d.delay, 1.0) AS delay,
-         |    cast(row_number() OVER (PARTITION BY h.host ORDER BY h.doc_id) - 1
-         |      AS INTEGER) AS slot
-         |  FROM h LEFT JOIN d ON h.host = d.host)
-         |SELECT doc_id, canonical_url, host, slot,
-         |  cast(slot * delay AS DOUBLE) AS fetch_offset_sec
-         |FROM w WHERE slot < 7""".stripMargin,
+    // politeness_schedule_quota's oracle is not listed here: oracleSql
+    // DERIVES it (the unbounded schedule's SQL + "WHERE slot < 7") so
+    // the twins can never drift
     "knn_ivfpq_residual_trained" -> Similarity.knnIvfPqResidualOracleSql(
       centroidsHead = Some(Similarity.trainedCentroidsCte(16, 2, 64))),
     "knn_ivfpq_refine" -> Similarity.knnIvfPqRefineOracleSql(),
@@ -3314,8 +3294,13 @@ object SparkEntry {
     * both engines reproduce bit-for-bit; the engine-specific
     * HLL/percentile_approx sketches live only in ApproxSpec).
     */
-  def oracleSql: Map[String, String] =
-    aOracles ++ bOracles ++ cOracles ++ cOracles2
+  def oracleSql: Map[String, String] = {
+    val m = aOracles ++ bOracles ++ cOracles ++ cOracles2
+    // the quota'd schedule's oracle IS the unbounded schedule's at
+    // slot < maxPerHost — derive it so the two can never drift
+    m.updated("politeness_schedule_quota",
+      m("politeness_schedule") + "\nWHERE slot < 7")
+  }
 
   /** Partitioned (multi-invocation) DuckDB oracle pipelines for the
     * three queries whose single-SQL twins are single-node-infeasible
