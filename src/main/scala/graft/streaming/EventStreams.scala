@@ -202,6 +202,16 @@ object EventStreams {
     * wall-clock) keeps it deterministic and replayable.
     * `ts`/`session_start` are epoch micros; input must carry a
     * watermarked `event_time` timestamp column (see spec).
+    *
+    * Late data: the file source's late filter uses the LAGGED
+    * watermark, so a time-shuffled batch can deliver events whose
+    * session is already entirely below the eviction watermark — and
+    * Spark THROWS on a timeout timestamp at or below the watermark
+    * (measured by the streaming soak's out-of-order file batches; the
+    * spec reproduces it with the real file source). The timeout is
+    * clamped to `watermark + 1` for that case, so the stale session
+    * closes on a following micro-batch instead of killing the query.
+    * In-order streams never hit the clamp.
     */
   def sessionize(events: Dataset[Event], gapSec: Long = 1800)
       (implicit enc: org.apache.spark.sql.Encoder[Session],
@@ -233,7 +243,9 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last / 1000 + gapSec * 1000)
+              state.setTimeoutTimestamp(math.max(
+                s.last / 1000 + gapSec * 1000,
+                state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

@@ -1209,6 +1209,108 @@ object SoakBench {
       println(f"""{"metric":"soak_fullchain_resume","input_mb":$pagesMb%.0f,"full_sec":$fullSec%.1f,"crawl_sec":${(tA - t0) / 1e9}%.1f,"resume_sec":$resumeSec%.1f,"restart_saved_frac":${1.0 - resumeSec / fullSec}%.3f,"shards":$uShards,"tokens":$uTokens,"resume_shards":$rShards,"resume_tokens":$rTokens,"manifest_diff_rows":$maniDiff,"resume_manifest_shards_verified":$vShards,"resume_manifest_mismatches":$vBad}""")
     }
 
+    // Structured Streaming at soak scale — the §2D section's measured
+    // numbers: (a) micro-batch THROUGHPUT of the windowed-agg path
+    // (watermark + tumbling window + decimal sum → parquet sink) and
+    // of the keyed-state path (sessionize via flatMapGroupsWithState),
+    // and (b) kill-and-restart EXACTLY-ONCE at volume: a run killed
+    // mid-stream and resumed from its checkpoint must leave the parquet
+    // sink (read through its _spark_metadata commit log) exceptAll-equal
+    // to an uninterrupted run's. Event files are RANGE-partitioned by
+    // ts so the file source consumes them in event-time order — the
+    // watermark advances monotonically and drops nothing, which also
+    // makes the two runs' closed-window sets deterministic (the offsets
+    // log pins each batch's file set; a restart replays the same sets).
+    //   sbt "runMain graft.tools.SoakBench 800 100 0.7 streaming"
+    if (axes("streaming")) {
+      val evDir = "target/soak_stream_events"
+      val evMark = java.nio.file.Paths.get(evDir, "_TARGETMB")
+      // ~50k events/MB in the driver's parquet; copy i shifts ts by
+      // i*31 days (event-time keeps moving forward across copies) and
+      // strides event_id; user_id is SHARED across copies so the
+      // session key space stays bounded while its state churns
+      val eMult = math.max(4, targetMb / 2)
+      val eRecipe = s"$targetMb|stream-recipe-v1|eMult=$eMult"
+      if (!(java.nio.file.Files.exists(evMark) &&
+            new String(java.nio.file.Files.readAllBytes(evMark)) == eRecipe)) {
+        val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
+        val idStride = ev.agg(max(col("event_id"))).collect()(0).getLong(0) + 1
+        ev.select(explode(sequence(lit(0), lit(eMult - 1))).as("i"),
+            col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            col("value"), col("props"))
+          .select(
+            (col("event_id") + col("i") * idStride).as("event_id"),
+            expr("timestampadd(DAY, 31 * i, ts)").as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .repartitionByRange(64, col("ts"))
+          .sortWithinPartitions(col("ts"))
+          .write.mode("overwrite").parquet(evDir)
+        // the file source orders files by MODIFICATION time (task
+        // completion order — effectively random), not by name; stamp
+        // mtimes in part-index order so micro-batches consume the
+        // range files in event-time order (part-00000 = lowest range)
+        val parts = new java.io.File(evDir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val mt0 = parts.map(_.lastModified).min
+        parts.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(mt0 + i * 1000L) }
+        java.nio.file.Files.write(evMark, eRecipe.getBytes)
+      }
+      val evSchema = spark.read.parquet(evDir).schema
+      val nEvents = spark.read.parquet(evDir).count()
+      val evMb = new java.io.File(evDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum / 1e6
+      def fileStream() = spark.readStream.schema(evSchema)
+        .option("maxFilesPerTrigger", 8).parquet(evDir)
+      def startWin(ck: String, out: String) =
+        graft.streaming.EventStreams.windowedCounts(fileStream())
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append").start()
+      val base = "target/soak_stream"
+      // (a1) windowed-agg throughput, uninterrupted
+      val tw0 = System.nanoTime()
+      val qw = startWin(s"$base/ck_u", s"$base/out_u")
+      qw.processAllAvailable()
+      val winBatches = qw.recentProgress.length
+      qw.stop()
+      val winSec = (System.nanoTime() - tw0) / 1e9
+      // (a2) keyed-state throughput: sessionize over the same stream
+      import spark.implicits._
+      val sessStream = fileStream()
+        .select(col("event_id"), unix_micros(col("ts")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .withColumn("event_time", timestamp_micros(col("ts")))
+        .withWatermark("event_time", "10 minutes")
+        .as[graft.streaming.EventStreams.Event]
+      val ts0 = System.nanoTime()
+      val qs = graft.streaming.EventStreams.sessionize(sessStream)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out_sess")
+        .option("checkpointLocation", s"$base/ck_sess")
+        .outputMode("append").start()
+      qs.processAllAvailable()
+      qs.stop()
+      val sessSec = (System.nanoTime() - ts0) / 1e9
+      val nSessions = spark.read.parquet(s"$base/out_sess").count()
+      // (b) kill mid-stream, resume from the checkpoint, require the
+      // sink ≡ the uninterrupted run's
+      val qk = startWin(s"$base/ck_r", s"$base/out_r")
+      while (qk.isActive && (qk.lastProgress == null ||
+             qk.lastProgress.batchId < 3)) Thread.sleep(200)
+      val killedAt =
+        Option(qk.lastProgress).map(_.batchId).getOrElse(-1L)
+      qk.stop()
+      val qr = startWin(s"$base/ck_r", s"$base/out_r")
+      qr.processAllAvailable()
+      qr.stop()
+      val su = spark.read.parquet(s"$base/out_u")
+      val sr = spark.read.parquet(s"$base/out_r")
+      val restartDiff =
+        su.exceptAll(sr).count() + sr.exceptAll(su).count()
+      println(f"""{"metric":"soak_streaming","events":$nEvents,"input_mb":$evMb%.0f,"files":64,"win_sec":$winSec%.1f,"win_events_per_sec":${nEvents / winSec}%.0f,"win_batches":$winBatches,"win_rows":${su.count()},"sess_sec":$sessSec%.1f,"sess_events_per_sec":${nEvents / sessSec}%.0f,"sessions":$nSessions,"restart_killed_at_batch":$killedAt,"restart_diff_rows":$restartDiff}""")
+    }
+
     spark.stop()
   }
 }

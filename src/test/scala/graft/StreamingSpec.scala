@@ -453,6 +453,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize survives LATE events delivered by out-of-order FILE batches") {
+    // The file source orders files by MODIFICATION time; a file whose
+    // events lie entirely below the watermark still DELIVERS them to
+    // flatMapGroupsWithState (the late filter uses the lagged
+    // watermark), and Spark throws on a timeout timestamp at or below
+    // the eviction watermark — pre-clamp this killed the streaming
+    // soak's time-shuffled batches with IllegalArgumentException; the
+    // operator now clamps the timeout to watermark+1. This repro uses
+    // the REAL file source (MemoryStream batches don't penetrate the
+    // late filter the same way): file A (earliest mtime) carries a
+    // far-future event, file B (later mtime) carries events a day
+    // older, so B's whole session is below A's watermark.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val M = 1000000L
+    val B = 3600L
+    val base = java.nio.file.Files.createTempDirectory("graft_late_files")
+    val dir = s"$base/events"
+    new java.io.File(dir).mkdirs()
+    def writeFile(name: String, mtime: Long, rows: Event*): Unit = {
+      val tmp = s"$base/tmp_$name"
+      rows.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, s"$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val mt = System.currentTimeMillis() - 60000
+    writeFile("a", mt, Event(1, (B + 86400) * M, 9, "click", 1.0))
+    writeFile("b", mt + 1000,
+      Event(2, B * M, 7, "click", 1.0),
+      Event(3, (B + 60) * M, 7, "click", 1.0))
+    writeFile("c", mt + 2000, Event(4, (B + 86460) * M, 9, "click", 1.0))
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .withColumn("event_time", timestamp_micros(col("ts")))
+      .withWatermark("event_time", "10 minutes")
+      .as[Event]
+    val q = EventStreams.sessionize(stream)
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    // pre-clamp: the file-B batch dies with "Timeout timestamp cannot
+    // be earlier than the current watermark" and processAllAvailable
+    // rethrows; post-clamp the query drains all three files cleanly
+    try q.processAllAvailable() finally q.stop()
+    // the PIN is that the query survived the late batch. Emissions are
+    // bounded: u9's session (two events 60 s apart) stays open at
+    // end-of-stream; the only session that MAY emit is u7's stale one,
+    // via its clamped timeout once the watermark passes the clamp.
+    val got = spark.table("sess_late").as[Session].collect().toSet
+    assert(got.subsetOf(Set(Session(7, B * M, 2, 60.0))),
+      s"unexpected sessions: $got")
+  }
+
   test("streaming politeness: per-host slot counters persist across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
