@@ -114,12 +114,16 @@ def main():
             mode = "rows-only" if res.get("detail") == "rows-only" else "oracle"
             queries[name] = {"pass": bool(res["pass"]), "rows": res.get("rows"),
                              "mode": mode, "detail": res.get("detail", "")}
-    # completeness: every registered oracle query must have produced a
-    # compare result — graft.Verify swallows per-query exceptions (no
-    # dump dir), and selfcheck only visits dirs that exist, so a query
-    # that died in the dump phase would otherwise VANISH from the
-    # artifact while n_pass == n_queries still holds.
-    registered = set(json.load(open(os.path.join(OUT, "oracle_sql.json"))))
+    # completeness: every registered query must have produced a compare
+    # result — graft.Verify swallows per-query exceptions (no dump
+    # dir), and selfcheck only visits dirs that exist, so a query that
+    # died in the dump phase would otherwise VANISH from the artifact
+    # while n_pass == n_queries still holds. Keyed on the FULL registry
+    # (queries.json covers rows-only queries too; oracle_sql.json is
+    # the fallback for dumps that predate it).
+    qreg = os.path.join(OUT, "queries.json")
+    registered = set(json.load(open(qreg)) if os.path.exists(qreg)
+                     else json.load(open(os.path.join(OUT, "oracle_sql.json"))))
     for name in sorted(registered - set(queries)):
         queries[name] = {"pass": False, "rows": None, "mode": "missing",
                          "detail": "registered query produced no dump/compare "

@@ -1400,7 +1400,7 @@ object SparkEntry {
           Html.wrapUrl(col("doc_id"), col("source")).as("url")),
         "doc_id", "url",
         Html.robotsDirectives(robots, "host", "content", "graftbot"),
-        maxPerHost = 7)
+        maxPerHost = PolitenessQuota)
     }),
     // the discovery-layer composite (C91): sitemap index → child
     // sitemaps → distinct discovered URLs → robots gate → politeness
@@ -2869,6 +2869,8 @@ object SparkEntry {
          |SELECT loc AS canonical_url, host, slot,
          |  cast(slot * delay AS DOUBLE) AS fetch_offset_sec
          |FROM sch""".stripMargin,
+    // NOTE: must keep ending in the bare `FROM w` — oracleSql derives
+    // politeness_schedule_quota from this string by appending a WHERE
     "politeness_schedule" ->
       s"""WITH u AS (SELECT doc_id,
          |    ${Html.urlNormalizeSql(Html.wrapUrlSql("doc_id", "source"))} AS url
@@ -3294,12 +3296,20 @@ object SparkEntry {
     * both engines reproduce bit-for-bit; the engine-specific
     * HLL/percentile_approx sketches live only in ApproxSpec).
     */
+  /** politeness_schedule_quota's maxPerHost — ONE constant feeds both
+    * the Spark-side registration and the derived oracle's slot filter.
+    */
+  private val PolitenessQuota = 7
+
   def oracleSql: Map[String, String] = {
     val m = aOracles ++ bOracles ++ cOracles ++ cOracles2
     // the quota'd schedule's oracle IS the unbounded schedule's at
-    // slot < maxPerHost — derive it so the two can never drift
+    // slot < maxPerHost — derived by textual append, which requires
+    // the base oracle to END in its bare `FROM w` (no ORDER BY /
+    // trailing comment / semicolon); the base SQL's definition site
+    // carries the matching constraint note
     m.updated("politeness_schedule_quota",
-      m("politeness_schedule") + "\nWHERE slot < 7")
+      m("politeness_schedule") + s"\nWHERE slot < $PolitenessQuota")
   }
 
   /** Partitioned (multi-invocation) DuckDB oracle pipelines for the

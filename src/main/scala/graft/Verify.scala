@@ -64,6 +64,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the FULL registry (oracle-checked AND rows-only queries): the
+    // sweep's vanished-query completeness check keys on this — a
+    // rows-only query dying in the dump phase must not disappear from
+    // the artifact just because it has no oracle_sql entry
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     // partitioned-oracle pipelines (the three sf>=1 single-SQL-infeasible
     // twins): stage list per query, executed by scripts/selfcheck.py
     val stages = SparkEntry.oracleStages.map { case (k, ss) =>

@@ -150,7 +150,14 @@ object EventStreams {
               if (ts > maxTs) maxTs = ts
             }
             state.update((v, c, p, maxTs))
-            state.setTimeoutTimestamp(maxTs / 1000 + horizonSec * 1000)
+            // clamped like sessionize: a time-shuffled file batch can
+            // deliver rows whose horizon is already below the eviction
+            // watermark (the source's late filter lags one watermark),
+            // and Spark throws on a timeout at/below the watermark —
+            // the clamp closes the stale epoch next batch instead
+            state.setTimeoutTimestamp(math.max(
+              maxTs / 1000 + horizonSec * 1000,
+              state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
         })

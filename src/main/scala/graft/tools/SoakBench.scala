@@ -1268,6 +1268,12 @@ object SoakBench {
           .option("path", out).option("checkpointLocation", ck)
           .outputMode("append").start()
       val base = "target/soak_stream"
+      // fresh checkpoints/sinks EVERY run: reused checkpoints mark all
+      // files committed (zero batches replay → absurd events/s and a
+      // kill loop that can spin forever), and append sinks would mix
+      // rows across runs — the event CORPUS reuses via its recipe
+      // marker, the measurement state never does
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       // (a1) windowed-agg throughput, uninterrupted
       val tw0 = System.nanoTime()
       val qw = startWin(s"$base/ck_u", s"$base/out_u")
