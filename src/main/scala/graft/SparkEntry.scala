@@ -1254,8 +1254,18 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")),
     "multimodal_meta" -> ((s, d) =>
       Multimodal.meta(Tables.documents(s, d), "doc_id", "text")),
-    "text_redact" -> ((s, d) =>
-      TextAnalysis.redact(Tables.documents(s, d), "doc_id", "text")),
+    // PII redaction (C13): email/phone/IPv4/digit-run markers over
+    // the deterministic PII fixture around each document — the driver
+    // corpus carries none of the classes, so the wrap is what makes
+    // every pattern BITE at driver SFs (same fixture convention as
+    // wrapRobotsTxt/wrapUrl)
+    "text_redact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.redact(
+        docs.select(col("doc_id"),
+          TextAnalysis.wrapPii(col("doc_id"), col("text")).as("text")),
+        "doc_id", "text")
+    }),
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")),
     // Gopher quality rule bundle + repetition char-mass signals
@@ -2528,12 +2538,20 @@ object SparkEntry {
          |  FROM pack p JOIN sized d ON d.stratum = p.stratum AND d.rn = p.rn + 1)
          |SELECT doc_id, stratum, n_tokens, bin FROM pack""".stripMargin,
     "text_redact" ->
-      s"""SELECT doc_id,
-         |  regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRegex}', '<EMAIL>', 'g'),
+      s"""WITH t AS (SELECT doc_id,
+         |    ${TextAnalysis.wrapPiiSql("doc_id", "text")} AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailRegex}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.PhoneRegex}', '<PHONE>', 'g'),
+         |    '${TextAnalysis.Ipv4Regex}', '<IP>', 'g'),
          |    '${TextAnalysis.LongNumberRegex}', '<NUM>', 'g') AS redacted,
          |  cast(len(regexp_extract_all(text, '${TextAnalysis.EmailRegex}')) AS integer) AS n_emails,
+         |  cast(len(regexp_extract_all(text, '${TextAnalysis.PhoneRegex}')) AS integer) AS n_phones,
+         |  cast(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Regex}')) AS integer) AS n_ips,
          |  cast(len(regexp_extract_all(text, '${TextAnalysis.LongNumberRegex}')) AS integer) AS n_numbers
-         |FROM documents""".stripMargin,
+         |FROM t""".stripMargin,
     "text_repetition" ->
       s"""SELECT doc_id, cast(len(g) AS integer) AS n_bigrams,
          |  CASE WHEN len(g) > 0
@@ -3301,15 +3319,28 @@ object SparkEntry {
     */
   private val PolitenessQuota = 7
 
+  /** Derive politeness_schedule_quota's oracle from the unbounded
+    * schedule's SQL. The textual append is valid ONLY while the base
+    * ends in its bare `FROM w` (no ORDER BY / trailing comment /
+    * semicolon) — enforced here so the derived twin can never go
+    * silently wrong.
+    */
+  private[graft] def deriveQuotaOracle(base: String): String = {
+    require(base.trim.endsWith("FROM w"),
+      "politeness_schedule's oracle SQL must end in the bare `FROM w` — " +
+        "politeness_schedule_quota's oracle is derived by appending a " +
+        "WHERE clause to it (found tail: …" + base.trim.takeRight(24) + ")")
+    base + s"\nWHERE slot < $PolitenessQuota"
+  }
+
   def oracleSql: Map[String, String] = {
     val m = aOracles ++ bOracles ++ cOracles ++ cOracles2
     // the quota'd schedule's oracle IS the unbounded schedule's at
-    // slot < maxPerHost — derived by textual append, which requires
-    // the base oracle to END in its bare `FROM w` (no ORDER BY /
-    // trailing comment / semicolon); the base SQL's definition site
-    // carries the matching constraint note
-    m.updated("politeness_schedule_quota",
-      m("politeness_schedule") + s"\nWHERE slot < $PolitenessQuota")
+    // slot < maxPerHost — derived by textual append; the helper
+    // ENFORCES the bare-`FROM w` tail the append depends on, so an
+    // innocent trailing ORDER BY can't silently turn the appended
+    // WHERE into valid-but-wrong SQL
+    m.updated("politeness_schedule_quota", deriveQuotaOracle(m("politeness_schedule")))
   }
 
   /** Partitioned (multi-invocation) DuckDB oracle pipelines for the

@@ -101,20 +101,65 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col(textCol)), lit(TokenRegex), lit(0))).as("re_tokens"),
       length(col(textCol)).as("n_chars"))
 
-  /** Redaction patterns (PII-shaped): email-like tokens and long digit
-    * runs. Kept RE2/Java-portable (no lookarounds).
+  /** Redaction patterns (PII-shaped): email-like tokens, E.164-ish
+    * separated phone numbers, dotted-quad IPv4 addresses (strict
+    * 0-255 octets), and long digit runs. Kept RE2/Java-portable (no
+    * lookarounds; `\b` is the ASCII word boundary in both engines).
     */
   val EmailRegex = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRegex = "\\+[0-9]{1,3}([- ][0-9]{2,4}){2,4}"
+  val Ipv4Regex =
+    "\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])" +
+      "(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b"
   val LongNumberRegex = "[0-9]{6,}"
 
-  /** Redact PII-shaped spans, count what was removed. */
+  /** Redact PII-shaped spans, count what was removed. Replacement
+    * order matters and is fixed (email → phone → IPv4 → digit run):
+    * each class's digits must be consumed by its own marker before
+    * the catch-all digit-run pass sees them; counts are taken on the
+    * ORIGINAL text per class (an email's embedded 6-digit run counts
+    * as both, exactly once each — same on the oracle side).
+    */
   def redact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      regexp_replace(regexp_replace(col(textCol), EmailRegex, "<EMAIL>"),
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        col(textCol), EmailRegex, "<EMAIL>"),
+        PhoneRegex, "<PHONE>"),
+        Ipv4Regex, "<IP>"),
         LongNumberRegex, "<NUM>").as("redacted"),
       size(regexp_extract_all(col(textCol), lit(EmailRegex), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRegex), lit(0))).as("n_phones"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Regex), lit(0))).as("n_ips"),
       size(regexp_extract_all(col(textCol), lit(LongNumberRegex), lit(0))).as("n_numbers"))
+
+  /** Deterministic PII fixture around a document: appends one email,
+    * one separated E.164-ish phone, one IPv4 and one 6-digit account
+    * run, all derived from the id — the driver corpus carries no PII
+    * classes of its own, so the fixture is what makes [[redact]]'s
+    * classes LIVE at every driver SF. [[wrapPiiSql]] is the DuckDB
+    * twin (byte-identical output by construction).
+    */
+  def wrapPii(id: Column, text: Column): Column = concat(
+    text,
+    lit(" contact user"), id.cast("string"),
+    lit("@mail.example.com ip 10."),
+    (id % 200).cast("string"), lit("."),
+    ((id * 7) % 250).cast("string"), lit("."),
+    (id % 250).cast("string"),
+    lit(" tel +1-415-555-"), lpad((id % 10000).cast("string"), 4, "0"),
+    lit(" acct "), (lit(900000L) + id % 100000).cast("string"))
+
+  /** DuckDB twin of [[wrapPii]]. */
+  def wrapPiiSql(idExpr: String, textExpr: String): String =
+    s"""$textExpr || ' contact user' || cast($idExpr AS VARCHAR)
+       | || '@mail.example.com ip 10.'
+       | || cast($idExpr % 200 AS VARCHAR) || '.'
+       | || cast(($idExpr * 7) % 250 AS VARCHAR) || '.'
+       | || cast($idExpr % 250 AS VARCHAR)
+       | || ' tel +1-415-555-' || lpad(cast($idExpr % 10000 AS VARCHAR), 4, '0')
+       | || ' acct ' || cast(900000 + $idExpr % 100000 AS VARCHAR)""".stripMargin
+      .replace("\n", "")
 
   /** Repetition scoring: share of duplicate word bigrams — high values
     * flag degenerate/boilerplate text. `1 - distinct/total` over 2-gram

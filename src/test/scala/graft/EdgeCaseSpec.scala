@@ -19,6 +19,33 @@ class EdgeCaseSpec extends AnyFunSuite {
       spark.sparkContext.parallelize(rows.map(r => Row(r._1, r._2)), 2), docSchema)
   private lazy val empty = docsOf()
 
+  test("redact: every PII class bites and is marked, counts are per-class") {
+    val d = docsOf((42L, "plain text with user@host.com and +44 20 7946 0958 " +
+      "from 192.168.7.13 order 12345678"))
+    val r = TextAnalysis.redact(d, "doc_id", "text").collect()(0)
+    val red = r.getString(r.fieldIndex("redacted"))
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") &&
+      red.contains("<IP>") && red.contains("<NUM>"))
+    assert(!red.contains("user@") && !red.contains("7946") &&
+      !red.contains("192.168") && !red.contains("12345678"))
+    assert(r.getInt(r.fieldIndex("n_emails")) == 1)
+    assert(r.getInt(r.fieldIndex("n_phones")) == 1)
+    assert(r.getInt(r.fieldIndex("n_ips")) == 1)
+    assert(r.getInt(r.fieldIndex("n_numbers")) == 1)
+    // the strict-octet IPv4 pattern must NOT eat non-address quads,
+    // and an IP's short octets must never count as a digit run
+    val d2 = docsOf((7L, "build 999.278.1.4 is not an address"))
+    val r2 = TextAnalysis.redact(d2, "doc_id", "text").collect()(0)
+    assert(r2.getInt(r2.fieldIndex("n_ips")) == 0)
+    // the registered query's fixture makes every class live at driver
+    // SFs: each count column is positive on EVERY row there
+    val q = SparkEntry.queries("text_redact")(spark, sf)
+    import org.apache.spark.sql.functions.{min => fmin, col}
+    val mins = q.agg(fmin(col("n_emails")), fmin(col("n_phones")),
+      fmin(col("n_ips")), fmin(col("n_numbers"))).collect()(0)
+    assert((0 to 3).forall(i => mins.getInt(i) >= 1), mins.toString)
+  }
+
   test("empty input: wordcount, dedup, text analysis all yield empty") {
     assert(MapReduceOps.wordCount(empty, "text").count() == 0)
     assert(Dedup.exact(empty, "doc_id", "text").count() == 0)

@@ -36,6 +36,24 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("the derived quota oracle's textual invariant is enforced") {
+    // politeness_schedule_quota's oracle is the unbounded schedule's
+    // SQL + an appended WHERE — valid ONLY while the base ends in the
+    // bare `FROM w`. The derivation site must both hold the invariant
+    // today and REJECT a base that breaks it (a trailing ORDER BY
+    // would otherwise produce valid-but-wrong SQL silently).
+    val base = SparkEntry.oracleSql("politeness_schedule")
+    assert(base.trim.endsWith("FROM w"))
+    val derived = SparkEntry.oracleSql("politeness_schedule_quota")
+    assert(derived.startsWith(base) &&
+      derived.stripPrefix(base).trim.startsWith("WHERE slot <"))
+    // the rejection path: a base with a trailing ORDER BY must throw,
+    // not yield silently-wrong SQL
+    intercept[IllegalArgumentException] {
+      SparkEntry.deriveQuotaOracle(base + "\nORDER BY slot")
+    }
+  }
+
   test("partitioned-oracle pipelines are well-formed") {
     SparkEntry.oracleStages.foreach { case (query, stages) =>
       // a staged pipeline must back a registered query that ALSO has
