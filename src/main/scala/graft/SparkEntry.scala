@@ -2869,7 +2869,7 @@ object SparkEntry {
          |j AS (SELECT uu.loc, uu.host, uu.path, ap.rpath, ap.rtype,
          |    CASE WHEN ap.rtype = 'allow' THEN 1 ELSE 0 END AS pref
          |  FROM uu LEFT JOIN ap ON uu.host = ap.host
-         |    AND starts_with(uu.path, ap.rpath)),
+         |    AND regexp_matches(uu.path, ap.rx)),
          |w AS (SELECT *, row_number() OVER (PARTITION BY loc
          |    ORDER BY len(rpath) DESC, pref DESC, rpath DESC) AS rn FROM j),
          |alw AS (SELECT loc, host FROM w

@@ -255,6 +255,36 @@ object GraftText {
     * interpreted lambdas per element, on EVERY candidate pair the LSH
     * bucket join emits.
     */
+  /** RFC 9309 robots path-pattern match (§2.2.3 special characters):
+    * `*` matches any run of octets, a TRAILING `$` anchors the match
+    * to the end of the path, any other octet (including a mid-pattern
+    * `$`) is literal; without the anchor the pattern matches any
+    * PREFIX of the path. Greedy two-pointer walk over the raw UTF-8
+    * bytes — a star only ever needs the classic single-backtrack
+    * (O(n·m) worst case on star-heavy patterns, linear in practice) —
+    * so the frontier scan pays NO regex compile per rule per URL.
+    */
+  def robotsMatch(path: UTF8String, pattern: UTF8String): Boolean = {
+    val s = path.getBytes
+    val p = pattern.getBytes
+    var pe = p.length
+    var anchored = false
+    if (pe > 0 && p(pe - 1) == '$') { anchored = true; pe -= 1 }
+    var si = 0
+    var pi = 0
+    var star = -1
+    var mark = 0
+    while (si < s.length) {
+      if (pi < pe && p(pi) == '*') { star = pi; pi += 1; mark = si }
+      else if (pi < pe && p(pi) == s(si)) { pi += 1; si += 1 }
+      else if (pi >= pe && !anchored) return true // prefix consumed
+      else if (star >= 0) { pi = star + 1; mark += 1; si = mark }
+      else return false
+    }
+    while (pi < pe && p(pi) == '*') pi += 1
+    pi == pe // path exhausted: anchored needs full-pattern consumption
+  }
+
   def sigAgree(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
     var i = 0

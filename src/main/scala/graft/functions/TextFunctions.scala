@@ -82,6 +82,17 @@ object TextFunctions {
       GraftPlanFactory.expression(a), GraftPlanFactory.expression(b)))
   }
 
+  /** RFC 9309 robots path-pattern match — native codegen'd expression
+    * (graft.plans.RobotsMatchExpr): `*` any-run wildcard, trailing-`$`
+    * end anchor, prefix semantics otherwise. The per-rule predicate of
+    * the broadcast robots evaluator.
+    */
+  def robotsMatch(path: Column, pattern: Column): Column = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftPlanFactory.column(graft.plans.RobotsMatchExpr(
+      GraftPlanFactory.expression(path), GraftPlanFactory.expression(pattern)))
+  }
+
   /** One-pass quality-stats struct over raw text — native codegen'd
     * expression (graft.plans.QualityStatsExpr): tokenize + token-length
     * sum + stopword count + punct count fused into one kernel call per

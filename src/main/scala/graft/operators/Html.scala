@@ -436,9 +436,11 @@ object Html {
   /** Evaluate a URL frontier against a [[robotsRules]] table for one
     * crawler agent — RFC 9309 matching: the MOST SPECIFIC user-agent
     * group and ONLY that group applies (an exact-agent group shadows
-    * `*` entirely, not a union); among that group's prefix-matching
-    * rules the LONGEST path wins, `allow` winning length ties; no
-    * matching rule (or no rules at all for the host) means allowed.
+    * `*` entirely, not a union); among that group's matching rules
+    * (§2.2.3 patterns — `*` any-run wildcard and trailing-`$` end
+    * anchor supported, prefix semantics otherwise) the LONGEST pattern
+    * wins, `allow` winning length ties; no matching rule (or no rules
+    * at all for the host) means allowed.
     *
     * Scale shape — the part that matters at a 100 TB frontier: rules
     * collapse to one array per host (robots.txt data is KB-per-host,
@@ -483,13 +485,20 @@ object Html {
       .withColumnRenamed("host", "__rhost")
   }
 
-  /** Per-row winning rule over a [[robotsRuleArrays]] array: longest
-    * prefix match, `allow` winning length ties — an `array_max` over a
-    * sortable struct, zero shuffle. NULL when no rule matches.
+  /** Per-row winning rule over a [[robotsRuleArrays]] array: RFC 9309
+    * §2.2.3 pattern matching (`*` any-run wildcard, trailing-`$` end
+    * anchor, prefix semantics otherwise — the native
+    * GraftText.robotsMatch byte walk, no per-rule regex compile), the
+    * most specific match winning where specificity is the raw PATTERN
+    * length (the public robots.txt convention — wildcard rules count
+    * their `*`/`$` octets), `allow` winning length ties — an
+    * `array_max` over a sortable struct, zero shuffle. NULL when no
+    * rule matches.
     */
   def robotsWinner(path: Column, rulesArr: Column): Column =
     array_max(transform(
-      filter(rulesArr, r => startswith(path, r.getField("rpath"))),
+      filter(rulesArr, r =>
+        graft.functions.TextFunctions.robotsMatch(path, r.getField("rpath"))),
       r => struct(
         length(r.getField("rpath")).as("l"),
         when(r.getField("rtype") === "allow", 1).otherwise(0).as("pref"),
@@ -526,7 +535,15 @@ object Html {
     when(length(src) % 2 === 0,
       concat(
         lit("User-agent: graftbot\nDisallow: /articles/item1\nAllow: /articles/item12\n" +
-          "Disallow: /page/2\nAllow: /page/23\n"),
+          "Disallow: /page/2\nAllow: /page/23\n" +
+          // RFC 9309 §2.2.3 wildcard/anchor rules that BITE on the
+          // frontier: item2* blocks the item2 family, the longer
+          // anchored allows re-admit exactly item23 and exactly item2
+          // (item20..29 stay blocked — the $ is what distinguishes
+          // /articles/item2$ from a prefix rule); /page/2*4$ re-admits
+          // the /page/2x4 sitemap locs under Disallow /page/2
+          "Disallow: /articles/item2*\nAllow: /articles/item2*3$\n" +
+          "Allow: /articles/item2$\nAllow: /page/2*4$\n"),
         // delay only on a sub-schedule: a graftbot group WITHOUT a
         // Crawl-delay exercises shadow-to-0.0 (never inherit *'s 5)
         when(regexp_extract(src, "([0-9])$", 1).isin("0", "3", "6", "9"),
@@ -536,6 +553,12 @@ object Html {
     lit("User-agent: *\nUser-agent: otherbot\n" +
       "Disallow: /articles/item2\nAllow: /articles/item23\n" +
       "Disallow: /articles/item3\nDisallow: /articles/item4 # seasonal\n" +
+      // wildcard blocks the whole item1 family, the anchored-wildcard
+      // allow re-admits exactly item19; item3*5$ out-ranks the plain
+      // Disallow /articles/item3 for item35; /page/4*2$ blocks the
+      // ...ends-in-2 slice of the /page/4xx sitemap locs
+      "Disallow: /*/item1\nAllow: /*/item19$\n" +
+      "Allow: /articles/item3*5$\nDisallow: /page/4*2$\n" +
       "Disallow: /page/1\nAllow: /page/13\n" +
       "Disallow:\nCrawl-delay: 5\n"),
     when(length(src) % 3 === 0,
@@ -550,12 +573,16 @@ object Html {
        |CASE WHEN length($srcExpr) % 2 = 0 THEN ${nl(Seq(
             "User-agent: graftbot", "Disallow: /articles/item1",
             "Allow: /articles/item12", "Disallow: /page/2",
-            "Allow: /page/23"))} || chr(10) ||
+            "Allow: /page/23", "Disallow: /articles/item2*",
+            "Allow: /articles/item2*3$", "Allow: /articles/item2$",
+            "Allow: /page/2*4$"))} || chr(10) ||
        |  CASE WHEN regexp_extract($srcExpr, '([0-9])$$', 1) IN ('0','3','6','9')
        |    THEN 'Crawl-delay: 2' || chr(10) ELSE '' END || chr(10) ELSE '' END ||
        |${nl(Seq("User-agent: *", "User-agent: otherbot",
             "Disallow: /articles/item2", "Allow: /articles/item23",
             "Disallow: /articles/item3", "Disallow: /articles/item4 # seasonal",
+            "Disallow: /*/item1", "Allow: /*/item19$",
+            "Allow: /articles/item3*5$", "Disallow: /page/4*2$",
             "Disallow: /page/1", "Allow: /page/13",
             "Disallow:", "Crawl-delay: 5"))} || chr(10) ||
        |CASE WHEN length($srcExpr) % 3 = 0
@@ -563,10 +590,24 @@ object Html {
        |  ELSE '' END""".stripMargin
   }
 
+  /** DuckDB-side RE2 translation of an RFC 9309 path-pattern column —
+    * the oracle twin of GraftText.robotsMatch: anchor at the path
+    * start, escape every regex metacharacter EXCEPT `*`, translate
+    * `*` → `.*`, and turn a TRAILING `$` into the end anchor (a
+    * mid-pattern `$` stays literal via the escape).
+    */
+  private[graft] def robotsRxSql(c: String): String = {
+    def esc(e: String) =
+      s"replace(regexp_replace($e, '([.^$$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), '*', '.*')"
+    s"CASE WHEN $c LIKE '%$$' " +
+      s"THEN '^' || ${esc(s"left($c, len($c)-1)")} || '$$' " +
+      s"ELSE '^' || ${esc(c)} END"
+  }
+
   /** The fixture's APPLICABLE robots rules for agent graftbot as a
-    * standalone DuckDB query — (host, rtype, rpath) after group
-    * shadowing; embedded as a subquery by the filter and discover
-    * oracles.
+    * standalone DuckDB query — (host, rtype, rpath, rx) after group
+    * shadowing, rx being each pattern's [[robotsRxSql]] translation;
+    * embedded as a subquery by the filter and discover oracles.
     */
   def robotsApSql: String =
     s"""WITH src AS (SELECT DISTINCT source FROM documents),
@@ -593,7 +634,8 @@ object Html {
        |  FROM uas JOIN rules USING (host, grp)),
        |sp AS (SELECT host, max(CASE WHEN ua = 'graftbot' THEN 1 ELSE 0 END) AS has_spec
        |  FROM rr GROUP BY host)
-       |SELECT rr.host, rtype, rpath FROM rr JOIN sp USING (host)
+       |SELECT rr.host, rtype, rpath, ${robotsRxSql("rpath")} AS rx
+       |FROM rr JOIN sp USING (host)
        |WHERE (has_spec = 1 AND ua = 'graftbot') OR (has_spec = 0 AND ua = '*')""".stripMargin
 
   /** DuckDB twin of the full fixture → parse → filter chain over the
@@ -611,7 +653,7 @@ object Html {
        |  FROM u0),
        |j AS (SELECT u.doc_id, u.host, u.path, ap.rpath, ap.rtype,
        |    CASE WHEN ap.rtype = 'allow' THEN 1 ELSE 0 END AS pref
-       |  FROM u LEFT JOIN ap ON u.host = ap.host AND starts_with(u.path, ap.rpath)),
+       |  FROM u LEFT JOIN ap ON u.host = ap.host AND regexp_matches(u.path, ap.rx)),
        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
        |    ORDER BY len(rpath) DESC, pref DESC, rpath DESC) AS rn FROM j)
        |SELECT doc_id, host, path,

@@ -155,6 +155,33 @@ case class SigAgreeExpr(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.GraftText.sigAgree($a, $b);")
 }
 
+/** RFC 9309 robots path-pattern match (path, pattern → boolean) —
+  * `*` any-run wildcard + trailing-`$` end anchor, prefix semantics
+  * otherwise (GraftText.robotsMatch). Native so the per-URL × per-rule
+  * evaluation inside the broadcast robots filter stays a flat byte
+  * walk in the scan's codegen stage: the regex-translation alternative
+  * (`regexp_like` on a per-rule pattern column) recompiles the pattern
+  * per array element per row — a frontier-scale cost for semantics a
+  * two-pointer walk covers exactly.
+  */
+case class RobotsMatchExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_robots_match"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(path: Any, pat: Any): Any =
+    graft.functions.GraftText.robotsMatch(
+      path.asInstanceOf[UTF8String], pat.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftText.robotsMatch($a, $b);")
+}
+
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

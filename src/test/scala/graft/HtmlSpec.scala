@@ -205,6 +205,56 @@ class HtmlSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"frontier shuffled into a sort-merge join:\n$plan")
   }
 
+  test("robots.txt: RFC 9309 wildcard and end-anchor pattern matching") {
+    // kernel matrix — * matches any octet run (including '/'), a
+    // TRAILING $ anchors the end, a mid-pattern $ is literal,
+    // otherwise prefix semantics
+    val m = graft.functions.GraftText.robotsMatch _
+    def mm(path: String, pat: String) =
+      m(org.apache.spark.unsafe.types.UTF8String.fromString(path),
+        org.apache.spark.unsafe.types.UTF8String.fromString(pat))
+    assert(mm("/abc", "/a*c$"))
+    assert(mm("/abc", "/a*c"))
+    assert(!mm("/abcd", "/a*c$"))
+    assert(mm("/abcd", "/a*c"))
+    assert(mm("/fish", "/fish$") && !mm("/fishing", "/fish$"))
+    assert(mm("/a", "/a$") && !mm("/ab", "/a$"))
+    assert(mm("/a$b", "/a$b")) // mid-pattern $ is literal
+    assert(mm("/articles/item12", "/*/item1"))
+    assert(mm("/articles/item12", "/*/item12$"))
+    assert(!mm("/articles/item12x", "/*/item12$"))
+    assert(mm("/x/item", "/*/item") && !mm("/x/yitem", "/*/item"))
+    assert(mm("/a", "/a*") && mm("/ab", "/a*")) // star matches empty
+    assert(mm("/a/b/c", "/*/*/c$")) // star crosses '/' and backtracks
+    assert(mm("/über/item1", "/*/item1")) // multi-byte run under *
+    assert(mm("/q", "/q*$") && !mm("/q!", "/q$*")) // $ special only last
+
+    // end-to-end: specificity is the RAW pattern length (wildcards
+    // count), allow wins length ties, $ splits exact-end from prefix
+    val rules = Html.robotsRules(Seq(
+      ("w.com", "User-agent: *\nDisallow: /p*q\nAllow: /p*q$\n" +
+        "Disallow: /z*9\nAllow: /z*9\n")).toDF("host", "content"),
+      "host", "content")
+    val urls = Seq(
+      (1L, "https://w.com/pXq"),  // both match; $ form longer: allowed
+      (2L, "https://w.com/pXqZ"), // only the prefix form matches: blocked
+      (3L, "https://w.com/z779"), // equal-length tie: allow wins
+      (4L, "https://w.com/other") // no rule: allowed
+    ).toDF("doc_id", "url")
+    val out = Html.robotsFilter(urls, "doc_id", "url", rules, "graftbot")
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (r.getBoolean(5), r.getString(3))).toMap
+    assert(byId(1L) == (true, "/p*q$"))
+    assert(byId(2L) == (false, "/p*q"))
+    assert(byId(3L) == (true, "/z*9"))
+    assert(byId(4L) == (true, ""))
+    // the per-rule predicate must be the native byte-walk expression,
+    // not a per-row regex compile
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_robots_match"), s"native matcher missing:\n$plan")
+    assert(!plan.toLowerCase.contains("rlike"), s"regex fallback in plan:\n$plan")
+  }
+
   test("robots.txt directives: crawl-delay group shadowing, sitemaps are global") {
     val robots = Seq(
       ("a.com",
@@ -341,18 +391,25 @@ class HtmlSpec extends AnyFunSuite {
       (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
     assert(rows.nonEmpty)
     // the robots gate must have BITTEN: no surviving /page/1* URL on an
-    // odd-length host (Disallow: /page/1) except the /page/13* carve-out,
-    // and no /page/2* on an even-length host except /page/23*
+    // odd-length host (Disallow: /page/1) except the /page/13*
+    // carve-out, and no /page/2* on an even-length host except the
+    // /page/23* prefix carve-out and the anchored-wildcard
+    // `Allow: /page/2*4$` re-admissions; the odd-length hosts' new
+    // `Disallow: /page/4*2$` must also have fired
     def path(u: String) = u.replaceAll("^https://[^/]*", "")
     rows.foreach { case (url, host, _, _) =>
       val src = host.stripSuffix(".example.com")
       val p = path(url)
       if (src.length % 2 == 0)
-        assert(!p.startsWith("/page/2") || p.startsWith("/page/23"),
+        assert(!p.startsWith("/page/2") || p.startsWith("/page/23") ||
+          (p.startsWith("/page/2") && p.endsWith("4")),
           s"graftbot-blocked url admitted: $url")
-      else
+      else {
         assert(!p.startsWith("/page/1") || p.startsWith("/page/13"),
           s"*-blocked url admitted: $url")
+        assert(!(p.startsWith("/page/4") && p.endsWith("2")),
+          s"wildcard-blocked url admitted: $url")
+      }
     }
     // at least one discovered URL was actually dropped by the gate
     val discovered = SparkEntry.queries("sitemap_index")(spark, sf)
