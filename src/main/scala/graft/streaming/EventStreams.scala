@@ -138,27 +138,37 @@ object EventStreams {
             if (v < c && c < p && p != Long.MaxValue) Iterator((user, v, c, p))
             else Iterator.empty
           } else {
-            var (v, c, p, maxTs) = state.getOption
-              .getOrElse((Long.MaxValue, Long.MaxValue, Long.MaxValue, Long.MinValue))
-            rows.foreach { case (_, t, ts, _) =>
-              t match {
-                case "view"     => if (ts < v) v = ts
-                case "click"    => if (ts < c) c = ts
-                case "purchase" => if (ts < p) p = ts
-                case _          => ()
+            // engine-faithful late handling (same as sessionize): the
+            // file source's late filter lags one watermark, so a
+            // time-shuffled batch can still DELIVER rows at or below
+            // the eviction watermark — built-in stateful operators
+            // drop those rows, and so does this one. Without the drop
+            // the operator would fold purely-late rows into minima an
+            // in-order run never sees (and a timeout set from them at
+            // or below the watermark kills the query).
+            val wmMs = state.getCurrentWatermarkMs()
+            val live = rows.filter(_._3 / 1000 > wmMs)
+            if (live.isEmpty) Iterator.empty // all-late: state untouched
+            else {
+              var (v, c, p, maxTs) = state.getOption
+                .getOrElse((Long.MaxValue, Long.MaxValue, Long.MaxValue, Long.MinValue))
+              live.foreach { case (_, t, ts, _) =>
+                t match {
+                  case "view"     => if (ts < v) v = ts
+                  case "click"    => if (ts < c) c = ts
+                  case "purchase" => if (ts < p) p = ts
+                  case _          => ()
+                }
+                if (ts > maxTs) maxTs = ts
               }
-              if (ts > maxTs) maxTs = ts
+              state.update((v, c, p, maxTs))
+              // maxTs now comes from an above-watermark row, so the
+              // horizon is provably > watermark; the max() stays as a
+              // defensive invariant only
+              state.setTimeoutTimestamp(math.max(
+                maxTs / 1000 + horizonSec * 1000, wmMs + 1))
+              Iterator.empty
             }
-            state.update((v, c, p, maxTs))
-            // clamped like sessionize: a time-shuffled file batch can
-            // deliver rows whose horizon is already below the eviction
-            // watermark (the source's late filter lags one watermark),
-            // and Spark throws on a timeout at/below the watermark —
-            // the clamp closes the stale epoch next batch instead
-            state.setTimeoutTimestamp(math.max(
-              maxTs / 1000 + horizonSec * 1000,
-              state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
           }
         })
       .toDF("user_id", "first_view", "first_click", "first_purchase")
@@ -211,14 +221,15 @@ object EventStreams {
     * watermarked `event_time` timestamp column (see spec).
     *
     * Late data: the file source's late filter uses the LAGGED
-    * watermark, so a time-shuffled batch can deliver events whose
-    * session is already entirely below the eviction watermark — and
-    * Spark THROWS on a timeout timestamp at or below the watermark
-    * (measured by the streaming soak's out-of-order file batches; the
-    * spec reproduces it with the real file source). The timeout is
-    * clamped to `watermark + 1` for that case, so the stale session
-    * closes on a following micro-batch instead of killing the query.
-    * In-order streams never hit the clamp.
+    * watermark, so a time-shuffled batch can deliver events at or
+    * below the eviction watermark (measured by the streaming soak's
+    * out-of-order file batches; the spec reproduces it with the real
+    * file source). Those rows are DROPPED — the same semantics Spark's
+    * built-in stateful operators apply — so the output never contains
+    * a purely-late session an in-order run of the same stream would
+    * not have produced, and no timeout is ever set at or below the
+    * watermark (which Spark rejects with a throw). In-order streams
+    * never hit the filter.
     */
   def sessionize(events: Dataset[Event], gapSec: Long = 1800)
       (implicit enc: org.apache.spark.sql.Encoder[Session],
@@ -234,27 +245,43 @@ object EventStreams {
             state.remove()
             out.iterator
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
-            var cur = state.getOption
-            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-            for (e <- sorted) {
-              cur match {
-                case Some(s) if e.ts - s.last <= gapSec * 1000000L =>
-                  cur = Some(s.copy(last = e.ts, n = s.n + 1))
-                case Some(s) =>
-                  out += Session(userId, s.start, s.n, (s.last - s.start) / 1e6)
-                  cur = Some(SessionState(e.ts, e.ts, 1))
-                case None =>
-                  cur = Some(SessionState(e.ts, e.ts, 1))
+            // engine-faithful late handling: rows at or below the
+            // eviction watermark are DROPPED, exactly as Spark's
+            // built-in stateful operators drop them — the file
+            // source's late filter lags one watermark, so a
+            // time-shuffled batch can still deliver a whole session
+            // that an in-order run would never have seen. (Pre-drop,
+            // such a batch either killed the query via a timeout at or
+            // below the watermark, or — clamped — emitted the
+            // purely-late session; the spec pins the drop.)
+            val wmMs = state.getCurrentWatermarkMs()
+            val sorted = rows.toSeq.filter(_.ts / 1000 > wmMs)
+              .sortBy(e => (e.ts, e.event_id))
+            if (sorted.isEmpty) Iterator.empty // all-late: state untouched
+            else {
+              var cur = state.getOption
+              val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+              for (e <- sorted) {
+                cur match {
+                  case Some(s) if e.ts - s.last <= gapSec * 1000000L =>
+                    cur = Some(s.copy(last = e.ts, n = s.n + 1))
+                  case Some(s) =>
+                    out += Session(userId, s.start, s.n, (s.last - s.start) / 1e6)
+                    cur = Some(SessionState(e.ts, e.ts, 1))
+                  case None =>
+                    cur = Some(SessionState(e.ts, e.ts, 1))
+                }
               }
+              cur.foreach { s =>
+                state.update(s)
+                // last now comes from an above-watermark row, so
+                // last + gap is provably > watermark; the max() stays
+                // as a defensive invariant only
+                state.setTimeoutTimestamp(math.max(
+                  s.last / 1000 + gapSec * 1000, wmMs + 1))
+              }
+              out.iterator
             }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(math.max(
-                s.last / 1000 + gapSec * 1000,
-                state.getCurrentWatermarkMs() + 1))
-            }
-            out.iterator
           }
       }
 

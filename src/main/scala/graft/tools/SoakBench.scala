@@ -1306,7 +1306,15 @@ object SoakBench {
              qk.lastProgress.batchId < 3)) Thread.sleep(200)
       val killedAt =
         Option(qk.lastProgress).map(_.batchId).getOrElse(-1L)
+      val killFailed = qk.exception.nonEmpty
       qk.stop()
+      // a kill is only a MID-STREAM kill if the query was healthy and
+      // batches remained: a crashed run (killedAt -1 / exception) or a
+      // kill after the final batch would degrade the exactly-once
+      // proof to a no-op restart while still printing diff 0 — flag
+      // that explicitly so the artifact can't masquerade
+      val killDegenerate =
+        killFailed || killedAt < 3 || killedAt > winBatches - 2
       val qr = startWin(s"$base/ck_r", s"$base/out_r")
       qr.processAllAvailable()
       qr.stop()
@@ -1314,7 +1322,7 @@ object SoakBench {
       val sr = spark.read.parquet(s"$base/out_r")
       val restartDiff =
         su.exceptAll(sr).count() + sr.exceptAll(su).count()
-      println(f"""{"metric":"soak_streaming","events":$nEvents,"input_mb":$evMb%.0f,"files":64,"win_sec":$winSec%.1f,"win_events_per_sec":${nEvents / winSec}%.0f,"win_batches":$winBatches,"win_rows":${su.count()},"sess_sec":$sessSec%.1f,"sess_events_per_sec":${nEvents / sessSec}%.0f,"sessions":$nSessions,"restart_killed_at_batch":$killedAt,"restart_diff_rows":$restartDiff}""")
+      println(f"""{"metric":"soak_streaming","events":$nEvents,"input_mb":$evMb%.0f,"files":64,"win_sec":$winSec%.1f,"win_events_per_sec":${nEvents / winSec}%.0f,"win_batches":$winBatches,"win_rows":${su.count()},"sess_sec":$sessSec%.1f,"sess_events_per_sec":${nEvents / sessSec}%.0f,"sessions":$nSessions,"restart_killed_at_batch":$killedAt,"restart_kill_degenerate":$killDegenerate,"restart_diff_rows":$restartDiff}""")
     }
 
     spark.stop()

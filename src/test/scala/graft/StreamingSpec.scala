@@ -496,17 +496,16 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStreams.sessionize(stream)
       .writeStream.format("memory").queryName("sess_late")
       .outputMode("append").start()
-    // pre-clamp: the file-B batch dies with "Timeout timestamp cannot
+    // pre-fix: the file-B batch dies with "Timeout timestamp cannot
     // be earlier than the current watermark" and processAllAvailable
-    // rethrows; post-clamp the query drains all three files cleanly
+    // rethrows; with the engine-faithful late drop the query drains
+    // all three files cleanly AND emits nothing — u7's session is
+    // built entirely from below-watermark rows an in-order run would
+    // never have seen (dropped, not emitted), and u9's session (two
+    // events 60 s apart) stays open at end-of-stream.
     try q.processAllAvailable() finally q.stop()
-    // the PIN is that the query survived the late batch. Emissions are
-    // bounded: u9's session (two events 60 s apart) stays open at
-    // end-of-stream; the only session that MAY emit is u7's stale one,
-    // via its clamped timeout once the watermark passes the clamp.
     val got = spark.table("sess_late").as[Session].collect().toSet
-    assert(got.subsetOf(Set(Session(7, B * M, 2, 60.0))),
-      s"unexpected sessions: $got")
+    assert(got.isEmpty, s"purely-late session leaked: $got")
   }
 
   test("streaming politeness: per-host slot counters persist across micro-batches") {
