@@ -153,13 +153,102 @@ object Bench {
         s"(runs: ${attempts.map(_.fold("fail")(r => f"${r._1}%.2f")).mkString("/")})")
       (name, sec, eng, okRuns.size == attempts.size)
     }
+    // Full-registry isolated ENGINE sweep at sf0.01 — the per-query
+    // cross-round regression basis. The pooled queries_engine map is
+    // contention-dominated (measured 37× inflation on ngram_lm_backoff:
+    // 1.75 s isolated vs 65.3 s pooled; untouched operators swing
+    // 5-15×), so pins on it are noise for 171/180 queries. This sweep
+    // runs EVERY registered query sequentially in a fresh session
+    // (recycled every 45 queries so accumulated codegen/GC debris
+    // can't drift the tail), min-of-2 engine spans; normalized by
+    // cal_sec it is the number rounds compare. sf0.01 keeps the whole
+    // sweep to minutes. Disable with SPARK_GRAFT_BENCH_SWEEP=0 (local
+    // smokes); skipped when no sf0.01 sibling exists.
+    val sweepDir = Paths.get(sfDir).toAbsolutePath.getParent
+      .resolve("sf0.01").toString
+    val sweepOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP", "1") == "1" &&
+      Files.isDirectory(Paths.get(sweepDir))
+    var swSpark = iSpark
+    var swSpans = isoSpans
+    val sweepNames = if (sweepOn) SparkEntry.queries.keys.toSeq.sorted else Seq.empty
+    val sweep = sweepNames.zipWithIndex.map { case (name, i) =>
+      if (i > 0 && i % 45 == 0) {
+        swSpark.stop()
+        swSpark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+        swSpark.sparkContext.setLogLevel("WARN")
+        swSpans = Monitoring.installSpans(swSpark)
+      }
+      val attempts = (1 to 2).map { _ =>
+        org.apache.spark.sql.classic.GraftPlanFactory.flushListeners(swSpark)
+        swSpans.reset()
+        try {
+          Monitoring.tag(SparkEntry.queries(name)(swSpark, sweepDir), name)
+            .write.format("noop").mode("overwrite").save()
+          org.apache.spark.sql.classic.GraftPlanFactory.flushListeners(swSpark)
+          Some(swSpans.totalSec).filter(_ > 0.0)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] sweep FAILED $name: " +
+              s"${e.getClass.getName}: ${e.getMessage}")
+            None
+        }
+      }
+      val eng = attempts.flatten.minOption
+      System.err.println(f"[bench] sweep ${i + 1}%3d/${sweepNames.size} " +
+        f"$name%-26s engine ${eng.fold("FAILED")(s => f"$s%6.3fs")}")
+      (name, eng, attempts.forall(_.isDefined))
+    }
+    // machine-relative sweep pins: bench_pins_sf001.json holds each
+    // query's cal-normalized engine units from the round that wrote
+    // it; a query breaching units × slack (or crashing) is a sweep
+    // regression. Missing file → sweep runs unpinned (first round).
+    val (sweepPins, sweepSlack): (Map[String, Double], Double) = {
+      val p = Paths.get("bench_pins_sf001.json")
+      if (!Files.isRegularFile(p)) (Map.empty, 0.0)
+      else try {
+        val txt = Files.readString(p)
+        val slack = "\"slack\"\\s*:\\s*([0-9.]+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toDouble).getOrElse(2.5)
+        val entry = "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.]+)".r
+        val units = entry.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._1 != "slack").toMap
+        (units, slack)
+      } catch { case _: Exception => (Map.empty, 0.0) }
+    }
+    // 0.5-cal-unit noise floor: sub-100ms spans jitter multiplicatively
+    // (JIT/GC), so a tiny query only breaches once it grows past a span
+    // that can't be jitter — still a 5-10× blowup for the smallest pins
+    val sweepFloor = 0.5
+    val sweepRegressions = sweep.collect {
+      case (k, e, okAll) if sweepPins.contains(k) &&
+          (!okAll || e.isEmpty ||
+            e.exists(_ / cal > math.max(sweepPins(k) * sweepSlack, sweepFloor))) =>
+        System.err.println(f"[bench] SWEEP REGRESSION $k engine " +
+          s"${e.fold("FAILED")(s => f"${s / cal}%.2f cal-units")} vs pin " +
+          f"${sweepPins(k)}%.2f × $sweepSlack%.1f (floor $sweepFloor%.1f)")
+        "\"sweep:" + k + "\""
+    }
+    if (sweepOn) {
+      // the observed cal-units, ready to become next round's pins file
+      val unitsJson = sweep.collect { case (k, Some(e), _) =>
+        "\"" + k + "\":" + fmt(e / cal) }.mkString(
+        "{\"slack\":2.5,", ",", "}")
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/bench_sweep_calunits.json"), unitsJson + "\n")
+    }
+    val sweepJson = sweep.map { case (k, e, _) =>
+      "\"" + k + "\":" + e.fold("null")(fmt) }.mkString("{", ",", "}")
+    val sweepFailed = sweep.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+
     def optNum(v: Option[Double]): String = v.fold("null")(fmt)
     val iso = isolated.map { case (k, v, _, _) => "\"" + k + "\":" + optNum(v) }
       .mkString("{", ",", "}")
     val engJson = isolated.map { case (k, _, e, _) => "\"" + k + "\":" + optNum(e) }
       .mkString("{", ",", "}")
     val isoFailedNames = isolated.collect { case (k, _, _, false) => k }
-    val regressions = isolated.collect {
+    val pinRegressions = isolated.collect {
       // breach = pinned query crashed isolated, lost its engine span,
       // or its engine span exceeds the pin
       case (k, _, e, okAll) if isolatedPins.contains(k) &&
@@ -168,11 +257,12 @@ object Bench {
           s"${e.fold("FAILED")(s => f"$s%.2fs")} vs pin " +
           f"${isolatedPins(k)}%.2fs")
         "\"" + k + "\""
-    }.mkString("[", ",", "]")
+    }
+    val regressions = (pinRegressions ++ sweepRegressions).mkString("[", ",", "]")
     val failedAll = (results.collect { case (k, _, false) => k } ++ isoFailedNames)
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_engine":$qsEngine,"isolated":$iso,"engine":$engJson,"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_engine":$qsEngine,"isolated":$iso,"engine":$engJson,"queries_engine_isolated":$sweepJson,"sweep_sf":"${if (sweepOn) sweepDir else ""}","sweep_failed":$sweepFailed,"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir"}"""
     // durable copies of the SAME line: one under target/, one at the
     // repo root (BENCH_full_latest.json) so every per-query timing is
     // machine-readable even if the stdout capture truncates
@@ -187,7 +277,17 @@ object Bench {
     // whole (BENCH_r08 parsed:null). End stdout with a SHORT summary
     // line that always fits the tail intact: total + failures +
     // where the complete per-query map lives.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"n_queries":${results.size},"isolated":$iso,"engine":$engJson,"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir","queries_file":"BENCH_full_latest.json"}""")
-    iSpark.stop()
+    // sweep summary stays COMPACT on stdout (a 180-entry map cannot
+    // survive the harness tail — round 8); the full map lives in the
+    // file artifact next to queries_engine
+    val sweepOk = sweep.flatMap(_._2)
+    val sweepSummary = if (!sweepOn) "null" else {
+      val units = sweepOk.map(_ / cal).sorted
+      def pct(q: Double) =
+        if (units.isEmpty) 0.0 else units(((units.size - 1) * q).toInt)
+      s"""{"n":${sweep.size},"n_ok":${sweepOk.size},"p50_cal_units":${fmt(pct(0.5))},"p99_cal_units":${fmt(pct(0.99))},"pinned":${sweepPins.size}}"""
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"n_queries":${results.size},"isolated":$iso,"engine":$engJson,"sweep":$sweepSummary,"sweep_failed":$sweepFailed,"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir","queries_file":"BENCH_full_latest.json"}""")
+    swSpark.stop()
   }
 }

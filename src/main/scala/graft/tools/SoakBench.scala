@@ -1322,7 +1322,65 @@ object SoakBench {
       val sr = spark.read.parquet(s"$base/out_r")
       val restartDiff =
         su.exceptAll(sr).count() + sr.exceptAll(su).count()
-      println(f"""{"metric":"soak_streaming","events":$nEvents,"input_mb":$evMb%.0f,"files":64,"win_sec":$winSec%.1f,"win_events_per_sec":${nEvents / winSec}%.0f,"win_batches":$winBatches,"win_rows":${su.count()},"sess_sec":$sessSec%.1f,"sess_events_per_sec":${nEvents / sessSec}%.0f,"sessions":$nSessions,"restart_killed_at_batch":$killedAt,"restart_kill_degenerate":$killDegenerate,"restart_diff_rows":$restartDiff}""")
+      // (a3) funnelCompletions: the OTHER EventTimeTimeout operator
+      // (same clamp/drop class that killed sessionize) — keyed-state
+      // throughput plus its own kill-at-batch-3 exactly-once proof
+      def startFun(ck: String, out: String) =
+        graft.streaming.EventStreams.funnelCompletions(
+          fileStream().select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("ts")))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append").start()
+      val tf0 = System.nanoTime()
+      val qf = startFun(s"$base/ck_fun_u", s"$base/out_fun_u")
+      qf.processAllAvailable()
+      val funBatches = qf.recentProgress.length
+      qf.stop()
+      val funSec = (System.nanoTime() - tf0) / 1e9
+      val qfk = startFun(s"$base/ck_fun_r", s"$base/out_fun_r")
+      while (qfk.isActive && (qfk.lastProgress == null ||
+             qfk.lastProgress.batchId < 3)) Thread.sleep(200)
+      val funKilledAt = Option(qfk.lastProgress).map(_.batchId).getOrElse(-1L)
+      val funKillFailed = qfk.exception.nonEmpty
+      qfk.stop()
+      val funKillDegenerate =
+        funKillFailed || funKilledAt < 3 || funKilledAt > funBatches - 2
+      val qfr = startFun(s"$base/ck_fun_r", s"$base/out_fun_r")
+      qfr.processAllAvailable()
+      qfr.stop()
+      val fu = spark.read.parquet(s"$base/out_fun_u")
+      val fr = spark.read.parquet(s"$base/out_fun_r")
+      val funDiff = fu.exceptAll(fr).count() + fr.exceptAll(fu).count()
+      // (a4) windowedUserEstimate: sketch-state (KMV) merge across
+      // micro-batches — the bounded-sketch analogue of the windowed
+      // agg; its kill-restart proof covers sketch-state recovery
+      def startEst(ck: String, out: String) =
+        graft.streaming.EventStreams.windowedUserEstimate(fileStream())
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append").start()
+      val te0 = System.nanoTime()
+      val qe = startEst(s"$base/ck_est_u", s"$base/out_est_u")
+      qe.processAllAvailable()
+      val estBatches = qe.recentProgress.length
+      qe.stop()
+      val estSec = (System.nanoTime() - te0) / 1e9
+      val qek = startEst(s"$base/ck_est_r", s"$base/out_est_r")
+      while (qek.isActive && (qek.lastProgress == null ||
+             qek.lastProgress.batchId < 3)) Thread.sleep(200)
+      val estKilledAt = Option(qek.lastProgress).map(_.batchId).getOrElse(-1L)
+      val estKillFailed = qek.exception.nonEmpty
+      qek.stop()
+      val estKillDegenerate =
+        estKillFailed || estKilledAt < 3 || estKilledAt > estBatches - 2
+      val qer = startEst(s"$base/ck_est_r", s"$base/out_est_r")
+      qer.processAllAvailable()
+      qer.stop()
+      val eu = spark.read.parquet(s"$base/out_est_u")
+      val er = spark.read.parquet(s"$base/out_est_r")
+      val estDiff = eu.exceptAll(er).count() + er.exceptAll(eu).count()
+      println(f"""{"metric":"soak_streaming","events":$nEvents,"input_mb":$evMb%.0f,"files":64,"win_sec":$winSec%.1f,"win_events_per_sec":${nEvents / winSec}%.0f,"win_batches":$winBatches,"win_rows":${su.count()},"sess_sec":$sessSec%.1f,"sess_events_per_sec":${nEvents / sessSec}%.0f,"sessions":$nSessions,"restart_killed_at_batch":$killedAt,"restart_kill_degenerate":$killDegenerate,"restart_diff_rows":$restartDiff,"fun_sec":$funSec%.1f,"fun_events_per_sec":${nEvents / funSec}%.0f,"funnels":${fu.count()},"fun_restart_killed_at":$funKilledAt,"fun_restart_degenerate":$funKillDegenerate,"fun_restart_diff_rows":$funDiff,"est_sec":$estSec%.1f,"est_events_per_sec":${nEvents / estSec}%.0f,"est_windows":${eu.count()},"est_restart_killed_at":$estKilledAt,"est_restart_degenerate":$estKillDegenerate,"est_restart_diff_rows":$estDiff}""")
     }
 
     spark.stop()
