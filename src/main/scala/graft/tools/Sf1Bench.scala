@@ -42,8 +42,16 @@ object Sf1Bench {
     val names = args.lift(1).map(_.split(',').toSeq).getOrElse(DefaultQueries)
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // 16 cores, not 32: the iterative heavies (semantic_clusters' CC
+    // rounds) at sf1 drive long full-GC pauses when 32 concurrent
+    // tasks share the heap — a >200 s pause trips the local-mode
+    // heartbeat receiver (120 s default) and it KILLS the executor,
+    // shutting the context down mid-measurement (observed first run);
+    // the widened network timeout covers the residual pauses
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.network.timeout", "600s")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val spans = graft.Monitoring.installSpans(spark)
     val meter = new ShuffleMeter
