@@ -108,7 +108,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // JIT/codegen warm-up; discard
-    val cal = calibrate()
+    // min-of-3: cal is a DETERMINISTIC span, so its true value is the
+    // lower envelope — single-shot cal moved 0.53↔0.74 s across runs
+    // on one VM (GC/turbo noise), which inflated every cal-normalized
+    // pin by the same ratio and fired four spurious sweep breaches
+    val cal = (1 to 3).map(_ => calibrate()).min
     System.err.println(f"[bench] calibration span $cal%.3fs")
     val isolatedPins: Map[String, Double] =
       if (sfDir.endsWith("sf0.1"))
@@ -160,21 +164,43 @@ object Bench {
     // 5-15×), so pins on it are noise for 171/180 queries. This sweep
     // runs EVERY registered query sequentially in a fresh session
     // (recycled every 45 queries so accumulated codegen/GC debris
-    // can't drift the tail), min-of-2 engine spans; normalized by
-    // cal_sec it is the number rounds compare. sf0.01 keeps the whole
-    // sweep to minutes. Disable with SPARK_GRAFT_BENCH_SWEEP=0 (local
-    // smokes); skipped when no sf0.01 sibling exists.
+    // can't drift the tail), min-of-2 engine spans; normalized by the
+    // sweep's OWN min-of-3 calibration it is the number rounds
+    // compare. The sweep sessions are pinned to local[8] / 8 shuffle
+    // partitions REGARDLESS of SPARK_GRAFT_CPUS: engine spans at
+    // sf0.01 shift ~1.5× with session width (exchange scheduling
+    // overhead dominates 500-row stages), so a cpus-dependent sweep
+    // would make pins fire on configuration, not on plans. sf0.01
+    // keeps the whole sweep to minutes. Disable with
+    // SPARK_GRAFT_BENCH_SWEEP=0 (local smokes); skipped when no
+    // sf0.01 sibling exists.
     val sweepDir = Paths.get(sfDir).toAbsolutePath.getParent
       .resolve("sf0.01").toString
     val sweepOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEP", "1") == "1" &&
       Files.isDirectory(Paths.get(sweepDir))
-    var swSpark = iSpark
-    var swSpans = isoSpans
+    val SweepCores = 8
+    iSpark.stop()
+    var swSpark = GraftSession.builder(s"local[$SweepCores]", SweepCores).getOrCreate()
+    swSpark.sparkContext.setLogLevel("WARN")
+    var swSpans = Monitoring.installSpans(swSpark)
+    val sweepCal = if (!sweepOn) cal else {
+      def calSw(): Double = {
+        import org.apache.spark.sql.functions.{sum => fsum, xxhash64, pmod, col, lit}
+        val t0 = System.nanoTime()
+        swSpark.range(0L, 400000000L, 1L, SweepCores)
+          .select(fsum(pmod(xxhash64(col("id")), lit(1000000L)))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      calSw()
+      val c = (1 to 3).map(_ => calSw()).min
+      System.err.println(f"[bench] sweep calibration span $c%.3fs (local[$SweepCores])")
+      c
+    }
     val sweepNames = if (sweepOn) SparkEntry.queries.keys.toSeq.sorted else Seq.empty
     val sweep = sweepNames.zipWithIndex.map { case (name, i) =>
       if (i > 0 && i % 45 == 0) {
         swSpark.stop()
-        swSpark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+        swSpark = GraftSession.builder(s"local[$SweepCores]", SweepCores).getOrCreate()
         swSpark.sparkContext.setLogLevel("WARN")
         swSpans = Monitoring.installSpans(swSpark)
       }
@@ -216,23 +242,25 @@ object Bench {
         (units, slack)
       } catch { case _: Exception => (Map.empty, 0.0) }
     }
-    // 0.5-cal-unit noise floor: sub-100ms spans jitter multiplicatively
-    // (JIT/GC), so a tiny query only breaches once it grows past a span
-    // that can't be jitter — still a 5-10× blowup for the smallest pins
-    val sweepFloor = 0.5
+    // 1.0-cal-unit noise floor: sub-200ms spans jitter 2-3×
+    // multiplicatively (JIT/GC/disk cache), so a tiny query only
+    // breaches once it grows past a span that can't be jitter — still
+    // a ~5× blowup for the smallest pins, and well under the heavy
+    // tail (sweep p99 ≈ 3 cal-units)
+    val sweepFloor = 1.0
     val sweepRegressions = sweep.collect {
       case (k, e, okAll) if sweepPins.contains(k) &&
           (!okAll || e.isEmpty ||
-            e.exists(_ / cal > math.max(sweepPins(k) * sweepSlack, sweepFloor))) =>
+            e.exists(_ / sweepCal > math.max(sweepPins(k) * sweepSlack, sweepFloor))) =>
         System.err.println(f"[bench] SWEEP REGRESSION $k engine " +
-          s"${e.fold("FAILED")(s => f"${s / cal}%.2f cal-units")} vs pin " +
+          s"${e.fold("FAILED")(s => f"${s / sweepCal}%.2f cal-units")} vs pin " +
           f"${sweepPins(k)}%.2f × $sweepSlack%.1f (floor $sweepFloor%.1f)")
         "\"sweep:" + k + "\""
     }
     if (sweepOn) {
       // the observed cal-units, ready to become next round's pins file
       val unitsJson = sweep.collect { case (k, Some(e), _) =>
-        "\"" + k + "\":" + fmt(e / cal) }.mkString(
+        "\"" + k + "\":" + fmt(e / sweepCal) }.mkString(
         "{\"slack\":2.5,", ",", "}")
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/bench_sweep_calunits.json"), unitsJson + "\n")
@@ -262,7 +290,7 @@ object Bench {
     val failedAll = (results.collect { case (k, _, false) => k } ++ isoFailedNames)
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_engine":$qsEngine,"isolated":$iso,"engine":$engJson,"queries_engine_isolated":$sweepJson,"sweep_sf":"${if (sweepOn) sweepDir else ""}","sweep_failed":$sweepFailed,"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_engine":$qsEngine,"isolated":$iso,"engine":$engJson,"queries_engine_isolated":$sweepJson,"sweep_sf":"${if (sweepOn) sweepDir else ""}","sweep_failed":$sweepFailed,"sweep_cal_sec":${fmt(sweepCal)},"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir"}"""
     // durable copies of the SAME line: one under target/, one at the
     // repo root (BENCH_full_latest.json) so every per-query timing is
     // machine-readable even if the stdout capture truncates
@@ -282,12 +310,12 @@ object Bench {
     // file artifact next to queries_engine
     val sweepOk = sweep.flatMap(_._2)
     val sweepSummary = if (!sweepOn) "null" else {
-      val units = sweepOk.map(_ / cal).sorted
+      val units = sweepOk.map(_ / sweepCal).sorted
       def pct(q: Double) =
         if (units.isEmpty) 0.0 else units(((units.size - 1) * q).toInt)
       s"""{"n":${sweep.size},"n_ok":${sweepOk.size},"p50_cal_units":${fmt(pct(0.5))},"p99_cal_units":${fmt(pct(0.99))},"pinned":${sweepPins.size}}"""
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"n_queries":${results.size},"isolated":$iso,"engine":$engJson,"sweep":$sweepSummary,"sweep_failed":$sweepFailed,"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir","queries_file":"BENCH_full_latest.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"n_queries":${results.size},"isolated":$iso,"engine":$engJson,"sweep":$sweepSummary,"sweep_failed":$sweepFailed,"sweep_cal_sec":${fmt(sweepCal)},"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir","queries_file":"BENCH_full_latest.json"}""")
     swSpark.stop()
   }
 }
