@@ -158,11 +158,13 @@ case class SigAgreeExpr(left: Expression, right: Expression)
 /** RFC 9309 robots path-pattern match (path, pattern → boolean) —
   * `*` any-run wildcard + trailing-`$` end anchor, prefix semantics
   * otherwise (GraftText.robotsMatch). Native so the per-URL × per-rule
-  * evaluation inside the broadcast robots filter stays a flat byte
-  * walk in the scan's codegen stage: the regex-translation alternative
-  * (`regexp_like` on a per-rule pattern column) recompiles the pattern
-  * per array element per row — a frontier-scale cost for semantics a
-  * two-pointer walk covers exactly.
+  * evaluation inside the broadcast robots filter is one flat byte-walk
+  * kernel call (evaluated inside the rules-array HOF lambda, which
+  * Spark runs interpreted — the win is the kernel itself, not codegen
+  * placement): the regex-translation alternative (`regexp_like` on a
+  * per-rule pattern column) recompiles the pattern per array element
+  * per row — a frontier-scale cost for semantics a two-pointer walk
+  * covers exactly. doGenCode is provided for any non-HOF use.
   */
 case class RobotsMatchExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
