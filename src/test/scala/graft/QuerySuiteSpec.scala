@@ -36,6 +36,22 @@ class QuerySuiteSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("the sweep pins file covers the full query registry") {
+    // bench_pins_sf001.json is the per-query regression basis; a query
+    // registered without a pin would sweep unpinned silently. Adding a
+    // query must come with a pins refresh (run Bench, copy
+    // target/bench_sweep_calunits.json over the pins file).
+    val p = java.nio.file.Paths.get("bench_pins_sf001.json")
+    assert(java.nio.file.Files.isRegularFile(p), "pins file missing")
+    val txt = java.nio.file.Files.readString(p)
+    val keys = "\"([A-Za-z0-9_]+)\"\\s*:".r.findAllMatchIn(txt)
+      .map(_.group(1)).filter(_ != "slack").toSet
+    val missing = SparkEntry.queries.keySet.diff(keys)
+    val stale = keys.diff(SparkEntry.queries.keySet)
+    assert(missing.isEmpty, s"unpinned queries: ${missing.mkString(", ")}")
+    assert(stale.isEmpty, s"pins for unregistered queries: ${stale.mkString(", ")}")
+  }
+
   test("the derived quota oracle's textual invariant is enforced") {
     // politeness_schedule_quota's oracle is the unbounded schedule's
     // SQL + an appended WHERE — valid ONLY while the base ends in the
