@@ -1380,7 +1380,37 @@ object SoakBench {
       val eu = spark.read.parquet(s"$base/out_est_u")
       val er = spark.read.parquet(s"$base/out_est_r")
       val estDiff = eu.exceptAll(er).count() + er.exceptAll(eu).count()
-      println(f"""{"metric":"soak_streaming","events":$nEvents,"input_mb":$evMb%.0f,"files":64,"win_sec":$winSec%.1f,"win_events_per_sec":${nEvents / winSec}%.0f,"win_batches":$winBatches,"win_rows":${su.count()},"sess_sec":$sessSec%.1f,"sess_events_per_sec":${nEvents / sessSec}%.0f,"sessions":$nSessions,"restart_killed_at_batch":$killedAt,"restart_kill_degenerate":$killDegenerate,"restart_diff_rows":$restartDiff,"fun_sec":$funSec%.1f,"fun_events_per_sec":${nEvents / funSec}%.0f,"funnels":${fu.count()},"fun_restart_killed_at":$funKilledAt,"fun_restart_degenerate":$funKillDegenerate,"fun_restart_diff_rows":$funDiff,"est_sec":$estSec%.1f,"est_events_per_sec":${nEvents / estSec}%.0f,"est_windows":${eu.count()},"est_restart_killed_at":$estKilledAt,"est_restart_degenerate":$estKillDegenerate,"est_restart_diff_rows":$estDiff}""")
+      // (a5) STREAM-STREAM interval join: purchases × same-user clicks
+      // in the preceding 30 min, both sides watermarked so the join
+      // state store EVICTS rows that can no longer match — the
+      // bounded-state claim of §2D's join operator, measured, plus its
+      // own kill-at-batch-3 exactly-once proof
+      def startAttr(ck: String, out: String) =
+        graft.streaming.EventStreams.purchaseAttribution(fileStream())
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ck)
+          .outputMode("append").start()
+      val ta0 = System.nanoTime()
+      val qa = startAttr(s"$base/ck_attr_u", s"$base/out_attr_u")
+      qa.processAllAvailable()
+      val attrBatches = qa.recentProgress.length
+      qa.stop()
+      val attrSec = (System.nanoTime() - ta0) / 1e9
+      val qak = startAttr(s"$base/ck_attr_r", s"$base/out_attr_r")
+      while (qak.isActive && (qak.lastProgress == null ||
+             qak.lastProgress.batchId < 3)) Thread.sleep(200)
+      val attrKilledAt = Option(qak.lastProgress).map(_.batchId).getOrElse(-1L)
+      val attrKillFailed = qak.exception.nonEmpty
+      qak.stop()
+      val attrKillDegenerate =
+        attrKillFailed || attrKilledAt < 3 || attrKilledAt > attrBatches - 2
+      val qar = startAttr(s"$base/ck_attr_r", s"$base/out_attr_r")
+      qar.processAllAvailable()
+      qar.stop()
+      val au = spark.read.parquet(s"$base/out_attr_u")
+      val ar = spark.read.parquet(s"$base/out_attr_r")
+      val attrDiff = au.exceptAll(ar).count() + ar.exceptAll(au).count()
+      println(f"""{"metric":"soak_streaming","events":$nEvents,"input_mb":$evMb%.0f,"files":64,"win_sec":$winSec%.1f,"win_events_per_sec":${nEvents / winSec}%.0f,"win_batches":$winBatches,"win_rows":${su.count()},"sess_sec":$sessSec%.1f,"sess_events_per_sec":${nEvents / sessSec}%.0f,"sessions":$nSessions,"restart_killed_at_batch":$killedAt,"restart_kill_degenerate":$killDegenerate,"restart_diff_rows":$restartDiff,"fun_sec":$funSec%.1f,"fun_events_per_sec":${nEvents / funSec}%.0f,"funnels":${fu.count()},"fun_restart_killed_at":$funKilledAt,"fun_restart_degenerate":$funKillDegenerate,"fun_restart_diff_rows":$funDiff,"est_sec":$estSec%.1f,"est_events_per_sec":${nEvents / estSec}%.0f,"est_windows":${eu.count()},"est_restart_killed_at":$estKilledAt,"est_restart_degenerate":$estKillDegenerate,"est_restart_diff_rows":$estDiff,"attr_sec":$attrSec%.1f,"attr_events_per_sec":${nEvents / attrSec}%.0f,"attributions":${au.count()},"attr_restart_killed_at":$attrKilledAt,"attr_restart_degenerate":$attrKillDegenerate,"attr_restart_diff_rows":$attrDiff}""")
     }
 
     spark.stop()

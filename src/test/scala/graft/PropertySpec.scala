@@ -47,6 +47,48 @@ class PropertySpec extends AnyFunSuite {
     out.toSeq
   }
 
+  /** Independent model of RFC 9309 pattern matching: translate the
+    * pattern to a java.util.regex form (escape everything, `*` → `.*`,
+    * trailing `$` → full match, otherwise prefix via lookingAt) —
+    * shares NO code with GraftText.robotsMatch's byte walk. Regular
+    * language membership is implementation-independent, so any
+    * disagreement is a bug in one of the two.
+    */
+  private def modelRobotsMatch(path: String, pat: String): Boolean = {
+    val anchored = pat.endsWith("$")
+    val core = if (anchored) pat.dropRight(1) else pat
+    val esc = core.map {
+      case '*' => "\u0001" // placeholder: never in generated input
+      case c if "\\^$.|?+()[]{}".contains(c) => "\\" + c
+      case c => c.toString
+    }.mkString.replace("\u0001", ".*")
+    val p = java.util.regex.Pattern.compile(esc, java.util.regex.Pattern.DOTALL)
+    if (anchored) p.matcher(path).matches() else p.matcher(path).lookingAt()
+  }
+
+  test("property: robots pattern kernel matches an independent regex model") {
+    // alphabet exercises every interesting shape: wildcards, anchors
+    // (trailing AND mid-pattern '$'), path separators, repeated chars
+    // (star backtracking), and multi-byte UTF-8 (the kernel walks
+    // bytes; self-synchronizing UTF-8 makes that equivalent)
+    val chars = Gen.frequency(
+      (6, Gen.oneOf('a', 'b', '/')), (2, Gen.const('*')),
+      (2, Gen.const('$')), (1, Gen.oneOf('é', '語')))
+    val strs = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, chars).map(_.mkString))
+    val pairs = for (p <- strs; q <- strs) yield (p, q)
+    var checked = 0
+    samples(pairs, 4000, seed = 1409L).foreach { case (path, pat) =>
+      if (pat.nonEmpty) { // empty rpaths are dropped by the parser
+        val got = graft.functions.GraftText.robotsMatch(
+          UTF8String.fromString(path), UTF8String.fromString(pat))
+        val want = modelRobotsMatch(path, pat)
+        assert(got == want, s"path='$path' pat='$pat': kernel=$got model=$want")
+        checked += 1
+      }
+    }
+    assert(checked > 3000)
+  }
+
   test("property: CDC kernel matches an independent model on random token streams") {
     val word = Gen.chooseNum(0, 40).map(i => s"w$i") // small vocab → frequent repeats
     val doc = Gen.chooseNum(0, 120).flatMap(n => Gen.listOfN(n, word))
