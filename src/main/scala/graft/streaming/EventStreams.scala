@@ -140,14 +140,19 @@ object EventStreams {
           } else {
             // engine-faithful late handling (same as sessionize): the
             // file source's late filter lags one watermark, so a
-            // time-shuffled batch can still DELIVER rows at or below
+            // time-shuffled batch can still DELIVER rows below
             // the eviction watermark — built-in stateful operators
             // drop those rows, and so does this one. Without the drop
             // the operator would fold purely-late rows into minima an
             // in-order run never sees (and a timeout set from them at
             // or below the watermark kills the query).
+            // strictly-below in MICROS: `ts / 1000 > wmMs` would also
+            // drop rows exactly AT the watermark (and up to 1 ms
+            // strictly above, via truncation) — built-ins keep those;
+            // the timeout clamp max(.., wmMs + 1) keeps boundary rows
+            // from setting a timeout at the eviction watermark
             val wmMs = state.getCurrentWatermarkMs()
-            val live = rows.filter(_._3 / 1000 > wmMs)
+            val live = rows.filter(_._3 >= wmMs * 1000L)
             if (live.isEmpty) Iterator.empty // all-late: state untouched
             else {
               var (v, c, p, maxTs) = state.getOption
@@ -245,7 +250,7 @@ object EventStreams {
             state.remove()
             out.iterator
           } else {
-            // engine-faithful late handling: rows at or below the
+            // engine-faithful late handling: rows strictly below the
             // eviction watermark are DROPPED, exactly as Spark's
             // built-in stateful operators drop them — the file
             // source's late filter lags one watermark, so a
@@ -254,8 +259,10 @@ object EventStreams {
             // such a batch either killed the query via a timeout at or
             // below the watermark, or — clamped — emitted the
             // purely-late session; the spec pins the drop.)
+            // strictly-below in MICROS (see funnel above): keep rows
+            // at/above the watermark exactly as built-ins do
             val wmMs = state.getCurrentWatermarkMs()
-            val sorted = rows.toSeq.filter(_.ts / 1000 > wmMs)
+            val sorted = rows.toSeq.filter(_.ts >= wmMs * 1000L)
               .sortBy(e => (e.ts, e.event_id))
             if (sorted.isEmpty) Iterator.empty // all-late: state untouched
             else {
