@@ -1189,8 +1189,11 @@ object SparkEntry {
       Dedup.exactSubstrSpans(Tables.documents(s, d), "doc_id", "text")),
     "exact_substr_dedup" -> ((s, d) =>
       Dedup.exactSubstrStats(Tables.documents(s, d), "doc_id", "text")),
+    // corpus-sized plane count (fixed-stride layout — oracle twin
+    // selects the same count via the integer CASE ladder): 5 planes at
+    // driver SFs, 8 at sf1's 20k vectors, bounded buckets forever
     "dedup_embedding" -> ((s, d) =>
-      Similarity.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.3)),
+      Similarity.embeddingPairsAuto(Tables.embeddings(s, d), "vec_id", "embedding", 0.3)),
     "knn_bruteforce" -> ((s, d) =>
       Similarity.knnBruteForce(Tables.embeddings(s, d), "vec_id", "embedding", 10, 5)),
     "knn_lsh" -> ((s, d) =>
@@ -1740,7 +1743,7 @@ object SparkEntry {
     // engine as dedup_clusters, fed by LSH-bucketed cosine pairs
     "semantic_clusters" -> ((s, d) =>
       operators.Graph.connectedComponents(
-        Similarity.embeddingPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
+        Similarity.embeddingPairsAuto(Tables.embeddings(s, d), "vec_id", "embedding", 0.4)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))),
     "mixture_sample" -> ((s, d) =>
@@ -1895,6 +1898,38 @@ object SparkEntry {
        |  FROM proj GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Twin of [[Similarity.embeddingPairsAuto]]'s bucketing: the plane
+    * VECTORS are baked once at the fixed [[Similarity.AutoPlaneStride]]
+    * layout (table t, position p → planeVec(t·16+p)); the plane COUNT
+    * is selected at query time by an integer CASE ladder over
+    * count(*) — the exact thresholds [[Similarity.autoPlanes]] walks,
+    * so both engines activate the same planes at every scale factor
+    * (float log2 could disagree at exact powers of two; integer
+    * comparisons cannot).
+    */
+  private def lshBucketsAutoCte(nTables: Int, targetBucket: Int = 128,
+                                dims: Int = 64): String = {
+    val stride = Similarity.AutoPlaneStride
+    val rows = for (t <- 0 until nTables; p <- 0 until stride) yield {
+      val vec = Similarity.planeVec(t * stride + p, dims)
+        .map(java.lang.Double.toString).mkString("[", ",", "]")
+      s"($t, $p, $vec)"
+    }
+    val cases = (5 until stride)
+      .map(k => s"WHEN cnt <= ${targetBucket.toLong * (1L << k)} THEN $k")
+      .mkString(" ")
+    s"""planes(tbl, p, pv) AS (VALUES ${rows.mkString(", ")}),
+       |npl AS (SELECT CASE $cases ELSE $stride END AS np
+       |  FROM (SELECT count(*) AS cnt FROM embeddings)),
+       |proj AS (SELECT e.vec_id, pl.tbl, pl.p,
+       |    CASE WHEN ${VectorFunctions.dotSql("e.embedding", "pl.pv")} >= 0
+       |         THEN (1::BIGINT << pl.p) ELSE 0::BIGINT END AS bit
+       |  FROM embeddings e CROSS JOIN planes pl
+       |  WHERE pl.p < (SELECT np FROM npl)),
+       |buckets AS (SELECT vec_id, tbl, cast(sum(bit) AS bigint) AS bucket
+       |  FROM proj GROUP BY 1, 2)""".stripMargin
+  }
+
   /** Mojibake fixture for C103: docs with doc_id%5==2 get two in-word
     * Windows-1252 double-decode artifacts (mangled e-acute / a-umlaut)
     * plus a trailing mangled-ellipsis triple; all other docs pass
@@ -2044,7 +2079,7 @@ object SparkEntry {
          |    / cast(greatest(len($tok), 1) AS double) AS dup_fraction
          |FROM documents d LEFT JOIN eper USING (doc_id)""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH ${lshBucketsCte(nTables = 16)},
+      s"""WITH ${lshBucketsAutoCte(nTables = 16)},
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM buckets a JOIN buckets b
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
@@ -3113,7 +3148,7 @@ object SparkEntry {
          |FROM spec""".stripMargin,
     "dedup_pagerank" -> operators.Graph.pagerankOracleSql(),
     "semantic_clusters" ->
-      s"""WITH RECURSIVE ${lshBucketsCte(nTables = 16)},
+      s"""WITH RECURSIVE ${lshBucketsAutoCte(nTables = 16)},
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM buckets a JOIN buckets b
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
@@ -3382,7 +3417,7 @@ object SparkEntry {
   def oracleStages: Map[String, Seq[OracleStage]] = Map(
     "semantic_clusters" -> Seq(
       OracleStage("sc_buckets", 0,
-        s"""WITH ${lshBucketsCte(nTables = 16)}
+        s"""WITH ${lshBucketsAutoCte(nTables = 16)}
            |SELECT vec_id, tbl, bucket FROM buckets""".stripMargin),
       OracleStage("sc_cand", 8,
         // shard on the bucket key: both sides of a colliding pair

@@ -72,6 +72,8 @@ object Graph {
     * convergence scalar per round.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val ccT0 = System.nanoTime()
+    def ccElapsed: String = f"${(System.nanoTime() - ccT0) / 1e9}%.1fs"
     // Materialized: the symmetrizing union below consumes `pairs` in
     // BOTH branches, and only exchange-rooted subtrees are reused — a
     // pair pipeline ending in a join+filter (embedding-cosine pairs:
@@ -91,6 +93,7 @@ object Graph {
     var prevSum = Long.MaxValue
     var iters = 0
     var done = false
+    System.err.println(s"[graft] connectedComponents setup done at $ccElapsed")
     while (!done && iters < maxIters) {
       val neighborMin = bidir
         .join(labels, bidir("doc_b") === labels("doc_id"))
@@ -128,6 +131,7 @@ object Graph {
       done = sum == prevSum
       prevSum = sum
       iters += 1
+      System.err.println(s"[graft] connectedComponents round $iters done at $ccElapsed")
     }
     if (done)
       System.err.println(s"[graft] connectedComponents converged in $iters rounds")

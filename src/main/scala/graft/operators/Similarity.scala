@@ -50,12 +50,22 @@ object Similarity {
     * candidate shuffle never carries the 64-float payload. NOT
     * materialized: the raw bucketing scan shared by the ad-hoc
     * ([[lshBucketed]]) and persisted ([[buildLshIndex]]) index forms.
+    *
+    * `planeStride` fixes the plane-index spacing between tables
+    * (table t uses planes t·stride … t·stride+nPlanes−1). The default
+    * sentinel keeps the historical `stride = nPlanes` layout; the
+    * corpus-sized form ([[embeddingPairsAuto]]) pins
+    * [[AutoPlaneStride]] so the plane VECTORS don't shift when the
+    * plane COUNT does — which is what lets the DuckDB twin bake one
+    * fixed literal set and select the count dynamically.
     */
   private def bucketRows(emb: DataFrame, idCol: String, vecCol: String,
-                         nPlanes: Int, nTables: Int, dims: Int): DataFrame = {
+                         nPlanes: Int, nTables: Int, dims: Int,
+                         planeStride: Int = -1): DataFrame = {
+    val stride = if (planeStride < 0) nPlanes else planeStride
     val tableBuckets = (0 until nTables).map { t =>
       struct(lit(t).as("table"),
-        lshBucket(col(vecCol), nPlanes, dims, planeOffset = t * nPlanes).as("bucket"))
+        lshBucket(col(vecCol), nPlanes, dims, planeOffset = t * stride).as("bucket"))
     }
     emb.select(col(idCol).as("id"),
       explode(array(tableBuckets: _*)).as("tb"))
@@ -113,7 +123,17 @@ object Similarity {
                      minCosine: Double, nPlanes: Int = 5, nTables: Int = 16,
                      dims: Int = 64, maxBucket: Int = Int.MaxValue): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val bucketed0 = lshBucketed(emb, idCol, vecCol, nPlanes, nTables, dims)
+    pairsFromBucketed(lshBucketed(emb, idCol, vecCol, nPlanes, nTables, dims),
+      emb, idCol, vecCol, minCosine, maxBucket)
+  }
+
+  /** Candidate join + id-pair dedup + exact-cosine verify over an
+    * already-bucketed (id, table, bucket) table — the shared tail of
+    * [[embeddingPairs]] and [[embeddingPairsAuto]].
+    */
+  private def pairsFromBucketed(bucketed0: DataFrame, emb: DataFrame,
+                                idCol: String, vecCol: String,
+                                minCosine: Double, maxBucket: Int): DataFrame = {
     val bucketed = if (maxBucket == Int.MaxValue) bucketed0 else {
       val ok = bucketed0.groupBy(col("table"), col("bucket"))
         .agg(count(lit(1)).as("__bsz"))
@@ -133,6 +153,56 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         round(VectorFunctions.cosineNative(col("va"), col("vb")), 6).as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
+
+  /** Plane-index stride (and plane-count ceiling) of the corpus-sized
+    * LSH layout: table t always draws its planes from indices
+    * t·16 … t·16+15, using the first `np` of them. Because the VECTORS
+    * are pinned by (table, position) regardless of how many planes a
+    * given corpus size activates, the DuckDB twin bakes ONE fixed set
+    * of plane literals and picks `np` with an integer CASE ladder over
+    * count(*) — both engines stay bit-identical at every scale factor.
+    */
+  val AutoPlaneStride: Int = 16
+
+  /** Corpus-sized plane count: the smallest `np` in
+    * [minPlanes, [[AutoPlaneStride]]] with n ≤ targetBucket · 2^np
+    * (ceiling when none) — expected bucket occupancy ≤ targetBucket,
+    * so the candidate join emits ~n·targetBucket/2 pairs per table no
+    * matter the corpus size. INTEGER comparisons only (no float log2):
+    * the oracle's CASE ladder over the same thresholds agrees exactly
+    * at every count, including exact powers of two.
+    */
+  def autoPlanes(n: Long, targetBucket: Int = 128, minPlanes: Int = 5): Int = {
+    var np = minPlanes
+    while (np < AutoPlaneStride && n > targetBucket.toLong * (1L << np)) np += 1
+    np
+  }
+
+  /** [[embeddingPairs]] with the hyperplane count sized to the corpus
+    * AND an oracle-compatible fixed plane layout — the form the
+    * oracle-pinned near-dup queries ship (C5 dedup_embedding, C39
+    * semantic_clusters feed). The fixed 5-plane default melts down
+    * quadratically as the corpus grows (32 buckets/table → ~n²/32
+    * candidates per table; measured 150 s of a 159 s semantic_clusters
+    * span at sf1's 20k vectors, ~100M pre-dedup candidates), and
+    * [[embeddingPairsScaled]]'s `t·np+p` plane layout shifts every
+    * plane vector when np changes, which no fixed oracle SQL can
+    * follow. This form pins the layout at [[AutoPlaneStride]] and
+    * derives np from one cheap count() with [[autoPlanes]] — at the
+    * driver SFs (≤4096 vectors) np stays 5, so small-corpus recall is
+    * unchanged; at sf1 np=8 cuts candidates ~8×, and growth stays
+    * ~n·targetBucket/2 per table forever.
+    */
+  def embeddingPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double, nTables: Int = 16, dims: Int = 64,
+                         targetBucket: Int = 128,
+                         maxBucket: Int = Int.MaxValue): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val np = autoPlanes(emb.count(), targetBucket)
+    val bucketed = bucketRows(emb, idCol, vecCol, np, nTables, dims,
+      planeStride = AutoPlaneStride).materialized
+    pairsFromBucketed(bucketed, emb, idCol, vecCol, minCosine, maxBucket)
   }
 
   /** [[embeddingPairs]] with the hyperplane count SIZED TO THE CORPUS:
