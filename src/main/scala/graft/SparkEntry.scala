@@ -1269,6 +1269,29 @@ object SparkEntry {
           TextAnalysis.wrapPii(col("doc_id"), col("text")).as("text")),
         "doc_id", "text")
     }),
+    // unicode-script histogram + dominant script (the gate BEFORE
+    // lang_id): driver corpus is ASCII, so the wrapScripts fixture
+    // plants every script class on id strides (same convention as
+    // wrapPii/wrapRobotsTxt); the %7==2 stride's Han block outweighs
+    // the base text so dominance genuinely flips there
+    "script_profile" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.scriptProfile(
+        docs.select(col("doc_id"),
+          TextAnalysis.wrapScripts(col("doc_id"), col("text")).as("text")),
+        "doc_id", "text")
+    }),
+    // per-source PII audit over the redact kernel's counts — the
+    // SPARSE fixture (classes on their own id strides) makes
+    // per-source incidence rates vary, unlike text_redact's
+    // every-class-every-doc wrap
+    "pii_stats" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.piiStats(
+        docs.select(col("doc_id"), col("source"),
+          TextAnalysis.wrapPiiSparse(col("doc_id"), col("text")).as("text")),
+        "doc_id", "source", "text")
+    }),
     "text_repetition" -> ((s, d) =>
       TextAnalysis.repetition(Tables.documents(s, d), "doc_id", "text")),
     // Gopher quality rule bundle + repetition char-mass signals
@@ -2587,6 +2610,55 @@ object SparkEntry {
          |  cast(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Regex}')) AS integer) AS n_ips,
          |  cast(len(regexp_extract_all(text, '${TextAnalysis.LongNumberRegex}')) AS integer) AS n_numbers
          |FROM t""".stripMargin,
+    "script_profile" -> {
+      // generated from the SAME ScriptClasses table the Spark kernel
+      // reads — ranges, names, and tie-break order cannot drift
+      val classes = TextAnalysis.ScriptClasses
+      val cntCols = classes.map { case (n, r) =>
+        s"length(text) - length(regexp_replace(text, '[$r]', '', 'g')) AS n_$n"
+      }
+      val allRanges = classes.map(_._2).mkString
+      val names = classes.map { case (n, _) => s"n_$n" }
+      val gr = names.mkString("greatest(", ", ", ")")
+      val domCases = classes.map { case (n, _) =>
+        s"WHEN n_$n = $gr THEN '$n'"
+      }.mkString(" ")
+      val scCount = names.map(n => s"(CASE WHEN $n > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT doc_id,
+         |    ${TextAnalysis.wrapScriptsSql("doc_id", "text")} AS text
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |    ${cntCols.mkString(",\n    ")},
+         |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         |    length(regexp_replace(text, '[${allRanges}0-9\\s]', '', 'g')) AS n_other
+         |  FROM w)
+         |SELECT doc_id,
+         |  CASE WHEN $gr = 0 THEN 'none' $domCases END AS dominant_script,
+         |  ${names.mkString(", ")}, n_digit, n_other,
+         |  cast($scCount AS bigint) AS script_count
+         |FROM c""".stripMargin
+    },
+    "pii_stats" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    ${TextAnalysis.wrapPiiSparseSql("doc_id", "text")} AS text
+         |  FROM documents),
+         |c AS (SELECT source,
+         |    cast(len(regexp_extract_all(text, '${TextAnalysis.EmailRegex}')) AS bigint) AS email,
+         |    cast(len(regexp_extract_all(text, '${TextAnalysis.PhoneRegex}')) AS bigint) AS phone,
+         |    cast(len(regexp_extract_all(text, '${TextAnalysis.Ipv4Regex}')) AS bigint) AS ip,
+         |    cast(len(regexp_extract_all(text, '${TextAnalysis.LongNumberRegex}')) AS bigint) AS number
+         |  FROM t),
+         |u AS (SELECT source, 'email' AS pii_class, email AS n FROM c
+         |  UNION ALL SELECT source, 'phone', phone FROM c
+         |  UNION ALL SELECT source, 'ip', ip FROM c
+         |  UNION ALL SELECT source, 'number', number FROM c)
+         |SELECT source, pii_class, count(*) AS n_rows,
+         |  cast(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS bigint) AS hits,
+         |  cast(sum(n) AS bigint) AS spans,
+         |  cast(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS double)
+         |    / count(*) AS hit_rate
+         |FROM u GROUP BY ROLLUP(source, pii_class)""".stripMargin,
     "text_repetition" ->
       s"""SELECT doc_id, cast(len(g) AS integer) AS n_bigrams,
          |  CASE WHEN len(g) > 0

@@ -161,6 +161,165 @@ object TextAnalysis {
        | || ' acct ' || cast(900000 + $idExpr % 100000 AS VARCHAR)""".stripMargin
       .replace("\n", "")
 
+  /** Sparse PII fixture for the per-source audit ([[piiStats]]):
+    * unlike [[wrapPii]] (every class on every doc — right for testing
+    * the REDACTOR), each class is planted on its own id stride so
+    * per-source incidence RATES vary and the audit aggregation has
+    * something real to report at driver SFs. [[wrapPiiSparseSql]] is
+    * the DuckDB twin.
+    */
+  def wrapPiiSparse(id: Column, text: Column): Column = concat(
+    text,
+    when(id % 2 === 0, concat(lit(" contact user"), id.cast("string"),
+      lit("@mail.example.com"))).otherwise(lit("")),
+    when(id % 3 === 0, concat(lit(" tel +1-415-555-"),
+      lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+    when(id % 5 === 0, concat(lit(" ip 10."), (id % 200).cast("string"),
+      lit("."), ((id * 7) % 250).cast("string"), lit("."),
+      (id % 250).cast("string"))).otherwise(lit("")),
+    when(id % 7 === 0, concat(lit(" acct "),
+      (lit(900000L) + id % 100000).cast("string"))).otherwise(lit("")))
+
+  /** DuckDB twin of [[wrapPiiSparse]]. */
+  def wrapPiiSparseSql(idExpr: String, textExpr: String): String =
+    s"""$textExpr
+       | || CASE WHEN $idExpr % 2 = 0 THEN ' contact user'
+       |      || cast($idExpr AS VARCHAR) || '@mail.example.com' ELSE '' END
+       | || CASE WHEN $idExpr % 3 = 0 THEN ' tel +1-415-555-'
+       |      || lpad(cast($idExpr % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       | || CASE WHEN $idExpr % 5 = 0 THEN ' ip 10.'
+       |      || cast($idExpr % 200 AS VARCHAR) || '.'
+       |      || cast(($idExpr * 7) % 250 AS VARCHAR) || '.'
+       |      || cast($idExpr % 250 AS VARCHAR) ELSE '' END
+       | || CASE WHEN $idExpr % 7 = 0 THEN ' acct '
+       |      || cast(900000 + $idExpr % 100000 AS VARCHAR) ELSE '' END""".stripMargin
+      .replace("\n", "")
+
+  /** Per-source PII audit (the report a curation run publishes next to
+    * its redacted corpus): each document's per-class redact counts
+    * ([[redact]]'s patterns on the ORIGINAL text), unpivoted to
+    * (source, class) incidences and aggregated with ROLLUP — per
+    * source×class the row count, affected-doc incidences, total spans
+    * and incidence rate; the (source) and () rollup rows read as
+    * "doc-class incidences", a doc affected in two classes counting
+    * once per class.
+    *
+    * Scale shape: the four regex counts run in the scan (one pass over
+    * text, no payload past the project), the explode carries four
+    * small longs per doc, and the rollup is ONE partial-agg'd shuffle
+    * on (source, class) — sources × 4 classes of output rows no matter
+    * the corpus size.
+    */
+  def piiStats(docs: DataFrame, idCol: String, srcCol: String,
+               textCol: String): DataFrame = {
+    val perDoc = docs.select(
+      col(srcCol).as("source"),
+      size(regexp_extract_all(col(textCol), lit(EmailRegex), lit(0))).as("email"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRegex), lit(0))).as("phone"),
+      size(regexp_extract_all(col(textCol), lit(Ipv4Regex), lit(0))).as("ip"),
+      size(regexp_extract_all(col(textCol), lit(LongNumberRegex), lit(0))).as("number"))
+    val unpivoted = perDoc.select(col("source"),
+      explode(map(
+        lit("email"), col("email"), lit("phone"), col("phone"),
+        lit("ip"), col("ip"), lit("number"), col("number")))
+        .as(Seq("pii_class", "n")))
+    unpivoted.rollup(col("source"), col("pii_class"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("n") > 0, 1L).otherwise(0L)).as("hits"),
+        sum(col("n").cast("long")).as("spans"))
+      .select(col("source"), col("pii_class"), col("n_rows"), col("hits"),
+        col("spans"),
+        (col("hits").cast("double") / col("n_rows").cast("double")).as("hit_rate"))
+  }
+
+  /** Unicode script classes as PORTABLE literal code-point ranges —
+    * deliberately NOT `\p{script=...}` classes, whose member sets
+    * depend on each engine's Unicode table version; explicit BMP
+    * ranges are the same bytes on Java regex and RE2 (`\x{...}` is
+    * the hex escape both accept). Declaration order is the dominance
+    * tie-break order. Latin spans ASCII + Latin-1/Extended-A letters
+    * (the two division signs excluded).
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{017F}",
+    "han" -> "\\x{4E00}-\\x{9FFF}",
+    "cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "arabic" -> "\\x{0600}-\\x{06FF}",
+    "devanagari" -> "\\x{0900}-\\x{097F}",
+    "kana" -> "\\x{3040}-\\x{30FF}",
+    "hangul" -> "\\x{AC00}-\\x{D7AF}",
+    "greek" -> "\\x{0370}-\\x{03FF}",
+    "hebrew" -> "\\x{0590}-\\x{05FF}")
+
+  /** Unicode-script histogram + dominant script per document — the
+    * cheap first multilingual gate public pipelines run BEFORE an
+    * n-gram language model ([[langId]] here): a doc whose chars are
+    * mostly Han needs no trigram table to route, and a doc whose
+    * script disagrees with its claimed language is a mojibake /
+    * mislabel signal complementing the C104 encoding repair.
+    *
+    * Counts are codepoint counts per class (`length(text) -
+    * length(regexp_replace(text, '[class]', ''))` — both engines count
+    * codepoints, and every class char is BMP so the subtraction is
+    * engine-identical); `dominant_script` is the first class in
+    * [[ScriptClasses]] order reaching the max letter-script count
+    * ('none' when no letter script appears); `script_count` is how
+    * many letter scripts appear at all (≥2 with mixed content — the
+    * mojibake trigger). Zero shuffle: everything runs in the scan.
+    */
+  def scriptProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(ranges: String): Column =
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), s"[$ranges]", ""))).cast("long")
+    val counts = ScriptClasses.map { case (name, r) => name -> cnt(r) }
+    val maxCnt = greatest(counts.map(_._2): _*)
+    val dominant = counts.foldLeft(when(maxCnt === 0, "none")) {
+      case (acc, (name, c)) => acc.when(c === maxCnt, name)
+    }
+    val allRanges = ScriptClasses.map(_._2).mkString
+    docs.select(
+      (col(idCol).as("doc_id") +:
+        dominant.as("dominant_script") +:
+        counts.map { case (n, c) => c.cast("long").as(s"n_$n") } :+
+        cnt("0-9").as("n_digit") :+
+        // chars in NO class, digit, or whitespace: punctuation,
+        // symbols, scripts outside the class table
+        length(regexp_replace(col(textCol),
+          s"[${allRanges}0-9\\s]", "")).cast("long").as("n_other") :+
+        counts.map { case (_, c) => when(c > 0, 1L).otherwise(0L) }
+          .reduce(_ + _).as("script_count")): _*)
+  }
+
+  /** Planted multilingual fixture for [[scriptProfile]]: the driver
+    * corpus is pure ASCII (the `lang` column is a label), so six id
+    * strides append snippets covering every [[ScriptClasses]] class;
+    * the `%7==2` stride appends a Han block LONGER than the base text
+    * so `dominant_script` genuinely flips there. [[wrapScriptsSql]] is
+    * the DuckDB twin.
+    */
+  def wrapScripts(id: Column, text: Column): Column =
+    when(id % 7 === 1, concat(text, lit(" привет мир данные поток")))
+      .when(id % 7 === 2, concat(text, lit(" "),
+        repeat(lit("数据处理引擎分析内核流"), 18)))
+      .when(id % 7 === 3, concat(text, lit(" ελληνικά κείμενο देवनागरी लिपि")))
+      .when(id % 7 === 4, concat(text, lit(" مرحبا بالعالم שלום עולם")))
+      .when(id % 7 === 5, concat(text,
+        lit(" こんにちは世界 カタカナ 漢字")))
+      .when(id % 7 === 6, concat(text, lit(" 안녕하세요 세계 한글")))
+      .otherwise(text)
+
+  /** DuckDB twin of [[wrapScripts]]. */
+  def wrapScriptsSql(idExpr: String, textExpr: String): String =
+    s"""CASE
+       | WHEN $idExpr % 7 = 1 THEN $textExpr || ' привет мир данные поток'
+       | WHEN $idExpr % 7 = 2 THEN $textExpr || ' '
+       |   || repeat('数据处理引擎分析内核流', 18)
+       | WHEN $idExpr % 7 = 3 THEN $textExpr || ' ελληνικά κείμενο देवनागरी लिपि'
+       | WHEN $idExpr % 7 = 4 THEN $textExpr || ' مرحبا بالعالم שלום עולם'
+       | WHEN $idExpr % 7 = 5 THEN $textExpr || ' こんにちは世界 カタカナ 漢字'
+       | WHEN $idExpr % 7 = 6 THEN $textExpr || ' 안녕하세요 세계 한글'
+       | ELSE $textExpr END""".stripMargin.replace("\n", "")
+
   /** Repetition scoring: share of duplicate word bigrams — high values
     * flag degenerate/boilerplate text. `1 - distinct/total` over 2-gram
     * shingles; 0.0 for docs with <2 tokens.
