@@ -273,14 +273,35 @@ object Bench {
       // real plan regression breaches every attempt, rescues included
       // (the canary proves it).
       def minSpan = attempts.flatten.minOption
+      def breaching = attempts.forall(_.isDefined) &&
+        sweepThreshold(name).exists(t => minSpan.exists(_ / sweepCal > t))
       var rescues = 0
-      while (rescues < 2 && attempts.forall(_.isDefined) &&
-             sweepThreshold(name).exists(t => minSpan.exists(_ / sweepCal > t))) {
+      while (rescues < 2 && breaching) {
         System.err.println(f"[bench] sweep rescue attempt for $name " +
           f"(min ${minSpan.get / sweepCal}%.2f units > pin threshold " +
           f"${sweepThreshold(name).get}%.2f)")
         attempts = attempts :+ attempt()
         rescues += 1
+      }
+      // fresh-session rescue: SESSION-level degradation poisons every
+      // in-session attempt identically — the round-15 baseline run
+      // measured dedup_pagerank at 8.6-11.3 units on all four attempts
+      // inside the long-lived bench JVM (after the pooled + isolated
+      // phases), while a fresh local[8] session with the identical
+      // 29-query sweep prefix ran it at 1.0-1.4 units (pin 1.58). A
+      // breach that survives in-session rescues earns ONE attempt in a
+      // recycled session; a real plan regression still breaches it (the
+      // canary folds its work into every attempt, this one included).
+      if (breaching) {
+        System.err.println(s"[bench] sweep fresh-session rescue for $name")
+        swSpark.stop()
+        swSpark = GraftSession.builder(s"local[$SweepCores]", SweepCores).getOrCreate()
+        swSpark.sparkContext.setLogLevel("WARN")
+        swSpans = Monitoring.installSpans(swSpark)
+        // two attempts: a fresh session's FIRST run pays 3-7× cold
+        // JIT/codegen cost (probe-measured) and would fail to clear a
+        // false alarm on its own; the second runs warm
+        attempts = attempts ++ (1 to 2).map(_ => attempt())
       }
       val eng = minSpan
       System.err.println(f"[bench] sweep ${i + 1}%3d/${sweepNames.size} " +
