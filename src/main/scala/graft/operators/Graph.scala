@@ -52,6 +52,29 @@ object Graph {
   private def checkpointNoStats(df: DataFrame): DataFrame =
     graft.Materialize.eagerNoStats(df)
 
+  /** A named observation plus a bounded fetch of its single LONG
+    * metric. The fixed-point loops fold their per-round driver scalars
+    * (convergence sum, dangling-rank mass) into the round's checkpoint
+    * materialization as observed metrics — the scalar is computed by
+    * the job that already scans the table, instead of a dedicated
+    * agg+collect job per round. The fetch awaits the listener event
+    * with a timeout and returns None on miss (listener-bus drop), so
+    * callers can fall back to the explicit scalar job rather than
+    * hang the loop.
+    */
+  private def observedSum(tag: String)
+      : (org.apache.spark.sql.Observation, () => Option[Long]) = {
+    val obs = org.apache.spark.sql.Observation(
+      tag + "_" + java.util.UUID.randomUUID().toString)
+    val fetch = () =>
+      try {
+        val row = scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(120, "s"))
+        Some(if (row.isNullAt(0)) 0L else row.getLong(0))
+      } catch { case _: java.util.concurrent.TimeoutException => None }
+    (obs, fetch)
+  }
+
   /** Connected components over an undirected pair list (`doc_a`,
     * `doc_b`; unique, doc_a < doc_b): every vertex ends labeled with
     * its component's minimum id. Extracted from the near-dup use so ANY
@@ -113,21 +136,29 @@ object Graph {
       val parents = propagated
         .select(col("doc_id").as("pid"), col("label").as("plabel"))
       val prevLabels = labels
+      // convergence sum rides the checkpoint materialization as an
+      // observed metric (round 15): the separate labels.agg(sum) job it
+      // replaces was one full pass over the label table per round —
+      // same value, zero extra jobs. The timed fallback re-runs the old
+      // scalar job if the listener bus ever drops the metric event (a
+      // hang here would stall the whole fixed-point loop).
+      val obs = observedSum(s"graft_cc_$iters")
       labels = checkpointNoStats(propagated
         .join(parents, propagated("label") === parents("pid"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .repartition(col("doc_id")))
+        .repartition(col("doc_id"))
+        .observe(obs._1, coalesce(org.apache.spark.sql.functions.sum("label"),
+          lit(0L)).as("s")))
       // the new labels checkpoint is materialized (eager) — last round's
       // labels and this round's propagated blocks are now dead; free
       // them so a 20-round run holds O(1) label-table copies, not O(2n)
       checkpointRdd(propagated).foreach(_.unpersist(blocking = false))
       checkpointRdd(prevLabels).foreach(_.unpersist(blocking = false))
-      // coalesce: an EMPTY graph (no pairs above threshold at small
-      // corpora) must converge cleanly, not NPE on a NULL sum
-      val sum = labels
-        .agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
-        .collect()(0).getLong(0)
+      val sum = obs._2().getOrElse {
+        labels.agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
+          .collect()(0).getLong(0)
+      }
       done = sum == prevSum
       prevSum = sum
       iters += 1
@@ -173,8 +204,14 @@ object Graph {
     val verts = checkpointNoStats(edges.select(col("src").as("doc_id")).distinct()
       .repartition(col("doc_id")))
     val base = 15L * scale / 100L // (1 - d) * scale, exact in longs
-    var ranks = checkpointNoStats(verts.select(col("doc_id"), lit(scale).as("rank"))
-      .repartition(col("doc_id")))
+    // no repartition on the rank tables (round 15): verts is
+    // checkpointed pre-partitioned on doc_id, the per-round left join
+    // keeps the LEFT side's hash(doc_id) partitioning, and
+    // localCheckpoint preserves output partitioning — so the explicit
+    // per-round repartition was one full shuffle of the rank table per
+    // round for a partitioning the plan already had (plan-verified:
+    // one Exchange per round, the dst agg, instead of two)
+    var ranks = checkpointNoStats(verts.select(col("doc_id"), lit(scale).as("rank")))
     var it = 0
     while (it < iters) {
       // distribute: each vertex ships rank/outdeg to every neighbor
@@ -185,8 +222,7 @@ object Graph {
       val prev = ranks
       ranks = checkpointNoStats(verts.join(sums, verts("doc_id") === sums("dst"), "left")
         .select(col("doc_id"),
-          (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("rank"))
-        .repartition(col("doc_id")))
+          (lit(base) + expr("(85 * coalesce(m, 0L)) div 100")).as("rank")))
       checkpointRdd(prev).foreach(_.unpersist(blocking = false))
       it += 1
     }
@@ -230,18 +266,40 @@ object Graph {
     val deg = uniq.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val edges = checkpointNoStats(uniq.join(deg, Seq("src"))
       .repartition(col("src")))
+    // verts carry a dangling flag (has_out = 0 ⇔ never a `src`): the
+    // per-round dangling-rank mass is then a conditional sum OVER THE
+    // RANK TABLE ITSELF, foldable into the round's checkpoint job as
+    // an observed metric — the dedicated dangling join + agg + collect
+    // job per round (round-14's "price of absolute-mass correctness")
+    // is gone. max(has_out) replaces the old union.distinct(): same
+    // one-shuffle group-by, one extra int column.
     val verts = checkpointNoStats(
-      uniq.select(col("src").as("host"))
-        .unionByName(uniq.select(col("dst").as("host"))).distinct()
+      uniq.select(col("src").as("host"), lit(1).as("has_out"))
+        .unionByName(uniq.select(col("dst").as("host"), lit(0).as("has_out")))
+        .groupBy(col("host")).agg(max(col("has_out")).as("has_out"))
         .repartition(col("host")))
-    // dangling = vertices with no outgoing edge (never a `src`)
-    lazy val dangling = checkpointNoStats(
-      verts.join(uniq.select(col("src").as("host")).distinct(),
-        Seq("host"), "left_anti"))
-    lazy val nVerts = verts.count()
     val base = 15L * scale / 100L
-    var ranks = checkpointNoStats(verts.select(col("host"), lit(scale).as("rank"))
-      .repartition(col("host")))
+    // round-0 scalars (vertex count + dangling count → the first
+    // round's share) ride the initial rank checkpoint the same way
+    val danglingMass =
+      coalesce(sum(when(col("has_out") === 0, col("rank"))), lit(0L)).as("s")
+    val obs0 = observedSum("graft_pr_dangling_0")
+    val nObs = org.apache.spark.sql.Observation(
+      "graft_pr_n_" + java.util.UUID.randomUUID().toString)
+    // no repartition on the rank tables (round 15): the left join
+    // keeps verts' hash(host) partitioning and localCheckpoint
+    // preserves it — the per-round repartition was a redundant full
+    // shuffle (plan-verified: one Exchange per round, the dst agg)
+    var ranks = checkpointNoStats(verts
+      .select(col("host"), col("has_out"), lit(scale).as("rank"))
+      .observe(obs0._1, danglingMass)
+      .observe(nObs, count(lit(1)).as("n")))
+    lazy val nVerts: Long =
+      try scala.concurrent.Await
+        .result(nObs.future, scala.concurrent.duration.Duration(120, "s"))
+        .getLong(0)
+      catch { case _: java.util.concurrent.TimeoutException => verts.count() }
+    var nextDangling: () => Option[Long] = obs0._2
     var it = 0
     while (it < iters) {
       // per-vertex share of the dangling mass this round (0 when the
@@ -250,24 +308,29 @@ object Graph {
       // already applies everywhere
       val share: Long =
         if (!redistributeDangling) 0L
-        else ranks.join(dangling, Seq("host"))
-          .agg(coalesce(sum(col("rank")), lit(0L))).collect()(0).getLong(0) / nVerts
+        else {
+          val mass = nextDangling().getOrElse {
+            ranks.agg(coalesce(sum(when(col("has_out") === 0, col("rank"))),
+              lit(0L))).collect()(0).getLong(0)
+          }
+          if (nVerts == 0) 0L else mass / nVerts
+        }
       val sums = edges.join(ranks, edges("src") === ranks("host"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
       val prev = ranks
+      val obsI = observedSum(s"graft_pr_dangling_${it + 1}")
       ranks = checkpointNoStats(verts.join(sums, verts("host") === sums("dst"), "left")
-        .select(col("host"),
+        .select(verts("host"), col("has_out"),
           (lit(base) + expr(s"(85 * (coalesce(m, 0L) + $share)) div 100")).as("rank"))
-        .repartition(col("host")))
+        .observe(obsI._1, danglingMass))
+      nextDangling = obsI._2
       checkpointRdd(prev).foreach(_.unpersist(blocking = false))
       it += 1
     }
     val out = ranks.select(col("host"), col("rank").as("rank_fp"))
     checkpointRdd(verts).foreach(_.unpersist(blocking = false))
     checkpointRdd(edges).foreach(_.unpersist(blocking = false))
-    if (redistributeDangling)
-      checkpointRdd(dangling).foreach(_.unpersist(blocking = false))
     out
   }
 

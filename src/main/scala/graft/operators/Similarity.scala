@@ -233,6 +233,18 @@ object Similarity {
   def kmeansProbeCellsExpr(vecCol: Column, centroids: Array[Array[Double]],
                            nProbes: Int): Column = {
     require(centroids.nonEmpty)
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftPlanFactory.column(graft.plans.KmeansProbeCellsExpr(
+      GraftPlanFactory.expression(vecCol), centroids.map(_.clone()), nProbes))
+  }
+
+  /** Pre-round-15 composed form of [[kmeansProbeCellsExpr]] — spec
+    * parity reference (see [[kmeansAssignExprComposed]]).
+    */
+  private[graft] def kmeansProbeCellsExprComposed(vecCol: Column,
+                                                  centroids: Array[Array[Double]],
+                                                  nProbes: Int): Column = {
+    require(centroids.nonEmpty)
     val structs = centroids.zipWithIndex.map { case (c, j) =>
       val cc = c.foldLeft(0.0)((acc, x) => acc + x * x)
       struct(
@@ -559,6 +571,23 @@ object Similarity {
     */
   def kmeansAssignExpr(vecCol: Column, centroids: Array[Array[Double]]): Column = {
     require(centroids.nonEmpty)
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftPlanFactory.column(graft.plans.KmeansArgminExpr(
+      GraftPlanFactory.expression(vecCol), centroids.map(_.clone())))
+  }
+
+  /** The pre-round-15 composed form of [[kmeansAssignExpr]] — a
+    * `least()` fold over (‖c‖²−2·v·c, j) structs with the centroid
+    * norms as codegen-source literals. Kept as the kernel's spec-pinned
+    * parity reference: every Lloyd iteration changes the centroid
+    * constants, so this form recompiles its k×dims janino class per
+    * iteration (and at k×dims past the 64 KB method limit falls back
+    * to interpreted evaluation), which is why the reference-object
+    * kernel replaced it on the query path.
+    */
+  private[graft] def kmeansAssignExprComposed(vecCol: Column,
+                                              centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty)
     val structs = centroids.zipWithIndex.map { case (c, j) =>
       val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as dotSql
       struct(
@@ -704,24 +733,19 @@ object Similarity {
     if (centroids.isEmpty)
       return emb.select(col(idCol).as("vec_id"), lit(0).as("cluster_id"),
         lit(0d).as("proto_cos"), lit(0).as("rnk")).limit(0)
-    val structs = centroids.zipWithIndex.map { case (c, j) =>
-      val cc = c.foldLeft(0.0)((acc, x) => acc + x * x) // same fold as dotSql
-      struct(
-        (lit(cc) - lit(2.0) * call_function("graft_dot", col(vecCol),
-          typedLit(c.toSeq))).as("s"),
-        lit(j).as("c"),
-        round(call_function("graft_dot", col(vecCol), typedLit(c.toSeq)) /
-          (sqrt(call_function("graft_dot", col(vecCol),
-            col(vecCol).cast("array<double>"))) * lit(math.sqrt(cc))), 6)
-          .as("cos"))
-    }
-    val m = if (structs.length == 1) structs.head
-            else least(structs.toIndexedSeq: _*)
+    // native argmin+cos kernel (round 15) — the composed (s, c, cos)
+    // struct least() it replaced selected by the same (s, j) ordering
+    // and rounded the cos INSIDE the struct; rounding commutes with
+    // selection (it never fed the ordering), so round(…, 6) moves out
+    // here unchanged
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    val m = GraftPlanFactory.column(graft.plans.KmeansArgminCosExpr(
+      GraftPlanFactory.expression(col(vecCol)), centroids.map(_.clone())))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("proto_cos").desc, col("vec_id"))
     emb.select(col(idCol).as("vec_id"), m.as("__m"))
       .select(col("vec_id"), col("__m").getField("c").as("cluster_id"),
-        col("__m").getField("cos").as("proto_cos"))
+        round(col("__m").getField("cos"), 6).as("proto_cos"))
       .withColumn("rnk", row_number().over(w))
   }
 
