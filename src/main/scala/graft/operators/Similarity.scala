@@ -620,6 +620,16 @@ object Similarity {
     // the accumulated tree at every step: 2^k duplicates of the first
     // struct, blowing past codegen limits into exponential interpreted
     // evaluation — measured 19.8s vs 1.3s for this k=8 assignment.)
+    // NOTE (round 15): the optimizer collapses the assignment ABOVE
+    // the Generate here, so the argmin kernel re-runs per EXPLODED row
+    // (dims× per vector). For PQ training (2048 mults + struct/Decimal
+    // allocation per eval) that recompute dominated and
+    // pqCodebooksTrained moved the kernel into the generator argument;
+    // for THIS k=8×64 argmin the recompute is ~50 ms/iteration at
+    // sf0.1 while the alternative (dims per-position sum aggregates
+    // under the assignment key) measured 0.27 s/iteration SLOWER —
+    // the 129-buffer HashAggregate costs more than the recompute it
+    // saves. Measured both; the explode form stays.
     var it = 0
     while (it < iters && dims > 0) {
       val sums = emb
@@ -1143,24 +1153,45 @@ object Similarity {
     val dsub = cbs.head.head.length
     val Q = 1048576.0 // 2^20, the kmeansCentroids fixed-point grid
     var it = 0
+    // Generator-argument placement: posexplode(enc.codes) evaluates
+    // the encode kernel ONCE per input row. The previous
+    // select(enc.codes, posexplode(vec)) form let the optimizer
+    // collapse the kernel ABOVE the Generate, re-encoding every vector
+    // dims× (measured: 1.2 s/iteration on 2000 rows at sf0.1). The
+    // subspace slice sums ride dsub per-position aggregates under the
+    // (mi, code) group — bit-identical values: same floor(v·2^20+0.5)
+    // longs, same per-(mi,code,spos) counts (when-guards reproduce the
+    // explode form's ragged-vector semantics; a (mi,code,spos) cell
+    // with zero contributions keeps its previous codebook entry
+    // exactly as a missing group did).
     while (it < iters) {
       val enc = GraftPlanFactory.column(graft.plans.PqEncodeExpr(
         GraftPlanFactory.expression(col(vecCol)), cbs))
-      val mi = floor(col("pos") / dsub).cast("int")
+      val aggs = (0 until dsub).flatMap { sp =>
+        val idx = col("mi") * dsub + sp + 1
+        val inRange = size(col("__v")) >= idx
+        Seq(
+          sum(when(inRange,
+            floor(element_at(col("__v"), idx).cast("double") * Q + lit(0.5))
+              .cast("long"))).as(s"s$sp"),
+          sum(when(inRange, lit(1L))).as(s"n$sp"))
+      }
       val sums = train
-        .select(enc.getField("codes").as("__codes"),
-          posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .select(mi.as("mi"),
-          element_at(col("__codes"), mi + 1).as("code"),
-          (col("pos") % dsub).as("spos"),
-          floor(col("v").cast("double") * Q + lit(0.5)).cast("long").as("q"))
-        .groupBy(col("mi"), col("code"), col("spos"))
-        .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+        .select(posexplode(enc.getField("codes")).as(Seq("mi", "code")),
+          col(vecCol).as("__v"))
+        .groupBy(col("mi"), col("code"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
       val next = cbs.map(_.map(_.clone()))
       sums.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          r.getLong(3).toDouble / Q / r.getLong(4)
+        val mi = r.getInt(0); val code = r.getInt(1)
+        var sp = 0
+        while (sp < dsub) {
+          val si = 2 + 2 * sp
+          if (!r.isNullAt(si) && r.getLong(si + 1) > 0L)
+            next(mi)(code)(sp) = r.getLong(si).toDouble / Q / r.getLong(si + 1)
+          sp += 1
+        }
       }
       cbs = next
       it += 1
