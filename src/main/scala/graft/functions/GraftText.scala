@@ -285,6 +285,71 @@ object GraftText {
     pi == pe // path exhausted: anchored needs full-pattern consumption
   }
 
+  private val Allow = UTF8String.fromString("allow")
+
+  /** Winning robots rule for one path over a host's (rtype, rpath)
+    * rule array — the whole
+    * `array_max(transform(filter(rules, robotsMatch), struct(...)))`
+    * winner selection as ONE flat loop per URL (the HOF form runs
+    * interpreted: per-rule lambda dispatch, a filtered array and a
+    * struct allocation per matching rule, then an interpreted
+    * struct-ordering max — per-frontier-row costs that a byte walk
+    * plus one running four-field compare replaces).
+    *
+    * Bit-compatibility with the composed form (pinned by HtmlSpec):
+    * specificity = CHARACTER length of the raw pattern (Spark
+    * `length()` = numChars), `allow` wins length ties (pref 1 > 0),
+    * further ties resolve by the composed struct ordering's remaining
+    * fields — rpath then rtype, each in UTF8String binary order with
+    * null smallest. Entries whose rpath is null are skipped exactly as
+    * the HOF filter drops a null lambda result. Returns the winning
+    * (l, pref, rpath, rtype) row, or null when nothing matches —
+    * callers read rpath/rtype/isNull exactly as before.
+    */
+  def robotsWinner(path: UTF8String,
+                   rules: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = rules.numElements()
+    var bestL = 0
+    var bestPref = 0
+    var bestRpath: UTF8String = null
+    var bestRtype: UTF8String = null
+    var found = false
+    var i = 0
+    while (i < n) {
+      if (!rules.isNullAt(i)) {
+        val row = rules.getStruct(i, 2)
+        val rtype = if (row.isNullAt(0)) null else row.getUTF8String(0)
+        val rpath = if (row.isNullAt(1)) null else row.getUTF8String(1)
+        if (rpath != null && robotsMatch(path, rpath)) {
+          val l = rpath.numChars()
+          val pref = if (rtype != null && Allow.equals(rtype)) 1 else 0
+          val better = !found || {
+            if (l != bestL) l > bestL
+            else if (pref != bestPref) pref > bestPref
+            else {
+              // rpath: both non-null here (matched); binary order
+              val c = rpath.compareTo(bestRpath)
+              if (c != 0) c > 0
+              else { // rtype: null smallest, else binary order
+                if (rtype == null) false
+                else if (bestRtype == null) true
+                else rtype.compareTo(bestRtype) > 0
+              }
+            }
+          }
+          if (better) {
+            bestL = l; bestPref = pref; bestRpath = rpath; bestRtype = rtype
+            found = true
+          }
+        }
+      }
+      i += 1
+    }
+    if (!found) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestL, bestPref, bestRpath, bestRtype))
+  }
+
   def sigAgree(a: ArrayData, b: ArrayData): Int = {
     val n = math.min(a.numElements(), b.numElements())
     var i = 0

@@ -93,6 +93,18 @@ object TextFunctions {
       GraftPlanFactory.expression(path), GraftPlanFactory.expression(pattern)))
   }
 
+  /** Winning robots rule for a path over a host's (rtype, rpath) rule
+    * array — native codegen'd expression (graft.plans.RobotsWinnerExpr):
+    * the whole filter/specificity-struct/array_max winner selection as
+    * one flat kernel call per frontier URL. Returns the winning
+    * (l, pref, rpath, rtype) struct, null when no rule matches.
+    */
+  def robotsWinner(path: Column, rules: Column): Column = {
+    import org.apache.spark.sql.classic.GraftPlanFactory
+    GraftPlanFactory.column(graft.plans.RobotsWinnerExpr(
+      GraftPlanFactory.expression(path), GraftPlanFactory.expression(rules)))
+  }
+
   /** One-pass quality-stats struct over raw text — native codegen'd
     * expression (graft.plans.QualityStatsExpr): tokenize + token-length
     * sum + stopword count + punct count fused into one kernel call per

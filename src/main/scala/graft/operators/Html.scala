@@ -491,11 +491,23 @@ object Html {
     * GraftText.robotsMatch byte walk, no per-rule regex compile), the
     * most specific match winning where specificity is the raw PATTERN
     * length (the public robots.txt convention — wildcard rules count
-    * their `*`/`$` octets), `allow` winning length ties — an
-    * `array_max` over a sortable struct, zero shuffle. NULL when no
-    * rule matches.
+    * their `*`/`$` octets), `allow` winning length ties. NULL when no
+    * rule matches. One native kernel call per frontier URL
+    * (graft.plans.RobotsWinnerExpr) since round 15 — the
+    * filter/transform/array_max HOF composition it replaces
+    * ([[robotsWinnerComposed]], the spec-pinned parity reference) ran
+    * INTERPRETED per URL: per-rule lambda dispatch plus a filtered
+    * array and a struct allocation per matching rule, on the one scan
+    * that touches every frontier row.
     */
   def robotsWinner(path: Column, rulesArr: Column): Column =
+    graft.functions.TextFunctions.robotsWinner(path, rulesArr)
+
+  /** The HOF-composed winner — parity reference for the native kernel
+    * (HtmlSpec pins native ≡ composed on fixture and adversarial
+    * rules); NOT on the query path.
+    */
+  private[graft] def robotsWinnerComposed(path: Column, rulesArr: Column): Column =
     array_max(transform(
       filter(rulesArr, r =>
         graft.functions.TextFunctions.robotsMatch(path, r.getField("rpath"))),

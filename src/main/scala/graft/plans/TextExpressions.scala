@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native tokenize/shingle expressions for the dedup scan path.
@@ -182,6 +182,43 @@ case class RobotsMatchExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.GraftText.robotsMatch($a, $b);")
+}
+
+/** Winning robots rule per (path, host-rule-array) — the whole
+  * filter-by-match / project-to-sortable-struct / array_max winner
+  * selection as one kernel call (GraftText.robotsWinner). The HOF
+  * composition it replaces ran INTERPRETED per frontier URL (higher-
+  * order functions never enter whole-stage codegen): per-rule lambda
+  * dispatch, a filtered-array + per-matching-rule struct allocation,
+  * then an interpreted struct-ordering max. Output struct and winner
+  * semantics are bit-identical (HtmlSpec pins native ≡ composed on the
+  * fixture rules and on adversarial tie/wildcard/anchor cases).
+  */
+case class RobotsWinnerExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("l", IntegerType, nullable = false),
+    StructField("pref", IntegerType, nullable = false),
+    StructField("rpath", StringType, nullable = true),
+    StructField("rtype", StringType, nullable = true)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_robots_winner"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(path: Any, rules: Any): Any =
+    graft.functions.GraftText.robotsWinner(
+      path.asInstanceOf[UTF8String], rules.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the kernel returns null for a no-match row even when both inputs
+    // are non-null, so isNull must be re-derived from the result (the
+    // plain nullSafeCodeGen contract assumes kernels never do that)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${ev.value} = graft.functions.GraftText.robotsWinner($a, $b);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
 }
 
 case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {

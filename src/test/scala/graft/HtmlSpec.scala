@@ -248,11 +248,64 @@ class HtmlSpec extends AnyFunSuite {
     assert(byId(2L) == (false, "/p*q"))
     assert(byId(3L) == (true, "/z*9"))
     assert(byId(4L) == (true, ""))
-    // the per-rule predicate must be the native byte-walk expression,
-    // not a per-row regex compile
+    // the winner selection must be the native one-call kernel (which
+    // byte-walks every rule internally), not a per-row regex compile
+    // and not the interpreted filter/transform/array_max HOF chain
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_robots_match"), s"native matcher missing:\n$plan")
+    assert(plan.contains("graft_robots_winner"), s"native winner missing:\n$plan")
     assert(!plan.toLowerCase.contains("rlike"), s"regex fallback in plan:\n$plan")
+    assert(!plan.contains("array_max"), s"HOF winner back in the plan:\n$plan")
+  }
+
+  test("robots winner kernel ≡ composed HOF form (fixture + adversarial ties)") {
+    // fixture rules (wildcards/anchors that BITE) + hand-built
+    // adversarial arrays: equal-length allow/disallow ties, ties that
+    // fall through to the rpath then rtype orderings, empty rule
+    // arrays, no-match rows, hosts with no rules (null array), and
+    // multi-byte paths
+    val robots = Tables.documents(spark, sf).select(col("source")).distinct()
+      .select(concat(col("source"), lit(".example.com")).as("host"),
+        Html.wrapRobotsTxt(col("source")).as("content"))
+    val rules = Html.robotsRuleArrays(
+      Html.robotsRules(robots, "host", "content"), "graftbot")
+    val frontier = Tables.documents(spark, sf).select(col("doc_id"),
+      concat(lit("https://"), col("source"), lit(".example.com/articles/item"),
+        col("doc_id")).as("url"))
+    val canon = Html.urlNormalize(col("url"))
+    val u = frontier.select(col("doc_id"),
+      regexp_extract(canon, Html.HostOfUrlPat, 1).as("host"),
+      regexp_extract(canon, Html.PathOfUrlPat, 1).as("path"))
+      .join(broadcast(rules), col("host") === col("__rhost"), "left")
+    val both = u.select(col("doc_id"),
+      Html.robotsWinner(col("path"), col("__rules")).as("n"),
+      Html.robotsWinnerComposed(col("path"), col("__rules")).as("c"))
+    assert(both.filter(!(col("n") <=> col("c"))).count() == 0,
+      "native winner diverged from composed form on the fixture frontier")
+
+    val adv = Seq(
+      // equal length, allow vs disallow → allow (pref)
+      ("/same", Seq(("disallow", "/same"), ("allow", "/sam*"))),
+      // equal length AND pref → larger rpath wins (binary order)
+      ("/ab", Seq(("allow", "/a*"), ("allow", "/ab"))),
+      // identical rpath, rtype tie-break
+      ("/t", Seq(("allow", "/t"), ("disallow", "/t"))),
+      // no rule matches → null winner
+      ("/nothing", Seq(("disallow", "/x"), ("allow", "/y$"))),
+      // empty array → null winner
+      ("/e", Seq.empty[(String, String)]),
+      // multi-byte path under a wildcard
+      ("/über/item1", Seq(("disallow", "/*/item1"), ("allow", "/*/item1$"))),
+      // anchored vs prefix at same raw length
+      ("/pq", Seq(("disallow", "/pq$"), ("allow", "/pq*")))
+    ).toDF("path", "rules0")
+      .select(col("path"), expr(
+        "transform(rules0, r -> named_struct('rtype', r._1, 'rpath', r._2))")
+        .as("__rules"))
+    val advBoth = adv.select(col("path"),
+      Html.robotsWinner(col("path"), col("__rules")).as("n"),
+      Html.robotsWinnerComposed(col("path"), col("__rules")).as("c"))
+    val bad = advBoth.filter(!(col("n") <=> col("c"))).collect()
+    assert(bad.isEmpty, s"adversarial divergence: ${bad.mkString("; ")}")
   }
 
   test("robots.txt directives: crawl-delay group shadowing, sitemaps are global") {
