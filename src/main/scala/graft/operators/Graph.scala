@@ -122,18 +122,22 @@ object Graph {
         .join(labels, bidir("doc_b") === labels("doc_id"))
         .groupBy(bidir("doc_a").as("nid"))
         .agg(min(col("label")).as("nlabel"))
-      // materialized: `propagated` feeds both sides of the pointer-jump
-      // self-join below — without the cut the propagation join+agg
-      // subtree executes twice per round
       val propagated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .materialized
-      // pointer jump: labels are always doc_ids of the vertex set, so
-      // label-of-label is a self-join — one extra hop per round buys
-      // exponentially faster convergence on long chains
-      val parents = propagated
+      // pointer jump THROUGH THE PREVIOUS ROUND'S labels — the classic
+      // L(L(v)) formulation: labels are always doc_ids of the vertex
+      // set, so label-of-label is a join against the last checkpoint.
+      // Jumping through `propagated` itself (this round's fresher
+      // labels) would converge in slightly fewer rounds but needs a
+      // mid-round materialization of `propagated` (it would feed both
+      // sides of a self-join) — measured at sf0.1: the stale jump cuts
+      // one localCheckpoint + one full label-table pass per round and
+      // wins net wall even when it costs an extra round. Labels only
+      // ever decrease toward the component minimum either way, so the
+      // fixpoint — and the query result — is unchanged.
+      val parents = labels
         .select(col("doc_id").as("pid"), col("label").as("plabel"))
       val prevLabels = labels
       // convergence sum rides the checkpoint materialization as an
@@ -143,17 +147,22 @@ object Graph {
       // scalar job if the listener bus ever drops the metric event (a
       // hang here would stall the whole fixed-point loop).
       val obs = observedSum(s"graft_cc_$iters")
-      labels = checkpointNoStats(propagated
-        .join(parents, propagated("label") === parents("pid"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+      // round 1's jump is PROVABLY the identity (labels start as the
+      // identity map, so plabel == pid == label for every lookup) —
+      // skip its join+shuffle outright
+      val jumped =
+        if (iters == 0) propagated
+        else propagated
+          .join(parents, propagated("label") === parents("pid"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+      labels = checkpointNoStats(jumped
         .repartition(col("doc_id"))
         .observe(obs._1, coalesce(org.apache.spark.sql.functions.sum("label"),
           lit(0L)).as("s")))
       // the new labels checkpoint is materialized (eager) — last round's
-      // labels and this round's propagated blocks are now dead; free
-      // them so a 20-round run holds O(1) label-table copies, not O(2n)
-      checkpointRdd(propagated).foreach(_.unpersist(blocking = false))
+      // labels blocks are now dead; free them so a 20-round run holds
+      // O(1) label-table copies, not O(n)
       checkpointRdd(prevLabels).foreach(_.unpersist(blocking = false))
       val sum = obs._2().getOrElse {
         labels.agg(coalesce(org.apache.spark.sql.functions.sum("label"), lit(0L)))
