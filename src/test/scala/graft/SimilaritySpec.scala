@@ -175,6 +175,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(scaled == fixed)
   }
 
+  test("autoPlanes ≡ the oracle CASE ladder on every boundary; auto form sound at np > 5") {
+    // Independent model of lshBucketsAutoCte's generated SQL: the CASE
+    // ladder returns the FIRST k in [5, stride) with cnt <= 128*2^k,
+    // ELSE stride. Both driver SFs sit at the np=5 floor, so the
+    // formula's non-floor agreement is pinned here, not by the oracle
+    // selfchecks.
+    val stride = Similarity.AutoPlaneStride
+    def ladder(cnt: Long, target: Long = 128L): Int =
+      (5 until stride).find(k => cnt <= target * (1L << k)).getOrElse(stride)
+    val boundaries = (5 until stride).flatMap { k =>
+      val edge = 128L * (1L << k); Seq(edge - 1, edge, edge + 1)
+    }
+    val probes = Seq(0L, 1L, 500L, 2000L, 4096L, 4097L,
+      128L * (1L << (stride - 1)) + 1, Long.MaxValue / 4) ++ boundaries
+    probes.foreach { n =>
+      assert(Similarity.autoPlanes(n) == ladder(n),
+        s"autoPlanes($n)=${Similarity.autoPlanes(n)} != ladder=${ladder(n)}")
+    }
+    // end-to-end at a NON-floor plane count: a small targetBucket
+    // forces np=7 on the driver fixture; precision vs brute force must
+    // stay 1.0 (every candidate is exact-cosine checked, any bucketing)
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    assert(Similarity.autoPlanes(n, targetBucket = 8) > 5,
+      "fixture too small to force a non-floor plane count")
+    val auto = Similarity.embeddingPairsAuto(emb, "vec_id", "embedding", 0.4,
+        targetBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Similarity.embeddingPairsBrute(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(want), "auto form produced a pair brute force did not")
+    assert(auto.nonEmpty, "np>5 bucketing lost every true pair on the fixture")
+  }
+
   test("minhash bucket cap bounds identical-doc floods without losing normal pairs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
