@@ -125,10 +125,35 @@ object Bench {
     val alwaysIsolate: Seq[String] =
       if (sfDir.endsWith("sf0.1")) Seq("knn_ivf_trained", "semantic_clusters")
       else Seq.empty
+    // Fixed per-query report set (round 16, VERDICT r15 item 2): the
+    // driver's PERF comparison parses the LAST stdout line, whose
+    // `queries` map had been empty since round 8 (a 182-entry map
+    // cannot survive the ~2000-char stdout tail), leaving per-query
+    // and scaling comparisons dark two rounds running. These ~26
+    // names are the stable heavy tail (the top sweep cal-units of the
+    // round-15 close, plus exact_substr_dedup from the verdict's
+    // worklist); their ISOLATED wall seconds — measured fresh-session,
+    // min-of-2, at local[$SPARK_GRAFT_CPUS], so the driver's low-cpu
+    // run sees real scaling — fit the tail at 2 decimals (~700 chars).
+    // Membership is append-only across rounds (driver contract).
+    val fixedReport: Seq[String] = Seq(
+      "host_reputation", "host_rank", "crawl_discover", "semantic_clusters",
+      "dedup_pagerank", "dedup_clusters", "knn_ivfpq_residual_trained",
+      "politeness_schedule", "knn_ivfpq_refine", "dsir_weights",
+      "ngram_lm_backoff", "politeness_schedule_quota", "knn_ivfpq_residual",
+      "curation_pipeline", "link_graph", "line_dedup_incremental",
+      "ngram_lm_perplexity", "knn_ivf_trained", "crawl_pipeline",
+      "knn_pq_trained", "q21_sole_late_supplier", "robots_txt_filter",
+      "doc_anchors", "dedup_embedding", "semantic_dedup", "exact_substr_dedup")
     val topN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "8").toInt
     val ok = results.filter(_._3)
-    val isoNames = (ok.sortBy(-_._2).take(topN).map(_._1) ++
+    // core set = historical top-8-pooled + unconditional pins: the
+    // cross-round `isolated`/`engine` maps keep exactly this
+    // membership (and the final stdout line stays within the tail)
+    val coreIsoNames = (ok.sortBy(-_._2).take(topN).map(_._1) ++
       alwaysIsolate.filter(k => ok.exists(_._1 == k))).distinct
+    val isoNames = (coreIsoNames ++
+      fixedReport.filter(k => ok.exists(_._1 == k))).distinct
     // engine span = SUM of every action's engine duration inside the
     // attempt (not just the tagged final save): iterative queries do
     // most of their engine work in per-round untagged actions, and the
@@ -335,9 +360,13 @@ object Bench {
       .mkString("[", ",", "]")
 
     def optNum(v: Option[Double]): String = v.fold("null")(fmt)
-    val iso = isolated.map { case (k, v, _, _) => "\"" + k + "\":" + optNum(v) }
+    // cross-round continuity maps: core membership only (the final
+    // stdout line must fit the tail; the fixed-set numbers ride the
+    // `queries` map there, and everything lands in the file artifact)
+    val isolatedCore = isolated.filter(r => coreIsoNames.contains(r._1))
+    val iso = isolatedCore.map { case (k, v, _, _) => "\"" + k + "\":" + optNum(v) }
       .mkString("{", ",", "}")
-    val engJson = isolated.map { case (k, _, e, _) => "\"" + k + "\":" + optNum(e) }
+    val engJson = isolatedCore.map { case (k, _, e, _) => "\"" + k + "\":" + optNum(e) }
       .mkString("{", ",", "}")
     val isoFailedNames = isolated.collect { case (k, _, _, false) => k }
     // the sweep is the ONE regression system (round 15): every
@@ -346,8 +375,14 @@ object Bench {
     val regressions = sweepRegressions.mkString("[", ",", "]")
     val failedAll = (results.collect { case (k, _, false) => k } ++ isoFailedNames)
       .distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // file artifact carries the COMPLETE isolated maps (core + fixed
+    // report set); the stdout lines carry the tail-sized subsets
+    val isoAll = isolated.map { case (k, v, _, _) => "\"" + k + "\":" + optNum(v) }
+      .mkString("{", ",", "}")
+    val engAll = isolated.map { case (k, _, e, _) => "\"" + k + "\":" + optNum(e) }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_engine":$qsEngine,"isolated":$iso,"engine":$engJson,"queries_engine_isolated":$sweepJson,"sweep_sf":"${if (sweepOn) sweepDir else ""}","sweep_failed":$sweepFailed,"sweep_cal_sec":${fmt(sweepCal)},"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_engine":$qsEngine,"isolated":$isoAll,"engine":$engAll,"queries_engine_isolated":$sweepJson,"sweep_sf":"${if (sweepOn) sweepDir else ""}","sweep_failed":$sweepFailed,"sweep_cal_sec":${fmt(sweepCal)},"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir"}"""
     // durable copies of the SAME line: one under target/, one at the
     // repo root (BENCH_full_latest.json) so every per-query timing is
     // machine-readable even if the stdout capture truncates
@@ -372,7 +407,19 @@ object Bench {
         if (units.isEmpty) 0.0 else units(((units.size - 1) * q).toInt)
       s"""{"n":${sweep.size},"n_ok":${sweepOk.size},"p50_cal_units":${fmt(pct(0.5))},"p99_cal_units":${fmt(pct(0.99))},"pinned":${sweepPins.size}}"""
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"n_queries":${results.size},"isolated":$iso,"engine":$engJson,"sweep":$sweepSummary,"sweep_failed":$sweepFailed,"sweep_cal_sec":${fmt(sweepCal)},"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir","queries_file":"BENCH_full_latest.json"}""")
+    // `queries` on the FINAL line (the one the driver parses): the
+    // fixed report set's ISOLATED wall seconds at 2 decimals —
+    // ~700 chars, fits the ~2000-char stdout tail whole, and restores
+    // the driver's per-query/geomean/scaling comparisons (dark since
+    // round 8's full-map truncation). Names absent here crashed
+    // isolated and are listed in `failed`; the full 182-entry pooled
+    // map still lives in BENCH_full_latest.json / the earlier line.
+    def fmt2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val isoByName = isolated.map(r => r._1 -> r._2).toMap
+    val fixedQs = fixedReport.flatMap(k => isoByName.get(k).flatten.map(v =>
+      "\"" + k + "\":" + fmt2(v))).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fixedQs,"n_queries":${results.size},"isolated":$iso,"engine":$engJson,"sweep":$sweepSummary,"sweep_failed":$sweepFailed,"sweep_cal_sec":${fmt(sweepCal)},"cal_sec":${fmt(cal)},"regressions":$regressions,"failed":$failedAll,"sf":"$sfDir","queries_file":"BENCH_full_latest.json"}""")
     swSpark.stop()
   }
 }

@@ -328,23 +328,32 @@ object Curation {
     *
     * Scale shape: every stage keeps its own audited shape (extract
     * map-side; gate a filter; dedup one fingerprint aggregation whose
-    * shuffle is a digest + id; shards the two-pass prefix sum). The
-    * survivor ID SET is materialized (a long per kept page) and the
-    * extract re-runs on the semi-joined side — at corpus scale
-    * re-running a map-side extract beats persisting the extracted
-    * text, the same ids-not-text judgment as [[Dedup.corpusDedup]].
+    * shuffle is a digest + id; shards the two-pass prefix sum) — and
+    * the HTML parse runs ONCE. Every stage past the extract needs only
+    * (id, content fingerprint, token count): three narrow values per
+    * page, materialized as `meta`, so the dedup aggregation, the
+    * survivor semi-join and both prefix-sum passes read persisted
+    * ~50-byte rows instead of re-parsing HTML (guide §8 — decide with
+    * lightweight proxies; §1.2 — don't recompute what you kept). The
+    * previous shape re-ran the extract on the semi-joined side — two
+    * parses of every page at any scale (the prefix sum's second pass
+    * already rode the sort's shuffle files).
     */
   def crawlPipeline(pages: DataFrame, idCol: String, htmlCol: String,
                     minTok: Int = 5, maxTok: Int = 10000,
                     budgetTokens: Long = 2000L): DataFrame = {
-    val gated = Html.htmlExtract(pages, idCol, htmlCol)
-      .select(col(idCol), col("clean_text"))
-      .filter(size(TextFunctions.tokens(col("clean_text")))
-        .between(minTok, maxTok))
-    val survivors = Dedup.exact(gated, idCol, "clean_text")
-      .select(col("survivor_id").as("__sid")).materialized
-    val surv = gated.join(survivors, col(idCol) === col("__sid"), "left_semi")
-    shardManifest(trainingShards(surv, idCol, "clean_text", budgetTokens), idCol)
+    val meta = Html.htmlExtract(pages, idCol, htmlCol)
+      .select(col(idCol),
+        // [[Dedup.exact]]'s fingerprint, precomputed on the one parse
+        md5(col("clean_text").cast("binary")).as("__fp"),
+        size(TextFunctions.tokens(col("clean_text"))).as("n_tokens"))
+      .filter(col("n_tokens").between(minTok, maxTok))
+      .materialized
+    val survivors = meta.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__sid")).select(col("__sid"))
+    val surv = meta.join(survivors, col(idCol) === col("__sid"), "left_semi")
+    shardManifest(trainingShardsCounted(
+      surv.select(col(idCol), col("n_tokens")), idCol, budgetTokens), idCol)
   }
 
   /** Document-ALIGNED sequence packing (next-fit): unlike
@@ -601,12 +610,24 @@ object Curation {
     * the second pass, so the data moves once.
     */
   def trainingShards(docs: DataFrame, idCol: String, textCol: String,
-                     budgetTokens: Long): DataFrame = {
+                     budgetTokens: Long): DataFrame =
+    trainingShardsCounted(docs.select(
+      col(idCol),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens")),
+      idCol, budgetTokens)
+
+  /** [[trainingShards]] over PRECOMPUTED token counts — `docs` is
+    * (idCol, n_tokens). Composites that already paid a tokenize pass
+    * ([[crawlPipeline]]'s one-parse meta table) feed their counts
+    * straight in, so document text never flows into the shard sort.
+    */
+  def trainingShardsCounted(docs: DataFrame, idCol: String,
+                            budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive: $budgetTokens")
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val sorted = docs.select(
         col(idCol),
-        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"),
+        col("n_tokens").cast("long").as("n_tokens"),
         phash(concat(lit("shuffle|"), col(idCol).cast("string"))).as("__h"))
       .orderBy(col("__h"), col(idCol))
     val nIdx = 1 // n_tokens position in the sorted row

@@ -85,19 +85,23 @@ object Dedup {
       .select(col("doc_id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** LSH banding rows for a signature table: one (doc_id, sig, band,
-    * bkey) row per band, bkey a 60-bit hash of the band's signature
-    * slice — the bucket key every LSH consumer equi-joins on.
+  /** LSH banding rows for a signature table: one (doc_id, band, bkey)
+    * row per band — three longs; bkey a 60-bit hash of the band's
+    * signature slice, the bucket key every LSH consumer equi-joins on.
+    * Signatures deliberately do NOT ride along: every consumer joins
+    * candidates on ids and fetches signatures once per unique pair, so
+    * the band table (and any bucket exchange over it) stays k× narrower
+    * than a sig-carrying layout.
     */
   private def bandRows(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
-    sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), b =>
         struct(b.as("band"),
           phash(concat(b.cast("string"), lit("|"),
             concat_ws(",", transform(sequence(lit(0), lit(rows - 1)),
               r => element_at(col("sig"), b * rows + r + 1).cast("string"))))).as("bkey"))))
         .as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
 
   /** `maxBucket` (default unbounded, keeps the oracle contract) is the
     * skew guardrail for pathological corpora: a band bucket holding m
@@ -113,25 +117,36 @@ object Dedup {
                  maxBucket: Int = Int.MaxValue): DataFrame = {
     val rows = k / bands
     require(rows * bands == k)
-    // Materialized: the band table feeds BOTH sides of the candidate
-    // self-join (and, under maxBucket, the bucket-size filter too) —
-    // without the cut the whole signature pipeline runs 2-3x.
-    val banded0 = materialize(
-      bandRows(minhashSignatures(docs, idCol, textCol, k), bands, rows))
+    // Signatures materialized once: the band build and the per-pair
+    // agreement fetch both read the same persisted (doc_id, sig) rows,
+    // so the text scan → shingle → md5 pipeline runs exactly once.
+    val sigs = materialize(minhashSignatures(docs, idCol, textCol, k))
+    // The band table is IDS ONLY (doc_id, band, bkey — three longs):
+    // the candidate self-join exchange never carries the k-long
+    // signature payload. Signatures re-attach AFTER the id-pair
+    // dedup, so the agreement kernel also runs once per UNIQUE pair
+    // instead of once per band collision. (Same ids-only-shuffle
+    // shape as the persisted index probe, incrementalIndexed.)
+    // Materialized because it feeds both self-join sides (and, under
+    // maxBucket, the bucket census too).
+    val banded0 = materialize(bandRows(sigs, bands, rows))
     val banded = capBuckets(banded0, maxBucket)
-    val a = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
+    val a = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("band", "bkey"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct() // union of collisions across bands, ids only
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        // codegen'd agreement kernel — this runs on EVERY candidate
-        // pair the bucket join emits (the hot loop on heavy-candidate
-        // corpora; the interpreted HOF form is the parity spec twin)
+        // codegen'd agreement kernel — once per unique candidate pair
+        // (the interpreted HOF form is the parity spec twin)
         (sigAgree(col("sig_a"), col("sig_b"))
           / lit(k.toDouble)).as("est_jaccard"))
-      .distinct()
   }
 
   /** Drop (band, bkey) buckets whose membership exceeds `maxBucket` —
@@ -359,17 +374,31 @@ object Dedup {
     // est_jaccard ≥ minEst ⇔ signature agreements ≥ ceil(minEst·k):
     // integer threshold, no floating-point compare on the hot join.
     val minAgree = math.ceil(minEst * k).toInt
-    val bBands = bandRows(minhashSignatures(exactKept, idCol, textCol, k), bands, rows)
-    val rBands0 = bandRows(minhashSignatures(reference, idCol, textCol, k), bands, rows)
+    // Signatures materialized on both sides: each feeds its band build
+    // AND the per-pair agreement fetch, so each corpus is scanned and
+    // signed exactly once; the band join itself is IDS ONLY — the
+    // corpus-proportional reference side never ships its k-long
+    // signatures through the bucket exchange (the same ids-only shape
+    // as [[incrementalIndexed]], which is spec-pinned equal).
+    val bSigs = materialize(minhashSignatures(exactKept, idCol, textCol, k))
+    val rSigs = materialize(minhashSignatures(reference, idCol, textCol, k))
+    val bBands = bandRows(bSigs, bands, rows)
+    val rBands0 = bandRows(rSigs, bands, rows)
     // cap enabled: materialize first — the bucket census + semi-join
-    // would otherwise run the reference signature pipeline twice
+    // would otherwise run the reference band pass twice
     val rBands = if (maxBucket == Int.MaxValue) rBands0
                  else capBuckets(materialize(rBands0), maxBucket)
-    val nearDrops = bBands.as("x")
+    // candidate pairs deduped across bands BEFORE the signature fetch,
+    // so each (batch doc, reference doc) agreement is evaluated once
+    val candIds = bBands.as("x")
       .join(rBands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
-      .select(col("x.doc_id").as("doc_id"),
-        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .select(col("x.doc_id").as("doc_id"), col("y.doc_id").as("ref_id"))
+      .distinct()
+    val nearDrops = candIds
+      .join(bSigs.select(col("doc_id"), col("sig").as("sig_a")), Seq("doc_id"))
+      .join(rSigs.select(col("doc_id").as("ref_id"), col("sig").as("sig_b")),
+        Seq("ref_id"))
       .filter(sigAgree(col("sig_a"), col("sig_b")) >= lit(minAgree))
       .select(col("doc_id")) // anti-join below tolerates duplicates
     exactKept.select(col(idCol).as("doc_id"))

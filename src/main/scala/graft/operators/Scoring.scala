@@ -224,10 +224,14 @@ object Scoring {
     * are the domain-shift diagnostic.
     *
     * Shape: one tokenize scan materialized; tri/bi/uni model tables
-    * are train-slice aggregations (vocabulary-bounded); scoring is
-    * four LEFT joins on gram keys — each (doc, trigram) row crosses
-    * each shuffle once, linear at any corpus size. Per-term
-    * round-6→DECIMAL log discipline as the rest of the family.
+    * are train-slice aggregations (vocabulary-bounded); the backoff
+    * LEFT joins run over the DISTINCT-trigram table (also
+    * vocabulary-bounded — the score is a pure function of the
+    * trigram), and the doc-proportional (doc, trigram, tf) rows cross
+    * exactly one scoring join — linear at any corpus size, with every
+    * vocabulary-sized shuffle independent of corpus duplication.
+    * Per-term round-6→DECIMAL log discipline as the rest of the
+    * family.
     *
     * Output: (doc_id, n_trigrams, mean_logscore, n_tri, n_bi, n_uni,
     * n_oov) for docs with ≥ 3 tokens.
@@ -250,19 +254,32 @@ object Scoring {
       .groupBy(col("g")).agg(count(lit(1)).as("c3"))
     val totals = broadcast(uni.agg(sum(col("c1")).cast("long").as("n")))
 
-    // (doc, trigram occurrence) with its backoff keys, tf-aggregated
+    // (doc, trigram, tf) — the only doc-proportional table: native
+    // shingle kernel (the interpreted transform() HOF built the same
+    // space-joined trigrams), and the aggregation exchange carries
+    // (id, tri, tf) alone — the four backoff keys are derived from the
+    // trigram AFTER the shuffle, never shipped (guide §2.3).
     val docTris = toks.filter(size(col("t")) >= 3)
-      .select(col(idCol), explode(expr(
-        "transform(sequence(1, size(t) - 2), i -> struct(" +
-          "concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)) AS tri, " +
-          "concat_ws(' ', element_at(t, i), element_at(t, i + 1)) AS p12, " +
-          "concat_ws(' ', element_at(t, i + 1), element_at(t, i + 2)) AS s23, " +
-          "element_at(t, i + 1) AS w2, element_at(t, i + 2) AS w3))")).as("g"))
-      .groupBy(col(idCol), col("g.tri").as("tri"), col("g.p12").as("p12"),
-        col("g.s23").as("s23"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+      .select(col(idCol),
+        explode(TextFunctions.shingles(col("t"), 3)).as("tri"))
+      .groupBy(col(idCol), col("tri"))
       .agg(count(lit(1)).as("tf"))
 
-    val joined = docTris
+    // Backoff score per DISTINCT corpus trigram (guide §8 — decide on
+    // the small table): S and its level are pure functions of the
+    // trigram, so the five model joins run over the vocabulary-sized
+    // distinct-tri table and the doc-proportional rows cross exactly
+    // ONE join below. The backoff keys re-derive exactly: tokens are
+    // \s+-split (never contain spaces), so substring_index inverts the
+    // shingle kernel's single-space concat bit-for-bit.
+    val triKeys = docTris.select(col("tri")).distinct()
+      .select(col("tri"),
+        substring_index(col("tri"), " ", 2).as("p12"),
+        substring_index(col("tri"), " ", -2).as("s23"),
+        substring_index(substring_index(col("tri"), " ", -2), " ", 1).as("w2"),
+        substring_index(col("tri"), " ", -1).as("w3"))
+
+    val joined = triKeys
       .join(tri.withColumnRenamed("g", "tri"), Seq("tri"), "left")
       .join(bi.select(col("g").as("p12"), col("c2").as("c2p")), Seq("p12"), "left")
       .join(bi.select(col("g").as("s23"), col("c2").as("c2s")), Seq("s23"), "left")
@@ -284,10 +301,11 @@ object Scoring {
         .when(col("c2s").isNotNull, lit("bi"))
         .when(col("c1w3").isNotNull, lit("uni"))
         .otherwise(lit("oov"))
+    val scoredTri = joined.select(col("tri"),
+      round(s, 6).cast("decimal(18,6)").as("__term1"), level.as("__lvl"))
 
-    joined
-      .withColumn("term", cntTerm(col("tf"), round(s, 6).cast("decimal(18,6)")))
-      .withColumn("__lvl", level)
+    docTris.join(scoredTri, Seq("tri"))
+      .withColumn("term", cntTerm(col("tf"), col("__term1")))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_trigrams"),
         // unrounded — see ngramLmPerplexity's scored step: a rounded

@@ -179,6 +179,42 @@ object Similarity {
     np
   }
 
+  /** Exact row count WITHOUT a Spark job when the plan is a pure
+    * projection over one parquet file-source scan: parquet footers
+    * carry exact per-file row counts, so the driver sums them in
+    * milliseconds instead of scheduling a count() job (guide §6 — use
+    * the format's metadata; round-15 verdict measured the dedicated
+    * count() costing dedup_embedding +15% at sweep scale). Projections
+    * never change cardinality, so unwrapping them is safe; any other
+    * node (Filter, Join, …) falls back to a real count(). The value is
+    * bit-identical to count(*) — the oracle twins' plane-count CASE
+    * ladders key on count(*) of the same parquet files.
+    */
+  private[graft] def exactRowCount(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    @annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, child) => unwrap(child)
+      case other             => other
+    }
+    unwrap(df.queryExecution.optimizedPlan) match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation if fs.fileFormat.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] =>
+          val conf = df.sparkSession.sessionState.newHadoopConf()
+          fs.location.inputFiles.map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try r.getRecordCount finally r.close()
+          }.sum
+        case _ => df.count()
+      }
+      case _ => df.count()
+    }
+  }
+
   /** [[embeddingPairs]] with the hyperplane count sized to the corpus
     * AND an oracle-compatible fixed plane layout — the form the
     * oracle-pinned near-dup queries ship (C5 dedup_embedding, C39
@@ -189,7 +225,9 @@ object Similarity {
     * [[embeddingPairsScaled]]'s `t·np+p` plane layout shifts every
     * plane vector when np changes, which no fixed oracle SQL can
     * follow. This form pins the layout at [[AutoPlaneStride]] and
-    * derives np from one cheap count() with [[autoPlanes]] — at the
+    * derives np from the corpus count with [[autoPlanes]] — via
+    * [[exactRowCount]], i.e. parquet footer metadata when the input is
+    * a bare scan (no job at all), a count() otherwise — at the
     * driver SFs (≤4096 vectors) np stays 5, so small-corpus recall is
     * unchanged; at sf1 np=8 cuts candidates ~8×, and growth stays
     * ~n·targetBucket/2 per table forever.
@@ -199,7 +237,7 @@ object Similarity {
                          targetBucket: Int = 128,
                          maxBucket: Int = Int.MaxValue): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val np = autoPlanes(emb.count(), targetBucket)
+    val np = autoPlanes(exactRowCount(emb), targetBucket)
     val bucketed = bucketRows(emb, idCol, vecCol, np, nTables, dims,
       planeStride = AutoPlaneStride).materialized
     pairsFromBucketed(bucketed, emb, idCol, vecCol, minCosine, maxBucket)
@@ -218,7 +256,7 @@ object Similarity {
                            minCosine: Double, targetBucket: Int = 128,
                            nTables: Int = 16, dims: Int = 64,
                            maxBucket: Int = 10000): DataFrame = {
-    val n = emb.count()
+    val n = exactRowCount(emb)
     val planes = math.max(5,
       math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2)).toInt)
     embeddingPairs(emb, idCol, vecCol, minCosine, nPlanes = planes,

@@ -44,8 +44,11 @@ class QuerySuiteSpec extends AnyFunSuite {
     val p = java.nio.file.Paths.get("bench_pins_sf001.json")
     assert(java.nio.file.Files.isRegularFile(p), "pins file missing")
     val txt = java.nio.file.Files.readString(p)
+    // "slack" and "_"-prefixed keys are file metadata (e.g. the
+    // round-16 `_sensitivity` note), not pins — Bench's numeric-entry
+    // parser skips them the same way
     val keys = "\"([A-Za-z0-9_]+)\"\\s*:".r.findAllMatchIn(txt)
-      .map(_.group(1)).filter(_ != "slack").toSet
+      .map(_.group(1)).filter(k => k != "slack" && !k.startsWith("_")).toSet
     val missing = SparkEntry.queries.keySet.diff(keys)
     val stale = keys.diff(SparkEntry.queries.keySet)
     assert(missing.isEmpty, s"unpinned queries: ${missing.mkString(", ")}")

@@ -209,6 +209,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(auto.nonEmpty, "np>5 bucketing lost every true pair on the fixture")
   }
 
+  test("exactRowCount: footer path ≡ count() on scans/projections, falls back elsewhere") {
+    // the np-derivation count must stay bit-identical to the oracle's
+    // count(*) — footer metadata IS the exact count for a bare scan
+    val emb = Tables.embeddings(spark, sf) // bare scan (or cast projection)
+    assert(Similarity.exactRowCount(emb) == emb.count())
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id")) // pruned projection
+    assert(Similarity.exactRowCount(docs) == docs.count())
+    // any non-projection node must take the count() fallback, never a
+    // footer sum (a filter changes cardinality; footers don't know it)
+    val filtered = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0)
+    assert(Similarity.exactRowCount(filtered) == filtered.count())
+    import spark.implicits._
+    val mem = Seq(1L, 2L, 3L).toDF("x") // no file source at all
+    assert(Similarity.exactRowCount(mem) == 3L)
+  }
+
+  test("minhashLsh ids-only band join ≡ the sig-carrying reference form (r16 restructure)") {
+    // round 16 rebuilt minhashLsh so the band self-join ships
+    // (doc_id, band, bkey) only and the agreement kernel runs once per
+    // UNIQUE pair after dedup; this pins the output against an inline
+    // replica of the pre-r16 shape (signatures riding the band rows,
+    // agreement per band collision, distinct at the end)
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val got = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (k, bands, rows) = (16, 8, 2)
+    def phash(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", k)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          phash(concat(b.cast("string"), lit("|"),
+            concat_ws(",", transform(sequence(lit(0), lit(rows - 1)),
+              r => element_at(col("sig"), b * rows + r + 1).cast("string"))))).as("bkey"))))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+      .localCheckpoint()
+    val a = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val want = a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (graft.functions.TextFunctions.sigAgree(col("sig_a"), col("sig_b"))
+          / lit(k.toDouble)).as("est_jaccard"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, s"ids-only form diverged: ${got.diff(want)} / ${want.diff(got)}")
+    assert(got.nonEmpty, "fixture produced no candidate pairs — test is vacuous")
+  }
+
   test("minhash bucket cap bounds identical-doc floods without losing normal pairs") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
