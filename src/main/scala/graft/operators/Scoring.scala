@@ -161,9 +161,14 @@ object Scoring {
     // exact x.5e-6 ties (sum is 1e-6-grid, n arbitrary) where the
     // engines' rounding implementations legitimately differ (hit in
     // the wild: one doc in 25k at sf0.1 for the backoff scorer)
-    val scored = docGrams.join(model, "gram")
-      .withColumn("term", cntTerm(col("tf"),
-        lnTerm(col("c1").cast("double") / col("c2").cast("double"))))
+    // surprisal term computed ONCE per distinct gram on the
+    // vocabulary-sized model side (it is a pure function of the gram's
+    // counts), not per (doc, gram) row — the join also carries one
+    // decimal instead of two counts (guide §1.2 per-task work, §2.3)
+    val modelTerms = model.select(col("gram"),
+      lnTerm(col("c1").cast("double") / col("c2").cast("double")).as("__t1"))
+    val scored = docGrams.join(modelTerms, "gram")
+      .withColumn("term", cntTerm(col("tf"), col("__t1")))
       .groupBy(col(idCol))
       .agg(sum(col("tf")).as("n_bigrams"),
         (sum(col("term")).cast("double") / sum(col("tf")))
