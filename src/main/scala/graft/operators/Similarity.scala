@@ -846,11 +846,36 @@ object Similarity {
         kmeansAssignExpr(col(vecCol), centroids).as("cluster_id"))
       .materialized // both self-join sides + the survivor projection
     val vecs = emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+    // Salted within-cell self-join (guide §2.5): the join key has only
+    // k distinct values (k = 8 on the oracle-pinned queries), so an
+    // unsalted equi-join runs the whole (cell size)² cosine work on at
+    // most k tasks no matter the cluster — and AQE's skew splitter
+    // never fires because all k partitions are EQUALLY oversized (no
+    // 5×-median outlier). Side A gets a deterministic salt
+    // pmod(id, S); side B is replicated S ways, so every pair still
+    // meets exactly once (at salt = ida mod S) — the result set is
+    // bit-identical, only the partitioning changes. S derives from the
+    // session's parallelism (a partitioning knob, like
+    // shuffle.partitions — never affects values); the B-side payload
+    // grows S×, the per-task quadratic work drops S×. S sweep at sf1
+    // (20 k vectors, local[8], min-of-3 engine): S=2 → 11.5 s, 4 →
+    // 9.8 s, 8 → 7.4 s, 16 → 8.1 s (duplication cost overtakes), vs
+    // 16.3 s unsalted — so S targets 8× the key count per core slot,
+    // capped at 64 so the replication stays bounded on wide clusters
+    // (where the REAL lever is scaling k with the corpus, per the
+    // scaladoc above — the k = 8 here is the oracle-pinned driver
+    // configuration).
+    val salts = math.min(64, math.max(1,
+      emb.sparkSession.sparkContext.defaultParallelism * 8 / math.max(k, 1)))
     val a = assigned.join(vecs, Seq("vec_id"))
-      .select(col("cluster_id"), col("vec_id").as("__ida"), col("__v").as("__va"))
+      .select(col("cluster_id"),
+        pmod(col("vec_id"), lit(salts.toLong)).cast("int").as("__salt"),
+        col("vec_id").as("__ida"), col("__v").as("__va"))
     val b = assigned.join(vecs, Seq("vec_id"))
-      .select(col("cluster_id"), col("vec_id").as("__idb"), col("__v").as("__vb"))
-    val drops = a.join(b, Seq("cluster_id"))
+      .select(col("cluster_id"),
+        explode(sequence(lit(0), lit(salts - 1))).as("__salt"),
+        col("vec_id").as("__idb"), col("__v").as("__vb"))
+    val drops = a.join(b, Seq("cluster_id", "__salt"))
       .filter(col("__ida") < col("__idb") &&
         round(VectorFunctions.cosineNative(col("__va"), col("__vb")), 6) >= minCos)
       .select(col("__idb").as("__drop")).distinct()

@@ -75,6 +75,16 @@ object TailProbe {
       time("dedup_pagerank: SIGNATURE SCAN alone") {
         graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text", 16)
       }
+      // semantic_clusters attribution: LSH pair mining vs the CC tail
+      val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      time("semantic_clusters: PAIR MINING alone") {
+        graft.operators.Similarity
+          .embeddingPairsAuto(emb, "vec_id", "embedding", 0.4)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      }
+      time("semantic_clusters: FULL (mining + CC)") {
+        graft.SparkEntry.queries("semantic_clusters")(spark, sfDir)
+      }
     }
 
     if (on("substr")) {
